@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every capability of the engine is exposed as a named query over the
+  * driver-generated tables in `sfDir`; each query with a DuckDB-expressible
+  * semantics also carries oracle SQL for the hash-match correctness gate.
+  */
 object SparkEntry {
+
+  /** All registered capabilities, in stable name order. */
+  def allDefs: Seq[QueryDef] =
+    (queries1 ++ queries2).sortBy(_.name)
+
+  private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
+  private def queries2: Seq[QueryDef] = _root_.graft.queries.Pipeline.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allDefs.find(_.name == "q05_nation_revenue").get
+      .fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }
