@@ -1,0 +1,406 @@
+package graft.pbf
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** File-block structures (fileformat.proto inside the reference's bundled
+  * jar) and the PrimitiveBlock → entity decode (osmformat.proto).
+  *
+  * Decoding follows the format spec, not the reference's code: raw
+  * (uncompressed) blobs are accepted (reference defect D6 rejects them,
+  * OsmPbfRecordReader.java:180-182), dense-tag state is reset per node
+  * (defect D3), and way/relation iteration is bounds-checked (defect D2).
+  */
+object PbfBlockDecoder {
+
+  final case class BlobHeader(blockType: String, datasize: Int)
+
+  def parseBlobHeader(buf: Array[Byte], off: Int, len: Int): BlobHeader = {
+    val r = new ProtoReader(buf, off, off + len)
+    var tpe: String = null
+    var datasize = -1
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => tpe = r.readString()
+        case 3 => datasize = r.readVarint().toInt
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    require(tpe != null && datasize >= 0, "malformed BlobHeader")
+    BlobHeader(tpe, datasize)
+  }
+
+  /** Blob → raw payload bytes. Handles `raw` and `zlib_data`; lzma/bzip2
+    * are format-legal but unseen in practice and rejected with a clear
+    * error (same stance as the reference for lzma,
+    * OsmPbfRecordReader.java:176-178).
+    */
+  def inflateBlob(buf: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val r = new ProtoReader(buf, off, off + len)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: Array[Byte] = null
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => raw = r.readBytes()
+        case 2 => rawSize = r.readVarint().toInt
+        case 3 => zlib = r.readBytes()
+        case n if n == 4 || n == 5 =>
+          throw new UnsupportedOperationException(
+            s"unsupported blob compression (field $n); only raw and zlib")
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    if (raw != null) raw
+    else if (zlib != null) {
+      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 8)
+      val inf = new Inflater()
+      inf.setInput(zlib)
+      val n = inf.inflate(out)
+      inf.end()
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    } else throw new IllegalArgumentException("empty Blob")
+  }
+
+  // ---- PrimitiveBlock ----------------------------------------------------
+
+  /** Per-block string dictionary (osmformat.proto:131-133); index 0 is the
+    * reserved empty string.
+    */
+  final class StringTable(val entries: Array[String]) {
+    def apply(i: Int): String = entries(i)
+  }
+
+  final case class RawGroup(
+      nodes: Seq[ProtoReader],
+      dense: Option[ProtoReader],
+      ways: Seq[ProtoReader],
+      relations: Seq[ProtoReader])
+
+  final class PrimitiveBlock(
+      val strings: StringTable,
+      val groups: Seq[RawGroup],
+      val granularity: Int,
+      val latOffset: Long,
+      val lonOffset: Long,
+      val dateGranularity: Int) {
+    /** deg = 1e-9 * (offset + granularity * raw) — osmformat.proto:46-47. */
+    @inline def toLat(raw: Long): Double = 1e-9 * (latOffset + granularity * raw)
+    @inline def toLon(raw: Long): Double = 1e-9 * (lonOffset + granularity * raw)
+  }
+
+  def parsePrimitiveBlock(payload: Array[Byte]): PrimitiveBlock = {
+    val r = new ProtoReader(payload, 0, payload.length)
+    var strings: StringTable = null
+    val groups = ArrayBuffer.empty[RawGroup]
+    var granularity = 100
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => strings = parseStringTable(r.readMessage())
+        case 2 => groups += parseGroup(r.readMessage())
+        case 17 => granularity = r.readVarint().toInt
+        case 18 => dateGranularity = r.readVarint().toInt
+        case 19 => latOffset = r.readVarint()
+        case 20 => lonOffset = r.readVarint()
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    require(strings != null, "PrimitiveBlock missing stringtable")
+    new PrimitiveBlock(strings, groups.toSeq, granularity, latOffset,
+      lonOffset, dateGranularity)
+  }
+
+  private def parseStringTable(r: ProtoReader): StringTable = {
+    val out = ArrayBuffer.empty[String]
+    var tag = r.readTag()
+    while (tag != -1) {
+      if ((tag >> 3) == 1) {
+        val len = r.readVarint().toInt
+        out += new String(r.buf, r.pos, len, StandardCharsets.UTF_8)
+        r.pos += len
+      } else r.skip(tag & 7)
+      tag = r.readTag()
+    }
+    new StringTable(out.toArray)
+  }
+
+  private def parseGroup(r: ProtoReader): RawGroup = {
+    val nodes = ArrayBuffer.empty[ProtoReader]
+    var dense: Option[ProtoReader] = None
+    val ways = ArrayBuffer.empty[ProtoReader]
+    val rels = ArrayBuffer.empty[ProtoReader]
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => nodes += r.readMessage()
+        case 2 => dense = Some(r.readMessage())
+        case 3 => ways += r.readMessage()
+        case 4 => rels += r.readMessage()
+        case _ => r.skip(tag & 7) // changesets (5) and future kinds
+      }
+      tag = r.readTag()
+    }
+    RawGroup(nodes.toSeq, dense, ways.toSeq, rels.toSeq)
+  }
+
+  // ---- entity decode -----------------------------------------------------
+
+  /** Decode every requested entity in the block, in file order. */
+  def decodeEntities(
+      block: PrimitiveBlock,
+      kinds: Set[EntityKind.Value],
+      withInfo: Boolean): Iterator[OsmEntity] =
+    block.groups.iterator.flatMap { g =>
+      val ns: Iterator[OsmEntity] =
+        if (!kinds(EntityKind.Node)) Iterator.empty
+        else g.dense.iterator.flatMap(d => decodeDense(block, d, withInfo)) ++
+          g.nodes.iterator.map(n => decodeNode(block, n, withInfo))
+      val ws: Iterator[OsmEntity] =
+        if (!kinds(EntityKind.Way)) Iterator.empty
+        else g.ways.iterator.map(w => decodeWay(block, w, withInfo))
+      val rs: Iterator[OsmEntity] =
+        if (!kinds(EntityKind.Relation)) Iterator.empty
+        else g.relations.iterator.map(rel => decodeRelation(block, rel, withInfo))
+      ns ++ ws ++ rs
+    }
+
+  /** DenseNodes: parallel packed arrays, all DELTA coded; tags flattened as
+    * ((keyId valId)* 0)* — osmformat.proto:216-227. State (running id/lat/
+    * lon, keys_vals cursor) is scoped to this group: fixes reference defect
+    * D3 (stale-tag carryover across nodes/blocks).
+    */
+  private def decodeDense(
+      block: PrimitiveBlock,
+      r: ProtoReader,
+      withInfo: Boolean): Iterator[OsmNode] = {
+    var ids: Array[Long] = Array.emptyLongArray
+    var lats: Array[Long] = Array.emptyLongArray
+    var lons: Array[Long] = Array.emptyLongArray
+    var keysVals: Array[Int] = Array.emptyIntArray
+    var denseInfo: ProtoReader = null
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => ids = r.readPackedLongs(zigzag = true)
+        case 5 => denseInfo = r.readMessage()
+        case 8 => lats = r.readPackedLongs(zigzag = true)
+        case 9 => lons = r.readPackedLongs(zigzag = true)
+        case 10 => keysVals = r.readPackedInts(zigzag = false)
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    val infos: Array[OsmInfo] =
+      if (withInfo && denseInfo != null)
+        decodeDenseInfo(block, denseInfo, ids.length)
+      else null
+    val st = block.strings
+    val n = ids.length
+    val out = new Array[OsmNode](n)
+    var id = 0L; var lat = 0L; var lon = 0L; var kv = 0
+    var i = 0
+    while (i < n) {
+      id += ids(i); lat += lats(i); lon += lons(i)
+      var tags = Map.empty[String, String]
+      while (kv < keysVals.length && keysVals(kv) != 0) {
+        tags = tags.updated(st(keysVals(kv)), st(keysVals(kv + 1)))
+        kv += 2
+      }
+      kv += 1 // consume the 0 delimiter (absent entirely when no node has tags)
+      out(i) = OsmNode(id, block.toLat(lat), block.toLon(lon), tags,
+        if (infos == null) None else Option(infos(i)))
+      i += 1
+    }
+    out.iterator
+  }
+
+  private def decodeDenseInfo(
+      block: PrimitiveBlock,
+      r: ProtoReader,
+      n: Int): Array[OsmInfo] = {
+    var versions: Array[Int] = Array.emptyIntArray
+    var timestamps: Array[Long] = Array.emptyLongArray
+    var changesets: Array[Long] = Array.emptyLongArray
+    var uids: Array[Int] = Array.emptyIntArray
+    var userSids: Array[Int] = Array.emptyIntArray
+    var visibles: Array[Long] = Array.emptyLongArray
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => versions = r.readPackedInts(zigzag = false)
+        case 2 => timestamps = r.readPackedLongs(zigzag = true)
+        case 3 => changesets = r.readPackedLongs(zigzag = true)
+        case 4 => uids = r.readPackedInts(zigzag = true)
+        case 5 => userSids = r.readPackedInts(zigzag = true)
+        case 6 => visibles = r.readPackedLongs(zigzag = false)
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    val out = new Array[OsmInfo](n)
+    var ts = 0L; var cs = 0L; var uid = 0; var sid = 0
+    var i = 0
+    while (i < n) {
+      if (i < timestamps.length) ts += timestamps(i)
+      if (i < changesets.length) cs += changesets(i)
+      if (i < uids.length) uid += uids(i)
+      if (i < userSids.length) sid += userSids(i)
+      out(i) = OsmInfo(
+        if (i < versions.length) versions(i) else -1,
+        ts * block.dateGranularity,
+        cs, uid,
+        if (sid > 0 && sid < block.strings.entries.length) block.strings(sid) else "",
+        if (i < visibles.length) visibles(i) != 0 else true)
+      i += 1
+    }
+    out
+  }
+
+  /** Non-dense Node (osmformat.proto:192-202) — format-legal but never read
+    * by the reference (SURVEY §1.1); we support it for completeness.
+    */
+  private def decodeNode(
+      block: PrimitiveBlock,
+      r: ProtoReader,
+      withInfo: Boolean): OsmNode = {
+    var id = 0L; var lat = 0L; var lon = 0L
+    var keys: Array[Int] = Array.emptyIntArray
+    var vals: Array[Int] = Array.emptyIntArray
+    var info: Option[OsmInfo] = None
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => id = r.readSVarint()
+        case 2 => keys = r.readPackedInts(zigzag = false)
+        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 4 =>
+          val m = r.readMessage()
+          if (withInfo) info = Some(decodeInfo(block, m))
+        case 8 => lat = r.readSVarint()
+        case 9 => lon = r.readSVarint()
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    OsmNode(id, block.toLat(lat), block.toLon(lon),
+      zipTags(block, keys, vals), info)
+  }
+
+  private def decodeWay(
+      block: PrimitiveBlock,
+      r: ProtoReader,
+      withInfo: Boolean): OsmWay = {
+    var id = 0L
+    var keys: Array[Int] = Array.emptyIntArray
+    var vals: Array[Int] = Array.emptyIntArray
+    var refs: Array[Long] = Array.emptyLongArray
+    var info: Option[OsmInfo] = None
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedInts(zigzag = false)
+        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 4 =>
+          val m = r.readMessage()
+          if (withInfo) info = Some(decodeInfo(block, m))
+        case 8 => refs = r.readPackedLongs(zigzag = true)
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    // refs are DELTA coded in geometry order (osmformat.proto:238)
+    var i = 1
+    while (i < refs.length) { refs(i) += refs(i - 1); i += 1 }
+    OsmWay(id, refs, zipTags(block, keys, vals), info)
+  }
+
+  private val memberTypeNames = Array("node", "way", "relation")
+
+  private def decodeRelation(
+      block: PrimitiveBlock,
+      r: ProtoReader,
+      withInfo: Boolean): OsmRelation = {
+    var id = 0L
+    var keys: Array[Int] = Array.emptyIntArray
+    var vals: Array[Int] = Array.emptyIntArray
+    var roles: Array[Int] = Array.emptyIntArray
+    var memids: Array[Long] = Array.emptyLongArray
+    var types: Array[Int] = Array.emptyIntArray
+    var info: Option[OsmInfo] = None
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedInts(zigzag = false)
+        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 4 =>
+          val m = r.readMessage()
+          if (withInfo) info = Some(decodeInfo(block, m))
+        case 8 => roles = r.readPackedInts(zigzag = false)
+        case 9 => memids = r.readPackedLongs(zigzag = true)
+        case 10 => types = r.readPackedInts(zigzag = false)
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    val n = memids.length
+    val members = new Array[OsmMember](n)
+    var mid = 0L
+    var i = 0
+    while (i < n) {
+      mid += memids(i)
+      members(i) = OsmMember(
+        if (i < roles.length) block.strings(roles(i)) else "",
+        mid,
+        if (i < types.length && types(i) < 3) memberTypeNames(types(i)) else "")
+      i += 1
+    }
+    OsmRelation(id, members, zipTags(block, keys, vals), info)
+  }
+
+  private def decodeInfo(block: PrimitiveBlock, r: ProtoReader): OsmInfo = {
+    var version = -1; var ts = 0L; var cs = 0L; var uid = 0; var sid = 0
+    var visible = true
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => version = r.readVarint().toInt
+        case 2 => ts = r.readVarint()
+        case 3 => cs = r.readVarint()
+        case 4 => uid = r.readVarint().toInt
+        case 5 => sid = r.readVarint().toInt
+        case 6 => visible = r.readVarint() != 0
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    OsmInfo(version, ts * block.dateGranularity, cs, uid,
+      if (sid > 0 && sid < block.strings.entries.length) block.strings(sid) else "",
+      visible)
+  }
+
+  private def zipTags(
+      block: PrimitiveBlock,
+      keys: Array[Int],
+      vals: Array[Int]): Map[String, String] = {
+    var m = Map.empty[String, String]
+    val n = math.min(keys.length, vals.length)
+    var i = 0
+    while (i < n) {
+      m = m.updated(block.strings(keys(i)), block.strings(vals(i)))
+      i += 1
+    }
+    m
+  }
+}
