@@ -155,22 +155,27 @@ object PbfBlockDecoder {
 
   // ---- entity decode -----------------------------------------------------
 
-  /** Decode every requested entity in the block, in file order. */
+  /** Decode every requested entity in the block, in file order.
+    * `withInfo`/`withTags` skip metadata and tag assembly when the
+    * corresponding columns are pruned — a genuine CPU saving the reference
+    * could not make (SURVEY §4 "column pruning": always decodes everything).
+    */
   def decodeEntities(
       block: PrimitiveBlock,
       kinds: Set[EntityKind.Value],
-      withInfo: Boolean): Iterator[OsmEntity] =
+      withInfo: Boolean,
+      withTags: Boolean = true): Iterator[OsmEntity] =
     block.groups.iterator.flatMap { g =>
       val ns: Iterator[OsmEntity] =
         if (!kinds(EntityKind.Node)) Iterator.empty
-        else g.dense.iterator.flatMap(d => decodeDense(block, d, withInfo)) ++
-          g.nodes.iterator.map(n => decodeNode(block, n, withInfo))
+        else g.dense.iterator.flatMap(d => decodeDense(block, d, withInfo, withTags)) ++
+          g.nodes.iterator.map(n => decodeNode(block, n, withInfo, withTags))
       val ws: Iterator[OsmEntity] =
         if (!kinds(EntityKind.Way)) Iterator.empty
-        else g.ways.iterator.map(w => decodeWay(block, w, withInfo))
+        else g.ways.iterator.map(w => decodeWay(block, w, withInfo, withTags))
       val rs: Iterator[OsmEntity] =
         if (!kinds(EntityKind.Relation)) Iterator.empty
-        else g.relations.iterator.map(rel => decodeRelation(block, rel, withInfo))
+        else g.relations.iterator.map(rel => decodeRelation(block, rel, withInfo, withTags))
       ns ++ ws ++ rs
     }
 
@@ -182,7 +187,8 @@ object PbfBlockDecoder {
   private def decodeDense(
       block: PrimitiveBlock,
       r: ProtoReader,
-      withInfo: Boolean): Iterator[OsmNode] = {
+      withInfo: Boolean,
+      withTags: Boolean): Iterator[OsmNode] = {
     var ids: Array[Long] = Array.emptyLongArray
     var lats: Array[Long] = Array.emptyLongArray
     var lons: Array[Long] = Array.emptyLongArray
@@ -212,11 +218,13 @@ object PbfBlockDecoder {
     while (i < n) {
       id += ids(i); lat += lats(i); lon += lons(i)
       var tags = Map.empty[String, String]
-      while (kv < keysVals.length && keysVals(kv) != 0) {
-        tags = tags.updated(st(keysVals(kv)), st(keysVals(kv + 1)))
-        kv += 2
+      if (withTags) {
+        while (kv < keysVals.length && keysVals(kv) != 0) {
+          tags = tags.updated(st(keysVals(kv)), st(keysVals(kv + 1)))
+          kv += 2
+        }
+        kv += 1 // consume the 0 delimiter (absent entirely when no node has tags)
       }
-      kv += 1 // consume the 0 delimiter (absent entirely when no node has tags)
       out(i) = OsmNode(id, block.toLat(lat), block.toLon(lon), tags,
         if (infos == null) None else Option(infos(i)))
       i += 1
@@ -272,7 +280,8 @@ object PbfBlockDecoder {
   private def decodeNode(
       block: PrimitiveBlock,
       r: ProtoReader,
-      withInfo: Boolean): OsmNode = {
+      withInfo: Boolean,
+      withTags: Boolean): OsmNode = {
     var id = 0L; var lat = 0L; var lon = 0L
     var keys: Array[Int] = Array.emptyIntArray
     var vals: Array[Int] = Array.emptyIntArray
@@ -293,13 +302,14 @@ object PbfBlockDecoder {
       tag = r.readTag()
     }
     OsmNode(id, block.toLat(lat), block.toLon(lon),
-      zipTags(block, keys, vals), info)
+      if (withTags) zipTags(block, keys, vals) else Map.empty, info)
   }
 
   private def decodeWay(
       block: PrimitiveBlock,
       r: ProtoReader,
-      withInfo: Boolean): OsmWay = {
+      withInfo: Boolean,
+      withTags: Boolean): OsmWay = {
     var id = 0L
     var keys: Array[Int] = Array.emptyIntArray
     var vals: Array[Int] = Array.emptyIntArray
@@ -322,7 +332,7 @@ object PbfBlockDecoder {
     // refs are DELTA coded in geometry order (osmformat.proto:238)
     var i = 1
     while (i < refs.length) { refs(i) += refs(i - 1); i += 1 }
-    OsmWay(id, refs, zipTags(block, keys, vals), info)
+    OsmWay(id, refs, if (withTags) zipTags(block, keys, vals) else Map.empty, info)
   }
 
   private val memberTypeNames = Array("node", "way", "relation")
@@ -330,7 +340,8 @@ object PbfBlockDecoder {
   private def decodeRelation(
       block: PrimitiveBlock,
       r: ProtoReader,
-      withInfo: Boolean): OsmRelation = {
+      withInfo: Boolean,
+      withTags: Boolean): OsmRelation = {
     var id = 0L
     var keys: Array[Int] = Array.emptyIntArray
     var vals: Array[Int] = Array.emptyIntArray
@@ -366,7 +377,8 @@ object PbfBlockDecoder {
         if (i < types.length && types(i) < 3) memberTypeNames(types(i)) else "")
       i += 1
     }
-    OsmRelation(id, members, zipTags(block, keys, vals), info)
+    OsmRelation(id, members,
+      if (withTags) zipTags(block, keys, vals) else Map.empty, info)
   }
 
   private def decodeInfo(block: PrimitiveBlock, r: ProtoReader): OsmInfo = {

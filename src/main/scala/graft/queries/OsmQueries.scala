@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.OsmFunctions
+import org.apache.spark.sql.functions._
+
+/** Queries over the OSM PBF source itself. DuckDB cannot read `.pbf`, so
+  * these carry no oracle SQL (driver records rows-only checks); their
+  * correctness gate is the golden-value ScalaTest suite against the
+  * reference fixture (OsmPbfSourceSpec / PbfDecodeSpec).
+  */
+object OsmQueries {
+
+  /** The reference's own test fixture (FIXTURES.md §1). */
+  val fixturePath = "/root/reference/src/test/java/resources/temp.dat"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "osm01_node_inventory",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").option("parseType", "node").load(fixturePath)
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            min($"id").as("min_id"), max($"id").as("max_id"),
+            min($"lat").as("min_lat"), max($"lat").as("max_lat"),
+            min($"lon").as("min_lon"), max($"lon").as("max_lon"))
+      },
+      None),
+
+    QueryDef(
+      // README.md:22-35 canonical query: 2048x2048 grid density
+      "osm02_tile_density",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").option("parseType", "node").load(fixturePath)
+          .withColumn("tile", OsmFunctions.tileId($"lat", $"lon"))
+          .groupBy($"tile").agg(count(lit(1)).as("n"))
+          .orderBy($"tile")
+      },
+      None),
+
+    QueryDef(
+      // the domain join: way refs -> node coordinates (SURVEY §2.2)
+      "osm03_way_geometry",
+      (s, _) => {
+        import s.implicits._
+        val ways = s.read.format("osmpbf").option("parseType", "way")
+          .load(fixturePath)
+        val nodes = s.read.format("osmpbf").option("parseType", "node")
+          .load(fixturePath)
+        OsmFunctions.resolveWayGeometry(ways, nodes)
+          .groupBy($"way_id")
+          .agg(count(lit(1)).as("n_points"),
+            min($"lat").as("min_lat"), max($"lat").as("max_lat"))
+          .orderBy($"way_id")
+      },
+      None),
+
+    QueryDef(
+      "osm04_tag_frequency",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").load(fixturePath)
+          .select($"type", explode($"tags").as(Seq("k", "v")))
+          .groupBy($"k").agg(count(lit(1)).as("n"),
+            countDistinct($"v").as("n_values"))
+          .orderBy($"n".desc, $"k")
+          .limit(25)
+      },
+      None),
+
+    QueryDef(
+      "osm05_relation_members",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").option("parseType", "relation").load(fixturePath)
+          .select($"id", explode($"members").as("m"))
+          .groupBy($"m.memberType".as("member_type"), $"m.role".as("role"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"member_type", $"role")
+      },
+      None),
+
+    QueryDef(
+      // reference-compat flattened "k:v;" tag strings (SURVEY §1.2 quirk)
+      "osm06_tags_compat_string",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").option("parseType", "node").load(fixturePath)
+          .filter(size(map_entries($"tags")) > 0)
+          .select($"id", OsmFunctions.osmTagsToString($"tags").as("tags_str"))
+          .orderBy($"id")
+          .limit(100)
+      },
+      None)
+  )
+}
