@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact / keepFirst: one hash shuffle on a 128-bit content hash (md5),
+  *    the cheapest possible grouping key — never shuffle full text.
+  *  - minhashLsh: candidate generation via banded MinHash signatures; the
+  *    only shuffle is on (band, bandHash) buckets, and oversized buckets
+  *    (degenerate shingles) are capped so one hot key cannot stall a stage.
+  *  - ngramJaccard: exact pairwise Jaccard restricted to shingle-sharing
+  *    candidates (inverted-index join), with a document-frequency cap on
+  *    shingles playing the role of a stop-shingle list.
+  *  - simhash64: per-row 64-bit signature; near-dup candidates share one of
+  *    four 16-bit chunks (guarantees recall for hamming distance <= 3).
+  *
+  * Everything is `functions._` composition — no UDFs, fully codegen'd.
+  */
+object Dedup {
+
+  /** 3-token shingles, distinct per document; a doc shorter than `k`
+    * tokens contributes itself as its only shingle (ANSI-safe: no
+    * out-of-bounds element_at).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array(text))
+  }
+
+  /** Exact duplicate groups by content hash of `key` (md5 so only a
+    * 128-bit key shuffles, never the payload).
+    */
+  def exactGroups(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(md5(key).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Keep the first (lowest id) row of each duplicate class under `key`. */
+  def keepFirst(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(key)).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash signature as an array of `numHashes` minima over shingle
+    * hashes, using the classic (a*x+b) mod p universal family with
+    * deterministic constants.
+    */
+  /** Mersenne prime 2^31-1: with a, b, x < 2^31, a*x+b < 2^63 — no long
+    * overflow (Spark 4 runs ANSI mode; silent wraparound isn't available
+    * and wouldn't be a universal hash anyway).
+    */
+  private val MinhashP = 2147483647L
+
+  /** splitmix64 — deterministic per-hash-function constants computed once
+    * on the driver and shipped as array literals, so executors never
+    * re-derive them per element.
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def hashConstants(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(numHashes)(i =>
+      math.floorMod(splitmix64(2L * i), MinhashP - 1) + 1)
+    val b = Array.tabulate(numHashes)(i =>
+      math.floorMod(splitmix64(2L * i + 1), MinhashP))
+    (a, b)
+  }
+
+  /** Per-document shingle hashes — materialize this ONCE per row (e.g. via
+    * withColumn) before fanning out to `numHashes` minima; inlining it into
+    * the signature expression makes Spark recompute the string hashing for
+    * every one of the 64 hash functions (measured 40x slowdown).
+    */
+  def shingleHashes(text: Column): Column =
+    transform(shingles(text), s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** MinHash signature from a materialized shingle-hash array. */
+  def minhashSignatureFromHashes(shHashes: Column, numHashes: Int = 64): Column = {
+    val (as, bs) = hashConstants(numHashes)
+    val aLit = lit(as)
+    val bLit = lit(bs)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shHashes, x =>
+        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(MinhashP)))))
+  }
+
+  def minhashSignature(text: Column, numHashes: Int = 64): Column =
+    minhashSignatureFromHashes(shingleHashes(text), numHashes)
+
+  /** (id, sig) via explode + `numHashes` min-aggregates. This shape hashes
+    * each shingle string exactly once: the nested-transform form looks
+    * natural but Catalyst collapses the projection and re-evaluates the
+    * whole shingle-hash array for every one of the 64 hash functions
+    * (measured 40x slower). Partial aggregation keeps the shuffle at one
+    * 64-long row per document.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64): DataFrame = {
+    val (as, bs) = hashConstants(numHashes)
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol))).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
+    ex.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: documents sharing at least one of `bands` band
+    * hashes, scored by estimated Jaccard (fraction of matching signature
+    * components). `maxBucketSize` drops degenerate buckets (skew guard).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = capped.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          size(col("sig_a")).cast("double")).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over shingle-sharing candidate pairs.
+    * `maxShingleDf` is the stop-shingle document-frequency cap.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      maxShingleDf: Int = 10000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol))).as("shingle"))
+    val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val filtered = sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+    val common = filtered.select(col("id").as("id_a"), col("shingle"))
+      .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(nsh.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(nsh.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: bit b is the sign of the sum of
+    * (+1/-1) votes from each token's hash bit b. Expression form — prefer
+    * [[simhashSignatures]] in pipelines (single token-hash evaluation).
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(text, " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val votes = aggregate(hashes, lit(0),
+          (vacc, h) => vacc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc.bitwiseOR(when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
+      })
+  }
+
+  /** (id, sig) SimHash via explode + 64 vote-sum aggregates — hashes each
+    * token once (the nested form re-evaluates token hashing per bit).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(transform(split(col(textCol), " "), t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    ex.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** SimHash near-dup candidates: pairs sharing one of four 16-bit chunks
+    * (complete for hamming distance <= 3), verified by exact hamming
+    * distance <= `maxHamming`.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xffffL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

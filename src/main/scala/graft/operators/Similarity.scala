@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a 100 TB design requires:
+  *  - brute-force top-k against a broadcast query vector: one map-side
+  *    pass + a driver-side top-k (TakeOrderedAndProject) — the exactness
+  *    baseline, linear in corpus size, zero shuffle.
+  *  - sign-LSH (random hyperplanes): corpus is bucketed once by a 16-bit
+  *    sketch; a query probes only its bucket(s). Buckets are the shuffle
+  *    key, so the full-corpus cross join never materializes.
+  *
+  * Dot products run in exact DECIMAL so results are bit-stable across
+  * partitionings and engines (a double sum would be association-order
+  * dependent); the final cosine division happens in double.
+  */
+object Similarity {
+
+  private val D = DecimalType(18, 9)
+  private val DSum = DecimalType(38, 18)
+
+  private def decVec(c: Column): Column = transform(c, x => x.cast(D))
+
+  /** Exact decimal dot product of two equal-length decimal vectors.
+    * The re-cast inside the merge lambda is required: Spark widens
+    * decimal(38,18)+decimal(38,18) to (38,17), which would break the
+    * accumulator type contract (and the cast is exact — |terms| << 1e19).
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast(DSum)),
+      lit(BigDecimal(0)).cast(DSum), (acc, v) => (acc + v).cast(DSum)).cast("double")
+
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val da = decVec(a)
+    val db = decVec(b)
+    dotExact(da, db) / (normExact(da) * normExact(db))
+  }
+
+  /** Exact top-k nearest neighbours of `queryId` by cosine. */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH sketch: bit p = sign(v . hyperplane_p). Hyperplane weights
+    * are hash-derived uniforms in [-1, 1) keyed by (plane, dim) — no RNG
+    * state, so every executor (and every run) agrees on the planes.
+    */
+  def lshSketch(vec: Column, planes: Int = 16): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => acc.bitwiseOR(
+        when(aggregate(zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1), d =>
+            (pmod(xxhash64(concat(lit("plane-"), p, lit("-"), d)), lit(2000001L)) -
+              lit(1000000L)).cast("double") / 1000000.0),
+          (x, w) => x.cast("double") * w), lit(0.0), (s, v) => s + v) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(0L)))
+
+  /** Bucketed approximate top-k: probe only rows whose sketch is within
+    * `maxSketchHamming` of the query's sketch (multi-probe), then rank
+    * exactly within the candidate set.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      planes: Int = 16,
+      maxSketchHamming: Int = 3): DataFrame = {
+    val sk = emb.select(col(idCol), col(vecCol),
+      lshSketch(col(vecCol), planes).as("sketch"))
+    val q = sk.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("sketch").as("q_sketch"))
+    sk.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId &&
+        bit_count(col("sketch").bitwiseXOR(col("q_sketch"))) <= maxSketchHamming)
+      .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= `minSim` — exact version (quadratic; the
+    * LSH-bucketed variant below is the scale path).
+    */
+  def nearDupPairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Multi-table sign-LSH sketch: `tables` independent sketches of
+    * `planes` bits each (planes keyed by table index), returned as an
+    * array so candidates can match on ANY table (OR-amplification).
+    */
+  def lshSketches(vec: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), tbl =>
+      aggregate(
+        sequence(lit(0), lit(planes - 1)),
+        lit(0L),
+        (acc, p) => acc.bitwiseOR(
+          when(aggregate(zip_with(vec,
+            transform(sequence(lit(0), size(vec) - 1), d =>
+              (pmod(xxhash64(concat(lit("tbl-"), tbl, lit("-plane-"), p,
+                lit("-"), d)), lit(2000001L)) -
+                lit(1000000L)).cast("double") / 1000000.0),
+            (x, w) => x.cast("double") * w), lit(0.0), (s, v) => s + v) > 0,
+            call_function("shiftleft", lit(1L), p)).otherwise(0L))))
+
+  /** Near-dup pairs via OR-amplified sketch buckets: a pair is a candidate
+    * when it collides in ANY of the `tables` sketches, then verified with
+    * the exact cosine. Match probability per pair at cosine s is
+    * 1 - (1 - (1 - acos(s)/pi)^planes)^tables — tune (planes, tables) to
+    * the target threshold; defaults suit moderate thresholds (~0.4).
+    */
+  def nearDupPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double,
+      planes: Int = 5,
+      tables: Int = 12): DataFrame = {
+    val sk = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(lshSketches(col(vecCol), planes, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")
+    val a = sk.select(col("tbl"), col("sketch"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sk.select(col("tbl"), col("sketch"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "sketch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

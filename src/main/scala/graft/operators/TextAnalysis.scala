@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines. Everything is
+  * built from codegen'd `functions._` (no UDFs), so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with executors —
+  * each metric is a per-row map-side expression with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length, exploiting single-space separation:
+    * (chars - (n-1)) / n.
+    */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - n + 1).cast("double") / n.cast("double")
+  }
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      length(text).cast("double")
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Stopword hits for one language list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t =>
+      words.map(w => t === w).reduce(_ || _)))
+
+  def stopwordRatio(text: Column, words: Seq[String] = langStopwords.head._2): Column =
+    stopwordHits(text, words).cast("double") / tokenCount(text).cast("double")
+
+  /** N-gram-free language-ID heuristic: argmax of per-language stopword
+    * hit counts with a deterministic tie order (first list wins), "unk"
+    * when nothing matches. A real n-gram profile model slots in here
+    * later; the mechanism (per-row scoring, no shuffle) is the point.
+    */
+  def langId(text: Column): Column = {
+    val scored = langStopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unk"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with a sane
+    * token-length profile — the usual cheap pre-filter before expensive
+    * model-based scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val wordScore = when(avgTokenLen(text).between(3.0, 8.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    (lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: chained xxhash64 over
+    * tokens (hash of previous state + token). Avoids multiplicative
+    * rolling hashes entirely — Spark 4's ANSI mode makes long wraparound
+    * an error, and hash chaining has the same streaming shape with better
+    * collision behavior.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => xxhash64(concat(acc.cast("string"), lit("|"), t)))
+}

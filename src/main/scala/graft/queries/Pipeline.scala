@@ -1,9 +1,284 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators (dedup, similarity, text analysis,
-  * multimodal). Filled in incrementally; see graft.operators.* */
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: text analysis, deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search, multimodal
+  * payload plumbing. Oracle SQL is provided wherever the semantics are
+  * DuckDB-expressible; hash-based operators (xxhash64 signatures) carry
+  * rows-only checks plus ScalaTest recall gates against their exact
+  * counterparts.
+  */
 object Pipeline {
-  def defs: Seq[QueryDef] = Seq.empty
+  import Tables.t
+
+  private val stopEn = Seq("the", "a", "of", "and", "is")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ---------------------------------------------------
+    QueryDef(
+      "p01_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            min($"n_tokens").as("min_tokens"),
+            max($"n_tokens").as("max_tokens"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  MIN(len(string_split(text, ' '))) AS min_tokens,
+             |  MAX(len(string_split(text, ' '))) AS max_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "p02_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("predicted", TextAnalysis.langId($"text"))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
+             |    len(list_filter(string_split(text,' '), t -> t='el' OR t='la' OR t='de' OR t='que' OR t='y')) AS s_es,
+             |    len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='und' OR t='das' OR t='ist')) AS s_de,
+             |    len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et' OR t='les' OR t='des')) AS s_fr
+             |  FROM documents),
+             |pred AS (
+             |  SELECT lang,
+             |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+             |         WHEN s_es = m AND m > 0 THEN 'es'
+             |         WHEN s_de = m AND m > 0 THEN 'de'
+             |         WHEN s_fr = m AND m > 0 THEN 'fr'
+             |         ELSE 'unk' END AS predicted
+             |  FROM (SELECT lang, s_en, s_es, s_de, s_fr,
+             |          greatest(s_en, s_es, s_de, s_fr) AS m FROM scored))
+             |SELECT lang, predicted, COUNT(*) AS n
+             |FROM pred GROUP BY lang, predicted
+             |ORDER BY lang, predicted""".stripMargin)),
+
+    QueryDef(
+      "p03_quality_scores",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextAnalysis.tokenCount($"text").as("n_tokens"),
+            TextAnalysis.avgTokenLen($"text").as("avg_token_len"),
+            TextAnalysis.stopwordRatio($"text", stopEn).as("stopword_ratio"),
+            TextAnalysis.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text,' ')) AS n_tokens,
+             |  CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text,' ')) AS avg_token_len,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |        t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS DOUBLE)
+             |    / len(string_split(text,' ')) AS stopword_ratio,
+             |  least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+             |    + (CASE WHEN (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |                  / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0
+             |            THEN 1.0 ELSE 0.5 END) * 0.4
+             |    + (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |                    / length(text)) * 10.0, 1.0)) * 0.2 AS quality
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "p04_fingerprints",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.fingerprint($"text").as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      None), // xxhash64-based; exactness gated in ScalaTest
+
+    // ---- dedup -----------------------------------------------------------
+    QueryDef(
+      "p05_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactGroups(t(s, dir, "documents"), $"text", "doc_id")
+          .agg(
+            count(lit(1)).as("n_classes"),
+            sum($"n_copies").as("n_docs"),
+            sum(when($"n_copies" > 1, $"n_copies" - 1).otherwise(0L)).as("n_redundant"))
+      },
+      Some("""SELECT COUNT(*) AS n_classes,
+             |  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+             |FROM (SELECT md5(text) AS h, COUNT(*) AS n_copies
+             |      FROM documents GROUP BY md5(text))""".stripMargin)),
+
+    QueryDef(
+      // normalized dedup: 60-char prefix key catches the planted near-dups
+      "p06_dedup_keep_first",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.keepFirst(t(s, dir, "documents"), substring($"text", 1, 60), "doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_kept
+             |FROM (SELECT lang,
+             |        row_number() OVER (PARTITION BY md5(substring(text, 1, 60))
+             |                           ORDER BY doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn = 1
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "p07_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            minJaccard = 0.35, maxShingleDf = Int.MaxValue)
+          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+             |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+             |common AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.id < b.id GROUP BY a.id, b.id)
+             |SELECT id_a, id_b,
+             |  round(CAST(n_common AS DOUBLE)
+             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+             |FROM common
+             |JOIN nsh na ON na.id = id_a
+             |JOIN nsh nb ON nb.id = id_b
+             |WHERE CAST(n_common AS DOUBLE)
+             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "p08_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+          .filter(col("est_jaccard") >= 0.3)
+          .orderBy(col("id_a"), col("id_b")),
+      None), // signature hashes are engine-specific; recall gated in ScalaTest
+
+    QueryDef(
+      "p09_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- similarity search ----------------------------------------------
+    QueryDef(
+      "p10_ann_bruteforce",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+        emb.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id",
+            round(Similarity.cosine($"embedding", $"q_vec"), 6).as("sim"))
+          .orderBy($"sim".desc, $"vec_id")
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |el AS (SELECT e.vec_id,
+             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+             |       FROM embeddings e CROSS JOIN q),
+             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |             CAST(SUM(y*y) AS DOUBLE) AS ny
+             |      FROM el GROUP BY vec_id)
+             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
+             |FROM s WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id
+             |LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      "p11_ann_lsh",
+      (s, dir) =>
+        Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0, k = 10),
+      None), // approximate; recall vs p10 gated in ScalaTest
+
+    QueryDef(
+      "p12_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.nearDupPairsExact(t(s, dir, "embeddings"), "vec_id",
+            "embedding", minSim = 0.4)
+          .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
+             |         CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+             |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |s AS (SELECT id_a, id_b, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |             CAST(SUM(y*y) AS DOUBLE) AS ny
+             |      FROM el GROUP BY id_a, id_b)
+             |SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
+             |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- multimodal ------------------------------------------------------
+    QueryDef(
+      "p13_payload_stats",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.withPayload(t(s, dir, "documents"))
+          .groupBy($"meta.origin".as("origin"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"meta.n_bytes").as("total_bytes"),
+            min($"meta.n_bytes").as("min_bytes"),
+            max($"meta.n_bytes").as("max_bytes"))
+          .orderBy($"origin")
+      },
+      Some("""SELECT source AS origin, COUNT(*) AS n,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
+             |  CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY origin""".stripMargin)),
+
+    QueryDef(
+      "p14_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
+          .orderBy($"doc_id")
+      },
+      None) // stubbed decoder (no codec libs in container); exactness in ScalaTest
+  )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Quality gates for the approximate pipeline operators: the LSH variants
+  * must recover (almost) everything their exact counterparts find.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recalls every exact-Jaccard pair above threshold") {
+    val docs = t(spark, sf, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, maxShingleDf = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh) .toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash estimate approximates exact jaccard") {
+    val docs = t(spark, sf, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, maxShingleDf = Int.MaxValue)
+      .withColumnRenamed("jaccard", "exact_j")
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val joined = exact.join(est, Seq("id_a", "id_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Double]("exact_j")
+      val m = r.getAs[Double]("est_jaccard")
+      assert(math.abs(e - m) < 0.35, s"est $m vs exact $e")
+    }
+  }
+
+  test("simhash finds the planted near-identical docs") {
+    val docs = t(spark, sf, "documents")
+    // planted dups share a 60-char prefix; strong ones should land within
+    // small hamming distance
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    assert(pairs.count() > 0)
+    // and hamming distance is symmetric-consistent: id_a < id_b always
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("LSH top-k overlaps brute-force top-k") {
+    val emb = t(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0, 10,
+        maxSketchHamming = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = exact.count(approx).toDouble / exact.size
+    assert(overlap >= 0.5, s"ANN overlap $overlap (exact=$exact approx=$approx)")
+  }
+
+  test("near-dup LSH pairs are a subset of exact pairs with decent recall") {
+    val emb = t(spark, sf, "embeddings")
+    val exact = Similarity.nearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs")
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh).toDouble / exact.size
+      assert(recall >= 0.2, s"recall $recall of ${exact.size}")
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    val docs = t(spark, sf, "documents")
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+    assert(feats.count() == docs.count())
+    val r1 = feats.orderBy("doc_id").limit(3).collect()
+    val r2 = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+      .orderBy("doc_id").limit(3).collect()
+    assert(r1.sameElements(r2))
+    val f = r1.head
+    assert(f.getAs[scala.collection.Seq[Float]]("thumb").length == 16)
+    assert(f.getAs[Int]("n_bytes") > 0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+
+  test("langId picks a language deterministically") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog is here", "el gato de la casa que y",
+      "xyz qqq").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "unk"))
+  }
+}
