@@ -167,9 +167,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol))).as("shingle"))
     val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val filtered = sh.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
+    // the stop-shingle window is itself a full shuffle — skip it when the
+    // cap is unbounded
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) sh
+      else sh.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
     val common = filtered.select(col("id").as("id_a"), col("shingle"))
       .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Stage events (nanos-normalized) into a stream-source directory. */
+  private lazy val srcDir: String = {
+    val dir = Files.createTempDirectory("events-stream").toString
+    Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed counts equal the batch computation") {
+    val streamed = EventStreams.runToMemory(spark, srcDir, "win_counts",
+      df => EventStreams.windowedCounts(df))
+    val batch = EventStreams.windowedCounts(spark.read.parquet(srcDir))
+    val s = streamed.orderBy("w_start", "event_type").collect()
+    val b = batch.orderBy("w_start", "event_type").collect()
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match the batch result exactly
+    assert(s.nonEmpty)
+    val bSet = b.map(_.toString).toSet
+    assert(s.forall(r => bSet(r.toString)))
+  }
+
+  test("sessionization emits gap-separated sessions (batch-mode check)") {
+    import spark.implicits._
+    val events = spark.read.parquet(srcDir)
+      .as[EventStreams.Event]
+    // batch Dataset runs the same flatMapGroupsWithState logic path's
+    // grouping; emulate by running sorted-per-user fold directly
+    val sessions = EventStreams.sessionize(events, gapMs = 10 * 60 * 1000L)
+    // on a batch Dataset, flatMapGroupsWithState executes once per group
+    val got = sessions.collect()
+    assert(got.nonEmpty)
+    // sessions must be internally consistent
+    got.foreach { s =>
+      assert(!s.session_end.before(s.session_start))
+      assert(s.n_events >= 1)
+    }
+    // per-user event counts are preserved across closed sessions + the
+    // open tail session (which batch mode never closes)
+    val emitted = got.groupBy(_.user_id).view.mapValues(_.map(_.n_events).sum)
+    val total = events.groupByKey(_.user_id).count().collect().toMap
+    emitted.foreach { case (u, n) => assert(n <= total(u)) }
+  }
+
+  test("streaming sessionization over the real stream emits on timeout-free path") {
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions").collect()
+    // closed sessions only (open tails wait for timeout) — emitted ones
+    // must have positive counts and ordered bounds
+    got.foreach { r =>
+      assert(r.getAs[Int]("n_events") >= 1)
+    }
+  }
+}
