@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second relational batch: pivot/unpivot, exact percentiles, custom
+  * typed UDAF, metadata columns.
+  */
+object Relational2 {
+  import Tables.t
+
+  private val D18 = DecimalType(18, 2)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q21: custom typed Aggregator (UDAF surface) ---------------------
+    QueryDef(
+      "q21_custom_udaf",
+      (s, dir) => {
+        import s.implicits._
+        val exactMean = udaf(new Aggregators.ExactMeanCents)
+        val rangeAgg = udaf(new Aggregators.RangeAgg)
+        t(s, dir, "lineitem")
+          .withColumn("cents",
+            (col("l_extendedprice").cast(D18) * 100).cast("bigint"))
+          .groupBy($"l_returnflag")
+          .agg(
+            exactMean($"cents").as("mean_price"),
+            rangeAgg($"l_quantity").as("qty_range"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             |    / (100.0 * COUNT(*)) AS mean_price,
+             |  MAX(l_quantity) - MIN(l_quantity) AS qty_range,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q22: pivot --------------------------------------------------------
+    QueryDef(
+      "q22_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q23: unpivot (wide -> long) --------------------------------------
+    QueryDef(
+      "q23_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            sum($"l_quantity").as("qty"),
+            sum($"l_discount".cast(D18)).cast("double").as("disc"),
+            sum($"l_tax".cast(D18)).cast("double").as("tax"))
+          .unpivot(Array($"l_returnflag"), Array($"qty", $"disc", $"tax"),
+            "measure", "value")
+          .orderBy($"l_returnflag", $"measure")
+      },
+      Some("""WITH w AS (SELECT l_returnflag,
+             |    SUM(l_quantity) AS qty,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc,
+             |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+             |UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+             |UNION ALL SELECT l_returnflag, 'tax', tax FROM w
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // ---- q24: exact percentiles -------------------------------------------
+    QueryDef(
+      "q24_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0)
+              .as("p25_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |  quantile_cont(l_quantity, 0.25) AS p25_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q25: metadata columns (SURVEY §2.2 "metadata columns") ----------
+    QueryDef(
+      "q25_metadata",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"_metadata.file_path".as("file_path"),
+            $"_metadata.file_size".as("file_size"))
+          .groupBy($"file_path", $"file_size")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy($"file_path")
+      },
+      None) // file paths are engine-local; rows-only check
+  )
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("vec_dot matches the declarative HOF dot product exactly") {
+    val emb = t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val joined = emb.crossJoin(broadcast(q))
+    val native = joined.select(col("vec_id"),
+      VectorFunctions.vec_dot(col("embedding"), col("qv")).as("d")).collect()
+    val hof = joined.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("qv"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d")).collect()
+    val nm = native.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    hof.foreach { r =>
+      // both are strict left-to-right double sums -> bit-identical
+      assert(nm(r.getLong(0)) == r.getDouble(1))
+    }
+  }
+
+  test("vec_dot participates in WholeStageCodegen") {
+    val emb = t(spark, sf, "embeddings")
+    val plan = emb
+      .select(VectorFunctions.vec_dot(col("embedding"), col("embedding")).as("n2"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in the simple
+    // plan string; the expression must sit inside a codegen'd Project
+    assert(plan.contains("*(1) Project [floatvecdot"), plan)
+  }
+
+  test("vec_dot is registered for SQL use") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    try {
+      val got = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()
+      assert(got.head.getDouble(0) == 11.0)
+    } finally spark.catalog.dropTempView("vecs")
+  }
+
+  test("vec_dot rejects wrong types with a named error") {
+    val emb = t(spark, sf, "embeddings")
+    val e = intercept[Exception] {
+      emb.select(VectorFunctions.vec_dot(col("vec_id"), col("embedding"))).collect()
+    }
+    assert(e.getMessage.contains("vec_dot") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("null vector yields null dot") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
+    assert(got.head.isNullAt(0))
+  }
+}
