@@ -108,6 +108,29 @@ object Relational2 {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- q26: as-of join (composed operator; oracle = DuckDB ASOF JOIN) --
+    QueryDef(
+      "q26_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"ts", $"user_id")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+            Seq("click_id"))
+          .select($"event_id", $"user_id", $"asof_click_id",
+            (unix_micros($"ts")).as("ts_us"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, c.click_id AS asof_click_id,
+             |       epoch_us(p.ts) AS ts_us
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ---- q25: metadata columns (SURVEY §2.2 "metadata columns") ----------
     QueryDef(
       "q25_metadata",

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: at 100 TB these properties are the difference
+  * between a working query and a working cluster. Asserted here so a
+  * refactor that silently degrades the plan (loses a broadcast, drops
+  * pushdown, breaks partial aggregation) fails CI, not production.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q05 joins every dimension via broadcast, never sort-merge") {
+    val p = plan("q05_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q01 aggregates with map-side partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    // partial then final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q06 pushes filters down to the parquet scan") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThan") ||
+      p.contains("LessThan"), s"expected pushed predicates:\n$p")
+  }
+
+  test("q06 prunes columns at the scan (no full-row read)") {
+    val p = plan("q06_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the needed columns, not all 11 lineitem columns
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03 top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q08 window rank gets a single exchange per partition key") {
+    val p = plan("q08_top_customers_per_nation")
+    assert(p.contains("Window"), p)
+    // one shuffle for the window, nothing extra before the filter
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("p10 ANN scans with a broadcast query vector (no shuffle of corpus)") {
+    val p = plan("p10_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("osmpbf scan reports pruned columns and pushed kind") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("osmpbf")
+      .load("/root/reference/src/test/java/resources/temp.dat")
+      .filter(col("type") === "node").select("id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("kinds=Node"), p)
+    assert(p.contains("columns=id"), p)
+  }
+}
