@@ -179,6 +179,55 @@ object PbfBlockDecoder {
       ns ++ ws ++ rs
     }
 
+  /** Columnar decode of one block's dense-node groups: (ids, lats, lons)
+    * primitive arrays per group, delta-resolved and scaled. This is the
+    * zero-object fast path for pruned scans — the wire layout is already
+    * columnar (SURVEY §1.1), so the arrays feed ColumnVectors directly.
+    */
+  def decodeDenseColumns(block: PrimitiveBlock)
+      : Iterator[(Array[Long], Array[Double], Array[Double])] =
+    block.groups.iterator.flatMap { g =>
+      val dense = g.dense.map { r0 =>
+        // re-read the raw group message (ProtoReader is stateful)
+        val r = new ProtoReader(r0.buf, r0.pos, r0.end)
+        var ids: Array[Long] = Array.emptyLongArray
+        var lats: Array[Long] = Array.emptyLongArray
+        var lons: Array[Long] = Array.emptyLongArray
+        var tag = r.readTag()
+        while (tag != -1) {
+          tag >> 3 match {
+            case 1 => ids = r.readPackedLongs(zigzag = true)
+            case 8 => lats = r.readPackedLongs(zigzag = true)
+            case 9 => lons = r.readPackedLongs(zigzag = true)
+            case _ => r.skip(tag & 7)
+          }
+          tag = r.readTag()
+        }
+        val n = ids.length
+        val outLat = new Array[Double](n)
+        val outLon = new Array[Double](n)
+        var id = 0L; var la = 0L; var lo = 0L
+        var i = 0
+        while (i < n) {
+          id += ids(i); la += lats(i); lo += lons(i)
+          ids(i) = id
+          outLat(i) = block.toLat(la)
+          outLon(i) = block.toLon(lo)
+          i += 1
+        }
+        (ids, outLat, outLon)
+      }
+      // non-dense Node groups are format-legal too — emit them as a batch
+      val plain = if (g.nodes.isEmpty) None else {
+        val ns = g.nodes.map { r0 =>
+          decodeNode(block, new ProtoReader(r0.buf, r0.pos, r0.end),
+            withInfo = false, withTags = false)
+        }
+        Some((ns.map(_.id).toArray, ns.map(_.lat).toArray, ns.map(_.lon).toArray))
+      }
+      dense.iterator ++ plain.iterator
+    }
+
   /** DenseNodes: parallel packed arrays, all DELTA coded; tags flattened as
     * ((keyId valId)* 0)* — osmformat.proto:216-227. State (running id/lat/
     * lon, keys_vals cursor) is scoped to this group: fixes reference defect

@@ -26,6 +26,18 @@ class OsmPbfPartitionReaderFactory(
     val p = partition.asInstanceOf[OsmPbfInputPartition]
     new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf)
   }
+
+  /** Vectorized batches when the pruned schema is the dense-node fast
+    * path (id/lat/lon) — e.g. the README tile query after pruning.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    OsmPbfColumnarReader.canServe(requiredSchema, kinds)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[OsmPbfInputPartition]
+    new OsmPbfColumnarPartitionReader(p, requiredSchema, conf)
+  }
 }
 
 /** Positioned-read adapter over Hadoop's seekable stream, so the same scan
