@@ -33,16 +33,19 @@ object PbfBlockDecoder {
     BlobHeader(tpe, datasize)
   }
 
-  /** Blob → raw payload bytes. Handles `raw` and `zlib_data`; lzma/bzip2
-    * are format-legal but unseen in practice and rejected with a clear
-    * error (same stance as the reference for lzma,
-    * OsmPbfRecordReader.java:176-178).
+  /** Blob → raw payload bytes. Handles `raw`, `zlib_data`, plus the
+    * upstream format's newer `lz4_data` (field 6) and `zstd_data`
+    * (field 7) via aircompressor; lzma/bzip2 are format-legal but
+    * obsolete and rejected with a clear error (same stance as the
+    * reference for lzma, OsmPbfRecordReader.java:176-178).
     */
   def inflateBlob(buf: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val r = new ProtoReader(buf, off, off + len)
     var raw: Array[Byte] = null
     var rawSize = -1
     var zlib: Array[Byte] = null
+    var lz4: Array[Byte] = null
+    var zstd: Array[Byte] = null
     var tag = r.readTag()
     while (tag != -1) {
       tag >> 3 match {
@@ -51,7 +54,9 @@ object PbfBlockDecoder {
         case 3 => zlib = r.readBytes()
         case n if n == 4 || n == 5 =>
           throw new UnsupportedOperationException(
-            s"unsupported blob compression (field $n); only raw and zlib")
+            s"unsupported blob compression (field $n): lzma/bzip2 are obsolete")
+        case 6 => lz4 = r.readBytes()
+        case 7 => zstd = r.readBytes()
         case _ => r.skip(tag & 7)
       }
       tag = r.readTag()
@@ -64,6 +69,18 @@ object PbfBlockDecoder {
       val n = inf.inflate(out)
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    } else if (lz4 != null) {
+      require(rawSize >= 0, "lz4 blob requires raw_size")
+      val out = new Array[Byte](rawSize)
+      new io.airlift.compress.lz4.Lz4Decompressor()
+        .decompress(lz4, 0, lz4.length, out, 0, rawSize)
+      out
+    } else if (zstd != null) {
+      require(rawSize >= 0, "zstd blob requires raw_size")
+      val out = new Array[Byte](rawSize)
+      new io.airlift.compress.zstd.ZstdDecompressor()
+        .decompress(zstd, 0, zstd.length, out, 0, rawSize)
+      out
     } else throw new IllegalArgumentException("empty Blob")
   }
 

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third relational batch: scalar/correlated subqueries, LIKE/IN
+  * predicates, ordered string aggregation.
+  */
+object Relational3 {
+  import Tables.t
+
+  private val D18 = DecimalType(18, 2)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q27: scalar subquery (global aggregate as predicate) ------------
+    QueryDef(
+      "q27_scalar_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_nationkey, COUNT(*) AS n_rich,
+                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+                |FROM customer
+                |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+                |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,10))
+                |     / COUNT(*) FROM customer)
+                |GROUP BY c_nationkey
+                |ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_rich,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+             |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,10))
+             |     / COUNT(*) FROM customer)
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- q28: LIKE / IN predicate pushdown -------------------------------
+    QueryDef(
+      "q28_like_in_filters",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_type".like("%ECO%") &&
+            !$"p_name".like("%bolt%") &&
+            $"p_brand".isin("Brand#13", "Brand#19", "Brand#5"))
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"), max($"p_size").as("max_size"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n, MAX(p_size) AS max_size
+             |FROM part
+             |WHERE p_type LIKE '%ECO%' AND p_name NOT LIKE '%bolt%'
+             |  AND p_brand IN ('Brand#13', 'Brand#19', 'Brand#5')
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
+    // ---- q29: double correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ----
+    QueryDef(
+      "q29_multi_exists",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT s_name, COUNT(*) AS n_waiting
+                |FROM supplier
+                |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                |JOIN orders ON o_orderkey = l1.l_orderkey
+                |WHERE o_orderstatus = 'F'
+                |  AND EXISTS (SELECT 1 FROM lineitem l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_shipdate > l1.l_shipdate)
+                |GROUP BY s_name
+                |ORDER BY n_waiting DESC, s_name""".stripMargin)
+      },
+      Some("""SELECT s_name, COUNT(*) AS n_waiting
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > l1.l_shipdate)
+             |GROUP BY s_name
+             |ORDER BY n_waiting DESC, s_name""".stripMargin)),
+
+    // ---- q30: ordered string aggregation ---------------------------------
+    QueryDef(
+      "q30_string_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(
+            array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  COUNT(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin))
+  )
+}
