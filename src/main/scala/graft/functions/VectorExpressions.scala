@@ -88,7 +88,12 @@ object VectorFunctions {
   private val vecDotEntry = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => FloatVecDot(children(0), children(1)): Expression)
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"vec_dot expects 2 arguments (array<float>, array<float>), " +
+          s"got ${children.length}")
+      FloatVecDot(children(0), children(1)): Expression
+    })
 
   /** SparkSessionExtensions hook for new sessions:
     * `SparkSession.builder().withExtensions(new GraftExtensions)`.

@@ -105,6 +105,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantization: centroids are the `nCells`
+    * lowest-id vectors (deterministic, no RNG/k-means iterations — a
+    * trained codebook slots in later without changing the plumbing).
+    * Assignment = argmax cosine against the broadcast centroid set, via
+    * the native codegen'd vec_dot. At scale the index step is one
+    * map-side pass; each query then touches only `nProbe` cells.
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val centroids = broadcast(
+      emb.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+    val scored = emb.crossJoin(centroids)
+      .withColumn("cell_sim",
+        vec_dot(col(vecCol), col("c_vec")) /
+          (sqrt(vec_dot(col(vecCol), col(vecCol))) *
+            sqrt(vec_dot(col("c_vec"), col("c_vec")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** IVF top-k: rank exactly within the query's `nProbe` nearest cells. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
+    val centroids = broadcast(
+      emb.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val probeCells = q.crossJoin(centroids)
+      .select(col("cell"),
+        (vec_dot(col("q_vec"), col("c_vec")) /
+          (sqrt(vec_dot(col("q_vec"), col("q_vec"))) *
+            sqrt(vec_dot(col("c_vec"), col("c_vec"))))).as("sim"))
+      .orderBy(col("sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine >= `minSim` — exact. Quadratic by definition,
     * so this is the small-corpus tool (documented cap ~1M vectors: the
     * corpus is broadcast once per executor); [[nearDupPairsLsh]] is the

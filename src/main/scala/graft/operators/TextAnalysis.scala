@@ -67,6 +67,16 @@ object TextAnalysis {
     (lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
   }
 
+  /** BPE-ish subword-aware token count: a simplified GPT-2-style pattern
+    * (space-prefixed letter runs, digit runs, punctuation singletons).
+    * Kept to constructs with identical semantics in Java regex and RE2 so
+    * the DuckDB oracle matches.
+    */
+  val bpePattern = " ?[a-z]+| ?[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Order-sensitive 64-bit document fingerprint: chained xxhash64 over
     * tokens (hash of previous state + token). Avoids multiplicative
     * rolling hashes entirely — Spark 4's ANSI mode makes long wraparound

@@ -104,6 +104,28 @@ object Pipeline {
              |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "p15_bpe_token_count",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("n_bpe", TextAnalysis.bpeTokenCount($"text"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_bpe").as("total_bpe_tokens"),
+            min($"n_bpe").as("min_bpe"),
+            max($"n_bpe").as("max_bpe"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+             |  MIN(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]'))) AS min_bpe,
+             |  MAX(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]'))) AS max_bpe
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "p04_fingerprints",
       (s, dir) => {
         import s.implicits._
@@ -228,6 +250,13 @@ object Pipeline {
         Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           queryId = 0, k = 10),
       None), // approximate; recall vs p10 gated in ScalaTest
+
+    QueryDef(
+      "p16_ann_ivf",
+      (s, dir) =>
+        Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0, k = 10),
+      None), // approximate; overlap vs p10 gated in ScalaTest
 
     QueryDef(
       "p12_embedding_neardup",

@@ -107,7 +107,7 @@ class OsmPbfTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(

@@ -94,6 +94,11 @@ class OsmPbfScan(
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new OsmPbfMicroBatchStream(requiredSchema, parseType, kinds, options,
+      checkpointLocation)
+
   override def description(): String =
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
       s"columns=${requiredSchema.fieldNames.mkString(",")})"

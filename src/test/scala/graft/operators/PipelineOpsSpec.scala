@@ -64,6 +64,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.5, s"ANN overlap $overlap (exact=$exact approx=$approx)")
   }
 
+  test("IVF top-k overlaps brute-force top-k") {
+    val emb = t(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10,
+        nCells = 16, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = exact.count(ivf).toDouble / exact.size
+    assert(overlap >= 0.3, s"IVF overlap $overlap (exact=$exact ivf=$ivf)")
+  }
+
+  test("IVF assignment covers every vector exactly once") {
+    val emb = t(spark, sf, "embeddings")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    assert(assigned.select("cell").distinct().count() <= 16)
+  }
+
   test("near-dup LSH pairs are a subset of exact pairs with decent recall") {
     val emb = t(spark, sf, "embeddings")
     val exact = Similarity.nearDupPairsExact(emb, "vec_id", "embedding", 0.4)
