@@ -44,8 +44,10 @@ object Dedup {
   }
 
   /** Exploded distinct (id, shingle) pairs — the shared first stage of the
-    * shingle-based operators. Identical plan subtrees on both sides of a
-    * self-join reuse one shuffle (ReusedExchange).
+    * shingle-based operators. Callers with multiple consumers should
+    * persist the result: Spark does not reliably reuse the exchange
+    * across differently-aliased self-join branches (measured 0
+    * ReusedExchange over 4 identical subtrees in the Jaccard plan).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
@@ -152,7 +154,9 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // signature frame is consumed by both sides of the candidate join
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -184,7 +188,11 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000): DataFrame = {
+    // the exploded-shingle frame feeds three consumers (both join sides
+    // and the per-doc counts) and Spark does not reuse the exchange across
+    // them — persist it once (MLlib-style) instead of computing it 3x
     val sh = explodedShingles(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // the stop-shingle window is itself a full shuffle — skip it when the
     // cap is unbounded
