@@ -92,6 +92,33 @@ object Relational3 {
              |GROUP BY s_name
              |ORDER BY n_waiting DESC, s_name""".stripMargin)),
 
+    // ---- q31: ranking-function breadth (ntile, percent_rank, cume_dist,
+    //           dense_rank) + range frame ----------------------------------
+    QueryDef(
+      "q31_ranking_functions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .select(
+            $"c_custkey", $"c_mktsegment",
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).as("drank"))
+          .orderBy($"c_mktsegment", $"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  dense_rank() OVER w AS drank
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
     // ---- q30: ordered string aggregation ---------------------------------
     QueryDef(
       "q30_string_agg",
