@@ -119,6 +119,31 @@ object Relational3 {
              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
              |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
 
+    // ---- q32: band (range) join via bucket expansion ---------------------
+    QueryDef(
+      "q32_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        graft.operators.RangeJoin.bandJoin(purchases, clicks,
+            "user_id", "ts", windowMicros = 4L * 3600 * 1000000)
+          .groupBy($"event_id")
+          .agg(count(lit(1)).as("n_clicks_4h"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, COUNT(*) AS n_clicks_4h
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND epoch_us(c.ts) >= epoch_us(p.ts)
+             | AND epoch_us(c.ts) < epoch_us(p.ts) + 14400000000
+             |GROUP BY p.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ---- q30: ordered string aggregation ---------------------------------
     QueryDef(
       "q30_string_agg",

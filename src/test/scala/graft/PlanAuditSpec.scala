@@ -60,6 +60,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q32 band join plans as an equi-join, not a nested loop") {
+    val p = plan("q32_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must ride the (key, bin) equi-join:\n$p")
+  }
+
   test("osmpbf scan reports pruned columns and pushed kind") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("osmpbf")
