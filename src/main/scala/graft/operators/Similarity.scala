@@ -112,15 +112,77 @@ object Similarity {
     * the native codegen'd vec_dot. At scale the index step is one
     * map-side pass; each query then touches only `nProbe` cells.
     */
+  /** Optional Lloyd refinement of the IVF codebook: `iters` rounds of
+    * assign + per-cell mean. Each round is one map-side scoring pass and
+    * one (cell, dim) aggregation; only the nCells x dims codebook is
+    * collected per round (bytes, not data). Float means are
+    * association-order dependent in the last ulps, so refined codebooks
+    * are approximate-deterministic — fine for ANN, not for oracles
+    * (hence iters defaults to 0).
+    */
+  def refineCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect().zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+      val assigned = assignToCells(emb, idCol, vecCol, cdf)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cell, v)
+          case None => (cell, old) // empty cell keeps its seed
+        }
+      }
+    }
+    broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+  }
+
+  private def assignToCells(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val scored = emb.crossJoin(centroids)
+      .withColumn("cell_sim",
+        vec_dot(col(vecCol), col("c_vec")) /
+          (sqrt(vec_dot(col(vecCol), col(vecCol))) *
+            sqrt(vec_dot(col("c_vec"), col("c_vec")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
   def ivfAssign(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16,
+      kmeansIters: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
-    val centroids = broadcast(
-      emb.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+    val centroids =
+      if (kmeansIters > 0) refineCentroids(emb, idCol, vecCol, nCells, kmeansIters)
+      else broadcast(
+        emb.orderBy(col(idCol)).limit(nCells)
+          .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
     val scored = emb.crossJoin(centroids)
       .withColumn("cell_sim",
         vec_dot(col(vecCol), col("c_vec")) /

@@ -75,6 +75,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.3, s"IVF overlap $overlap (exact=$exact ivf=$ivf)")
   }
 
+  test("k-means-refined IVF codebook still covers every vector") {
+    val emb = t(spark, sf, "embeddings")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      nCells = 8, kmeansIters = 2)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+  }
+
   test("IVF assignment covers every vector exactly once") {
     val emb = t(spark, sf, "embeddings")
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding")
