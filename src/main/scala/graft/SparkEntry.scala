@@ -20,9 +20,12 @@ object SparkEntry {
   private def queries4: Seq[QueryDef] = _root_.graft.queries.Relational2.defs
   private def queries5: Seq[QueryDef] = _root_.graft.queries.Relational3.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q01 (scan + filter + hash aggregate) always yields its six
+    * returnflag x linestatus groups, at any scale factor.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allDefs.find(_.name == "q05_nation_revenue").get
+    allDefs.find(_.name == "q01_pricing_summary").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
