@@ -144,6 +144,52 @@ object Relational3 {
              |GROUP BY p.event_id
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- q33: batch sessionization (gap-based, window composition) -------
+    // the SQL twin of graft.streaming.EventStreams.sessionize; consistency
+    // between the two is asserted in EventStreamsSpec
+    QueryDef(
+      "q33_sessionization",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val gapUs = 30L * 60 * 1000000
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_s",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" > gapUs, 1).otherwise(0))
+          .withColumn("session_id",
+            sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max(unix_micros($"ts")) - min(unix_micros($"ts")))
+              .as("duration_us"),
+            sum($"value".cast(D18)).cast("double").as("session_value"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events,
+             |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+             |FROM s
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ---- q30: ordered string aggregation ---------------------------------
     QueryDef(
       "q30_string_agg",

@@ -55,6 +55,41 @@ class EventStreamsSpec extends AnyFunSuite {
     emitted.foreach { case (u, n) => assert(n <= total(u)) }
   }
 
+  test("flatMapGroupsWithState sessions match the SQL window sessionization") {
+    import spark.implicits._
+    // q33 (window composition) with the same 30-min gap
+    val sql = graft.SparkEntry.queries("q33_sessionization")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("session_id"))
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))))
+      .toMap
+    // stateful operator on the same data; batch mode closes all but the
+    // final (open) session per user
+    val events = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val stateful = EventStreams.sessionize(events, gapMs = 30 * 60 * 1000L)
+      .collect()
+      .groupBy(_.user_id)
+      .view.mapValues(_.sortBy(_.session_start.getTime)
+        .map(s => (s.n_events.toLong,
+          (s.session_end.getTime - s.session_start.getTime) * 1000L)))
+      .toMap
+    sql.foreach { case (user, sessions) =>
+      val closed = sessions.dropRight(1).toSeq // stateful never closes the tail
+      val got: Seq[(Long, Long)] =
+        stateful.get(user).map(_.toSeq).getOrElse(Seq.empty)
+      assert(got.length == closed.length, s"user $user session count")
+      got.zip(closed).foreach { case ((n1, d1), (n2, d2)) =>
+        assert(n1 == n2, s"user $user n_events")
+        // the stateful op tracks Timestamp millis; SQL tracks exact micros
+        assert(math.abs(d1 - d2) < 1000L, s"user $user duration $d1 vs $d2")
+      }
+    }
+  }
+
   test("streaming sessionization over the real stream emits on timeout-free path") {
     import spark.implicits._
     val schema = spark.read.parquet(srcDir).schema
