@@ -190,6 +190,46 @@ object Relational3 {
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- q34: approximate distinct (HLL++) --------------------------------
+    // sketch internals are engine-specific -> rows-only check here; the
+    // accuracy bound vs exact distinct is gated in RelationalSpec
+    QueryDef(
+      "q34_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            countDistinct($"l_partkey").as("exact_parts"),
+            approx_count_distinct($"l_orderkey", 0.01).as("approx_orders_1pct"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---- q35: multiset set operations (ALL variants) ----------------------
+    QueryDef(
+      "q35_set_ops_all",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "lineitem").select($"l_partkey".as("k"))
+        val b = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+          .select($"l_partkey".as("k"))
+        val ex = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        ex.union(in).select($"op", $"k", $"n").orderBy($"op", $"k")
+      },
+      Some("""WITH a AS (SELECT l_partkey AS k FROM lineitem),
+             |     b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R')
+             |SELECT 'except_all' AS op, k, COUNT(*) AS n
+             |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+             |UNION ALL
+             |SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+             |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+             |ORDER BY op, k""".stripMargin)),
+
     // ---- q30: ordered string aggregation ---------------------------------
     QueryDef(
       "q30_string_agg",

@@ -48,6 +48,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(revs.sameElements(revs.sortBy(-(_: Double))))
   }
 
+  test("q34 approx distinct is within HLL++ error bounds of exact") {
+    val rows = SparkEntry.queries("q34_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("part-sink").toString
+    val li = Tables.t(spark, sf, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    val pruned = back.filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    assert(pruned.count() ==
+      li.filter(col("l_returnflag") === "R").count())
+  }
+
   test("q09 running sum is monotone per user for positive values") {
     val rows = SparkEntry.queries("q09_running_user_spend")(spark, sf)
       .collect().groupBy(_.getAs[Long]("user_id"))
