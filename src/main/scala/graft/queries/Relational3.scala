@@ -92,6 +92,63 @@ object Relational3 {
              |GROUP BY s_name
              |ORDER BY n_waiting DESC, s_name""".stripMargin)),
 
+    // ---- q36: q29's semantics re-planned by hand -------------------------
+    // Catalyst decorrelates the double EXISTS into three lineitem scans
+    // with three shuffles; this version computes per-(order, supplier)
+    // ship-date maxima once and answers both subqueries from two window
+    // passes over ONE shuffle of that aggregate. The oracle SQL is
+    // q29's verbatim, so the hash gate proves the rewrite equivalent.
+    QueryDef(
+      "q36_multi_exists_window",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+        // per (order, supplier): latest ship date (over ALL lineitem —
+        // the subqueries are not restricted to status-F orders)
+        val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"l_shipdate").as("s_max"))
+        val wOrd = Window.partitionBy($"l_orderkey")
+        val stats = perSupp
+          .withColumn("n_supp", count(lit(1)).over(wOrd))
+          .withColumn("top1", max($"s_max").over(wOrd))
+          .withColumn("n_top1",
+            sum(when($"s_max" === $"top1", 1).otherwise(0)).over(wOrd))
+          .withColumn("top2",
+            max(when($"s_max" =!= $"top1", $"s_max")).over(wOrd))
+          // latest ship date among OTHER suppliers of this order
+          .withColumn("other_max",
+            when($"s_max" =!= $"top1" || $"n_top1" > 1, $"top1")
+              .otherwise($"top2"))
+          .select($"l_orderkey".as("so_orderkey"),
+            $"l_suppkey".as("so_suppkey"), $"n_supp", $"other_max")
+        val ord = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        val supp = t(s, dir, "supplier")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(stats, $"l_orderkey" === $"so_orderkey" &&
+            $"l_suppkey" === $"so_suppkey")
+          .filter($"n_supp" > 1 && // EXISTS other supplier
+            ($"other_max".isNull || $"other_max" <= $"l_shipdate")) // NOT EXISTS later
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("n_waiting"))
+          .orderBy($"n_waiting".desc, $"s_name")
+      },
+      Some("""SELECT s_name, COUNT(*) AS n_waiting
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > l1.l_shipdate)
+             |GROUP BY s_name
+             |ORDER BY n_waiting DESC, s_name""".stripMargin)),
+
     // ---- q31: ranking-function breadth (ntile, percent_rank, cume_dist,
     //           dense_rank) + range frame ----------------------------------
     QueryDef(
