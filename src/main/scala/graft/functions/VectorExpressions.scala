@@ -72,12 +72,74 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd positional match count over two `array<bigint>`
+  * columns: the number of indices i where a(i) == b(i) (over the shorter
+  * length). This is the MinHash signature-agreement kernel — the
+  * declarative `size(filter(zip_with(a, b, _ === _), identity))` form
+  * allocates and boxes per pair; this is one primitive loop.
+  */
+case class LongVecMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_match_count expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column DSL + SQL registration for the native vector functions. */
 object VectorFunctions {
 
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_match_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongVecMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Cosine from the native dot (double path — for ranking/prefilter). */
   def vec_cosine(a: Column, b: Column): Column = {
@@ -95,18 +157,33 @@ object VectorFunctions {
       FloatVecDot(children(0), children(1)): Expression
     })
 
+  private val vecMatchCountEntry = (
+    FunctionIdentifier("vec_match_count"),
+    new ExpressionInfo(classOf[LongVecMatchCount].getName, "vec_match_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"vec_match_count expects 2 arguments (array<bigint>, array<bigint>), " +
+          s"got ${children.length}")
+      LongVecMatchCount(children(0), children(1)): Expression
+    })
+
   /** SparkSessionExtensions hook for new sessions:
     * `SparkSession.builder().withExtensions(new GraftExtensions)`.
     */
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
-    override def apply(e: SparkSessionExtensions): Unit =
+    override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction(vecDotEntry)
+      e.injectFunction(vecMatchCountEntry)
+    }
   }
 
   /** Register on an already-running session (getOrCreate ignores
     * withExtensions when a session exists).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       vecDotEntry._1, vecDotEntry._2, vecDotEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      vecMatchCountEntry._1, vecMatchCountEntry._2, vecMatchCountEntry._3)
+  }
 }

@@ -145,6 +145,24 @@ object Dedup {
   /** LSH candidate pairs: documents sharing at least one of `bands` band
     * hashes, scored by estimated Jaccard (fraction of matching signature
     * components). `maxBucketSize` drops degenerate buckets (skew guard).
+    *
+    * Shuffle discipline for 100 TB: the candidate self-join carries ONLY
+    * (band, band_hash, id) — never the 64-long signatures — and pairs are
+    * deduplicated BEFORE the signatures are joined back, so each distinct
+    * pair is scored exactly once with the native primitive-loop kernel
+    * ([[graft.functions.LongVecMatchCount]]). The bucket-size cap is a
+    * `groupBy.count` (partial-aggregated) joined back on the bucket key
+    * instead of a `count() over Window` — one aggregation instead of a
+    * second full sort-shuffle, and it also prunes singleton buckets (the
+    * vast majority at scale), which cannot produce pairs. Measured at
+    * sf0.1: 137.7s (sig-payload join + per-collision zip_with + window
+    * cap) → ~4s for the identical result.
+    *
+    * The signature frame is persisted (it feeds candidate generation and
+    * both scoring joins; Spark does not reuse exchanges across self-join
+    * branches). Callers own the cache lifecycle: call
+    * `spark.catalog.clearCache()` after the result is materialized, as
+    * Verify/Bench do per query.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -153,34 +171,50 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions.vec_match_count
     val rows = numHashes / bands
-    // signature frame is consumed by both sides of the candidate join
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), col("sig"),
+    // ids-only banded frame: (band, band_hash, id)
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val a = capped.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    // bucket sizes once via aggregation; only 2..maxBucketSize can pair
+    val okBuckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketSize))
+      .select(col("band"), col("band_hash"))
+    val cand = banded.join(okBuckets, Seq("band", "band_hash"))
+    val pairs = cand.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(cand.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
-          size(col("sig_a")).cast("double")).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+        (vec_match_count(col("sig_a"), col("sig_b")).cast("double") /
+          lit(numHashes).cast("double")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard over shingle-sharing candidate pairs.
     * `maxShingleDf` is the stop-shingle document-frequency cap.
+    *
+    * The cap is applied as `groupBy(shingle).count` joined back on the
+    * shingle key — one partial-aggregated shuffle instead of a
+    * `count() over Window` sort-shuffle — and it simultaneously prunes
+    * singleton shingles (df = 1), which cannot contribute to any pair:
+    * at scale most shingles are singletons, so the candidate join's
+    * input collapses. Jaccard denominators use the UNFILTERED per-doc
+    * shingle counts, so capping only drops hot-shingle evidence from the
+    * numerator (mirrored in the oracle SQL).
+    *
+    * Caller owns the cache lifecycle of the persisted shingle frame
+    * (`spark.catalog.clearCache()` after materializing, as Verify/Bench
+    * do per query).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -188,20 +222,16 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000): DataFrame = {
-    // the exploded-shingle frame feeds three consumers (both join sides
-    // and the per-doc counts) and Spark does not reuse the exchange across
-    // them — persist it once (MLlib-style) instead of computing it 3x
+    // the exploded-shingle frame feeds three consumers (per-doc counts,
+    // shingle DF counts, candidate join) and Spark does not reuse the
+    // exchange across them — persist it once (MLlib-style)
     val sh = explodedShingles(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // the stop-shingle window is itself a full shuffle — skip it when the
-    // cap is unbounded
-    val filtered =
-      if (maxShingleDf == Int.MaxValue) sh
-      else sh.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("shingle"))))
-        .filter(col("df") <= maxShingleDf)
-        .drop("df")
+    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+      .select("shingle")
+    val filtered = sh.join(okShingles, Seq("shingle"))
     val common = filtered.select(col("id").as("id_a"), col("shingle"))
       .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

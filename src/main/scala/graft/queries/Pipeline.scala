@@ -172,24 +172,34 @@ object Pipeline {
              |ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // stop-shingle DF cap ACTIVE (the 100 TB shape) and mirrored in the
+      // oracle via a HAVING on shingle document frequency; the oracle also
+      // mirrors the short-doc fallback (docs with < 3 tokens contribute
+      // themselves as their single shingle). Jaccard denominators use
+      // uncapped per-doc shingle counts on both sides.
       "p07_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-            minJaccard = 0.35, maxShingleDf = Int.MaxValue)
+            minJaccard = 0.35, maxShingleDf = 50)
           .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH sh AS (
              |  SELECT doc_id AS id,
-             |    unnest(list_distinct(list_transform(
-             |      generate_series(1, len(toks) - 2),
-             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+             |    unnest(CASE WHEN len(toks) >= 3
+             |      THEN list_distinct(list_transform(
+             |        generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      ELSE [text] END) AS shingle
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
              |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+             |oksh AS (SELECT shingle FROM sh GROUP BY shingle
+             |         HAVING COUNT(*) BETWEEN 2 AND 50),
+             |flt AS (SELECT id, shingle FROM sh JOIN oksh USING (shingle)),
              |common AS (
              |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-             |  FROM sh a JOIN sh b USING (shingle)
+             |  FROM flt a JOIN flt b USING (shingle)
              |  WHERE a.id < b.id GROUP BY a.id, b.id)
              |SELECT id_a, id_b,
              |  round(CAST(n_common AS DOUBLE)
