@@ -93,45 +93,55 @@ object Relational3 {
              |ORDER BY n_waiting DESC, s_name""".stripMargin)),
 
     // ---- q36: q29's semantics re-planned by hand -------------------------
-    // Catalyst decorrelates the double EXISTS into three lineitem scans
-    // with three shuffles; this version computes per-(order, supplier)
-    // ship-date maxima once and answers both subqueries from two window
-    // passes over ONE shuffle of that aggregate. The oracle SQL is
-    // q29's verbatim, so the hash gate proves the rewrite equivalent.
+    // Catalyst decorrelates the double EXISTS into three full lineitem
+    // scans with three lineitem-wide shuffles; this version reduces
+    // lineitem ONCE to (orderkey, suppkey, shipdate, cnt) grain — a
+    // single narrow partial-aggregated shuffle — then answers both
+    // subqueries with window functions inside ONE repartition by
+    // orderkey (HashPartitioning(o) satisfies both the (o) and (o,s)
+    // window families, so the second family only re-sorts). The original
+    // lineitem is never joined back: qualifying row counts ride along as
+    // `cnt`. The oracle SQL is q29's verbatim, so the hash gate proves
+    // the rewrite equivalent.
     QueryDef(
       "q36_multi_exists_window",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val li = t(s, dir, "lineitem")
-        // per (order, supplier): latest ship date (over ALL lineitem —
-        // the subqueries are not restricted to status-F orders)
-        val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
-          .agg(max($"l_shipdate").as("s_max"))
-        val wOrd = Window.partitionBy($"l_orderkey")
-        val stats = perSupp
-          .withColumn("n_supp", count(lit(1)).over(wOrd))
-          .withColumn("top1", max($"s_max").over(wOrd))
-          .withColumn("n_top1",
-            sum(when($"s_max" === $"top1", 1).otherwise(0)).over(wOrd))
+        // grain (order, supplier, ship date) over ALL lineitem — the
+        // subqueries are not restricted to status-F orders
+        val perDate = li.groupBy($"l_orderkey", $"l_suppkey", $"l_shipdate")
+          .agg(count(lit(1)).as("cnt"))
+          .repartition($"l_orderkey")
+        val wOS = Window.partitionBy($"l_orderkey", $"l_suppkey")
+        val wO = Window.partitionBy($"l_orderkey")
+        val qualified = perDate
+          // this supplier's latest ship date in the order
+          .withColumn("s_max", max($"l_shipdate").over(wOS))
+          // order-level: latest supplier max, #distinct suppliers, how
+          // many suppliers attain the max, and the runner-up max
+          .withColumn("top1", max($"s_max").over(wO))
+          .withColumn("n_supp", size(collect_set($"l_suppkey").over(wO)))
+          .withColumn("n_top1", size(collect_set(
+            when($"s_max" === $"top1", $"l_suppkey")).over(wO)))
           .withColumn("top2",
-            max(when($"s_max" =!= $"top1", $"s_max")).over(wOrd))
+            max(when($"s_max" =!= $"top1", $"s_max")).over(wO))
           // latest ship date among OTHER suppliers of this order
           .withColumn("other_max",
             when($"s_max" =!= $"top1" || $"n_top1" > 1, $"top1")
               .otherwise($"top2"))
-          .select($"l_orderkey".as("so_orderkey"),
-            $"l_suppkey".as("so_suppkey"), $"n_supp", $"other_max")
-        val ord = t(s, dir, "orders").filter($"o_orderstatus" === "F")
-        val supp = t(s, dir, "supplier")
-        li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(stats, $"l_orderkey" === $"so_orderkey" &&
-            $"l_suppkey" === $"so_suppkey")
           .filter($"n_supp" > 1 && // EXISTS other supplier
-            ($"other_max".isNull || $"other_max" <= $"l_shipdate")) // NOT EXISTS later
+            $"l_shipdate" >= $"other_max") // NOT EXISTS a later one
+        val ordF = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey")
+        val supp = t(s, dir, "supplier")
+        // no broadcast hint on ordF: it is fact-derived and would not
+        // broadcast at 100x scale; AQE picks broadcast when it fits
+        qualified.join(ordF, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
-          .agg(count(lit(1)).as("n_waiting"))
+          .agg(sum($"cnt").as("n_waiting"))
           .orderBy($"n_waiting".desc, $"s_name")
       },
       Some("""SELECT s_name, COUNT(*) AS n_waiting
