@@ -7,12 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * The decode step itself (image/audio libs) is STUBBED with a
-  * deterministic fake — this container has no codec libraries — but the
-  * Spark-side contract is real and tested: binary column + metadata
-  * struct in, fixed-schema feature rows out, batch iteration via
-  * `mapPartitions` so a real decoder would amortize model/codec init
-  * per partition (the Scala analogue of pandas-batched UDFs).
+  * The decode step is REAL for two dependency-free formats — BMP
+  * (24-bit uncompressed) and PPM (binary P6), both parsed directly from
+  * bytes on the JVM with no codec libraries — producing true pixel
+  * dimensions and a 4x4 average-luma thumbnail. Payloads in any other
+  * format fall back to a deterministic opaque fingerprint (byte-sampled
+  * thumbnail), so the operator is total. JPEG/PNG/audio would slot into
+  * [[decodeImage]] behind the same contract when codec libs exist.
+  *
+  * The Spark-side contract is production-shaped: binary column +
+  * metadata struct in, fixed-schema feature rows out, batch iteration
+  * via `mapPartitions` so decoder/codec/model init amortizes per
+  * partition (the Scala analogue of pandas-batched UDFs).
   *
   * At 100 TB the payload column dominates row size: repartition by
   * byte-budget (`targetPartitionBytes`) before heavy decode so a skewed
@@ -36,13 +42,112 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("content_hash", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("thumb", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decoder: a real implementation would decode the payload
-    * (image/audio/video) here. The fake is deterministic — byte length,
-    * FNV-1a content hash, and a 16-float "thumbnail" built from evenly
-    * sampled payload bytes — so tests can assert exact values while the
-    * batching/schema/partitioning contract stays production-shaped.
+  /** Decode a recognized image payload to (format, width, height,
+    * 4x4 average-luma thumbnail normalized to [0,1], row-major from the
+    * top-left). Returns None for unrecognized or malformed payloads.
+    *
+    * Supported without any codec dependency:
+    *  - BMP: 24bpp uncompressed (BI_RGB), bottom-up or top-down rows,
+    *    4-byte row padding per the format spec.
+    *  - PPM: binary "P6", whitespace/comment-tolerant header, maxval 255.
+    */
+  private[operators] def decodeImage(
+      bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+
+    def lumaThumb(w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int)): Array[Float] = {
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * 4 / h).toInt
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rgbAt(x, y)
+          val gx = (x.toLong * 4 / w).toInt
+          val c = gy * 4 + gx
+          sums(c) += 0.299 * r + 0.587 * g + 0.114 * b
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(16)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+    }
+
+    def u16le(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32le(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+
+    if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dataOff = i32le(10)
+      val w = i32le(18)
+      val hRaw = i32le(22)
+      val bpp = u16le(28)
+      val compression = i32le(30)
+      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val rowStride = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * h > bytes.length)
+        return None
+      val thumb = lumaThumb(w, h, (x, y) => {
+        // BMP stores rows bottom-up unless height is negative; pixels BGR
+        val srcRow = if (topDown) y else h - 1 - y
+        val o = dataOff + srcRow * rowStride + x * 3
+        ((bytes(o + 2) & 0xff), (bytes(o + 1) & 0xff), (bytes(o) & 0xff))
+      })
+      Some(("bmp", w, h, thumb))
+    } else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      // header: "P6" ws width ws height ws maxval single-ws, then binary RGB
+      var p = 2
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && p < bytes.length) {
+          val c = bytes(p)
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') p += 1
+          else if (c == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWsAndComments()
+        var v = 0
+        var any = false
+        while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+          v = v * 10 + (bytes(p) - '0')
+          any = true
+          p += 1
+        }
+        if (any) v else -1
+      }
+      val w = readInt()
+      val h = readInt()
+      val maxval = readInt()
+      if (w <= 0 || h <= 0 || maxval != 255 || p >= bytes.length) return None
+      p += 1 // exactly one whitespace byte separates header and raster
+      val dataOff = p
+      if (dataOff.toLong + 3L * w * h > bytes.length) return None
+      val thumb = lumaThumb(w, h, (x, y) => {
+        val o = dataOff + (y * w + x) * 3
+        ((bytes(o) & 0xff), (bytes(o + 1) & 0xff), (bytes(o + 2) & 0xff))
+      })
+      Some(("ppm", w, h, thumb))
+    } else None
+  }
+
+  /** Feature extraction over payload batches. Recognized image formats
+    * (BMP/PPM) are truly decoded — real dimensions, real pixel-average
+    * thumbnail; anything else gets a deterministic opaque fingerprint:
+    * FNV-1a content hash and a 16-float byte-sampled pseudo-thumbnail,
+    * so downstream schema/partitioning logic is exercised identically.
     */
   def decodeFeatures(withPayloadDf: DataFrame, targetPartitions: Int = 0): DataFrame = {
     val spark = withPayloadDf.sparkSession
@@ -61,14 +166,19 @@ object Multimodal {
           h *= 0x100000001b3L
           i += 1
         }
-        val thumb = new Array[Float](16)
-        var t = 0
-        while (t < 16) {
-          val idx = if (bytes.length == 0) 0 else (t * bytes.length) / 16
-          thumb(t) = (bytes(math.min(idx, bytes.length - 1)) & 0xff) / 255.0f
-          t += 1
+        decodeImage(bytes) match {
+          case Some((fmt, w, ht, thumb)) =>
+            Row(id, bytes.length, h, fmt, w, ht, thumb.toSeq)
+          case None =>
+            val thumb = new Array[Float](16)
+            var t = 0
+            while (t < 16) {
+              val idx = if (bytes.length == 0) 0 else (t * bytes.length) / 16
+              thumb(t) = (bytes(math.min(idx, bytes.length - 1)) & 0xff) / 255.0f
+              t += 1
+            }
+            Row(id, bytes.length, h, "opaque", null, null, thumb.toSeq)
         }
-        Row(id, bytes.length, h, thumb.toSeq)
       }
     }
     spark.createDataFrame(rdd, featureSchema)

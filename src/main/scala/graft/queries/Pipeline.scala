@@ -312,12 +312,20 @@ object Pipeline {
              |ORDER BY origin""".stripMargin)),
 
     QueryDef(
+      // thumb is projected to a comma-joined string: the verify harness
+      // sorts/hashes result columns and cannot canonicalize raw float
+      // arrays; the array form stays covered by PipelineOpsSpec /
+      // MultimodalDecodeSpec.
       "p14_multimodal_features",
       (s, dir) => {
         import s.implicits._
         Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
+          .select($"doc_id", $"n_bytes", $"content_hash", $"format",
+            $"width", $"height",
+            array_join(transform($"thumb", f => f.cast("string")), ",")
+              .as("thumb_csv"))
           .orderBy($"doc_id")
       },
-      None) // stubbed decoder (no codec libs in container); exactness in ScalaTest
+      None) // engine-specific FNV hash + thumbnail; exactness in ScalaTest
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Real-decode gates for the multimodal operator: hand-built BMP and PPM
+  * byte images (no codec libraries involved on either side) must come
+  * back with true dimensions and correct 4x4 average-luma thumbnails,
+  * including BMP's bottom-up row order and row padding.
+  */
+class MultimodalDecodeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** 24bpp BI_RGB BMP. `pix(x, y)` returns (r, g, b) with y = 0 at the
+    * TOP of the image; rows are written bottom-up unless `topDown`.
+    */
+  private def bmp(w: Int, h: Int, topDown: Boolean = false)(
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def i32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    i32(2, size); i32(10, 54); i32(14, 40)
+    i32(18, w); i32(22, if (topDown) -h else h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    i32(30, 0) // BI_RGB
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      val storedRow = if (topDown) y else h - 1 - y
+      val o = 54 + storedRow * stride + x * 3
+      out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+    }
+    out
+  }
+
+  private def ppm(w: Int, h: Int, comment: Boolean = false)(
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val hdr = if (comment) s"P6\n# synthetic fixture\n$w $h\n255\n"
+              else s"P6\n$w $h\n255\n"
+    bos.write(hdr.getBytes(StandardCharsets.US_ASCII))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      bos.write(r); bos.write(g); bos.write(b)
+    }
+    bos.toByteArray
+  }
+
+  test("BMP: dimensions, padding, and all-white thumbnail") {
+    // w=6 forces 2 bytes of row padding (18 -> 20)
+    val got = Multimodal.decodeImage(bmp(6, 4)((_, _) => (255, 255, 255)))
+    val (fmt, w, h, thumb) = got.get
+    assert(fmt == "bmp" && w == 6 && h == 4)
+    thumb.foreach(v => assert(math.abs(v - 1.0f) < 1e-3, s"luma $v"))
+  }
+
+  test("BMP: left-black right-white splits thumbnail columns") {
+    val img = bmp(8, 8)((x, _) => if (x < 4) (0, 0, 0) else (255, 255, 255))
+    val (_, _, _, thumb) = Multimodal.decodeImage(img).get
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val v = thumb(gy * 4 + gx)
+      if (gx < 2) assert(v < 0.01, s"cell ($gy,$gx)=$v should be black")
+      else assert(v > 0.99, s"cell ($gy,$gx)=$v should be white")
+    }
+  }
+
+  test("BMP: bottom-up and top-down storage give the same image") {
+    def pix(x: Int, y: Int) = if (y < 4) (255, 255, 255) else (0, 0, 0)
+    val up = Multimodal.decodeImage(bmp(8, 8)(pix)).get._4
+    val down = Multimodal.decodeImage(bmp(8, 8, topDown = true)(pix)).get._4
+    assert(up.toSeq == down.toSeq)
+    // top half (thumbnail rows 0-1) white, bottom half black
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val v = up(gy * 4 + gx)
+      if (gy < 2) assert(v > 0.99, s"cell ($gy,$gx)=$v") else assert(v < 0.01, s"cell ($gy,$gx)=$v")
+    }
+  }
+
+  test("PPM: P6 with comment header decodes true dims and luma") {
+    val img = ppm(5, 3, comment = true)((_, y) =>
+      if (y == 0) (255, 0, 0) else (0, 0, 0)) // top row pure red
+    val (fmt, w, h, thumb) = Multimodal.decodeImage(img).get
+    assert(fmt == "ppm" && w == 5 && h == 3)
+    // red luma = 0.299
+    assert(math.abs(thumb(0) - 0.299f) < 1e-3)
+    assert(thumb(15) < 0.01)
+  }
+
+  test("malformed and unknown payloads fall back to opaque") {
+    assert(Multimodal.decodeImage("hello world".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte]('B', 'M', 1, 2)).isEmpty)
+    // truncated raster must not decode
+    val truncated = ppm(4, 4)((_, _) => (9, 9, 9)).dropRight(10)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+  }
+
+  test("decodeFeatures routes image payloads to the real decoder end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val img = bmp(8, 8)((x, _) => if (x < 4) (0, 0, 0) else (255, 255, 255))
+    val df = Seq(
+      (1L, img, "image/bmp"),
+      (2L, "just text".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "mime")
+    val feats = Multimodal.decodeFeatures(df).orderBy(col("doc_id")).collect()
+    val bmpRow = feats(0)
+    assert(bmpRow.getAs[String]("format") == "bmp")
+    assert(bmpRow.getAs[Int]("width") == 8 && bmpRow.getAs[Int]("height") == 8)
+    val opaque = feats(1)
+    assert(opaque.getAs[String]("format") == "opaque")
+    assert(opaque.isNullAt(opaque.fieldIndex("width")))
+    assert(opaque.getAs[Long]("content_hash") != 0L)
+  }
+}
