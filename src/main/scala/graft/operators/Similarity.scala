@@ -105,97 +105,94 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) coarse quantization: centroids are the `nCells`
-    * lowest-id vectors (deterministic, no RNG/k-means iterations — a
-    * trained codebook slots in later without changing the plumbing).
-    * Assignment = argmax cosine against the broadcast centroid set, via
-    * the native codegen'd vec_dot. At scale the index step is one
-    * map-side pass; each query then touches only `nProbe` cells.
+  /** IVF (inverted-file) index: a tiny driver-side codebook — `nCells`
+    * centroid vectors, cell id = array index. The codebook is nCells x
+    * dims floats (bytes, not data), so collecting/shipping it as
+    * expression literals is the correct 100 TB shape: ASSIGNMENT IS A
+    * PURE MAP — per row, one native `vec_dot` against each literal
+    * centroid and an argmax, no join, no shuffle, no window
+    * (PlanAuditSpec pins the no-Exchange property). Build once, probe
+    * many times.
     */
-  /** Optional Lloyd refinement of the IVF codebook: `iters` rounds of
-    * assign + per-cell mean. Each round is one map-side scoring pass and
-    * one (cell, dim) aggregation; only the nCells x dims codebook is
-    * collected per round (bytes, not data). Float means are
-    * association-order dependent in the last ulps, so refined codebooks
-    * are approximate-deterministic — fine for ANN, not for oracles
-    * (hence iters defaults to 0).
+  case class IvfIndex(centroids: Array[Array[Float]]) {
+    def nCells: Int = centroids.length
+    /** Centroid L2 norms, precomputed on the driver. */
+    lazy val norms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+  }
+
+  /** Map-side cell argmax: cosine ranking against the literal codebook.
+    * Dividing by the row's own norm does not change the argmax, so each
+    * cell costs exactly one native dot product; ties break to the lowest
+    * cell (array_position returns the first match).
     */
-  def refineCentroids(
+  private def cellExpr(index: IvfIndex, vec: Column): Column = {
+    import graft.functions.VectorFunctions.vec_dot
+    val sims = array(index.centroids.zipWithIndex.map { case (c, i) =>
+      vec_dot(vec, typedLit(c.toSeq)) / lit(index.norms(i))
+    }: _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Build the IVF codebook: seeds are the `nCells` lowest-id vectors
+    * (deterministic, no RNG), optionally Lloyd-refined for `kmeansIters`
+    * rounds. Each round is one map-side assignment pass plus one
+    * (cell, dim) aggregation; only the codebook itself is collected per
+    * round. Float means are association-order dependent in the last
+    * ulps, so refined codebooks are approximate-deterministic — fine
+    * for ANN, not for oracles (hence iters defaults to 0).
+    */
+  def ivfBuild(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      nCells: Int,
-      iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    var centroids = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect().zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    for (_ <- 1 to iters) {
-      val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
-      val assigned = assignToCells(emb, idCol, vecCol, cdf)
-      val means = assigned
-        .select(col("cell"), posexplode(col(vecCol)))
+      nCells: Int = 16,
+      kmeansIters: Int = 0): IvfIndex = {
+    var cents: Array[Array[Float]] = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to kmeansIters) {
+      val idx = IvfIndex(cents)
+      val means = emb
+        .select(cellExpr(idx, col(vecCol)).as("cell"), posexplode(col(vecCol)))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .collect()
-      val byCell = means.groupBy(_.getLong(0))
-      centroids = centroids.map { case (cell, old) =>
-        byCell.get(cell) match {
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
           case Some(rows) =>
             val v = old.clone()
             rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-            (cell, v)
-          case None => (cell, old) // empty cell keeps its seed
+            v
+          case None => old // empty cell keeps its seed
         }
       }
     }
-    broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+    IvfIndex(cents)
   }
 
-  private def assignToCells(
+  /** (id, vec, cell) via the map-side argmax — zero shuffle. */
+  def ivfAssign(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot
-    val scored = emb.crossJoin(centroids)
-      .withColumn("cell_sim",
-        vec_dot(col(vecCol), col("c_vec")) /
-          (sqrt(vec_dot(col(vecCol), col(vecCol))) *
-            sqrt(vec_dot(col("c_vec"), col("c_vec")))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
-  }
+      index: IvfIndex): DataFrame =
+    emb.select(col(idCol), col(vecCol), cellExpr(index, col(vecCol)).as("cell"))
 
+  /** Convenience overload: build the index inline (tests / one-shot). */
   def ivfAssign(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int = 16,
-      kmeansIters: Int = 0): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot
-    val centroids =
-      if (kmeansIters > 0) refineCentroids(emb, idCol, vecCol, nCells, kmeansIters)
-      else broadcast(
-        emb.orderBy(col(idCol)).limit(nCells)
-          .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
-    val scored = emb.crossJoin(centroids)
-      .withColumn("cell_sim",
-        vec_dot(col(vecCol), col("c_vec")) /
-          (sqrt(vec_dot(col(vecCol), col(vecCol))) *
-            sqrt(vec_dot(col("c_vec"), col("c_vec")))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
-  }
+      kmeansIters: Int = 0): DataFrame =
+    ivfAssign(emb, idCol, vecCol, ivfBuild(emb, idCol, vecCol, nCells, kmeansIters))
 
-  /** IVF top-k: rank exactly within the query's `nProbe` nearest cells. */
+  /** IVF top-k: rank exactly within the query's `nProbe` nearest cells.
+    * Probe-cell selection is driver-side arithmetic against the tiny
+    * codebook (same tie-break as the scan path: sim desc, cell asc).
+    */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -203,21 +200,26 @@ object Similarity {
       queryId: Long,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot
-    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
-    val centroids = broadcast(
-      emb.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+      nProbe: Int = 4,
+      index: Option[IvfIndex] = None): DataFrame = {
+    val idx = index.getOrElse(ivfBuild(emb, idCol, vecCol, nCells))
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    val qNorm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
+    val probeCells = idx.centroids.indices
+      .map { c =>
+        var dot = 0.0
+        var i = 0
+        val cv = idx.centroids(c)
+        val n = math.min(cv.length, qVec.length)
+        while (i < n) { dot += qVec(i).toDouble * cv(i).toDouble; i += 1 }
+        (dot / (qNorm * idx.norms(c)), c)
+      }
+      .sortBy { case (sim, c) => (-sim, c) }
+      .take(nProbe).map(_._2)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
-    val probeCells = q.crossJoin(centroids)
-      .select(col("cell"),
-        (vec_dot(col("q_vec"), col("c_vec")) /
-          (sqrt(vec_dot(col("q_vec"), col("q_vec"))) *
-            sqrt(vec_dot(col("c_vec"), col("c_vec"))))).as("sim"))
-      .orderBy(col("sim").desc, col("cell")).limit(nProbe)
-      .select(col("cell"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
+    ivfAssign(emb, idCol, vecCol, idx)
+      .filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))

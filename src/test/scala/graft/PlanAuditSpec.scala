@@ -66,6 +66,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"range predicate must ride the (key, bin) equi-join:\n$p")
   }
 
+  test("IVF assignment is a pure map: zero exchanges, zero joins") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.t(spark, sf, "embeddings")
+    val index = graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding")
+    val p = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", index)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"codebook must ride as literals:\n$p")
+    assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
+  }
+
   test("osmpbf scan reports pruned columns and pushed kind") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("osmpbf")
