@@ -63,12 +63,26 @@ object PbfBlockDecoder {
     }
     if (raw != null) raw
     else if (zlib != null) {
-      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 8)
+      // loop until the stream reports finished, growing the buffer when
+      // raw_size is absent or wrong — a single guessed-size inflate would
+      // silently truncate oversized payloads into corrupt entities
       val inf = new Inflater()
       inf.setInput(zlib)
-      val n = inf.inflate(out)
-      inf.end()
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(zlib.length * 4, 4096))
+      var total = 0
+      try {
+        while (!inf.finished()) {
+          if (total == out.length)
+            out = java.util.Arrays.copyOf(out, out.length * 2)
+          val n = inf.inflate(out, total, out.length - total)
+          if (n == 0 && !inf.finished()) {
+            require(!inf.needsInput() && !inf.needsDictionary(),
+              "truncated or dictionary-requiring zlib blob")
+          }
+          total += n
+        }
+      } finally inf.end()
+      if (total == out.length) out else java.util.Arrays.copyOf(out, total)
     } else if (lz4 != null) {
       require(rawSize >= 0, "lz4 blob requires raw_size")
       val out = new Array[Byte](rawSize)
@@ -82,6 +96,59 @@ object PbfBlockDecoder {
         .decompress(zstd, 0, zstd.length, out, 0, rawSize)
       out
     } else throw new IllegalArgumentException("empty Blob")
+  }
+
+  // ---- HeaderBlock -------------------------------------------------------
+
+  /** OSMHeader contents (osmformat.proto:57-90 in the reference's bundled
+    * jar): bounding box in degrees (left, bottom, right, top) plus the
+    * feature lists a conforming reader must honor. The reference skips
+    * the header entirely; here `required_features` gates the scan (a
+    * file demanding an unsupported feature fails loudly instead of
+    * decoding garbage) and the bbox is exposed as metadata.
+    */
+  final case class OsmHeader(
+      bbox: Option[(Double, Double, Double, Double)],
+      requiredFeatures: Seq[String],
+      optionalFeatures: Seq[String],
+      writingProgram: Option[String],
+      source: Option[String])
+
+  def parseHeaderBlock(payload: Array[Byte]): OsmHeader = {
+    val r = new ProtoReader(payload, 0, payload.length)
+    var bbox: Option[(Double, Double, Double, Double)] = None
+    val required = ArrayBuffer.empty[String]
+    val optional = ArrayBuffer.empty[String]
+    var program: Option[String] = None
+    var source: Option[String] = None
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 =>
+          val b = r.readMessage()
+          var left, right, top, bottom = 0L
+          var bt = b.readTag()
+          while (bt != -1) {
+            bt >> 3 match {
+              case 1 => left = b.readSVarint()
+              case 2 => right = b.readSVarint()
+              case 3 => top = b.readSVarint()
+              case 4 => bottom = b.readSVarint()
+              case _ => b.skip(bt & 7)
+            }
+            bt = b.readTag()
+          }
+          // nanodegrees -> degrees; exposed as (left, bottom, right, top)
+          bbox = Some((left * 1e-9, bottom * 1e-9, right * 1e-9, top * 1e-9))
+        case 4 => required += r.readString()
+        case 5 => optional += r.readString()
+        case 16 => program = Some(r.readString())
+        case 17 => source = Some(r.readString())
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    OsmHeader(bbox, required.toSeq, optional.toSeq, program, source)
   }
 
   // ---- PrimitiveBlock ----------------------------------------------------

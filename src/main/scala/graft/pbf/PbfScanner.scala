@@ -110,6 +110,38 @@ object PbfScanner {
     } catch { case _: Exception => None }
   }
 
+  /** Features this reader implements; a file whose OSMHeader REQUIRES
+    * anything else must be rejected, per the format contract
+    * (osmformat.proto:66-74). "HistoricalInformation" is supported
+    * because the decode core surfaces the `visible` flag.
+    */
+  val SupportedFeatures: Set[String] =
+    Set("OsmSchema-V0.6", "DenseNodes", "HistoricalInformation")
+
+  /** Parse the OSMHeader block if the file starts with one (spec-correct
+    * files do; the reference's fixture bare-data files don't, so absence
+    * is not an error).
+    */
+  def readHeader(in: RangeReader): Option[PbfBlockDecoder.OsmHeader] =
+    readBlockRef(in, 0L).filter(_.blockType == "OSMHeader").map { b =>
+      val data = new Array[Byte](b.dataSize)
+      in.read(b.dataStart, data, 0, b.dataSize)
+      PbfBlockDecoder.parseHeaderBlock(
+        PbfBlockDecoder.inflateBlob(data, 0, b.dataSize))
+    }
+
+  /** Fail loudly on a file this reader cannot decode faithfully. */
+  def validateHeader(in: RangeReader, path: String): Option[PbfBlockDecoder.OsmHeader] = {
+    val header = readHeader(in)
+    header.foreach { h =>
+      val unsupported = h.requiredFeatures.filterNot(SupportedFeatures)
+      require(unsupported.isEmpty,
+        s"$path requires unsupported PBF features: ${unsupported.mkString(", ")} " +
+          s"(supported: ${SupportedFeatures.mkString(", ")})")
+    }
+    header
+  }
+
   /** All OSMData blocks whose frame start lies in [start, end). */
   def blocksInRange(in: RangeReader, start: Long, end: Long): Iterator[BlockRef] =
     new Iterator[BlockRef] {
@@ -137,6 +169,25 @@ object PbfScanner {
       }
     }
 
+  /** Per-block entity iterators — the provenance-aware scan: callers that
+    * need record keys (file/block-offset metadata columns, parity with
+    * the reference's byte-offset key, OsmPbfRecordReader.java:68-72)
+    * learn each entity's enclosing block frame start for free.
+    */
+  def scanBlocks(
+      in: RangeReader,
+      start: Long,
+      end: Long,
+      kinds: Set[EntityKind.Value],
+      withInfo: Boolean = false): Iterator[(BlockRef, Iterator[OsmEntity])] =
+    blocksInRange(in, start, end).map { b =>
+      val data = new Array[Byte](b.dataSize)
+      in.read(b.dataStart, data, 0, b.dataSize)
+      val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
+      (b, PbfBlockDecoder.decodeEntities(
+        PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo))
+    }
+
   /** Decode all requested entities whose block starts in [start, end). */
   def scan(
       in: RangeReader,
@@ -144,13 +195,7 @@ object PbfScanner {
       end: Long,
       kinds: Set[EntityKind.Value],
       withInfo: Boolean = false): Iterator[OsmEntity] =
-    blocksInRange(in, start, end).flatMap { b =>
-      val data = new Array[Byte](b.dataSize)
-      in.read(b.dataStart, data, 0, b.dataSize)
-      val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
-      PbfBlockDecoder.decodeEntities(
-        PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo)
-    }
+    scanBlocks(in, start, end, kinds, withInfo).flatMap(_._2)
 
   /** Whole-file convenience scan. */
   def scanFile(

@@ -14,6 +14,22 @@ object OsmQueries {
   /** The reference's own test fixture (FIXTURES.md §1). */
   val fixturePath = "/root/reference/src/test/java/resources/temp.dat"
 
+  /** The upstream sample.pbf bundled in the reference's osmpbf jar
+    * (FIXTURES.md §3) — unlike temp.dat it carries a real OSMHeader
+    * block, so it backs the header-surface query.
+    */
+  lazy val samplePbfPath: String = {
+    val jar = new java.util.jar.JarFile(
+      new java.io.File("/root/reference/lib/osmpbf-1.3.3.jar"))
+    val entry = jar.getEntry("sample.pbf")
+    val out = java.nio.file.Files.createTempFile("sample", ".pbf")
+    val in = jar.getInputStream(entry)
+    try java.nio.file.Files.copy(in, out,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally { in.close(); jar.close() }
+    out.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -93,6 +109,42 @@ object OsmQueries {
           .select($"id", OsmFunctions.osmTagsToString($"tags").as("tags_str"))
           .orderBy($"id")
           .limit(100)
+      },
+      None),
+
+    QueryDef(
+      // OSMHeader surface: bbox + feature lists of a file that has one
+      // (sample.pbf) alongside the bare-data fixture, proving totality
+      "osm07_header_inventory",
+      (s, _) => {
+        import s.implicits._
+        graft.sources.osmpbf.OsmPbfHeader.df(s, samplePbfPath, fixturePath)
+          .select(
+            // temp-file names vary per run; project stable identity
+            when($"has_header", lit("sample.pbf")).otherwise(lit("temp.dat"))
+              .as("file_kind"),
+            $"has_header", $"bbox_left", $"bbox_bottom", $"bbox_right",
+            $"bbox_top",
+            array_join($"required_features", ";").as("required"),
+            $"writing_program")
+          .orderBy($"file_kind")
+      },
+      None),
+
+    QueryDef(
+      // record-key metadata columns: per-block record counts — parity
+      // with the reference's byte-offset record key
+      "osm08_record_keys",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").load(fixturePath)
+          .select($"id", $"type", col("_block_offset"), col("_record_index"))
+          .groupBy($"_block_offset".as("block_offset"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            max($"_record_index").as("max_index"),
+            countDistinct($"type").as("n_kinds"))
+          .orderBy($"block_offset")
       },
       None)
   )

@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -98,13 +98,39 @@ object OsmPbfSchema {
   }
 }
 
+/** Hidden provenance columns, surfaced only when selected — parity with
+  * the reference's byte-offset record key (OsmPbfRecordReader.java:68-72)
+  * plus multi-file lineage. `_block_offset` is the frame start of the
+  * entity's enclosing OSMData block; `_record_index` its ordinal within
+  * that block, so (file, block, index) is a stable record identity.
+  */
+object OsmPbfMetadataColumns {
+  val fields: StructType = StructType(Seq(
+    StructField("_file", StringType, nullable = false),
+    StructField("_block_offset", LongType, nullable = false),
+    StructField("_record_index", LongType, nullable = false)))
+
+  val names: Set[String] = fields.fieldNames.toSet
+
+  val columns: Array[MetadataColumn] = fields.fields.map { f =>
+    new MetadataColumn {
+      override def name(): String = f.name
+      override def dataType(): DataType = f.dataType
+      override def isNullable: Boolean = false
+    }
+  }
+}
+
 class OsmPbfTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
 
   override def name(): String =
     s"osmpbf(${options.getOrDefault("path", "")})"
 
   override def schema(): StructType = schema
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    OsmPbfMetadataColumns.columns
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava

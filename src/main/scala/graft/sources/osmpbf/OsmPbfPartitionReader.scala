@@ -71,13 +71,26 @@ class OsmPbfPartitionReader(
   private val withTags = need("tags")
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
-  private val entities =
-    PbfScanner.scan(in, part.start, part.end, kinds, withInfo)
+  private val blocks =
+    PbfScanner.scanBlocks(in, part.start, part.end, kinds, withInfo)
+  private var blockEntities: Iterator[OsmEntity] = Iterator.empty
+  // provenance for the metadata columns (stable record identity)
+  private var blockOffset: Long = -1L
+  private var recordIndex: Long = -1L
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (entities.hasNext) { current = convert(entities.next()); true }
-    else false
+  override def next(): Boolean = {
+    while (!blockEntities.hasNext) {
+      if (!blocks.hasNext) return false
+      val (ref, it) = blocks.next()
+      blockOffset = ref.start
+      recordIndex = -1L
+      blockEntities = it
+    }
+    recordIndex += 1
+    current = convert(blockEntities.next())
+    true
+  }
 
   override def get(): InternalRow = current
 
@@ -133,6 +146,11 @@ class OsmPbfPartitionReader(
       e => e.info.map(i => new GenericInternalRow(Array[Any](
         i.version, i.timestampMs * 1000L, i.changeset, i.uid,
         UTF8String.fromString(i.user), i.visible))).orNull
+    case "_file" =>
+      val v = UTF8String.fromString(part.filePath)
+      _ => v
+    case "_block_offset" => _ => blockOffset
+    case "_record_index" => _ => recordIndex
     case other =>
       throw new IllegalArgumentException(s"unknown osmpbf column '$other'")
   }

@@ -39,9 +39,12 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   }
 
   override def pruneColumns(required: StructType): Unit = {
-    // preserve scan-side field order regardless of projection order
+    // preserve scan-side field order regardless of projection order;
+    // requested metadata columns (SupportsMetadataColumns) ride at the end
     val names = required.fieldNames.toSet
-    requiredSchema = StructType(fullSchema.fields.filter(f => names(f.name)))
+    requiredSchema = StructType(
+      fullSchema.fields.filter(f => names(f.name)) ++
+        OsmPbfMetadataColumns.fields.fields.filter(f => names(f.name)))
   }
 
   /** In `all` mode, `type = 'way'` / `type IN (...)` prunes whole primitive
@@ -114,6 +117,16 @@ class OsmPbfScan(
     val hadoopConf = spark.sessionState.newHadoopConf()
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val paths = resolvePaths(options, hadoopConf)
+    // fail at planning time, not per-task, on files whose OSMHeader
+    // requires a feature this reader does not implement (one ~KB header
+    // read per file, driver-side)
+    if (options.getBoolean("validateHeader", true)) {
+      paths.foreach { case (path, _) =>
+        val in = new HadoopRangeReader(new Path(path), hadoopConf)
+        try graft.pbf.PbfScanner.validateHeader(in, path)
+        finally in.close()
+      }
+    }
     val parts = ArrayBuffer.empty[InputPartition]
     for ((path, len) <- paths) {
       var off = 0L

@@ -74,4 +74,67 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(pruned.count() == 80)
   }
+
+  test("OSMHeader is parsed: bbox, features, writing program") {
+    val f = Files.createTempFile("synth-hdr", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    val bbox = msg(svarint(1, -10000000000L), svarint(2, 20000000000L),
+      svarint(3, 30000000000L), svarint(4, 5000000000L))
+    out.write(frame("OSMHeader", msg(lenDelim(1, bbox),
+      str(4, "OsmSchema-V0.6"), str(4, "DenseNodes"),
+      str(5, "Sort.Type_then_ID"), str(16, "graft-test")), "raw"))
+    out.write(frame("OSMData", dataBlock(1, 5), "raw"))
+    out.close()
+    val h = graft.sources.osmpbf.OsmPbfHeader.read(spark, f.getPath).get
+    assert(h.requiredFeatures == Seq("OsmSchema-V0.6", "DenseNodes"))
+    assert(h.optionalFeatures == Seq("Sort.Type_then_ID"))
+    assert(h.writingProgram.contains("graft-test"))
+    val (l, b, r, t) = h.bbox.get
+    assert(math.abs(l - -10.0) < 1e-9 && math.abs(b - 5.0) < 1e-9 &&
+      math.abs(r - 20.0) < 1e-9 && math.abs(t - 30.0) < 1e-9)
+    // and the scan still reads the data that follows
+    assert(spark.read.format("osmpbf").option("parseType", "node")
+      .load(f.getPath).count() == 5)
+  }
+
+  test("a file requiring an unsupported feature fails at planning") {
+    val f = Files.createTempFile("synth-bad", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(frame("OSMHeader", msg(str(4, "OsmSchema-V0.6"),
+      str(4, "LocationsOnWays")), "raw"))
+    out.write(frame("OSMData", dataBlock(1, 5), "raw"))
+    out.close()
+    val e = intercept[Exception] {
+      spark.read.format("osmpbf").option("parseType", "node")
+        .load(f.getPath).count()
+    }
+    assert(e.getMessage.contains("LocationsOnWays"), e.getMessage)
+    // explicit opt-out still reads (the data itself is decodable)
+    assert(spark.read.format("osmpbf").option("parseType", "node")
+      .option("validateHeader", "false").load(f.getPath).count() == 5)
+  }
+
+  test("metadata columns give a stable (file, block, index) record key") {
+    import org.apache.spark.sql.functions.countDistinct
+    val df = spark.read.format("osmpbf").option("parseType", "node")
+      .load(path)
+      .select(col("id"), col("_file"), col("_block_offset"), col("_record_index"))
+    val rows = df.collect()
+    assert(rows.length == 80)
+    assert(rows.forall(_.getAs[String]("_file").contains("synth")))
+    // two data blocks -> two distinct offsets, 50 + 30 records
+    val byBlock = rows.groupBy(_.getAs[Long]("_block_offset"))
+    assert(byBlock.size == 2)
+    assert(byBlock.values.map(_.length).toSeq.sorted == Seq(30, 50))
+    // record_index is a dense 0..n-1 ordinal within each block
+    byBlock.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("_record_index")).sorted.toSeq ==
+        (0L until rs.length).toSeq)
+    }
+    // (block, index) identifies each record uniquely
+    assert(df.select(countDistinct(col("_block_offset"), col("_record_index")))
+      .head().getLong(0) == 80)
+    // metadata columns stay hidden unless selected
+    assert(!spark.read.format("osmpbf").load(path).columns.contains("_file"))
+  }
 }
