@@ -72,6 +72,64 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product of an `array<float>` column with an
+  * `array<double>` column (typically a literal hyperplane). Semantics are
+  * bit-identical to the declarative
+  * `aggregate(zip_with(v, w, (x, wd) => x.cast(double) * wd), 0d, _+_)`
+  * — float widened to double, products in double, strict left-to-right
+  * accumulation over the shorter length — so LSH sketches computed either
+  * way are the same bits; this form just skips the per-element boxing and
+  * array allocation of the lambda interpreter.
+  */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot_fd expects (array<float>, array<double>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd positional match count over two `array<bigint>`
   * columns: the number of indices i where a(i) == b(i) (over the shorter
   * length). This is the MinHash signature-agreement kernel — the
@@ -140,6 +198,10 @@ object VectorFunctions {
   def vec_match_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       LongVecMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_dot_fd(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatDoubleVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Cosine from the native dot (double path — for ranking/prefilter). */
   def vec_cosine(a: Column, b: Column): Column = {

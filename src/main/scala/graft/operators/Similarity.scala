@@ -290,19 +290,22 @@ object Similarity {
 
   /** Multi-table sign-LSH sketch: `tables` independent sketches of
     * `planes` bits each, returned as an array so candidates can match on
-    * ANY table (OR-amplification). Weights arrive as one literal tensor.
+    * ANY table (OR-amplification). Each hyperplane is its own literal
+    * and each projection one native codegen'd dot product
+    * ([[graft.functions.FloatDoubleVecDot]] — bit-identical to the
+    * HOF form it replaced, so sketches are stable across versions); the
+    * nested-aggregate alternative interprets planes x tables lambda
+    * evaluations per row at ~300x raw-FLOP cost.
     */
   def lshSketches(vec: Column, planes: Int, tables: Int, dims: Int = 64): Column = {
-    val w = typedLit(planeWeights(tables, planes, dims))
-    transform(sequence(lit(0), lit(tables - 1)), tbl =>
-      aggregate(
-        sequence(lit(0), lit(planes - 1)),
-        lit(0L),
-        (acc, p) => acc.bitwiseOR(
-          when(aggregate(zip_with(vec,
-            slice(element_at(element_at(w, tbl + 1), p + 1), lit(1), size(vec)),
-            (x, wd) => x.cast("double") * wd), lit(0.0), (s, v) => s + v) > 0,
-            call_function("shiftleft", lit(1L), p)).otherwise(0L))))
+    import graft.functions.VectorFunctions.vec_dot_fd
+    val w = planeWeights(tables, planes, dims)
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(vec_dot_fd(vec, typedLit(w(t)(p))) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
   }
 
   /** Near-dup pairs via OR-amplified sketch buckets: a pair is a candidate

@@ -158,12 +158,16 @@ class OsmPbfScan(
     }
   }
 
-  /** DataFrameReader encodes multiple paths as a JSON string array. */
+  /** DataFrameReader encodes multiple paths as a JSON string array — a
+    * real JSON parse (jackson, already on Spark's classpath), so paths
+    * containing commas or quotes survive.
+    */
   private def parseJsonStringArray(s: String): Seq[String] = {
-    val trimmed = s.trim.stripPrefix("[").stripSuffix("]")
-    if (trimmed.isEmpty) Seq.empty
-    else trimmed.split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    require(node.isArray, s"osmpbf: 'paths' must be a JSON array, got: $s")
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    node.elements().forEachRemaining(e => b += e.asText())
+    b.toSeq
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -75,6 +75,18 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     assert(pruned.count() == 80)
   }
 
+  test("multi-path load survives commas in file names (real JSON parse)") {
+    val dir = Files.createTempDirectory("synth,comma")
+    val f = dir.resolve("part,one.pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(frame("OSMData", dataBlock(1, 5), "raw"))
+    out.close()
+    val n = spark.read.format("osmpbf").option("parseType", "node")
+      .load(f.getPath, path) // two paths -> JSON-array "paths" option
+      .count()
+    assert(n == 85, s"expected 5 + 80 nodes, got $n")
+  }
+
   test("OSMHeader is parsed: bbox, features, writing program") {
     val f = Files.createTempFile("synth-hdr", ".pbf").toFile
     val out = new FileOutputStream(f)
