@@ -12,13 +12,15 @@ object SparkEntry {
 
   /** All registered capabilities, in stable name order. */
   def allDefs: Seq[QueryDef] =
-    (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5).sortBy(_.name)
+    (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6)
+      .sortBy(_.name)
 
   private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
   private def queries2: Seq[QueryDef] = _root_.graft.queries.Pipeline.defs
   private def queries3: Seq[QueryDef] = _root_.graft.queries.OsmQueries.defs
   private def queries4: Seq[QueryDef] = _root_.graft.queries.Relational2.defs
   private def queries5: Seq[QueryDef] = _root_.graft.queries.Relational3.defs
+  private def queries6: Seq[QueryDef] = _root_.graft.queries.Relational4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01 (scan + filter + hash aggregate) always yields its six

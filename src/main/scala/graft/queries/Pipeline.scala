@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: text analysis, deduplication (exact / MinHash-LSH / SimHash /
@@ -315,6 +316,49 @@ object Pipeline {
              |SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
              |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      // end-to-end training-data pipeline composition: quality filter ->
+      // exact near-dup removal (keep-first on a 60-char prefix key) ->
+      // per-language corpus stats. Every stage is the same operator the
+      // standalone entries use; the oracle mirrors the full chain, so the
+      // gate proves the COMPOSITION, not just the pieces.
+      "p18_pipeline_end_to_end",
+      (s, dir) => {
+        import s.implicits._
+        val qual = t(s, dir, "documents")
+          .withColumn("quality", TextAnalysis.qualityScore($"text"))
+          .filter($"quality" >= 0.5)
+        Dedup.keepFirst(qual, substring($"text", 1, 60), "doc_id")
+          .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            sum($"quality".cast(DecimalType(18, 9))).cast("double")
+              .as("total_quality"))
+          .orderBy($"lang")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang, text,
+             |    least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+             |      + (CASE WHEN (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |                    / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0
+             |              THEN 1.0 ELSE 0.5 END) * 0.4
+             |      + (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |                      / length(text)) * 10.0, 1.0)) * 0.2 AS quality
+             |  FROM documents),
+             |f AS (SELECT * FROM q WHERE quality >= 0.5),
+             |k AS (SELECT * FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY md5(substring(text, 1, 60))
+             |                                     ORDER BY doc_id) AS rn
+             |        FROM f) WHERE rn = 1)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) AS total_quality
+             |FROM k
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     // ---- multimodal ------------------------------------------------------
     QueryDef(

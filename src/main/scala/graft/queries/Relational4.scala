@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fourth relational batch: the correlated-min subquery shape (TPC-H Q2
+  * family, filling the q02 slot), explicit skew-safe salted aggregation,
+  * and bucketed sinks feeding an exchange-free co-located join.
+  */
+object Relational4 {
+  import Tables.t
+
+  private val D18 = DecimalType(18, 2)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q02: correlated scalar MAX subquery (TPC-H Q2 shape) ------------
+    // Catalyst decorrelates this into an aggregate + join; q27 covers the
+    // UNcorrelated scalar subquery, this covers the correlated one.
+    QueryDef(
+      "q02_correlated_max",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name, c_custkey, c_name, c_acctbal
+                |FROM customer c
+                |JOIN nation ON c.c_nationkey = n_nationkey
+                |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                |                   WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY n_name, c_custkey""".stripMargin)
+      },
+      Some("""SELECT n_name, c_custkey, c_name, c_acctbal
+             |FROM customer c
+             |JOIN nation ON c.c_nationkey = n_nationkey
+             |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY n_name, c_custkey""".stripMargin)),
+
+    // ---- q37: salted two-stage aggregation over a hot key ----------------
+    // event_type has a handful of values — the textbook hot-key shape. A
+    // deterministic salt spreads each key over 16 reducers; the second
+    // (tiny) stage combines partials. DECIMAL partial sums make the
+    // two-stage result bit-identical to the direct GROUP BY the oracle
+    // runs — salting is a pure execution-plan choice, invisible in the
+    // answer, which is exactly the property that makes it safe at 100 TB.
+    QueryDef(
+      "q37_salted_hotkey_agg",
+      (s, dir) => {
+        import s.implicits._
+        val partial = t(s, dir, "events")
+          .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+          .groupBy($"event_type", $"salt")
+          .agg(
+            count(lit(1)).as("n0"),
+            sum($"value".cast(D18)).as("v0"),
+            min($"value".cast(D18)).as("mn0"),
+            max($"value".cast(D18)).as("mx0"))
+        partial.groupBy($"event_type")
+          .agg(
+            sum($"n0").as("n_events"),
+            sum($"v0").cast("double").as("total_value"),
+            min($"mn0").cast("double").as("min_value"),
+            max($"mx0").cast("double").as("max_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+             |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- q38: bucketed sink + co-located join ----------------------------
+    // Both fact tables are written bucketed (+sorted, one file per bucket)
+    // on the join key, then joined: with bucketing the SortMergeJoin reads
+    // both sides pre-partitioned — no shuffle on either join input (the
+    // plan audit pins it). At 100 TB this is THE way to make a repeated
+    // fact-fact join cheap: pay the partitioning once at write time.
+    // Bucketing never changes results, so the oracle is the plain join.
+    QueryDef(
+      "q38_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        // drop catalog entry AND any stale location (an interrupted run
+        // leaves the directory behind, which blocks CTAS)
+        def reset(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), table)
+          val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(wh)) fs.delete(wh, true)
+        }
+        reset("graft_li_bucketed")
+        reset("graft_ord_bucketed")
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .repartition(16, $"l_orderkey")
+          .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_li_bucketed")
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority")
+          .repartition(16, $"o_orderkey")
+          .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_ord_bucketed")
+        s.table("graft_li_bucketed")
+          .join(s.table("graft_ord_bucketed"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum($"l_extendedprice".cast(D18) *
+              (lit(1) - $"l_discount".cast(D18)))
+              .cast("double").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+}

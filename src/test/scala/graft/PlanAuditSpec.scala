@@ -66,6 +66,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"range predicate must ride the (key, bin) equi-join:\n$p")
   }
 
+  test("q38 bucketed join shuffles NEITHER fact input") {
+    // run once so the bucketed tables exist, then audit the join plan.
+    // At sf0.001 the planner would broadcast the tiny side (and rightly
+    // skip the bucketed scan); disable broadcast to expose the shape the
+    // plan takes when both sides are fact-sized — the case bucketing is
+    // FOR — and assert it is an exchange-free sort-merge join.
+    SparkEntry.queries("q38_bucketed_join")(spark, sf).count()
+    import org.apache.spark.sql.functions.col
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = spark.table("graft_li_bucketed")
+        .join(spark.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed fact-fact join must be exchange-free:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q37 salted aggregation partial-aggregates before both shuffles") {
+    val p = plan("q37_salted_hotkey_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final x2
+  }
+
   test("IVF assignment is a pure map: zero exchanges, zero joins") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.t(spark, sf, "embeddings")
