@@ -43,10 +43,20 @@ final case class OsmRelation(
     tags: Map[String, String],
     info: Option[OsmInfo]) extends OsmEntity
 
+/** ChangeSet primitive (osmformat.proto:174-189) — id-only by spec; the
+  * reference never decodes these (format-legal data silently dropped).
+  * Not part of the unified `all` view (real-world planet files carry no
+  * changeset groups); selected explicitly via `parseType=changeset`.
+  */
+final case class OsmChangeSet(id: Long) extends OsmEntity {
+  override def tags: Map[String, String] = Map.empty
+  override def info: Option[OsmInfo] = None
+}
+
 /** Which primitive kinds to decode — scan-time pruning (SURVEY §2.1 #10).
   * Unlike the reference's bare int with a dead default (defect D5), the
   * selection is explicit and `All` is supported.
   */
 object EntityKind extends Enumeration {
-  val Node, Way, Relation = Value
+  val Node, Way, Relation, ChangeSet = Value
 }

@@ -164,7 +164,8 @@ object PbfBlockDecoder {
       nodes: Seq[ProtoReader],
       dense: Option[ProtoReader],
       ways: Seq[ProtoReader],
-      relations: Seq[ProtoReader])
+      relations: Seq[ProtoReader],
+      changesets: Seq[ProtoReader])
 
   final class PrimitiveBlock(
       val strings: StringTable,
@@ -223,6 +224,7 @@ object PbfBlockDecoder {
     var dense: Option[ProtoReader] = None
     val ways = ArrayBuffer.empty[ProtoReader]
     val rels = ArrayBuffer.empty[ProtoReader]
+    val changesets = ArrayBuffer.empty[ProtoReader]
     var tag = r.readTag()
     while (tag != -1) {
       tag >> 3 match {
@@ -230,11 +232,12 @@ object PbfBlockDecoder {
         case 2 => dense = Some(r.readMessage())
         case 3 => ways += r.readMessage()
         case 4 => rels += r.readMessage()
-        case _ => r.skip(tag & 7) // changesets (5) and future kinds
+        case 5 => changesets += r.readMessage()
+        case _ => r.skip(tag & 7) // future kinds
       }
       tag = r.readTag()
     }
-    RawGroup(nodes.toSeq, dense, ways.toSeq, rels.toSeq)
+    RawGroup(nodes.toSeq, dense, ways.toSeq, rels.toSeq, changesets.toSeq)
   }
 
   // ---- entity decode -----------------------------------------------------
@@ -260,8 +263,25 @@ object PbfBlockDecoder {
       val rs: Iterator[OsmEntity] =
         if (!kinds(EntityKind.Relation)) Iterator.empty
         else g.relations.iterator.map(rel => decodeRelation(block, rel, withInfo, withTags))
-      ns ++ ws ++ rs
+      val cs: Iterator[OsmEntity] =
+        if (!kinds(EntityKind.ChangeSet)) Iterator.empty
+        else g.changesets.iterator.map(decodeChangeSet)
+      ns ++ ws ++ rs ++ cs
     }
+
+  /** ChangeSet is id-only by spec (osmformat.proto:174-189). */
+  private def decodeChangeSet(r: ProtoReader): OsmChangeSet = {
+    var id = 0L
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 => id = r.readVarint()
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    OsmChangeSet(id)
+  }
 
   /** Columnar decode of one block's dense-node groups: (ids, lats, lons)
     * primitive arrays per group, delta-resolved and scaled. This is the

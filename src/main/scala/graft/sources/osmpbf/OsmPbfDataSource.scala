@@ -69,6 +69,10 @@ object OsmPbfSchema {
     StructField("memberType", StringType, nullable = false))), containsNull = false)
 
   def forType(parseType: String, withInfo: Boolean): StructType = {
+    // id-only by spec and never carries info; not part of `all`
+    // (planet files contain no changeset groups)
+    if (parseType.equalsIgnoreCase("changeset"))
+      return StructType(Seq(StructField("id", LongType, nullable = false)))
     val base = parseType.toLowerCase match {
       case "node" => StructType(Seq(
         StructField("id", LongType, nullable = false),
@@ -92,7 +96,7 @@ object OsmPbfSchema {
         StructField("members", membersType),
         StructField("tags", tagsType)))
       case other => throw new IllegalArgumentException(
-        s"parseType must be node|way|relation|all, got '$other'")
+        s"parseType must be node|way|relation|changeset|all, got '$other'")
     }
     if (withInfo) base.add(StructField("info", infoType)) else base
   }

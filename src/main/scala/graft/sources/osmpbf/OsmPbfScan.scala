@@ -35,6 +35,7 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
     case "node" => Set(EntityKind.Node)
     case "way" => Set(EntityKind.Way)
     case "relation" => Set(EntityKind.Relation)
+    case "changeset" => Set(EntityKind.ChangeSet)
     case _ => Set(EntityKind.Node, EntityKind.Way, EntityKind.Relation)
   }
 

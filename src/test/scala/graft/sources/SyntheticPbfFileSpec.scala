@@ -75,6 +75,28 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     assert(pruned.count() == 80)
   }
 
+  test("changeset primitive groups decode via parseType=changeset") {
+    // a block holding 3 changesets (group field 5, id-only messages)
+    // alongside a dense-node block
+    val changesets = msg(
+      lenDelim(5, msg(varint(1, 7001))),
+      lenDelim(5, msg(varint(1, 7002))),
+      lenDelim(5, msg(varint(1, 7003))))
+    val block = msg(lenDelim(1, msg(str(1, ""))), lenDelim(2, changesets))
+    val f = Files.createTempFile("synth-cs", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(frame("OSMData", block, "raw"))
+    out.write(frame("OSMData", dataBlock(1, 4), "raw"))
+    out.close()
+    val cs = spark.read.format("osmpbf").option("parseType", "changeset")
+      .load(f.getPath)
+    assert(cs.columns.toSeq == Seq("id"))
+    assert(cs.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7001L, 7002L, 7003L))
+    // the unified view ignores changesets (planet-file semantics)
+    assert(spark.read.format("osmpbf").load(f.getPath).count() == 4)
+  }
+
   test("multi-path load survives commas in file names (real JSON parse)") {
     val dir = Files.createTempDirectory("synth,comma")
     val f = dir.resolve("part,one.pbf").toFile
