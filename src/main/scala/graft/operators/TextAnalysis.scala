@@ -86,4 +86,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => xxhash64(concat(acc.cast("string"), lit("|"), t)))
+
+  /** Deterministic hash-based sampling predicate: keep a row iff the
+    * first hex digit of md5(key) falls in the first `sixteenths` of the
+    * hex alphabet — a keep-rate of sixteenths/16. THE way to sample at
+    * 100 TB: reproducible across runs, engines and partitionings (md5 is
+    * engine-portable, unlike xxhash64/rand), trivially pushed into any
+    * scan, and stable under re-partitioning, so a training corpus sample
+    * is re-derivable forever from the same keys.
+    */
+  def hashSampled(key: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 1 && sixteenths <= 16,
+      s"sixteenths must be in 1..16, got $sixteenths")
+    substring(md5(key.cast("string")), 1, 1) <
+      lit(java.lang.Integer.toHexString(sixteenths))
+  }
+
+  /** Text normalization for dedup/tokenizer front-ends: lowercase,
+    * collapse whitespace runs, trim. Pure per-row expressions with exact
+    * DuckDB equivalents, so normalized-corpus pipelines stay
+    * oracle-checkable.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII redaction: mask email addresses and URLs (the two scrubbing
+    * passes every public-corpus pipeline runs first). Patterns are kept
+    * to constructs with identical Java-regex/RE2 semantics so the
+    * DuckDB oracle matches byte-for-byte.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
+  }
 }

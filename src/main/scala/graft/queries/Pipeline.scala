@@ -318,6 +318,58 @@ object Pipeline {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
+      // reproducible hash-based corpus sampling: md5 is engine-portable
+      // and partition-stable, so the SAME sample is re-derivable from the
+      // same keys on any engine — the 100 TB answer to "sample 1/8 of
+      // the corpus" (rand()/TABLESAMPLE are neither deterministic across
+      // engines nor stable under repartitioning)
+      "p19_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(TextAnalysis.hashSampled($"doc_id", 2)) // keep 2/16
+          .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // normalization + PII redaction: the first two passes of every
+      // public-corpus pipeline. The corpus is synthetic, so an email +
+      // URL are appended per row from doc_id to prove the scrub actually
+      // fires; the oracle mirrors the whole chain byte-for-byte.
+      "p20_normalize_redact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("aug", concat($"text",
+            lit(" Contact user"), $"doc_id",
+            lit("@example.com via https://example.com/d/"), $"doc_id"))
+          .select($"doc_id",
+            TextAnalysis.redactPii(TextAnalysis.normalize($"aug")).as("clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      trim(regexp_replace(
+             |        lower(text || ' Contact user' || CAST(doc_id AS VARCHAR)
+             |          || '@example.com via https://example.com/d/'
+             |          || CAST(doc_id AS VARCHAR)),
+             |        '\s+', ' ', 'g')),
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g') AS clean
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       // end-to-end training-data pipeline composition: quality filter ->
       // exact near-dup removal (keep-first on a 60-char prefix key) ->
       // per-language corpus stats. Every stage is the same operator the
