@@ -17,9 +17,19 @@ import graft.pbf.EntityKind
   * for files not seen in the previous offset and plans them with the same
   * byte-range partitioning and readers as the batch path.
   *
-  * The offset is the sorted set of (path, size) already processed —
-  * simple, restart-safe (files are immutable once written), and
-  * side-effect free on the driver beyond the listing.
+  * Two offset encodings (`streamOffsetMode` option):
+  *
+  *  - `list` (default): the offset is the full sorted set of processed
+  *    (path, size) pairs — lossless and order-independent (a file that
+  *    appears with an old modification time is still picked up), but the
+  *    offset JSON grows with the directory, which a years-long
+  *    replication stream would feel in its checkpoint.
+  *  - `watermark`: the offset is (max modification time seen, names AT
+  *    that timestamp) — O(files-per-timestamp) forever, the compacted
+  *    form for long-running streams. Correct for the append-only
+  *    arrival pattern (files are immutable and arrive with fresh
+  *    mtimes); a file planted with an mtime BEHIND the watermark is
+  *    not picked up, which is the documented trade-off.
   */
 class OsmPbfMicroBatchStream(
     requiredSchema: StructType,
@@ -34,28 +44,63 @@ class OsmPbfMicroBatchStream(
     SparkSession.active.sessionState.newHadoopConf())
   private val maxBytes =
     SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+  private val offsetMode =
+    options.getOrDefault("streamOffsetMode", "list").toLowerCase match {
+      case m @ ("list" | "watermark") => m
+      case other => throw new IllegalArgumentException(
+        s"streamOffsetMode must be list|watermark, got '$other'")
+    }
 
-  private def listFiles(): Seq[(String, Long)] = {
+  /** (path, len, modTimeMs) for every non-empty .pbf in the directory. */
+  private def listFiles(): Seq[(String, Long, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isFile && st.getLen > 0 &&
         st.getPath.getName.endsWith(".pbf"))
-      .map(st => (st.getPath.toString, st.getLen))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
       .sortBy(_._1)
   }
 
-  override def initialOffset(): Offset = OsmPbfOffset(Seq.empty)
+  override def initialOffset(): Offset =
+    if (offsetMode == "watermark") OsmPbfWatermarkOffset(-1L, Seq.empty)
+    else OsmPbfOffset(Seq.empty)
 
-  override def latestOffset(): Offset = OsmPbfOffset(listFiles())
+  override def latestOffset(): Offset = {
+    val files = listFiles()
+    if (offsetMode == "watermark") {
+      if (files.isEmpty) OsmPbfWatermarkOffset(-1L, Seq.empty)
+      else {
+        val wm = files.map(_._3).max
+        OsmPbfWatermarkOffset(wm,
+          files.filter(_._3 == wm).map(_._1).sorted)
+      }
+    } else OsmPbfOffset(files.map(f => (f._1, f._2)))
+  }
 
   override def deserializeOffset(json: String): Offset =
-    OsmPbfOffset.fromJson(json)
+    if (json.trim.startsWith("{")) OsmPbfWatermarkOffset.fromJson(json)
+    else OsmPbfOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[OsmPbfOffset].files.map(_._1).toSet
-    val fresh = end.asInstanceOf[OsmPbfOffset].files.filterNot(f => seen(f._1))
+    val fresh: Seq[(String, Long)] = (start, end) match {
+      case (s: OsmPbfOffset, e: OsmPbfOffset) =>
+        val seen = s.files.map(_._1).toSet
+        e.files.filterNot(f => seen(f._1))
+      case (s: OsmPbfWatermarkOffset, e: OsmPbfWatermarkOffset) =>
+        // re-list and take files inside (start, end] by (mtime, name);
+        // deterministic on replay because arrivals are append-only
+        listFiles().filter { case (p, _, m) =>
+          val afterStart = m > s.watermarkMs ||
+            (m == s.watermarkMs && !s.atWatermark.contains(p))
+          val atOrBeforeEnd = m < e.watermarkMs ||
+            (m == e.watermarkMs && e.atWatermark.contains(p))
+          afterStart && atOrBeforeEnd
+        }.map(f => (f._1, f._2))
+      case other => throw new IllegalStateException(
+        s"mixed osmpbf offset kinds: $other")
+    }
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     for ((path, len) <- fresh) {
       var off = 0L
@@ -100,5 +145,31 @@ object OsmPbfOffset {
       val path = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
       (path, m.group(2).toLong)
     }.toSeq)
+  }
+}
+
+/** Compacted offset: high-water modification time + the file names AT
+  * that timestamp (needed to disambiguate same-millisecond arrivals).
+  */
+final case class OsmPbfWatermarkOffset(
+    watermarkMs: Long,
+    atWatermark: Seq[String]) extends Offset {
+  override def json(): String =
+    s"""{"watermark":$watermarkMs,"at":${
+      atWatermark.map(OsmPbfOffset.q).mkString("[", ",", "]")}}"""
+}
+
+object OsmPbfWatermarkOffset {
+  def fromJson(json: String): OsmPbfWatermarkOffset = {
+    val wm = """"watermark":(-?\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad watermark offset: $json")).group(1).toLong
+    val name = """"((?:[^"\\]|\\.)*)"""".r
+    val at = """"at":\[(.*)\]""".r.findFirstMatchIn(json).map(_.group(1))
+      .filter(_.nonEmpty)
+      .map(s => name.findAllMatchIn(s).map(
+        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+      .getOrElse(Seq.empty)
+    OsmPbfWatermarkOffset(wm, at)
   }
 }

@@ -38,6 +38,45 @@ class OsmPbfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark offset mode streams exactly once with bounded offsets") {
+    val dir = Files.createTempDirectory("pbf-stream-wm")
+    val stream = spark.readStream.format("osmpbf")
+      .option("parseType", "node")
+      .option("streamOffsetMode", "watermark")
+      .load(dir.toString)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("pbf_counts_wm")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Files.copy(Paths.get(fixture), dir.resolve("a.pbf"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.table("pbf_counts_wm").collect().head.getLong(0) == 9720L)
+      Files.copy(Paths.get(fixture), dir.resolve("b.pbf"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.table("pbf_counts_wm").collect().head.getLong(0) == 19440L)
+      // the offset carries only the watermark + same-instant names —
+      // NOT the whole directory history
+      val off = q.lastProgress.sources.head.endOffset
+      assert(off.contains("watermark"), off)
+      assert(!off.contains("a.pbf") || !off.contains("b.pbf") ||
+        off.length < 200, s"offset should stay bounded: $off")
+    } finally q.stop()
+  }
+
+  test("offset JSON round-trips for both encodings") {
+    import graft.sources.osmpbf.{OsmPbfOffset, OsmPbfWatermarkOffset}
+    val list = OsmPbfOffset(Seq(("/tmp/a \"quoted\".pbf", 10L), ("/tmp/b.pbf", 20L)))
+    assert(OsmPbfOffset.fromJson(list.json()) == list)
+    val wm = OsmPbfWatermarkOffset(1723400000123L, Seq("/x/y.pbf", "/x/z \"q\".pbf"))
+    assert(OsmPbfWatermarkOffset.fromJson(wm.json()) == wm)
+    assert(OsmPbfWatermarkOffset.fromJson(
+      OsmPbfWatermarkOffset(-1L, Seq.empty).json()) ==
+      OsmPbfWatermarkOffset(-1L, Seq.empty))
+  }
+
   test("streaming projection prunes like the batch path") {
     val dir = Files.createTempDirectory("pbf-stream2")
     Files.copy(Paths.get(fixture), dir.resolve("a.pbf"))
