@@ -72,6 +72,34 @@ object Relational4 {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // ---- q39: salted skew join -------------------------------------------
+    // The join-side counterpart of q37: every small-side row is
+    // replicated once per salt, every big-side row gets a deterministic
+    // salt, and the join runs on (key, salt) — a hot key spreads over
+    // `salts` reducers instead of melting one. The oracle is the PLAIN
+    // join: salting is execution-only, invisible in the answer.
+    QueryDef(
+      "q39_salted_skew_join",
+      (s, dir) => {
+        import s.implicits._
+        val joined = graft.operators.SkewJoin.saltedEquiJoin(
+          big = t(s, dir, "orders"),
+          small = t(s, dir, "customer")
+            .select($"c_custkey", $"c_mktsegment"),
+          bigKey = "o_custkey", smallKey = "c_custkey",
+          bigSaltSource = "o_orderkey", salts = 8)
+        joined.groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(D18)).cast("double").as("total_price"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- q38: bucketed sink + co-located join ----------------------------
     // Both fact tables are written bucketed (+sorted, one file per bucket)
     // on the join key, then joined: with bucketing the SortMergeJoin reads

@@ -33,6 +33,18 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.forall(r => bSet(r.toString)))
   }
 
+  test("streaming dedup keeps one event per content key") {
+    val keys = Seq("user_id", "event_type")
+    val deduped = EventStreams.runToMemory(spark, srcDir, "dedup_stream",
+      df => EventStreams.dedupStream(df, keys, watermark = "10 days"))
+    val batchDistinct = spark.read.parquet(srcDir)
+      .select(keys.map(col): _*).distinct().count()
+    assert(deduped.count() == batchDistinct)
+    // and the output itself is duplicate-free on the key
+    assert(deduped.select(keys.map(col): _*).distinct().count() ==
+      deduped.count())
+  }
+
   test("sessionization emits gap-separated sessions (batch-mode check)") {
     import spark.implicits._
     val events = spark.read.parquet(srcDir)
