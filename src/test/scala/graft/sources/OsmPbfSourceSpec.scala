@@ -15,6 +15,18 @@ class OsmPbfSourceSpec extends AnyFunSuite {
   private def read(tpe: String) =
     spark.read.format("osmpbf").option("parseType", tpe).load(fixture)
 
+  test("SQL DDL surface: CREATE ... USING osmpbf (the Pig LOAD twin)") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW osm_nodes_ddl
+                 |USING osmpbf
+                 |OPTIONS (path '$fixture', parseType 'node')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM osm_nodes_ddl").head().getLong(0) == 9720L)
+    // pure-SQL tag access through the map column
+    val tagged = spark.sql(
+      "SELECT count(*) FROM osm_nodes_ddl WHERE size(map_keys(tags)) > 0")
+      .head().getLong(0)
+    assert(tagged > 0)
+  }
+
   test("node scan: count and golden first row") {
     val nodes = read("node")
     assert(nodes.count() == 9720)
