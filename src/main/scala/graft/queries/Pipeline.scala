@@ -412,6 +412,52 @@ object Pipeline {
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    QueryDef(
+      // per-document keyword extraction by TF-IDF (raw-ratio idf:
+      // N/df instead of ln(N/df) — same per-term monotonicity, and
+      // long->double division is IEEE-correctly-rounded so both engines
+      // produce bit-identical scores; ln() is only 1-ulp-accurate and
+      // could flip a ranking). Top-3 terms per doc, deterministic
+      // tie-break on the term itself.
+      "p21_tfidf_keywords",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_total"))
+        val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", ($"tf" * $"n_total").cast("double") / $"df")
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"term")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk", $"term", round($"score", 6).as("score"))
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n_total FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    CAST(tf * n_total AS DOUBLE) / df AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, term) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, rnk, term, round(score, 6) AS score
+             |FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef(
       "p13_payload_stats",

@@ -49,6 +49,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("vecs")
   }
 
+  test("vec_match_count counts equal positions, codegen'd") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
+      (Array(5L), Array(5L, 6L)), // length mismatch: shorter wins
+      (Array.empty[Long], Array(1L)))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.vec_match_count(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 1, 0))
+    // codegen assertion needs a non-foldable source (literals collapse
+    // to a LocalTableScan)
+    val plan = spark.range(10)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id"), col("id")).as("b"))
+      .select(VectorFunctions.vec_match_count(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("longvecmatchcount") && plan.contains("*(1)"), plan)
+  }
+
+  test("vec_dot_fd is bit-identical to the HOF cast-multiply form") {
+    val emb = t(spark, sf, "embeddings")
+    val w = (0 until 64).map(i => (i * 37 % 200) / 100.0 - 1.0)
+    val native = emb.select(col("vec_id"),
+      VectorFunctions.vec_dot_fd(col("embedding"), typedLit(w)).as("d")).collect()
+    val hof = emb.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), typedLit(w),
+        (x, wd) => x.cast("double") * wd), lit(0.0), (acc, v) => acc + v)
+        .as("d")).collect()
+    val nm = native.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    hof.foreach(r => assert(nm(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("vec_dot rejects wrong types with a named error") {
     val emb = t(spark, sf, "embeddings")
     val e = intercept[Exception] {
