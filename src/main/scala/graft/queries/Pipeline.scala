@@ -458,6 +458,32 @@ object Pipeline {
              |FROM ranked WHERE rnk <= 3
              |ORDER BY doc_id, rnk""".stripMargin)),
 
+    QueryDef(
+      // corpus n-gram statistics (the LM-counts shape): positional
+      // bigrams INCLUDING within-doc repeats, top-25 by frequency with a
+      // deterministic tie-break. Short docs fall back to the whole text
+      // as their single gram, mirrored in the oracle like p07.
+      "p22_bigram_counts",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(Dedup.shinglesWithDupes($"text", k = 2)).as("bigram"))
+          .groupBy($"bigram").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram")
+          .limit(25)
+      },
+      Some("""WITH grams AS (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(generate_series(1, len(toks) - 1),
+             |         i -> toks[i] || ' ' || toks[i+1])
+             |    ELSE [text] END) AS bigram
+             |  FROM (SELECT text, string_split(text, ' ') AS toks FROM documents))
+             |SELECT bigram, COUNT(*) AS n
+             |FROM grams
+             |GROUP BY bigram
+             |ORDER BY n DESC, bigram
+             |LIMIT 25""".stripMargin)),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef(
       "p13_payload_stats",

@@ -72,6 +72,32 @@ object Relational4 {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // ---- q40: LATERAL correlated top-N -----------------------------------
+    // per-customer top-2 orders through a LATERAL subquery with ORDER BY
+    // + LIMIT — the remaining correlated-subquery shape after q02
+    // (correlated scalar), q27 (uncorrelated scalar), q29 (EXISTS).
+    QueryDef(
+      "q40_lateral_topn",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+                |FROM customer, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders
+                |  WHERE o_custkey = c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey
+                |  LIMIT 2) o
+                |WHERE c_custkey <= 100
+                |ORDER BY c_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey
+             |  LIMIT 2) o
+             |WHERE c_custkey <= 100
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
     // ---- q39: salted skew join -------------------------------------------
     // The join-side counterpart of q37: every small-side row is
     // replicated once per salt, every big-side row gets a deterministic
