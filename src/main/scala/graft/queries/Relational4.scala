@@ -98,6 +98,34 @@ object Relational4 {
              |WHERE c_custkey <= 100
              |ORDER BY c_custkey, o_orderkey""".stripMargin)),
 
+    // ---- q41: time-RANGE window frame ------------------------------------
+    // trailing-24h rolling aggregates per user — the feature-engineering
+    // window shape. RANGE frames bound by VALUE distance (here micros)
+    // are a different execution path from q09's ROWS frame; DECIMAL sums
+    // keep the rolling money column hash-exact.
+    QueryDef(
+      "q41_rolling_24h",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dayUs = 24L * 3600 * 1000000
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+          .rangeBetween(-dayUs, 0)
+        t(s, dir, "events")
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .withColumn("spend_24h",
+            sum($"value".cast(D18)).over(w).cast("double"))
+          .select($"event_id", $"user_id", $"n_24h", $"spend_24h")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_24h,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_24h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- q39: salted skew join -------------------------------------------
     // The join-side counterpart of q37: every small-side row is
     // replicated once per salt, every big-side row gets a deterministic
