@@ -93,6 +93,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final x2
   }
 
+  test("q26 as-of join never falls back to a nested loop") {
+    val p = plan("q26_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must stay union+window, not per-pair comparison:\n$p")
+  }
+
+  test("q39 salted join actually joins on (key, salt)") {
+    val p = plan("q39_salted_skew_join")
+    assert(p.contains("_salt"), s"salt must be part of the join key:\n$p")
+  }
+
   test("IVF assignment is a pure map: zero exchanges, zero joins") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.t(spark, sf, "embeddings")

@@ -75,6 +75,25 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     assert(pruned.count() == 80)
   }
 
+  test("scan realigns past corrupt bytes between valid frames") {
+    // valid block, then garbage (including a fake "OSMData" signature
+    // embedded in junk that does NOT frame-validate), then a valid block:
+    // the scanner must recover both real blocks and nothing else
+    val f = Files.createTempFile("synth-corrupt", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(frame("OSMData", dataBlock(1, 10), "raw"))
+    val junk = new Array[Byte](512)
+    java.util.Arrays.fill(junk, 0x5a.toByte)
+    System.arraycopy("OSMData".getBytes, 0, junk, 100, 7) // decoy signature
+    out.write(junk)
+    out.write(frame("OSMData", dataBlock(100, 7), "raw"))
+    out.close()
+    val ids = spark.read.format("osmpbf").option("parseType", "node")
+      .load(f.getPath).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 17, s"expected 10 + 7 nodes, got ${ids.length}")
+    assert(ids.take(3).toSeq == Seq(1L, 2L, 3L) && ids.last == 106L)
+  }
+
   test("changeset primitive groups decode via parseType=changeset") {
     // a block holding 3 changesets (group field 5, id-only messages)
     // alongside a dense-node block
