@@ -47,6 +47,12 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // Spark's ContextCleaner reclaims broadcast/shuffle state only when
+      // the driver GCs; a large heap can go a whole 70-query suite
+      // without one, and the accumulated state showed up as a one-off 8x
+      // outlier on a mid-suite query. Nudge the cleaner OUTSIDE the timed
+      // window so each query starts from a clean session.
+      System.gc()
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
