@@ -484,6 +484,42 @@ object Pipeline {
              |ORDER BY n DESC, bigram
              |LIMIT 25""".stripMargin)),
 
+    QueryDef(
+      // benchmark decontamination: flag training documents sharing any
+      // 3-gram with a held-out "benchmark" set (here: docs 0-4). The
+      // probe set is tiny relative to the corpus, so it BROADCASTS and
+      // the overlap check is a map-side semi-join over the inverted
+      // index — no corpus-wide shuffle at 100 TB. Same shingle
+      // definition (incl. short-doc fallback) as p07, mirrored.
+      "p23_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val benchShingles = Dedup.explodedShingles(
+            docs.filter($"doc_id" < 5), "doc_id", "text")
+          .select($"shingle").distinct()
+        Dedup.explodedShingles(docs.filter($"doc_id" >= 5), "doc_id", "text")
+          .join(broadcast(benchShingles), "shingle")
+          .groupBy($"id")
+          .agg(count(lit(1)).as("n_shared"))
+          .select($"id".as("doc_id"), $"n_shared")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id,
+             |    unnest(CASE WHEN len(toks) >= 3
+             |      THEN list_distinct(list_transform(
+             |        generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      ELSE [text] END) AS shingle
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE id < 5)
+             |SELECT id AS doc_id, COUNT(*) AS n_shared
+             |FROM sh JOIN bench USING (shingle)
+             |WHERE id >= 5
+             |GROUP BY id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef(
       "p13_payload_stats",
