@@ -73,13 +73,15 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 /** Native codegen'd dot product of an `array<float>` column with an
-  * `array<double>` column (typically a literal hyperplane). Semantics are
-  * bit-identical to the declarative
+  * `array<double>` column (typically a literal hyperplane). For
+  * EQUAL-length inputs the semantics are bit-identical to the declarative
   * `aggregate(zip_with(v, w, (x, wd) => x.cast(double) * wd), 0d, _+_)`
   * — float widened to double, products in double, strict left-to-right
-  * accumulation over the shorter length — so LSH sketches computed either
-  * way are the same bits; this form just skips the per-element boxing and
-  * array allocation of the lambda interpreter.
+  * accumulation — so LSH sketches computed either way are the same bits;
+  * this form just skips the per-element boxing and array allocation of
+  * the lambda interpreter. Lengths differing is where they part ways:
+  * zip_with null-pads the shorter side (the HOF sum goes null), while
+  * this expression sums over the shorter length.
   */
 case class FloatDoubleVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -92,12 +92,17 @@ object Multimodal {
       val hRaw = i32le(22)
       val bpp = u16le(28)
       val compression = i32le(30)
-      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+      // hostile headers: w near Int.MaxValue overflows the stride math and
+      // hRaw == Int.MinValue survives math.abs — do the geometry in Long
+      // so malformed payloads fall back to opaque instead of crashing
+      if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+        bpp != 24 || compression != 0) return None
       val h = math.abs(hRaw)
       val topDown = hRaw < 0
-      val rowStride = ((w * 3 + 3) / 4) * 4
-      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * h > bytes.length)
+      val rowStrideL = ((w.toLong * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowStrideL * h > bytes.length)
         return None
+      val rowStride = rowStrideL.toInt
       val thumb = lumaThumb(w, h, (x, y) => {
         // BMP stores rows bottom-up unless height is negative; pixels BGR
         val srcRow = if (topDown) y else h - 1 - y
@@ -119,14 +124,15 @@ object Multimodal {
       }
       def readInt(): Int = {
         skipWsAndComments()
-        var v = 0
+        var v = 0L
         var any = false
         while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
           v = v * 10 + (bytes(p) - '0')
+          if (v > 1000000000L) return -1 // hostile header, reject
           any = true
           p += 1
         }
-        if (any) v else -1
+        if (any) v.toInt else -1
       }
       val w = readInt()
       val h = readInt()
@@ -166,7 +172,13 @@ object Multimodal {
           h *= 0x100000001b3L
           i += 1
         }
-        decodeImage(bytes) match {
+        // totality backstop: a malformed payload that slips past the
+        // header guards degrades to the opaque fingerprint, never a
+        // task failure
+        val decoded =
+          try decodeImage(bytes)
+          catch { case _: Exception => None }
+        decoded match {
           case Some((fmt, w, ht, thumb)) =>
             Row(id, bytes.length, h, fmt, w, ht, thumb.toSeq)
           case None =>

@@ -203,8 +203,11 @@ object Similarity {
       nProbe: Int = 4,
       index: Option[IvfIndex] = None): DataFrame = {
     val idx = index.getOrElse(ivfBuild(emb, idCol, vecCol, nCells))
-    val qVec = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head(1)
+    if (qRow.isEmpty) // unknown query id: empty result, not a crash
+      return emb.select(col(idCol), lit(0.0d).as("sim")).limit(0)
+    val qVec = qRow.head.getSeq[Float](0).toArray
     val qNorm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
     val probeCells = idx.centroids.indices
       .map { c =>

@@ -98,7 +98,10 @@ object TextAnalysis {
   def hashSampled(key: Column, sixteenths: Int): Column = {
     require(sixteenths >= 1 && sixteenths <= 16,
       s"sixteenths must be in 1..16, got $sixteenths")
-    substring(md5(key.cast("string")), 1, 1) <
+    // 16/16 must keep everything; toHexString(16) is the TWO-char "10",
+    // which single hex digits '2'..'f' compare above lexicographically
+    if (sixteenths == 16) lit(true)
+    else substring(md5(key.cast("string")), 1, 1) <
       lit(java.lang.Integer.toHexString(sixteenths))
   }
 

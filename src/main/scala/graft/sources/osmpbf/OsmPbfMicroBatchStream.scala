@@ -28,8 +28,15 @@ import graft.pbf.EntityKind
   *    that timestamp) — O(files-per-timestamp) forever, the compacted
   *    form for long-running streams. Correct for the append-only
   *    arrival pattern (files are immutable and arrive with fresh
-  *    mtimes); a file planted with an mtime BEHIND the watermark is
-  *    not picked up, which is the documented trade-off.
+  *    mtimes). Two documented trade-offs versus `list`: a file planted
+  *    with an mtime BEHIND the watermark is never picked up, and batch
+  *    REPLAY after a restart re-derives the file set by re-listing the
+  *    directory and filtering into (start, end] — deterministic only
+  *    while arrivals stay append-only with monotone mtimes and
+  *    processed files are not deleted. Sinks that need exactly-once
+  *    replay under adversarial directory mutation should stay on
+  *    `list`, whose batches are planned purely from the offset
+  *    contents.
   */
 class OsmPbfMicroBatchStream(
     requiredSchema: StructType,

@@ -105,6 +105,23 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(truncated).isEmpty)
   }
 
+  test("hostile headers reject instead of crashing (overflow geometry)") {
+    // BMP header whose width overflows Int stride math
+    val evil = bmp(6, 4)((_, _) => (0, 0, 0))
+    def i32(out: Array[Byte], o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    i32(evil, 18, 800000000) // width
+    assert(Multimodal.decodeImage(evil).isEmpty)
+    i32(evil, 18, 6)
+    i32(evil, 22, Int.MinValue) // height: abs() stays negative
+    assert(Multimodal.decodeImage(evil).isEmpty)
+    // PPM with an absurd ASCII dimension
+    val evilPpm = ("P6\n99999999999 2\n255\n" + "x" * 64).getBytes("US-ASCII")
+    assert(Multimodal.decodeImage(evilPpm).isEmpty)
+  }
+
   test("decodeFeatures routes image payloads to the real decoder end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -106,6 +106,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashSampled(16) keeps every row; rates are monotone in sixteenths") {
+    val docs = t(spark, sf, "documents")
+    val total = docs.count()
+    assert(docs.filter(TextAnalysis.hashSampled(col("doc_id"), 16)).count() == total)
+    val k2 = docs.filter(TextAnalysis.hashSampled(col("doc_id"), 2)).count()
+    val k8 = docs.filter(TextAnalysis.hashSampled(col("doc_id"), 8)).count()
+    assert(k2 < k8 && k8 < total)
+  }
+
+  test("ivfTopK with an unknown query id returns empty, not a crash") {
+    val emb = t(spark, sf, "embeddings")
+    assert(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryId = 999999999L, k = 5).count() == 0)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val docs = t(spark, sf, "documents")
     val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs))

@@ -45,6 +45,18 @@ class EventStreamsSpec extends AnyFunSuite {
       deduped.count())
   }
 
+  test("dedup content key keeps nulls distinct") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Option.empty[String]),
+      (Option.empty[String], Some("a")),
+      (Some("a"), Some("a")))
+      .toDF("x", "y")
+      .select(EventStreams.contentKey(Seq("x", "y")).as("k"))
+    assert(df.distinct().count() == 3,
+      "(a,null), (null,a) and (a,a) must produce three distinct keys")
+  }
+
   test("sessionization emits gap-separated sessions (batch-mode check)") {
     import spark.implicits._
     val events = spark.read.parquet(srcDir)

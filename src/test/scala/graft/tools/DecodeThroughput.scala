@@ -11,7 +11,7 @@ import graft.pbf.ProtoWriter._
 import graft.pbf.{EntityKind, PbfScanner}
 
 /** Reproducible single-node decode-throughput probe (the README numbers):
-  * generates a 100-block / 500k-dense-node zlib `.pbf` (the reference's
+  * generates a 500-block / 4M-dense-node zlib `.pbf` (the reference's
   * wire shape: delta-coded ids/lats/lons, granularity 100) and times
   *
   *   1. the pure decode core (PbfScanner iterator drain, no Spark),
