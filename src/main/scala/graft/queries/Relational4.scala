@@ -98,6 +98,70 @@ object Relational4 {
              |WHERE c_custkey <= 100
              |ORDER BY c_custkey, o_orderkey""".stripMargin)),
 
+    // ---- q42: FULL OUTER join with guaranteed one-sided keys -------------
+    // region filters make some nations customer-only and some
+    // supplier-only, so both null-filling directions of the full outer
+    // join are actually exercised (USING-join key coalescing included).
+    QueryDef(
+      "q42_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val nation = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+          .join(nation.filter($"n_regionkey" <= 1),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name").agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, dir, "supplier")
+          .join(nation.filter($"n_regionkey" >= 1),
+            $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name").agg(count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("n_name"), "full_outer")
+          .select($"n_name",
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH c AS (
+             |  SELECT n_name, COUNT(*) AS n_cust
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE n_regionkey <= 1 GROUP BY n_name),
+             |s AS (
+             |  SELECT n_name, COUNT(*) AS n_supp
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_regionkey >= 1 GROUP BY n_name)
+             |SELECT n_name,
+             |  COALESCE(n_cust, 0) AS n_cust,
+             |  COALESCE(n_supp, 0) AS n_supp
+             |FROM c FULL JOIN s USING (n_name)
+             |ORDER BY n_name""".stripMargin)),
+
+    // ---- q43: LEFT OUTER join + count-non-null zero semantics ------------
+    QueryDef(
+      "q43_left_join_zero_counts",
+      (s, dir) => {
+        import s.implicits._
+        val perCust = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
+          .groupBy($"c_custkey", $"c_mktsegment")
+          .agg(count($"o_orderkey").as("n_orders")) // non-null count: 0 kept
+        perCust.groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(when($"n_orders" === 0, 1).otherwise(0)).as("n_orderless"),
+            max($"n_orders").as("max_orders"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY c_custkey, c_mktsegment)
+             |SELECT c_mktsegment, COUNT(*) AS n_customers,
+             |  CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless,
+             |  MAX(n_orders) AS max_orders
+             |FROM per_cust
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- q41: time-RANGE window frame ------------------------------------
     // trailing-24h rolling aggregates per user — the feature-engineering
     // window shape. RANGE frames bound by VALUE distance (here micros)
