@@ -498,8 +498,15 @@ object Pipeline {
         val benchShingles = Dedup.explodedShingles(
             docs.filter($"doc_id" < 5), "doc_id", "text")
           .select($"shingle").distinct()
-        Dedup.explodedShingles(docs.filter($"doc_id" >= 5), "doc_id", "text")
+        // filter BEFORE the distinct: the broadcast probe join is
+        // map-side, so only bench-overlapping (id, shingle) pairs — a
+        // sliver of the corpus — ever reach a shuffle. distinct-then-
+        // filter would shuffle every shingle in the corpus first.
+        docs.filter($"doc_id" >= 5)
+          .select($"doc_id".as("id"),
+            explode(Dedup.shinglesWithDupes($"text")).as("shingle"))
           .join(broadcast(benchShingles), "shingle")
+          .select($"id", $"shingle").distinct()
           .groupBy($"id")
           .agg(count(lit(1)).as("n_shared"))
           .select($"id".as("doc_id"), $"n_shared")
