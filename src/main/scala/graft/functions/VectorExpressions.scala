@@ -190,6 +190,72 @@ case class LongVecMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd k-token shingling over a single-space-tokenized
+  * string: returns the array of `k`-grams in positional order with
+  * duplicates retained; a text shorter than `k` tokens contributes
+  * itself as its only shingle. Bit-identical to the declarative
+  * `transform(sequence(1, n-k+1), i => concat_ws(" ", element_at...))`
+  * form (tokenization is the same regex-space split the SQL `split`
+  * uses), but one primitive pass instead of an interpreted lambda per
+  * shingle — this feeds every shingle-based dedup/decontamination
+  * operator's hottest map stage.
+  */
+case class StringShingles(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingles expects a string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    StringShingles.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringShingles$$.MODULE$$.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringShingles {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One primitive pass: regex-space split (same as SQL `split`), then
+    * k-gram joins over token windows.
+    */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val toks = s.split(Space, -1)
+    if (toks.length < k) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](s.clone()))
+    } else {
+      val n = toks.length - k + 1
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = UTF8String.concatWs(
+          Space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 /** Column DSL + SQL registration for the native vector functions. */
 object VectorFunctions {
 
@@ -204,6 +270,9 @@ object VectorFunctions {
   def vec_dot_fd(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatDoubleVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def text_shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(StringShingles(ColumnBridge.expression(text), k))
 
   /** Cosine from the native dot (double path — for ranking/prefilter). */
   def vec_cosine(a: Column, b: Column): Column = {

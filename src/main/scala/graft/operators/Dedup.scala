@@ -34,14 +34,13 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     array_distinct(shinglesWithDupes(text, k))
 
-  /** Shingles in positional order, duplicates retained (cheap per row). */
-  def shinglesWithDupes(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array(text))
-  }
+  /** Shingles in positional order, duplicates retained. Native codegen
+    * kernel ([[graft.functions.StringShingles]]): one primitive pass
+    * per row instead of an interpreted transform-lambda per shingle —
+    * this is the hottest map stage of every shingle-based operator.
+    */
+  def shinglesWithDupes(text: Column, k: Int = 3): Column =
+    graft.functions.VectorFunctions.text_shingles(text, k)
 
   /** Exploded distinct (id, shingle) pairs — the shared first stage of the
     * shingle-based operators. Callers with multiple consumers should

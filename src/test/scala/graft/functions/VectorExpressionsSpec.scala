@@ -82,6 +82,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     hof.foreach(r => assert(nm(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("text_shingles matches the declarative HOF form exactly") {
+    import spark.implicits._
+    def hof(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(text, " ")
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array(text))
+    }
+    val real = t(spark, sf, "documents").select(col("text"))
+    val edges = Seq("", "one", "a b", "a b c", "a  b c", " lead", "trail ")
+      .toDF("text")
+    for (k <- Seq(2, 3, 5); df <- Seq(real, edges)) {
+      val diff = df.select(
+          VectorFunctions.text_shingles(col("text"), k).as("a"),
+          hof(col("text"), k).as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(diff == 0, s"k=$k diverged from the HOF form")
+    }
+  }
+
   test("vec_dot rejects wrong types with a named error") {
     val emb = t(spark, sf, "embeddings")
     val e = intercept[Exception] {
