@@ -129,10 +129,11 @@ object Dedup {
       numHashes: Int = 64): DataFrame = {
     val (as, bs) = hashConstants(numHashes)
     // duplicate shingles don't change a min — skip the O(n^2) per-row
-    // dedup entirely; hash inside the array so the explode emits longs
+    // dedup entirely; hash AFTER the explode so the hashing runs in the
+    // codegen'd projection instead of an interpreted transform-lambda
     val ex = df.select(col(idCol).as("id"),
-      explode(transform(shinglesWithDupes(col(textCol)),
-        s => pmod(xxhash64(s), lit(MinhashP)))).as("h"))
+        explode(shinglesWithDupes(col(textCol))).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
     ex.groupBy(col("id"))
