@@ -266,8 +266,10 @@ object Dedup {
     * token once (the nested form re-evaluates token hashing per bit).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // hash AFTER the explode: codegen'd projection, no per-token lambda
     val ex = df.select(col(idCol).as("id"),
-      explode(transform(split(col(textCol), " "), t => xxhash64(t))).as("h"))
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     ex.groupBy(col("id"))
