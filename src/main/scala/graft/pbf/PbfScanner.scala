@@ -174,18 +174,59 @@ object PbfScanner {
     * the reference's byte-offset key, OsmPbfRecordReader.java:68-72)
     * learn each entity's enclosing block frame start for free.
     */
+  /** Corrupt-block policy: a frame can pass header validation and still
+    * carry an undecodable payload (truncated zlib, mangled protobuf). At
+    * 100 TB a scan WILL meet one eventually; `permissive = true` skips
+    * the block (the realignment machinery already finds the next frame)
+    * instead of failing the whole task — the same PERMISSIVE/FAILFAST
+    * contract as Spark's json/csv sources, default FAILFAST.
+    */
   def scanBlocks(
       in: RangeReader,
       start: Long,
       end: Long,
       kinds: Set[EntityKind.Value],
-      withInfo: Boolean = false): Iterator[(BlockRef, Iterator[OsmEntity])] =
-    blocksInRange(in, start, end).map { b =>
-      val data = new Array[Byte](b.dataSize)
-      in.read(b.dataStart, data, 0, b.dataSize)
-      val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
-      (b, PbfBlockDecoder.decodeEntities(
-        PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo))
+      withInfo: Boolean = false,
+      permissive: Boolean = false): Iterator[(BlockRef, Iterator[OsmEntity])] =
+    blocksInRange(in, start, end).flatMap { b =>
+      try {
+        val data = new Array[Byte](b.dataSize)
+        in.read(b.dataStart, data, 0, b.dataSize)
+        val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
+        val entities = PbfBlockDecoder.decodeEntities(
+          PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo)
+        // entity decode is lazy — in permissive mode a mid-block decode
+        // failure must truncate THIS block's iteration, not kill the scan
+        Iterator.single((b, if (permissive) tolerant(entities, b.start) else entities))
+      } catch {
+        case e: Exception if permissive =>
+          System.err.println(
+            s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
+          Iterator.empty
+      }
+    }
+
+  private def tolerant[T](it: Iterator[T], blockStart: Long): Iterator[T] =
+    new Iterator[T] {
+      private var broken = false
+      private var staged: Option[T] = None
+      private def advance(): Unit =
+        if (!broken && staged.isEmpty) {
+          try { if (it.hasNext) staged = Some(it.next()) }
+          catch {
+            case e: Exception =>
+              broken = true
+              System.err.println(s"[osmpbf] truncating corrupt block at " +
+                s"$blockStart: ${e.getMessage}")
+          }
+        }
+      override def hasNext: Boolean = { advance(); staged.isDefined }
+      override def next(): T = {
+        advance()
+        val v = staged.getOrElse(throw new NoSuchElementException)
+        staged = None
+        v
+      }
     }
 
   /** Decode all requested entities whose block starts in [start, end). */

@@ -27,7 +27,8 @@ object OsmPbfColumnarReader {
 class OsmPbfColumnarPartitionReader(
     part: OsmPbfInputPartition,
     requiredSchema: StructType,
-    conf: SerializableConfiguration) extends PartitionReader[ColumnarBatch] {
+    conf: SerializableConfiguration,
+    permissive: Boolean = false) extends PartitionReader[ColumnarBatch] {
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
   private val blocks = PbfScanner.blocksInRange(in, part.start, part.end)
@@ -40,11 +41,18 @@ class OsmPbfColumnarPartitionReader(
     while (!groups.hasNext) {
       if (!blocks.hasNext) return false
       val b = blocks.next()
-      val data = new Array[Byte](b.dataSize)
-      in.read(b.dataStart, data, 0, b.dataSize)
-      val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
-      groups = PbfBlockDecoder.decodeDenseColumns(
-        PbfBlockDecoder.parsePrimitiveBlock(payload))
+      try {
+        val data = new Array[Byte](b.dataSize)
+        in.read(b.dataStart, data, 0, b.dataSize)
+        val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
+        groups = PbfBlockDecoder.decodeDenseColumns(
+          PbfBlockDecoder.parsePrimitiveBlock(payload))
+      } catch {
+        case e: Exception if permissive =>
+          // same corrupt-block contract as the row path (PbfScanner)
+          System.err.println(
+            s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
+      }
     }
     val (ids, lats, lons) = groups.next()
     current = toBatch(ids, lats, lons)

@@ -121,7 +121,8 @@ class OsmPbfMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf)
+    new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
+      OsmPbfScan.isPermissive(options))
 
   override def commit(end: Offset): Unit = ()
 

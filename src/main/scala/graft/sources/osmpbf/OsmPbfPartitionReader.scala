@@ -20,11 +20,12 @@ class OsmPbfPartitionReaderFactory(
     requiredSchema: StructType,
     parseType: String,
     kinds: Set[EntityKind.Value],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    permissive: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf)
+    new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf, permissive)
   }
 
   /** Vectorized batches when the pruned schema is the dense-node fast
@@ -36,7 +37,7 @@ class OsmPbfPartitionReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfColumnarPartitionReader(p, requiredSchema, conf)
+    new OsmPbfColumnarPartitionReader(p, requiredSchema, conf, permissive)
   }
 }
 
@@ -64,7 +65,8 @@ class OsmPbfPartitionReader(
     requiredSchema: StructType,
     parseType: String,
     kinds: Set[EntityKind.Value],
-    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+    conf: SerializableConfiguration,
+    permissive: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val need = requiredSchema.fieldNames.toSet
   private val withInfo = need("info")
@@ -72,7 +74,7 @@ class OsmPbfPartitionReader(
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
   private val blocks =
-    PbfScanner.scanBlocks(in, part.start, part.end, kinds, withInfo)
+    PbfScanner.scanBlocks(in, part.start, part.end, kinds, withInfo, permissive)
   private var blockEntities: Iterator[OsmEntity] = Iterator.empty
   // provenance for the metadata columns (stable record identity)
   private var blockOffset: Long = -1L

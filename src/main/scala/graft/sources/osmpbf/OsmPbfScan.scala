@@ -88,6 +88,20 @@ final case class OsmPbfInputPartition(
     start: Long,
     end: Long) extends InputPartition
 
+object OsmPbfScan {
+  /** Corrupt-block policy, same contract as Spark's json/csv sources:
+    * PERMISSIVE skips undecodable blocks (with a stderr note), FAILFAST
+    * (default) fails the task.
+    */
+  def isPermissive(options: CaseInsensitiveStringMap): Boolean =
+    options.getOrDefault("mode", "FAILFAST").toUpperCase match {
+      case "PERMISSIVE" => true
+      case "FAILFAST" => false
+      case other => throw new IllegalArgumentException(
+        s"osmpbf mode must be PERMISSIVE|FAILFAST, got '$other'")
+    }
+}
+
 class OsmPbfScan(
     requiredSchema: StructType,
     parseType: String,
@@ -174,6 +188,7 @@ class OsmPbfScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf)
+    new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
+      OsmPbfScan.isPermissive(options))
   }
 }

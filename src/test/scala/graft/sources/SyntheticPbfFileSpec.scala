@@ -75,6 +75,37 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     assert(pruned.count() == 80)
   }
 
+  test("mode=PERMISSIVE skips an undecodable block; FAILFAST throws") {
+    // middle frame: valid BlobHeader, but the zlib payload is mangled
+    // (framing intact, so realignment alone cannot save it)
+    val goodA = frame("OSMData", dataBlock(1, 8), "raw")
+    val goodB = frame("OSMData", dataBlock(200, 6), "raw")
+    val d = new java.util.zip.Deflater()
+    val payload = dataBlock(50, 5)
+    d.setInput(payload); d.finish()
+    val zbuf = new Array[Byte](payload.length * 2 + 64)
+    val zn = d.deflate(zbuf)
+    val corruptZlib = zbuf.take(zn)
+    // scramble the middle of the deflate stream
+    for (i <- zn / 2 until math.min(zn / 2 + 8, zn)) corruptZlib(i) = 0x55
+    val blob = msg(varint(2, payload.length), lenDelim(3, corruptZlib))
+    val hdr = msg(str(1, "OSMData"), varint(3, blob.length))
+    val badFrame = beInt(hdr.length) ++ hdr ++ blob
+    val f = Files.createTempFile("synth-permissive", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(goodA); out.write(badFrame); out.write(goodB)
+    out.close()
+    val permissive = spark.read.format("osmpbf")
+      .option("parseType", "node").option("mode", "PERMISSIVE")
+      .load(f.getPath).select("id").collect().map(_.getLong(0)).sorted
+    assert(permissive.length == 14, s"expected 8 + 6 surviving nodes")
+    assert(permissive.head == 1L && permissive.last == 205L)
+    intercept[Exception] { // default FAILFAST propagates the decode error
+      spark.read.format("osmpbf").option("parseType", "node")
+        .load(f.getPath).count()
+    }
+  }
+
   test("scan realigns past corrupt bytes between valid frames") {
     // valid block, then garbage (including a fake "OSMData" signature
     // embedded in junk that does NOT frame-validate), then a valid block:
