@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * The decode step is REAL for two dependency-free formats — BMP
-  * (24-bit uncompressed) and PPM (binary P6), both parsed directly from
-  * bytes on the JVM with no codec libraries — producing true pixel
-  * dimensions and a 4x4 average-luma thumbnail. Payloads in any other
-  * format fall back to a deterministic opaque fingerprint (byte-sampled
-  * thumbnail), so the operator is total. JPEG/PNG/audio would slot into
-  * [[decodeImage]] behind the same contract when codec libs exist.
+  * The decode step is REAL for three dependency-free formats — BMP
+  * (24-bit uncompressed) and PPM (binary P6) images producing true
+  * pixel dimensions plus a 4x4 average-luma thumbnail, and PCM WAV
+  * audio producing the sample rate plus a 16-window RMS energy
+  * envelope — all parsed directly from bytes on the JVM with no codec
+  * libraries. Payloads in any other format fall back to a
+  * deterministic opaque fingerprint (byte-sampled thumbnail), so the
+  * operator is total. JPEG/PNG/MP3 would slot into [[decodeImage]] /
+  * [[decodeAudio]] behind the same contract when codec libs exist.
   *
   * The Spark-side contract is production-shaped: binary column +
   * metadata struct in, fixed-schema feature rows out, batch iteration
@@ -45,6 +47,8 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    // images: 4x4 average-luma thumbnail; audio: 16-window RMS envelope
     StructField("thumb", ArrayType(FloatType, containsNull = false))))
 
   /** Decode a recognized image payload to (format, width, height,
@@ -149,6 +153,63 @@ object Multimodal {
     } else None
   }
 
+  /** Decode a PCM WAV payload to (sampleRate, nSamples, 16-window RMS
+    * energy envelope normalized to [0,1]). RIFF/WAVE with a PCM
+    * (format 1) fmt chunk and 16-bit samples — parsed straight from
+    * bytes, no audio libraries. Returns None for anything else.
+    */
+  private[operators] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= bytes.length && (0 until 4).forall(i => bytes(o + i) == s.charAt(i))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var p = 12
+    var sampleRate = -1
+    var channels = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (p + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val size = i32(p + 4)
+      if (size < 0 || p + 8 + size > bytes.length) return None
+      if (tag(p, "fmt ")) {
+        if (size < 16) return None
+        if (u16(p + 8) != 1) return None // PCM only
+        channels = u16(p + 10)
+        sampleRate = i32(p + 12)
+        bits = u16(p + 22)
+      } else if (tag(p, "data")) {
+        dataOff = p + 8
+        dataLen = size
+      }
+      p += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits != 16 ||
+      dataOff < 0 || dataLen < 2) return None
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames == 0) return None
+    val sums = new Array[Double](16)
+    val counts = new Array[Long](16)
+    var f = 0
+    while (f < nFrames) {
+      val o = dataOff + f * frameBytes // first channel only
+      val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+      val w = (f.toLong * 16 / nFrames).toInt
+      val v = s / 32768.0
+      sums(w) += v * v
+      counts(w) += 1
+      f += 1
+    }
+    val env = Array.tabulate(16)(i =>
+      if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat)
+    Some((sampleRate, nFrames, env))
+  }
+
   /** Feature extraction over payload batches. Recognized image formats
     * (BMP/PPM) are truly decoded — real dimensions, real pixel-average
     * thumbnail; anything else gets a deterministic opaque fingerprint:
@@ -180,16 +241,24 @@ object Multimodal {
           catch { case _: Exception => None }
         decoded match {
           case Some((fmt, w, ht, thumb)) =>
-            Row(id, bytes.length, h, fmt, w, ht, thumb.toSeq)
+            Row(id, bytes.length, h, fmt, w, ht, null, thumb.toSeq)
           case None =>
-            val thumb = new Array[Float](16)
-            var t = 0
-            while (t < 16) {
-              val idx = if (bytes.length == 0) 0 else (t * bytes.length) / 16
-              thumb(t) = (bytes(math.min(idx, bytes.length - 1)) & 0xff) / 255.0f
-              t += 1
+            val audio =
+              try decodeAudio(bytes)
+              catch { case _: Exception => None }
+            audio match {
+              case Some((rate, _, env)) =>
+                Row(id, bytes.length, h, "wav", null, null, rate, env.toSeq)
+              case None =>
+                val thumb = new Array[Float](16)
+                var t = 0
+                while (t < 16) {
+                  val idx = if (bytes.length == 0) 0 else (t * bytes.length) / 16
+                  thumb(t) = (bytes(math.min(idx, bytes.length - 1)) & 0xff) / 255.0f
+                  t += 1
+                }
+                Row(id, bytes.length, h, "opaque", null, null, null, thumb.toSeq)
             }
-            Row(id, bytes.length, h, "opaque", null, null, thumb.toSeq)
         }
       }
     }

@@ -559,7 +559,7 @@ object Pipeline {
         import s.implicits._
         Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
           .select($"doc_id", $"n_bytes", $"content_hash", $"format",
-            $"width", $"height",
+            $"width", $"height", $"sample_rate",
             array_join(transform($"thumb", f => f.cast("string")), ",")
               .as("thumb_csv"))
           .orderBy($"doc_id")

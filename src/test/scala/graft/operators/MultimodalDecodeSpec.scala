@@ -97,6 +97,59 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(thumb(15) < 0.01)
   }
 
+  /** PCM16 mono WAV from a per-frame sample function. */
+  private def wav(rate: Int, nFrames: Int)(sample: Int => Short): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(o: Int, s: String): Unit =
+      (0 until s.length).foreach(i => out(o + i) = s.charAt(i).toByte)
+    def i32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def i16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, "RIFF"); i32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); i32(16, 16); i16(20, 1); i16(22, 1)
+    i32(24, rate); i32(28, rate * 2); i16(32, 2); i16(34, 16)
+    put(36, "data"); i32(40, dataLen)
+    for (f <- 0 until nFrames) i16(44 + f * 2, sample(f))
+    out
+  }
+
+  test("WAV: PCM parse gives true sample rate and RMS envelope") {
+    // first half silence, second half a full-scale square wave
+    val n = 1600
+    val bytes = wav(16000, n)(f =>
+      if (f < n / 2) 0 else if (f % 2 == 0) 32767 else -32767)
+    val (rate, frames, env) = Multimodal.decodeAudio(bytes).get
+    assert(rate == 16000 && frames == n)
+    for (w <- 0 until 8) assert(env(w) < 0.01, s"window $w should be silent")
+    for (w <- 8 until 16) assert(env(w) > 0.95, s"window $w should be loud")
+  }
+
+  test("WAV flows through decodeFeatures with format and sample_rate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bytes = wav(8000, 100)(_ => 1000)
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val row = Multimodal.decodeFeatures(df).collect().head
+    assert(row.getAs[String]("format") == "wav")
+    assert(row.getAs[Int]("sample_rate") == 8000)
+    assert(row.isNullAt(row.fieldIndex("width")))
+  }
+
+  test("malformed WAV rejects: non-PCM, truncated data, bad magic") {
+    val good = wav(8000, 100)(_ => 0)
+    assert(Multimodal.decodeAudio(good).isDefined)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Multimodal.decodeAudio(nonPcm).isEmpty)
+    assert(Multimodal.decodeAudio(good.take(50)).isEmpty) // truncated chunk
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(Multimodal.decodeAudio(badMagic).isEmpty)
+  }
+
   test("malformed and unknown payloads fall back to opaque") {
     assert(Multimodal.decodeImage("hello world".getBytes).isEmpty)
     assert(Multimodal.decodeImage(Array[Byte]('B', 'M', 1, 2)).isEmpty)
