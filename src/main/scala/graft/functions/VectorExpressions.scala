@@ -193,12 +193,16 @@ case class LongVecMatchCount(left: Expression, right: Expression)
 /** Native codegen'd k-token shingling over a single-space-tokenized
   * string: returns the array of `k`-grams in positional order with
   * duplicates retained; a text shorter than `k` tokens contributes
-  * itself as its only shingle. Bit-identical to the declarative
+  * itself as its only shingle. For NON-NULL input, bit-identical to the
+  * declarative
   * `transform(sequence(1, n-k+1), i => concat_ws(" ", element_at...))`
   * form (tokenization is the same regex-space split the SQL `split`
   * uses), but one primitive pass instead of an interpreted lambda per
   * shingle — this feeds every shingle-based dedup/decontamination
-  * operator's hottest map stage.
+  * operator's hottest map stage. NULL text yields a NULL array (no
+  * shingles after explode) — SQL-consistent (`string_split(NULL)` is
+  * NULL in DuckDB too), where the old HOF form's `otherwise` branch
+  * produced the quirk `[NULL]`.
   */
 case class StringShingles(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -38,6 +38,9 @@ object Dedup {
     * kernel ([[graft.functions.StringShingles]]): one primitive pass
     * per row instead of an interpreted transform-lambda per shingle —
     * this is the hottest map stage of every shingle-based operator.
+    * NULL text yields a NULL array, i.e. null-text docs contribute no
+    * shingles (and thus no signatures/pairs) — matching SQL split
+    * semantics on both engines.
     */
   def shinglesWithDupes(text: Column, k: Int = 3): Column =
     graft.functions.VectorFunctions.text_shingles(text, k)

@@ -175,7 +175,9 @@ object Multimodal {
     var dataLen = -1
     while (p + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val size = i32(p + 4)
-      if (size < 0 || p + 8 + size > bytes.length) return None
+      // bounds in Long: a hostile size near Int.MaxValue would wrap the
+      // Int sum negative and bypass the rejection
+      if (size < 0 || p.toLong + 8L + size > bytes.length) return None
       if (tag(p, "fmt ")) {
         if (size < 16) return None
         if (u16(p + 8) != 1) return None // PCM only
@@ -251,11 +253,13 @@ object Multimodal {
                 Row(id, bytes.length, h, "wav", null, null, rate, env.toSeq)
               case None =>
                 val thumb = new Array[Float](16)
-                var t = 0
-                while (t < 16) {
-                  val idx = if (bytes.length == 0) 0 else (t * bytes.length) / 16
-                  thumb(t) = (bytes(math.min(idx, bytes.length - 1)) & 0xff) / 255.0f
-                  t += 1
+                if (bytes.length > 0) { // empty payload keeps an all-zero thumb
+                  var t = 0
+                  while (t < 16) {
+                    val idx = math.min((t * bytes.length) / 16, bytes.length - 1)
+                    thumb(t) = (bytes(idx) & 0xff) / 255.0f
+                    t += 1
+                  }
                 }
                 Row(id, bytes.length, h, "opaque", null, null, null, thumb.toSeq)
             }

@@ -189,9 +189,12 @@ object PbfScanner {
       withInfo: Boolean = false,
       permissive: Boolean = false): Iterator[(BlockRef, Iterator[OsmEntity])] =
     blocksInRange(in, start, end).flatMap { b =>
+      // the read happens OUTSIDE the permissive guard: IO errors are
+      // transient infrastructure failures that must fail the task (and
+      // be retried), never be misreported as corrupt data and skipped
+      val data = new Array[Byte](b.dataSize)
+      in.read(b.dataStart, data, 0, b.dataSize)
       try {
-        val data = new Array[Byte](b.dataSize)
-        in.read(b.dataStart, data, 0, b.dataSize)
         val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
         val entities = PbfBlockDecoder.decodeEntities(
           PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo)
@@ -199,14 +202,18 @@ object PbfScanner {
         // failure must truncate THIS block's iteration, not kill the scan
         Iterator.single((b, if (permissive) tolerant(entities, b.start) else entities))
       } catch {
-        case e: Exception if permissive =>
+        case e: Exception if permissive && !e.isInstanceOf[java.io.IOException] =>
           System.err.println(
             s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
           Iterator.empty
       }
     }
 
-  private def tolerant[T](it: Iterator[T], blockStart: Long): Iterator[T] =
+  /** Truncate an in-memory decode iterator at the first failure
+    * (content corruption only — the payload is already read, so no IO
+    * can occur here). Shared by the row and columnar permissive paths.
+    */
+  private[graft] def tolerant[T](it: Iterator[T], blockStart: Long): Iterator[T] =
     new Iterator[T] {
       private var broken = false
       private var staged: Option[T] = None

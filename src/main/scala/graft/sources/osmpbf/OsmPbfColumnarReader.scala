@@ -41,15 +41,19 @@ class OsmPbfColumnarPartitionReader(
     while (!groups.hasNext) {
       if (!blocks.hasNext) return false
       val b = blocks.next()
+      // IO outside the permissive guard (transient errors must retry,
+      // not silently skip); decodeDenseColumns is LAZY, so the tolerant
+      // wrapper covers per-group decode failures too — the same
+      // contract as the row path (PbfScanner.scanBlocks)
+      val data = new Array[Byte](b.dataSize)
+      in.read(b.dataStart, data, 0, b.dataSize)
       try {
-        val data = new Array[Byte](b.dataSize)
-        in.read(b.dataStart, data, 0, b.dataSize)
         val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
-        groups = PbfBlockDecoder.decodeDenseColumns(
+        val gs = PbfBlockDecoder.decodeDenseColumns(
           PbfBlockDecoder.parsePrimitiveBlock(payload))
+        groups = if (permissive) PbfScanner.tolerant(gs, b.start) else gs
       } catch {
-        case e: Exception if permissive =>
-          // same corrupt-block contract as the row path (PbfScanner)
+        case e: Exception if permissive && !e.isInstanceOf[java.io.IOException] =>
           System.err.println(
             s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
       }

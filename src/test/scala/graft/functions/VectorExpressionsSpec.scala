@@ -101,6 +101,11 @@ class VectorExpressionsSpec extends AnyFunSuite {
         .filter(not(col("a") === col("b"))).count()
       assert(diff == 0, s"k=$k diverged from the HOF form")
     }
+    // documented null contract: NULL text -> NULL array (no shingles),
+    // matching SQL split semantics, NOT the old HOF quirk [NULL]
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(VectorFunctions.text_shingles(col("text"), 3)).collect().head
+    assert(nullRow.isNullAt(0))
   }
 
   test("vec_dot rejects wrong types with a named error") {

@@ -175,6 +175,15 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(evilPpm).isEmpty)
   }
 
+  test("empty payload degrades to an all-zero opaque thumb, no crash") {
+    import spark.implicits._
+    val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val row = Multimodal.decodeFeatures(df).collect().head
+    assert(row.getAs[String]("format") == "opaque")
+    assert(row.getAs[Int]("n_bytes") == 0)
+    assert(row.getAs[scala.collection.Seq[Float]]("thumb").forall(_ == 0f))
+  }
+
   test("decodeFeatures routes image payloads to the real decoder end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -106,6 +106,35 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     }
   }
 
+  test("PERMISSIVE covers lazy per-group decode on row AND columnar paths") {
+    // valid frame + valid zlib-free blob whose DENSE payload holds a
+    // dangling varint continuation byte — inflate and block parse both
+    // succeed, the failure only surfaces during lazy group decode
+    val badDense = msg(
+      lenDelim(1, msg(str(1, ""))),
+      lenDelim(2, msg(lenDelim(2, lenDelim(1, Array(0x80.toByte))))))
+    val f = Files.createTempFile("synth-lazy-corrupt", ".pbf").toFile
+    val out = new FileOutputStream(f)
+    out.write(frame("OSMData", dataBlock(1, 9), "raw"))
+    out.write(frame("OSMData", badDense, "raw"))
+    out.write(frame("OSMData", dataBlock(300, 4), "raw"))
+    out.close()
+    // columnar path (id/lat/lon projection)
+    val columnar = spark.read.format("osmpbf")
+      .option("parseType", "node").option("mode", "PERMISSIVE")
+      .load(f.getPath).select("id", "lat", "lon")
+    assert(columnar.count() == 13)
+    // row path (tags keeps it off the columnar reader)
+    val row = spark.read.format("osmpbf")
+      .option("parseType", "node").option("mode", "PERMISSIVE")
+      .load(f.getPath).select("id", "tags")
+    assert(row.count() == 13)
+    intercept[Exception] {
+      spark.read.format("osmpbf").option("parseType", "node")
+        .load(f.getPath).select("id").count()
+    }
+  }
+
   test("scan realigns past corrupt bytes between valid frames") {
     // valid block, then garbage (including a fake "OSMData" signature
     // embedded in junk that does NOT frame-validate), then a valid block:
