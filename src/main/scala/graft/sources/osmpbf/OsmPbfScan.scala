@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -30,6 +30,7 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   private var requiredSchema: StructType = fullSchema
   private var pushedKinds: Set[EntityKind.Value] = kindsFor(parseType)
   private var pushed: Array[Filter] = Array.empty
+  private var queryBounds: QueryBounds = QueryBounds()
 
   private def kindsFor(tpe: String): Set[EntityKind.Value] = tpe match {
     case "node" => Set(EntityKind.Node)
@@ -53,6 +54,11 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
     * §2.1 #10, expressed through the standard DSv2 pushdown interface.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // lat/lon bounds are harvested for HEADER-BBOX FILE PRUNING but
+    // intentionally NOT accepted (Spark keeps applying them row-wise):
+    // the bbox only tells us which whole files cannot contribute —
+    // the osmpbf analogue of parquet min/max pruning
+    queryBounds = QueryBounds.fromFilters(filters)
     if (parseType != "all") { pushed = Array.empty; return filters }
     val (accepted, rejected) = filters.partition {
       case EqualTo("type", v: String) => kindOf(v).isDefined
@@ -80,7 +86,66 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new OsmPbfScan(requiredSchema, parseType, pushedKinds, options)
+    new OsmPbfScan(requiredSchema, parseType, pushedKinds, options, queryBounds)
+}
+
+/** Conjunctive lat/lon bounds extracted from top-level query filters.
+  * None = unbounded on that side. Used ONLY to prune whole files via
+  * their OSMHeader bbox — never trusted for row-level filtering.
+  */
+final case class QueryBounds(
+    latMin: Option[Double] = None, latMax: Option[Double] = None,
+    lonMin: Option[Double] = None, lonMax: Option[Double] = None) {
+
+  def isUnbounded: Boolean =
+    latMin.isEmpty && latMax.isEmpty && lonMin.isEmpty && lonMax.isEmpty
+
+  /** Can a file with header bbox (left, bottom, right, top) contain any
+    * row satisfying the bounds? Conservative: unknown sides pass.
+    */
+  def intersects(bbox: (Double, Double, Double, Double)): Boolean = {
+    val (left, bottom, right, top) = bbox
+    latMin.forall(_ <= top) && latMax.forall(_ >= bottom) &&
+      lonMin.forall(_ <= right) && lonMax.forall(_ >= left)
+  }
+
+  override def toString: String =
+    s"lat[${latMin.getOrElse("-inf")},${latMax.getOrElse("inf")}] " +
+      s"lon[${lonMin.getOrElse("-inf")},${lonMax.getOrElse("inf")}]"
+}
+
+object QueryBounds {
+  def fromFilters(filters: Array[Filter]): QueryBounds = {
+    var b = QueryBounds()
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case d: java.math.BigDecimal => Some(d.doubleValue())
+      case _ => None
+    }
+    def tightenMin(cur: Option[Double], v: Double): Option[Double] =
+      Some(cur.fold(v)(math.max(_, v)))
+    def tightenMax(cur: Option[Double], v: Double): Option[Double] =
+      Some(cur.fold(v)(math.min(_, v)))
+    filters.foreach {
+      case GreaterThan("lat", v) => num(v).foreach(d => b = b.copy(latMin = tightenMin(b.latMin, d)))
+      case GreaterThanOrEqual("lat", v) => num(v).foreach(d => b = b.copy(latMin = tightenMin(b.latMin, d)))
+      case LessThan("lat", v) => num(v).foreach(d => b = b.copy(latMax = tightenMax(b.latMax, d)))
+      case LessThanOrEqual("lat", v) => num(v).foreach(d => b = b.copy(latMax = tightenMax(b.latMax, d)))
+      case EqualTo("lat", v) => num(v).foreach(d => b = b.copy(
+        latMin = tightenMin(b.latMin, d), latMax = tightenMax(b.latMax, d)))
+      case GreaterThan("lon", v) => num(v).foreach(d => b = b.copy(lonMin = tightenMin(b.lonMin, d)))
+      case GreaterThanOrEqual("lon", v) => num(v).foreach(d => b = b.copy(lonMin = tightenMin(b.lonMin, d)))
+      case LessThan("lon", v) => num(v).foreach(d => b = b.copy(lonMax = tightenMax(b.lonMax, d)))
+      case LessThanOrEqual("lon", v) => num(v).foreach(d => b = b.copy(lonMax = tightenMax(b.lonMax, d)))
+      case EqualTo("lon", v) => num(v).foreach(d => b = b.copy(
+        lonMin = tightenMin(b.lonMin, d), lonMax = tightenMax(b.lonMax, d)))
+      case _ => ()
+    }
+    b
+  }
 }
 
 final case class OsmPbfInputPartition(
@@ -106,7 +171,8 @@ class OsmPbfScan(
     requiredSchema: StructType,
     parseType: String,
     kinds: Set[EntityKind.Value],
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap,
+    bounds: QueryBounds = QueryBounds()) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -119,7 +185,8 @@ class OsmPbfScan(
 
   override def description(): String =
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
-      s"columns=${requiredSchema.fieldNames.mkString(",")})"
+      s"columns=${requiredSchema.fieldNames.mkString(",")}" +
+      (if (bounds.isUnbounded) ")" else s", bboxPrune=$bounds)")
 
   /** Driver-side split planning: byte ranges per file, sized by
     * `spark.sql.files.maxPartitionBytes` — the Spark-native equivalent of
@@ -132,18 +199,29 @@ class OsmPbfScan(
     val hadoopConf = spark.sessionState.newHadoopConf()
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val paths = resolvePaths(options, hadoopConf)
-    // fail at planning time, not per-task, on files whose OSMHeader
-    // requires a feature this reader does not implement (one ~KB header
-    // read per file, driver-side)
-    if (options.getBoolean("validateHeader", true)) {
-      paths.foreach { case (path, _) =>
+    // one ~KB header read per file on the driver, serving two jobs:
+    //  - fail at planning time (not per-task) on files whose OSMHeader
+    //    requires a feature this reader does not implement
+    //  - HEADER-BBOX FILE PRUNING: skip whole files whose declared bbox
+    //    cannot intersect the query's lat/lon bounds (the osmpbf
+    //    analogue of parquet min/max pruning — the win that matters
+    //    when a region query hits a directory of per-extract files).
+    //    Files without a header (or bbox) are conservatively kept.
+    val validate = options.getBoolean("validateHeader", true)
+    val pruned =
+      if (!validate && bounds.isUnbounded) paths
+      else paths.filter { case (path, _) =>
         val in = new HadoopRangeReader(new Path(path), hadoopConf)
-        try graft.pbf.PbfScanner.validateHeader(in, path)
-        finally in.close()
+        val header =
+          try {
+            if (validate) graft.pbf.PbfScanner.validateHeader(in, path)
+            else graft.pbf.PbfScanner.readHeader(in)
+          } finally in.close()
+        bounds.isUnbounded ||
+          header.flatMap(_.bbox).forall(bounds.intersects)
       }
-    }
     val parts = ArrayBuffer.empty[InputPartition]
-    for ((path, len) <- paths) {
+    for ((path, len) <- pruned) {
       var off = 0L
       while (off < len) {
         val end = math.min(off + maxBytes, len)

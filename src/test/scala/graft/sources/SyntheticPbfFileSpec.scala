@@ -35,11 +35,12 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
   }
 
   /** One block of `n` dense nodes with ids/lats/lons derived from `base`. */
-  private def dataBlock(base: Long, n: Int): Array[Byte] = {
+  private def dataBlock(base: Long, n: Int,
+      latBase: Long = 100000000L): Array[Byte] = {
     val st = msg(str(1, ""))
     // deltas: first absolute, then +1 each
     val ids = base +: Seq.fill(n - 1)(1L)
-    val lats = 100000000L +: Seq.fill(n - 1)(1000L)
+    val lats = latBase +: Seq.fill(n - 1)(1000L)
     val lons = -200000000L +: Seq.fill(n - 1)(-1000L)
     val dense = msg(packedSVarints(1, ids), packedSVarints(8, lats),
       packedSVarints(9, lons))
@@ -104,6 +105,44 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
       spark.read.format("osmpbf").option("parseType", "node")
         .load(f.getPath).count()
     }
+  }
+
+  test("header bbox prunes whole files against lat/lon predicates") {
+    // two headered extracts far apart, plus one bare-data file that has
+    // no header and must be conservatively kept
+    def bboxHeader(latLo: Long, latHi: Long): Array[Byte] =
+      msg(lenDelim(1, msg(
+        svarint(1, -64300000000L), svarint(2, -64000000000L), // lon l/r
+        svarint(3, latHi), svarint(4, latLo))),               // top/bottom
+        str(4, "OsmSchema-V0.6"), str(4, "DenseNodes"))
+    val dir = Files.createTempDirectory("bbox-prune")
+    def write(name: String, parts: Array[Byte]*): Unit = {
+      val out = new FileOutputStream(dir.resolve(name).toFile)
+      parts.foreach(out.write); out.close()
+    }
+    // A: nodes near lat 10, declared bbox [9, 11]
+    write("a.pbf", frame("OSMHeader", bboxHeader(9000000000L, 11000000000L), "raw"),
+      frame("OSMData", dataBlock(1, 10), "raw"))
+    // B: nodes near lat 50, declared bbox [49, 51]
+    write("b.pbf", frame("OSMHeader", bboxHeader(49000000000L, 51000000000L), "raw"),
+      frame("OSMData", dataBlock(100, 7, latBase = 500000000L), "raw"))
+    // C: headerless, nodes near lat 10
+    write("c.pbf", frame("OSMData", dataBlock(200, 3), "raw"))
+
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.format("osmpbf").option("parseType", "node")
+      .load(dir.toString)
+    assert(all.count() == 20)
+    val north = all.filter(col("lat") > 40)
+    assert(north.count() == 7) // correctness: only B's nodes qualify
+    // pruning: A is skipped at planning; headerless C must remain
+    assert(north.rdd.getNumPartitions == 2,
+      s"expected B + headerless C after bbox pruning, got ${north.rdd.getNumPartitions}")
+    assert(all.filter(col("lat") > 40).queryExecution.executedPlan.toString
+      .contains("bboxPrune"), "plan should advertise the pruning bounds")
+    // a disjoint query prunes BOTH headered files
+    assert(all.filter(col("lat") > 80).rdd.getNumPartitions == 1)
+    assert(all.filter(col("lat") > 80).count() == 0)
   }
 
   test("PERMISSIVE covers lazy per-group decode on row AND columnar paths") {
