@@ -132,6 +132,27 @@ object OsmQueries {
       None),
 
     QueryDef(
+      // multi-file scan with a lat predicate: sample.pbf (UK, header
+      // bbox ~51.77) qualifies, temp.dat (Venezuela, ~10.4, headerless)
+      // is conservatively scanned and filtered row-wise. The planner
+      // prunes bbox-disjoint headered files entirely (SyntheticPbfFileSpec
+      // pins the partition-count effect).
+      "osm09_bbox_scan",
+      (s, _) => {
+        import s.implicits._
+        s.read.format("osmpbf").option("parseType", "node")
+          .load(samplePbfPath, fixturePath)
+          .filter($"lat" > 40.0)
+          .agg(
+            count(lit(1)).as("n_north"),
+            round(min($"lat"), 6).as("min_lat"),
+            round(max($"lat"), 6).as("max_lat"),
+            round(min($"lon"), 6).as("min_lon"),
+            round(max($"lon"), 6).as("max_lon"))
+      },
+      None),
+
+    QueryDef(
       // record-key metadata columns: per-block record counts — parity
       // with the reference's byte-offset record key
       "osm08_record_keys",
