@@ -94,29 +94,27 @@ object Relational3 {
 
     // ---- q36: q29's semantics re-planned by hand -------------------------
     // Catalyst decorrelates the double EXISTS into three full lineitem
-    // scans with three lineitem-wide shuffles; this version reduces
-    // lineitem ONCE to (orderkey, suppkey, shipdate, cnt) grain — a
-    // single narrow partial-aggregated shuffle — then answers both
-    // subqueries with window functions inside ONE repartition by
-    // orderkey (HashPartitioning(o) satisfies both the (o) and (o,s)
-    // window families, so the second family only re-sorts). The original
-    // lineitem is never joined back: qualifying row counts ride along as
-    // `cnt`. The oracle SQL is q29's verbatim, so the hash gate proves
-    // the rewrite equivalent.
+    // scans with three lineitem-wide shuffles; this version shuffles the
+    // three needed lineitem columns ONCE (repartition by orderkey) and
+    // answers both subqueries with window functions at raw-row grain:
+    // HashPartitioning(o) satisfies both the (o) and (o,s) window
+    // families, so the second family only re-sorts in place. No
+    // pre-aggregation — (order, supplier, date) is nearly unique in
+    // lineitem, so a groupBy would pay a full extra exchange to remove
+    // almost nothing. The oracle SQL is q29's verbatim, so the hash gate
+    // proves the rewrite equivalent.
     QueryDef(
       "q36_multi_exists_window",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // ALL lineitem — the subqueries are not restricted to F orders
         val li = t(s, dir, "lineitem")
-        // grain (order, supplier, ship date) over ALL lineitem — the
-        // subqueries are not restricted to status-F orders
-        val perDate = li.groupBy($"l_orderkey", $"l_suppkey", $"l_shipdate")
-          .agg(count(lit(1)).as("cnt"))
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
           .repartition($"l_orderkey")
         val wOS = Window.partitionBy($"l_orderkey", $"l_suppkey")
         val wO = Window.partitionBy($"l_orderkey")
-        val qualified = perDate
+        val qualified = li
           // this supplier's latest ship date in the order
           .withColumn("s_max", max($"l_shipdate").over(wOS))
           // order-level: latest supplier max, #distinct suppliers, how
@@ -141,7 +139,7 @@ object Relational3 {
         qualified.join(ordF, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
-          .agg(sum($"cnt").as("n_waiting"))
+          .agg(count(lit(1)).as("n_waiting"))
           .orderBy($"n_waiting".desc, $"s_name")
       },
       Some("""SELECT s_name, COUNT(*) AS n_waiting
