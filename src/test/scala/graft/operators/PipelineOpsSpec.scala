@@ -115,6 +115,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(k2 < k8 && k8 < total)
   }
 
+  test("a prebuilt IVF index reproduces the inline-build results") {
+    val emb = t(spark, sf, "embeddings")
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding")
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10)
+      .collect().map(_.toString).toSeq
+    val reused = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10,
+        index = Some(idx))
+      .collect().map(_.toString).toSeq
+    assert(inline == reused)
+    // and the index serves a second query without rebuilding
+    assert(Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 5,
+      index = Some(idx)).count() == 5)
+  }
+
   test("ivfTopK with an unknown query id returns empty, not a crash") {
     val emb = t(spark, sf, "embeddings")
     assert(Similarity.ivfTopK(emb, "vec_id", "embedding",
