@@ -132,11 +132,12 @@ object OsmQueries {
       None),
 
     QueryDef(
-      // multi-file scan with a lat predicate: sample.pbf (UK, header
-      // bbox ~51.77) qualifies, temp.dat (Venezuela, ~10.4, headerless)
-      // is conservatively scanned and filtered row-wise. The planner
-      // prunes bbox-disjoint headered files entirely (SyntheticPbfFileSpec
-      // pins the partition-count effect).
+      // multi-file scan with a lat predicate: sample.pbf (UK, ~51.77)
+      // qualifies, temp.dat (Venezuela, ~10.4, headerless) is filtered
+      // row-wise. Deliberately does NOT opt into bboxPruning: sample.pbf
+      // itself carries nodes outside its declared bbox, the exact reason
+      // the pruning is opt-in (SyntheticPbfFileSpec pins the opt-in
+      // partition-count effect).
       "osm09_bbox_scan",
       (s, _) => {
         import s.implicits._

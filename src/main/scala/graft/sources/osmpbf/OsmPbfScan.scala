@@ -101,12 +101,16 @@ final case class QueryBounds(
     latMin.isEmpty && latMax.isEmpty && lonMin.isEmpty && lonMax.isEmpty
 
   /** Can a file with header bbox (left, bottom, right, top) contain any
-    * row satisfying the bounds? Conservative: unknown sides pass.
+    * row satisfying the bounds? Conservative: unknown sides pass, and a
+    * wraparound bbox (left > right, an extract crossing the
+    * antimeridian) is never used to prune.
     */
   def intersects(bbox: (Double, Double, Double, Double)): Boolean = {
     val (left, bottom, right, top) = bbox
-    latMin.forall(_ <= top) && latMax.forall(_ >= bottom) &&
-      lonMin.forall(_ <= right) && lonMax.forall(_ >= left)
+    val latOk = latMin.forall(_ <= top) && latMax.forall(_ >= bottom)
+    val lonOk = left > right || // antimeridian wrap: keep
+      (lonMin.forall(_ <= right) && lonMax.forall(_ >= left))
+    latOk && lonOk
   }
 
   override def toString: String =
@@ -183,10 +187,12 @@ class OsmPbfScan(
     new OsmPbfMicroBatchStream(requiredSchema, parseType, kinds, options,
       checkpointLocation)
 
-  override def description(): String =
+  override def description(): String = {
+    val pruning = options.getBoolean("bboxPruning", false) && !bounds.isUnbounded
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
       s"columns=${requiredSchema.fieldNames.mkString(",")}" +
-      (if (bounds.isUnbounded) ")" else s", bboxPrune=$bounds)")
+      (if (pruning) s", bboxPrune=$bounds)" else ")")
+  }
 
   /** Driver-side split planning: byte ranges per file, sized by
     * `spark.sql.files.maxPartitionBytes` — the Spark-native equivalent of
@@ -202,23 +208,30 @@ class OsmPbfScan(
     // one ~KB header read per file on the driver, serving two jobs:
     //  - fail at planning time (not per-task) on files whose OSMHeader
     //    requires a feature this reader does not implement
-    //  - HEADER-BBOX FILE PRUNING: skip whole files whose declared bbox
-    //    cannot intersect the query's lat/lon bounds (the osmpbf
-    //    analogue of parquet min/max pruning — the win that matters
-    //    when a region query hits a directory of per-extract files).
-    //    Files without a header (or bbox) are conservatively kept.
+    //  - HEADER-BBOX FILE PRUNING (OPT-IN, `bboxPruning=true`): skip
+    //    whole files whose declared bbox cannot intersect the query's
+    //    lat/lon bounds. Opt-in because the header bbox is ADVISORY —
+    //    unlike parquet min/max stats it is not computed from the data,
+    //    and real extracts (complete-ways cuts; even the upstream
+    //    sample.pbf) legitimately carry entities outside it. Enable it
+    //    for directories of extracts whose bboxes are known-true
+    //    envelopes. Files without a header/bbox, with a wraparound
+    //    bbox, or with an unreadable header are conservatively kept.
     val validate = options.getBoolean("validateHeader", true)
+    val prune = options.getBoolean("bboxPruning", false) && !bounds.isUnbounded
     val pruned =
-      if (!validate && bounds.isUnbounded) paths
+      if (!validate && !prune) paths
       else paths.filter { case (path, _) =>
         val in = new HadoopRangeReader(new Path(path), hadoopConf)
         val header =
           try {
             if (validate) graft.pbf.PbfScanner.validateHeader(in, path)
-            else graft.pbf.PbfScanner.readHeader(in)
+            else // opt-out of validation: a bad header must not break
+                 // planning just because bbox pruning wants a peek
+              scala.util.Try(graft.pbf.PbfScanner.readHeader(in))
+                .toOption.flatten
           } finally in.close()
-        bounds.isUnbounded ||
-          header.flatMap(_.bbox).forall(bounds.intersects)
+        !prune || header.flatMap(_.bbox).forall(bounds.intersects)
       }
     val parts = ArrayBuffer.empty[InputPartition]
     for ((path, len) <- pruned) {

@@ -41,6 +41,14 @@ class QueryBoundsSpec extends AnyFunSuite {
     assert(!QueryBounds(lonMax = Some(-10.1)).intersects(bbox))
   }
 
+  test("antimeridian-wraparound bbox (left > right) is never pruned") {
+    val wrap = (170.0, 9.0, -175.0, 11.0)
+    assert(QueryBounds(lonMin = Some(175.0)).intersects(wrap))
+    assert(QueryBounds(lonMax = Some(-179.0)).intersects(wrap))
+    // lat sides still apply
+    assert(!QueryBounds(latMin = Some(20.0)).intersects(wrap))
+  }
+
   test("non-numeric comparands are ignored, not mis-coerced") {
     val b = QueryBounds.fromFilters(Array(
       GreaterThan("lat", "oops"), LessThan("lon", null)))

@@ -107,12 +107,13 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     }
   }
 
-  test("header bbox prunes whole files against lat/lon predicates") {
+  test("opt-in header bbox pruning skips whole files against lat/lon predicates") {
     // two headered extracts far apart, plus one bare-data file that has
-    // no header and must be conservatively kept
+    // no header and must be conservatively kept. Data lons are ~-20, so
+    // the declared lon bbox brackets them (the invariant opt-in asserts).
     def bboxHeader(latLo: Long, latHi: Long): Array[Byte] =
       msg(lenDelim(1, msg(
-        svarint(1, -64300000000L), svarint(2, -64000000000L), // lon l/r
+        svarint(1, -21000000000L), svarint(2, -19000000000L), // lon l/r
         svarint(3, latHi), svarint(4, latLo))),               // top/bottom
         str(4, "OsmSchema-V0.6"), str(4, "DenseNodes"))
     val dir = Files.createTempDirectory("bbox-prune")
@@ -131,6 +132,7 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
 
     import org.apache.spark.sql.functions.col
     val all = spark.read.format("osmpbf").option("parseType", "node")
+      .option("bboxPruning", "true")
       .load(dir.toString)
     assert(all.count() == 20)
     val north = all.filter(col("lat") > 40)
@@ -138,11 +140,29 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     // pruning: A is skipped at planning; headerless C must remain
     assert(north.rdd.getNumPartitions == 2,
       s"expected B + headerless C after bbox pruning, got ${north.rdd.getNumPartitions}")
-    assert(all.filter(col("lat") > 40).queryExecution.executedPlan.toString
+    assert(north.queryExecution.executedPlan.toString
       .contains("bboxPrune"), "plan should advertise the pruning bounds")
     // a disjoint query prunes BOTH headered files
     assert(all.filter(col("lat") > 80).rdd.getNumPartitions == 1)
     assert(all.filter(col("lat") > 80).count() == 0)
+    // DEFAULT (no option): the advisory bbox is never trusted — every
+    // file is scanned, the filter applies row-wise only
+    val noPrune = spark.read.format("osmpbf").option("parseType", "node")
+      .load(dir.toString).filter(col("lat") > 40)
+    assert(noPrune.rdd.getNumPartitions == 3)
+    assert(noPrune.count() == 7)
+    // wraparound bbox (left > right, antimeridian) is kept even opted-in
+    val wrapDir = Files.createTempDirectory("bbox-wrap")
+    val out = new FileOutputStream(wrapDir.resolve("w.pbf").toFile)
+    out.write(frame("OSMHeader", msg(lenDelim(1, msg(
+      svarint(1, 170000000000L), svarint(2, -175000000000L),
+      svarint(3, 11000000000L), svarint(4, 9000000000L))),
+      str(4, "OsmSchema-V0.6")), "raw"))
+    out.write(frame("OSMData", dataBlock(1, 5), "raw"))
+    out.close()
+    assert(spark.read.format("osmpbf").option("parseType", "node")
+      .option("bboxPruning", "true").load(wrapDir.toString)
+      .filter(col("lon") < 0).count() == 5)
   }
 
   test("PERMISSIVE covers lazy per-group decode on row AND columnar paths") {
