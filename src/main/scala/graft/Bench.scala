@@ -55,13 +55,38 @@ object Bench {
       System.gc()
       (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
+    println(Bench.renderLine(results, sfDir))
+    // Full-precision, full-name detail for local inspection (the stdout
+    // line is size-capped; see renderLine).
+    val detail = results.map { case (k, v, ok) =>
+      s""""$k":{"sec":$v,"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target", "bench-full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
+    spark.stop()
+  }
+
+  /** The driver captures only the LAST ~2000 characters of output and
+    * parses the JSON line out of that tail; rounds 1-2 emitted full query
+    * names plus a per-query ok map (~4 KB) and the line arrived truncated,
+    * so the driver recorded `parsed: null`. Keep this line well under the
+    * window: per-query keys are the unique name prefix before the first
+    * '_' (q36_multi_exists_window -> q36), seconds carry 2 decimals, and
+    * failures are listed by key only when present.
+    */
+  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
+    def short(n: String): String = n.takeWhile(_ != '_')
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nFailed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}""")
-    spark.stop()
+    val failed = results.filter(!_._3).map(r => "\"" + short(r._1) + "\"")
+    val failedPart =
+      if (failed.isEmpty) "\"failed\":0"
+      else s""""failed":${failed.size},"failed_queries":[${failed.mkString(",")}]"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$failedPart,"sf":"$sfDir"}"""
   }
 }

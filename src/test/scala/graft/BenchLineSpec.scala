@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver records only the last ~2000 characters of Bench's output
+  * and parses the JSON line from that tail. Rounds 1-2 shipped a ~4 KB
+  * line and the driver recorded `parsed: null` both times. Pin the
+  * invariants that keep the line parseable: it fits the window with
+  * headroom for sbt's trailing "[success] ..." line, and the shortened
+  * per-query keys stay unique.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  private val names = SparkEntry.allDefs.map(_.name)
+
+  test("short keys (prefix before first underscore) are unique") {
+    val shorts = names.map(_.takeWhile(_ != '_'))
+    val dupes = shorts.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate short keys: ${dupes.mkString(",")}")
+  }
+
+  test("rendered line fits the driver's tail window with headroom") {
+    // Worst case: every query failed (adds the failed_queries list) and
+    // every timing needs 3 integer digits.
+    val results = names.map(n => (n, 999.99, false))
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"bench line ${line.length} chars; must stay < 1800")
+    assert(!line.contains("\n"))
+  }
+
+  test("line is well-formed for the driver's parser") {
+    val results = Seq(("q01_pricing_summary", 1.234567, true), ("p08_minhash_lsh", 0.5, false))
+    val line = Bench.renderLine(results, "/tmp/sf")
+    assert(line.startsWith("""{"metric":"total","value":1.73,"unit":"sec","queries":{"q01":1.23,"p08":0.50},"""))
+    assert(line.endsWith(""""failed":1,"failed_queries":["p08"],"sf":"/tmp/sf"}"""))
+  }
+}
