@@ -148,7 +148,9 @@ object Similarity {
       vecCol: String,
       nCells: Int = 16,
       kmeansIters: Int = 0): IvfIndex = {
-    var cents: Array[Array[Float]] = emb.orderBy(col(idCol)).limit(nCells)
+    var cents: Array[Array[Float]] = emb
+      .filter(col(vecCol).isNotNull) // a null seed row would NPE on the driver
+      .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to kmeansIters) {
@@ -203,9 +205,9 @@ object Similarity {
       nProbe: Int = 4,
       index: Option[IvfIndex] = None): DataFrame = {
     val idx = index.getOrElse(ivfBuild(emb, idCol, vecCol, nCells))
-    val qRow = emb.filter(col(idCol) === queryId)
+    val qRow = emb.filter(col(idCol) === queryId && col(vecCol).isNotNull)
       .select(col(vecCol)).head(1)
-    if (qRow.isEmpty) // unknown query id: empty result, not a crash
+    if (qRow.isEmpty) // unknown query id or null embedding: empty result, not a crash
       return emb.select(col(idCol), lit(0.0d).as("sim")).limit(0)
     val qVec = qRow.head.getSeq[Float](0).toArray
     val qNorm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
@@ -295,8 +297,11 @@ object Similarity {
     * `planes` bits each, returned as an array so candidates can match on
     * ANY table (OR-amplification). Each hyperplane is its own literal
     * and each projection one native codegen'd dot product
-    * ([[graft.functions.FloatDoubleVecDot]] — bit-identical to the
-    * HOF form it replaced, so sketches are stable across versions); the
+    * ([[graft.functions.FloatDoubleVecDot]] — for vectors of length
+    * <= `dims` bit-identical to the HOF form it replaced, so sketches
+    * are stable across versions; an out-of-spec longer vector differs —
+    * the HOF's zip_with null-padded the sum to a null/0 bit, while the
+    * native kernel sums the first `dims` components); the
     * nested-aggregate alternative interprets planes x tables lambda
     * evaluations per row at ~300x raw-FLOP cost.
     */

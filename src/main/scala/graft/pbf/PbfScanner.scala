@@ -28,6 +28,35 @@ final class FileRangeReader(path: String) extends RangeReader {
   override def close(): Unit = raf.close()
 }
 
+/** Observer for permissive-mode data loss. A 100 TB permissive scan that
+  * drops blocks must leave a queryable signal, not just a log line — the
+  * DSv2 layer binds this to Spark accumulators
+  * ([[graft.sources.osmpbf.OsmPbfSkipMetrics]], the same accounting idea
+  * as json/csv's corrupt-record handling); the default implementation
+  * logs through slf4j. Implementations run on executors, so they must be
+  * serializable.
+  */
+trait SkipListener extends Serializable {
+  /** A whole block whose payload failed to decompress/parse was skipped. */
+  def skippedBlock(blockStart: Long, cause: String): Unit
+  /** A lazily-decoded block hit corruption mid-iteration and the rest of
+    * the block was dropped.
+    */
+  def truncatedBlock(blockStart: Long, cause: String): Unit
+}
+
+object SkipListener {
+  /** Log-only accounting (non-Spark callers: scanFile, tests). */
+  object Logging extends SkipListener {
+    @transient private lazy val log =
+      org.slf4j.LoggerFactory.getLogger("graft.pbf.PbfScanner")
+    override def skippedBlock(blockStart: Long, cause: String): Unit =
+      log.warn(s"[osmpbf] skipping undecodable block at $blockStart: $cause")
+    override def truncatedBlock(blockStart: Long, cause: String): Unit =
+      log.warn(s"[osmpbf] truncating corrupt block at $blockStart: $cause")
+  }
+}
+
 /** Splittable scan over one `.pbf` byte range, implementing the reference's
   * split-realignment contract (SURVEY §2.1 #2; OsmPbfRecordReader.java:
   * 96-129): a file block belongs to the split containing its frame start, a
@@ -187,7 +216,8 @@ object PbfScanner {
       end: Long,
       kinds: Set[EntityKind.Value],
       withInfo: Boolean = false,
-      permissive: Boolean = false): Iterator[(BlockRef, Iterator[OsmEntity])] =
+      permissive: Boolean = false,
+      skips: SkipListener = SkipListener.Logging): Iterator[(BlockRef, Iterator[OsmEntity])] =
     blocksInRange(in, start, end).flatMap { b =>
       // the read happens OUTSIDE the permissive guard: IO errors are
       // transient infrastructure failures that must fail the task (and
@@ -200,11 +230,10 @@ object PbfScanner {
           PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo)
         // entity decode is lazy — in permissive mode a mid-block decode
         // failure must truncate THIS block's iteration, not kill the scan
-        Iterator.single((b, if (permissive) tolerant(entities, b.start) else entities))
+        Iterator.single((b, if (permissive) tolerant(entities, b.start, skips) else entities))
       } catch {
         case e: Exception if permissive && !e.isInstanceOf[java.io.IOException] =>
-          System.err.println(
-            s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
+          skips.skippedBlock(b.start, String.valueOf(e.getMessage))
           Iterator.empty
       }
     }
@@ -213,7 +242,10 @@ object PbfScanner {
     * (content corruption only — the payload is already read, so no IO
     * can occur here). Shared by the row and columnar permissive paths.
     */
-  private[graft] def tolerant[T](it: Iterator[T], blockStart: Long): Iterator[T] =
+  private[graft] def tolerant[T](
+      it: Iterator[T],
+      blockStart: Long,
+      skips: SkipListener = SkipListener.Logging): Iterator[T] =
     new Iterator[T] {
       private var broken = false
       private var staged: Option[T] = None
@@ -223,8 +255,7 @@ object PbfScanner {
           catch {
             case e: Exception =>
               broken = true
-              System.err.println(s"[osmpbf] truncating corrupt block at " +
-                s"$blockStart: ${e.getMessage}")
+              skips.truncatedBlock(blockStart, String.valueOf(e.getMessage))
           }
         }
       override def hasNext: Boolean = { advance(); staged.isDefined }

@@ -28,7 +28,8 @@ class OsmPbfColumnarPartitionReader(
     part: OsmPbfInputPartition,
     requiredSchema: StructType,
     conf: SerializableConfiguration,
-    permissive: Boolean = false) extends PartitionReader[ColumnarBatch] {
+    permissive: Boolean = false,
+    skips: SkipListener = SkipListener.Logging) extends PartitionReader[ColumnarBatch] {
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
   private val blocks = PbfScanner.blocksInRange(in, part.start, part.end)
@@ -51,11 +52,10 @@ class OsmPbfColumnarPartitionReader(
         val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
         val gs = PbfBlockDecoder.decodeDenseColumns(
           PbfBlockDecoder.parsePrimitiveBlock(payload))
-        groups = if (permissive) PbfScanner.tolerant(gs, b.start) else gs
+        groups = if (permissive) PbfScanner.tolerant(gs, b.start, skips) else gs
       } catch {
         case e: Exception if permissive && !e.isInstanceOf[java.io.IOException] =>
-          System.err.println(
-            s"[osmpbf] skipping undecodable block at ${b.start}: ${e.getMessage}")
+          skips.skippedBlock(b.start, String.valueOf(e.getMessage))
       }
     }
     val (ids, lats, lons) = groups.next()

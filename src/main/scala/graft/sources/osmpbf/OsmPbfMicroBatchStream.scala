@@ -28,15 +28,16 @@ import graft.pbf.EntityKind
   *    that timestamp) — O(files-per-timestamp) forever, the compacted
   *    form for long-running streams. Correct for the append-only
   *    arrival pattern (files are immutable and arrive with fresh
-  *    mtimes). Two documented trade-offs versus `list`: a file planted
-  *    with an mtime BEHIND the watermark is never picked up, and batch
-  *    REPLAY after a restart re-derives the file set by re-listing the
-  *    directory and filtering into (start, end] — deterministic only
-  *    while arrivals stay append-only with monotone mtimes and
-  *    processed files are not deleted. Sinks that need exactly-once
-  *    replay under adversarial directory mutation should stay on
-  *    `list`, whose batches are planned purely from the offset
-  *    contents.
+  *    mtimes). One documented trade-off versus `list`: a file planted
+  *    with an mtime BEHIND the watermark is never picked up. Batch
+  *    REPLAY is exactly-once: the first planning of each (start, end]
+  *    batch persists its resolved (path, len) set in a driver-side
+  *    batch log under the checkpoint location, and any replay of the
+  *    same offsets reads the logged set — never the live directory —
+  *    so recovery cannot lose or duplicate data when files are deleted
+  *    or planted with in-range mtimes after the fact. The log is
+  *    pruned to the most recent entries on commit (Spark only ever
+  *    replays the latest uncommitted batch).
   */
 class OsmPbfMicroBatchStream(
     requiredSchema: StructType,
@@ -96,15 +97,22 @@ class OsmPbfMicroBatchStream(
         val seen = s.files.map(_._1).toSet
         e.files.filterNot(f => seen(f._1))
       case (s: OsmPbfWatermarkOffset, e: OsmPbfWatermarkOffset) =>
-        // re-list and take files inside (start, end] by (mtime, name);
-        // deterministic on replay because arrivals are append-only
-        listFiles().filter { case (p, _, m) =>
-          val afterStart = m > s.watermarkMs ||
-            (m == s.watermarkMs && !s.atWatermark.contains(p))
-          val atOrBeforeEnd = m < e.watermarkMs ||
-            (m == e.watermarkMs && e.atWatermark.contains(p))
-          afterStart && atOrBeforeEnd
-        }.map(f => (f._1, f._2))
+        // the compacted offsets don't carry the file set, so the DSv2
+        // replay contract (same offsets => same batch) is met with a
+        // batch log: first planning resolves the set from a directory
+        // listing and persists it; replay reads the log, never the
+        // live directory
+        readBatchLog(s, e).getOrElse {
+          val files = listFiles().filter { case (p, _, m) =>
+            val afterStart = m > s.watermarkMs ||
+              (m == s.watermarkMs && !s.atWatermark.contains(p))
+            val atOrBeforeEnd = m < e.watermarkMs ||
+              (m == e.watermarkMs && e.atWatermark.contains(p))
+            afterStart && atOrBeforeEnd
+          }.map(f => (f._1, f._2))
+          writeBatchLog(s, e, files)
+          files
+        }
       case other => throw new IllegalStateException(
         s"mixed osmpbf offset kinds: $other")
     }
@@ -120,13 +128,75 @@ class OsmPbfMicroBatchStream(
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val permissive = OsmPbfScan.isPermissive(options)
+    val skips =
+      if (permissive) OsmPbfSkipMetrics.registered(SparkSession.active)
+      else graft.pbf.SkipListener.Logging
     new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
-      OsmPbfScan.isPermissive(options))
+      permissive, skips)
+  }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = pruneBatchLog()
 
   override def stop(): Unit = ()
+
+  // ---- watermark-mode batch log -----------------------------------------
+  // One tiny file per planned batch, keyed by a digest of (start, end)
+  // offset JSON, holding the resolved (path, len) set in OsmPbfOffset's
+  // wire format. Lives under the query's checkpoint so it shares the
+  // checkpoint's lifecycle and filesystem.
+
+  private def logDir: Path = new Path(checkpointLocation, "graft-batches")
+
+  private def batchLogFile(s: Offset, e: Offset): Path = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((s.json() + "|" + e.json()).getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    new Path(logDir, key)
+  }
+
+  private def readBatchLog(s: Offset, e: Offset): Option[Seq[(String, Long)]] = {
+    val fs = logDir.getFileSystem(conf.value)
+    val f = batchLogFile(s, e)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+        in.readFully(bytes)
+        Some(OsmPbfOffset.fromJson(new String(bytes, "UTF-8")).files)
+      } finally in.close()
+    }
+  }
+
+  private def writeBatchLog(s: Offset, e: Offset, files: Seq[(String, Long)]): Unit = {
+    val fs = logDir.getFileSystem(conf.value)
+    fs.mkdirs(logDir)
+    val f = batchLogFile(s, e)
+    val tmp = new Path(logDir, s".${f.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(OsmPbfOffset(files).json().getBytes("UTF-8"))
+    finally out.close()
+    // rename is atomic per directory entry; losing the race to an
+    // identical writer is fine
+    if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+  }
+
+  /** Keep the newest entries only: Spark replays at most the latest
+    * uncommitted batch, so a deep history is dead weight on a years-long
+    * stream (one file per trigger otherwise).
+    */
+  private def pruneBatchLog(retain: Int = 64): Unit = {
+    val fs = logDir.getFileSystem(conf.value)
+    if (offsetMode == "watermark" && fs.exists(logDir)) {
+      val entries = fs.listStatus(logDir).filter(_.isFile)
+      if (entries.length > retain)
+        entries.sortBy(_.getModificationTime)
+          .dropRight(retain)
+          .foreach(st => fs.delete(st.getPath, false))
+    }
+  }
 }
 
 /** Offset = immutable snapshot of processed (path, size) pairs. */

@@ -21,11 +21,13 @@ class OsmPbfPartitionReaderFactory(
     parseType: String,
     kinds: Set[EntityKind.Value],
     conf: SerializableConfiguration,
-    permissive: Boolean = false) extends PartitionReaderFactory {
+    permissive: Boolean = false,
+    skips: SkipListener = SkipListener.Logging) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf, permissive)
+    new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf,
+      permissive, skips)
   }
 
   /** Vectorized batches when the pruned schema is the dense-node fast
@@ -37,7 +39,7 @@ class OsmPbfPartitionReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfColumnarPartitionReader(p, requiredSchema, conf, permissive)
+    new OsmPbfColumnarPartitionReader(p, requiredSchema, conf, permissive, skips)
   }
 }
 
@@ -66,7 +68,8 @@ class OsmPbfPartitionReader(
     parseType: String,
     kinds: Set[EntityKind.Value],
     conf: SerializableConfiguration,
-    permissive: Boolean = false) extends PartitionReader[InternalRow] {
+    permissive: Boolean = false,
+    skips: SkipListener = SkipListener.Logging) extends PartitionReader[InternalRow] {
 
   private val need = requiredSchema.fieldNames.toSet
   private val withInfo = need("info")
@@ -74,7 +77,8 @@ class OsmPbfPartitionReader(
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
   private val blocks =
-    PbfScanner.scanBlocks(in, part.start, part.end, kinds, withInfo, permissive)
+    PbfScanner.scanBlocks(in, part.start, part.end, kinds, withInfo, permissive,
+      skips)
   private var blockEntities: Iterator[OsmEntity] = Iterator.empty
   // provenance for the metadata columns (stable record identity)
   private var blockOffset: Long = -1L

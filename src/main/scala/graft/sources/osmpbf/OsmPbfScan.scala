@@ -277,9 +277,16 @@ class OsmPbfScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf())
+    val spark = SparkSession.active
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val permissive = OsmPbfScan.isPermissive(options)
+    // permissive data loss must be queryable, not just logged: bind the
+    // session's skipped/truncated-block accumulators (Spark UI: named
+    // accumulators graft.osmpbf.*)
+    val skips =
+      if (permissive) OsmPbfSkipMetrics.registered(spark)
+      else graft.pbf.SkipListener.Logging
     new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
-      OsmPbfScan.isPermissive(options))
+      permissive, skips)
   }
 }

@@ -66,6 +66,41 @@ class OsmPbfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark batch replay is served from the batch log, not the live directory") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.osmpbf.OsmPbfMicroBatchStream
+    import graft.pbf.EntityKind
+    val dir = Files.createTempDirectory("pbf-replay")
+    val ckpt = Files.createTempDirectory("pbf-replay-ckpt")
+    Files.copy(Paths.get(fixture), dir.resolve("a.pbf"))
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+      "path", dir.toString, "streamOffsetMode", "watermark"))
+    val schema = spark.read.format("osmpbf").load(dir.toString).schema
+    def newStream() = new OsmPbfMicroBatchStream(schema, "node",
+      Set(EntityKind.Node), opts, ckpt.toString)
+    val stream = newStream()
+    val start = stream.initialOffset()
+    val end = stream.latestOffset()
+    val planned = stream.planInputPartitions(start, end)
+    assert(planned.nonEmpty)
+    // mutate the directory AFTER planning: delete the processed file and
+    // plant a new one with an in-range mtime — exactly the adversarial
+    // recovery scenario. A fresh stream instance (restart) replaying the
+    // same offsets must reproduce the original batch from its log.
+    Files.delete(dir.resolve("a.pbf"))
+    Files.copy(Paths.get(fixture), dir.resolve("b.pbf"))
+    Files.setLastModifiedTime(dir.resolve("b.pbf"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(dir.resolve("b.pbf")).toMillis - 1))
+    val replayed = newStream().planInputPartitions(start, end)
+    def key(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.toString).sorted.toSeq
+    assert(key(replayed) == key(planned),
+      s"replay diverged:\n${key(replayed)}\nvs\n${key(planned)}")
+    assert(key(replayed).mkString.contains("a.pbf") &&
+      !key(replayed).mkString.contains("b.pbf"))
+  }
+
   test("offset JSON round-trips for both encodings") {
     import graft.sources.osmpbf.{OsmPbfOffset, OsmPbfWatermarkOffset}
     val list = OsmPbfOffset(Seq(("/tmp/a \"quoted\".pbf", 10L), ("/tmp/b.pbf", 20L)))

@@ -96,11 +96,17 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     val out = new FileOutputStream(f)
     out.write(goodA); out.write(badFrame); out.write(goodB)
     out.close()
+    val metrics = graft.sources.osmpbf.OsmPbfSkipMetrics.registered(spark)
+    metrics.reset()
     val permissive = spark.read.format("osmpbf")
       .option("parseType", "node").option("mode", "PERMISSIVE")
       .load(f.getPath).select("id").collect().map(_.getLong(0)).sorted
     assert(permissive.length == 14, s"expected 8 + 6 surviving nodes")
     assert(permissive.head == 1L && permissive.last == 205L)
+    // data loss is accounted, not just logged: one whole block skipped
+    assert(metrics.skippedBlocks.value == 1L,
+      s"skippedBlocks=${metrics.skippedBlocks.value}")
+    assert(metrics.truncatedBlocks.value == 0L)
     intercept[Exception] { // default FAILFAST propagates the decode error
       spark.read.format("osmpbf").option("parseType", "node")
         .load(f.getPath).count()
@@ -178,6 +184,8 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     out.write(frame("OSMData", badDense, "raw"))
     out.write(frame("OSMData", dataBlock(300, 4), "raw"))
     out.close()
+    val metrics = graft.sources.osmpbf.OsmPbfSkipMetrics.registered(spark)
+    metrics.reset()
     // columnar path (id/lat/lon projection)
     val columnar = spark.read.format("osmpbf")
       .option("parseType", "node").option("mode", "PERMISSIVE")
@@ -188,6 +196,10 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
       .option("parseType", "node").option("mode", "PERMISSIVE")
       .load(f.getPath).select("id", "tags")
     assert(row.count() == 13)
+    // each pass truncated the bad block mid-decode: accounted per scan
+    assert(metrics.truncatedBlocks.value == 2L,
+      s"truncatedBlocks=${metrics.truncatedBlocks.value}")
+    assert(metrics.skippedBlocks.value == 0L)
     intercept[Exception] {
       spark.read.format("osmpbf").option("parseType", "node")
         .load(f.getPath).select("id").count()
