@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All registered capabilities, in stable name order. */
   def allDefs: Seq[QueryDef] =
-    (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6)
+    (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++
+      queries7)
       .sortBy(_.name)
 
   private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
@@ -21,6 +22,7 @@ object SparkEntry {
   private def queries4: Seq[QueryDef] = _root_.graft.queries.Relational2.defs
   private def queries5: Seq[QueryDef] = _root_.graft.queries.Relational3.defs
   private def queries6: Seq[QueryDef] = _root_.graft.queries.Relational4.defs
+  private def queries7: Seq[QueryDef] = _root_.graft.queries.Pipeline2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01 (scan + filter + hash aggregate) always yields its six

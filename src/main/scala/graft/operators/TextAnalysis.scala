@@ -105,6 +105,65 @@ object TextAnalysis {
       lit(java.lang.Integer.toHexString(sixteenths))
   }
 
+  /** Stratified variant of [[hashSampled]]: the keep rate (in sixteenths)
+    * comes from a per-row column, so different strata (languages, sources,
+    * quality buckets) sample at different rates in ONE map-side pass —
+    * the standard corpus-mixing move (upsample rare languages, downsample
+    * boilerplate-heavy sources) with the same engine-portable md5
+    * determinism. Rates outside 1..15 mean keep-all (>=16) / drop-all (<=0).
+    */
+  def hashSampledBy(key: Column, sixteenths: Column): Column =
+    when(sixteenths >= 16, lit(true))
+      .when(sixteenths <= 0, lit(false))
+      .otherwise(substring(md5(key.cast("string")), 1, 1) <
+        lower(conv(sixteenths.cast("string"), 10, 16)))
+
+  /** Overlapping token windows (size `size`, step `stride`) — the
+    * context-window chunking pass of every embedding/pretraining
+    * pipeline. Emits (chunk_idx, n_chunk_tokens, chunk) per input row;
+    * trailing windows shorter than `size` are kept (the tail of a
+    * document is data too). Pure codegen built-ins: split once, then
+    * slice/array_join over a generated start sequence — no UDF, no
+    * shuffle; chunking is embarrassingly map-side at any scale.
+    */
+  def chunked(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 8,
+      stride: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("toks")), lit(1)), lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(slice(col("toks"), col("col"), lit(size)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("col"), lit(size)), " ").as("chunk"))
+  }
+
+  /** Per-document token-repetition profile (the Gopher-style repetition
+    * quality signals): token count, distinct count, duplicate-token
+    * ratio, and the top token's frequency. Explode + two-level aggregate
+    * (never array_distinct: O(n^2) per row) — partial aggregation keeps
+    * the shuffle at (id, token) cardinality.
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("max_tf"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"),
+        col("max_tf"))
+
   /** Text normalization for dedup/tokenizer front-ends: lowercase,
     * collapse whitespace runs, trim. Pure per-row expressions with exact
     * DuckDB equivalents, so normalized-corpus pipelines stay

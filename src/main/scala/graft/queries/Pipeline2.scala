@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Second wave of training-data pipeline capabilities: duplicate-cluster
+  * assignment (connected components over near-dup pairs), stratified
+  * corpus sampling, context-window chunking, and repetition quality
+  * signals. All DuckDB-oracled — the cluster oracle uses a recursive CTE
+  * to compute the same transitive closure.
+  */
+object Pipeline2 {
+  import Tables.t
+
+  /** p07's shingle/pair CTE chain (threshold 0.35, DF cap 50) — reused by
+    * the cluster oracle so the edge set is definitionally identical.
+    */
+  private val jaccardPairsCtes =
+    """sh AS (
+      |  SELECT doc_id AS id,
+      |    unnest(CASE WHEN len(toks) >= 3
+      |      THEN list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |      ELSE [text] END) AS shingle
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+      |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      |oksh AS (SELECT shingle FROM sh GROUP BY shingle
+      |         HAVING COUNT(*) BETWEEN 2 AND 50),
+      |flt AS (SELECT id, shingle FROM sh JOIN oksh USING (shingle)),
+      |common AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      |  FROM flt a JOIN flt b USING (shingle)
+      |  WHERE a.id < b.id GROUP BY a.id, b.id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM common
+      |  JOIN nsh na ON na.id = id_a
+      |  JOIN nsh nb ON nb.id = id_b
+      |  WHERE CAST(n_common AS DOUBLE)
+      |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.35)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // near-dup PAIRS -> KEEP/DROP decisions: transitively-connected
+      // docs must share a cluster id before "keep one per cluster" is
+      // even expressible. Edges are p07's oracled Jaccard pairs, so the
+      // cluster step is verified on a pair set both engines agree on;
+      // the oracle computes the same min-reachable-id via a recursive
+      // CTE (reference capability anchor: the builder brief's dedup
+      // family; same composition as minhash->cluster at 100 TB).
+      "p24_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50)
+        Dedup.connectedComponents(pairs)
+          .select($"id".as("doc_id"), $"cluster_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, MIN(lbl) AS cluster_id
+             |FROM reach GROUP BY id
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // corpus mixing: sample strata at different rates in one map-side
+      // pass (here: keep 4/16 of English, 8/16 of everything else) with
+      // the same engine-portable md5 determinism as p19.
+      "p25_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(TextAnalysis.hashSampledBy($"doc_id",
+            when($"lang" === "en", 4).otherwise(8)))
+          .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             |      < (CASE WHEN lang = 'en' THEN '4' ELSE '8' END)
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // context-window chunking (size 8, stride 4, short tail kept):
+      // the map-side pass that turns documents into training/embedding
+      // windows. Verified row-by-row against list slicing in DuckDB.
+      "p26_chunking",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.chunked(t(s, dir, "documents"), "doc_id", "text",
+            size = 8, stride = 4)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""SELECT doc_id,
+             |  CAST((s - 1) // 4 AS INT) AS chunk_idx,
+             |  CAST(len(toks[s : least(s + 7, len(toks))]) AS INT) AS n_chunk_tokens,
+             |  array_to_string(toks[s : least(s + 7, len(toks))], ' ') AS chunk
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |     unnest(generate_series(1, greatest(len(toks), 1), 4)) AS g(s)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QueryDef(
+      // Gopher-style repetition signals: duplicate-token ratio and top
+      // token frequency per document — the quality gate that catches
+      // boilerplate/spam that length and punctuation scores miss.
+      "p27_repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_distinct,
+             |  round(CAST(SUM(tf) - COUNT(*) AS DOUBLE) / SUM(tf), 6) AS dup_ratio,
+             |  CAST(MAX(tf) AS BIGINT) AS max_tf
+             |FROM (SELECT doc_id, t, COUNT(*) AS tf
+             |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |            FROM documents)
+             |      GROUP BY doc_id, t)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

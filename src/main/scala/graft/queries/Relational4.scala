@@ -36,6 +36,50 @@ object Relational4 {
              |                   WHERE c2.c_nationkey = c.c_nationkey)
              |ORDER BY n_name, c_custkey""".stripMargin)),
 
+    // ---- q44: recursive CTE ----------------------------------------------
+    // WITH RECURSIVE generating a month spine, equi-joined to a
+    // pre-aggregated orders rollup (months with no orders surface as
+    // zero rows — the spine is the point; a bare GROUP BY would drop
+    // them). The recursion itself is driver-cheap (24 rows); the orders
+    // aggregate is the only distributed work, grouped before the join so
+    // the spine join is a broadcast over 24 rows at any scale.
+    QueryDef(
+      "q44_recursive_cte",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE months(m) AS (
+                |  SELECT DATE'1995-01-01'
+                |  UNION ALL
+                |  SELECT m + INTERVAL '1' MONTH FROM months
+                |  WHERE m < DATE'1996-12-01'
+                |),
+                |per AS (
+                |  SELECT trunc(o_orderdate, 'MM') AS m, COUNT(*) AS n,
+                |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                |  FROM orders GROUP BY 1)
+                |SELECT m AS month_start,
+                |  COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+                |  CAST(COALESCE(rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                |FROM months LEFT JOIN per USING (m)
+                |ORDER BY month_start""".stripMargin)
+      },
+      Some("""WITH RECURSIVE months(m) AS (
+             |  SELECT DATE '1995-01-01'
+             |  UNION ALL
+             |  SELECT m + INTERVAL 1 MONTH FROM months
+             |  WHERE m < DATE '1996-12-01'
+             |),
+             |per AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             |         COUNT(*) AS n,
+             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1)
+             |SELECT m AS month_start,
+             |  COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+             |  CAST(COALESCE(rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM months LEFT JOIN per USING (m)
+             |ORDER BY month_start""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Unit gates for the second pipeline wave: cluster assignment, stratified
+  * sampling, chunking, repetition stats. (Their end-to-end equivalence to
+  * DuckDB runs through the p24-p27 oracle entries.)
+  */
+class Pipeline2OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("connectedComponents merges chains and keeps components separate") {
+    import spark.implicits._
+    // component A: 1-2-3-4 (a chain: forces multi-round propagation);
+    // component B: 10-11; pair (20,21) makes a third trivial component
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles a long chain and scopes its caching") {
+    import spark.implicits._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    // a 31-node chain converges via pointer doubling within maxIter rounds
+    assert(cc.collect().map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    // loop intermediates are unpersisted; only the result's own
+    // localCheckpoint may remain (released when the frame is dropped)
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "scoped persist must unpersist all loop intermediates")
+  }
+
+  test("chunked covers every token with the configured stride and tail") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i"), // 9 tokens: starts 1,5,9
+      (2L, "x y"),               // shorter than size: one chunk
+      (3L, "solo")               // single token
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunked(df, "doc_id", "text", size = 8, stride = 4)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0, 8, "a b c d e f g h"),
+      (1L, 1, 5, "e f g h i"),
+      (1L, 2, 1, "i"),
+      (2L, 0, 2, "x y"),
+      (3L, 0, 1, "solo")))
+  }
+
+  test("hashSampledBy matches hashSampled at a uniform rate; 16 keeps all, 0 drops all") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val uniform = ids.filter(TextAnalysis.hashSampledBy($"id", lit(4))).count()
+    val fixed = ids.filter(TextAnalysis.hashSampled($"id", 4)).count()
+    assert(uniform == fixed)
+    assert(ids.filter(TextAnalysis.hashSampledBy($"id", lit(16))).count() == 500)
+    assert(ids.filter(TextAnalysis.hashSampledBy($"id", lit(0))).count() == 0)
+    // rates 10..15 hit the letter range of the hex alphabet
+    val ten = ids.filter(TextAnalysis.hashSampledBy($"id", lit(10))).count()
+    val fifteen = ids.filter(TextAnalysis.hashSampledBy($"id", lit(15))).count()
+    assert(ten == ids.filter(TextAnalysis.hashSampled($"id", 10)).count())
+    assert(ten < fifteen && fifteen < 500)
+  }
+
+  test("repetitionStats counts duplicates and the dominant token") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3L, 0.4, 3L),
+      (2L, 3L, 3L, 0.0, 1L)))
+  }
+}
