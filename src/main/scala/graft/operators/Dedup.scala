@@ -163,9 +163,9 @@ object Dedup {
     *
     * The signature frame is persisted (it feeds candidate generation and
     * both scoring joins; Spark does not reuse exchanges across self-join
-    * branches). Callers own the cache lifecycle: call
-    * `spark.catalog.clearCache()` after the result is materialized, as
-    * Verify/Bench do per query.
+    * branches). This lazy form leaves the cache to the caller (Verify/
+    * Bench `clearCache()` per query); library consumers should prefer
+    * [[minhashLshPairsScoped]], which unpersists on exit.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -174,10 +174,40 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
+    val (sig, pairs) = minhashLshPairsWithCache(
+      df, idCol, textCol, numHashes, bands, maxBucketSize)
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+  }
+
+  /** Scoped-cache variant: persists the signature frame, hands the pair
+    * frame to `use`, and unpersists before returning — library consumers
+    * get cache hygiene without a session-wide `clearCache()`. Materialize
+    * the result inside `use` (the frame's plan references the cache).
+    */
+  def minhashLshPairsScoped[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000)(use: DataFrame => T): T = {
+    val (sig, pairs) = minhashLshPairsWithCache(
+      df, idCol, textCol, numHashes, bands, maxBucketSize)
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(pairs) finally sig.unpersist()
+  }
+
+  private def minhashLshPairsWithCache(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.vec_match_count
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only banded frame: (band, band_hash, id)
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -195,12 +225,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val scored = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (vec_match_count(col("sig_a"), col("sig_b")).cast("double") /
           lit(numHashes).cast("double")).as("est_jaccard"))
+    (sig, scored)
   }
 
   /** Exact n-gram Jaccard over shingle-sharing candidate pairs.
@@ -215,9 +246,10 @@ object Dedup {
     * shingle counts, so capping only drops hot-shingle evidence from the
     * numerator (mirrored in the oracle SQL).
     *
-    * Caller owns the cache lifecycle of the persisted shingle frame
-    * (`spark.catalog.clearCache()` after materializing, as Verify/Bench
-    * do per query).
+    * This lazy form persists the shingle frame and leaves the cache to
+    * the caller (Verify/Bench `clearCache()` per query); library
+    * consumers should prefer [[ngramJaccardPairsScoped]], which
+    * unpersists on exit.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -225,11 +257,38 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000): DataFrame = {
+    val (sh, pairs) = ngramJaccardPairsWithCache(
+      df, idCol, textCol, minJaccard, maxShingleDf)
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+  }
+
+  /** Scoped-cache variant of [[ngramJaccardPairs]]: persists the exploded
+    * shingle frame, hands the pair frame to `use`, and unpersists before
+    * returning. Materialize the result inside `use`.
+    */
+  def ngramJaccardPairsScoped[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      maxShingleDf: Int = 10000)(use: DataFrame => T): T = {
+    val (sh, pairs) = ngramJaccardPairsWithCache(
+      df, idCol, textCol, minJaccard, maxShingleDf)
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(pairs) finally sh.unpersist()
+  }
+
+  private def ngramJaccardPairsWithCache(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      maxShingleDf: Int): (DataFrame, DataFrame) = {
     // the exploded-shingle frame feeds three consumers (per-doc counts,
     // shingle DF counts, candidate join) and Spark does not reuse the
     // exchange across them — persist it once (MLlib-style)
     val sh = explodedShingles(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxShingleDf))
@@ -239,13 +298,14 @@ object Dedup {
       .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
+    val scored = common
       .join(nsh.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(nsh.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (sh, scored)
   }
 
   /** 64-bit SimHash over token hashes: bit b is the sign of the sum of
@@ -326,12 +386,19 @@ object Dedup {
     * a safety valve; partial labels at the cap are still a valid
     * over-segmentation (never wrongly merges).
     *
-    * Caching is SCOPED: loop intermediates are persisted only for the
-    * convergence actions and unpersisted before returning. The RESULT is
-    * a `localCheckpoint` (an iterative lineage cannot be returned as a
-    * lazy plan — re-deriving it would re-run the loop with a plan tree
-    * that doubles per round); its single cached RDD is released by
-    * Spark's ContextCleaner once the caller drops the frame.
+    * Loop intermediates are EAGER `localCheckpoint`s, not persist():
+    * each round's labels are materialized once and their lineage cut, so
+    * every round's plan has constant size regardless of iteration count.
+    * (A persist/unpersist loop is a trap here: Spark's non-cascading
+    * cache invalidation re-plans dependent cache entries when an
+    * upstream frame is unpersisted, silently evicting the very round it
+    * just materialized — measured 4x blowup per round on a 500-node
+    * graph before the rewrite.) Checkpointed RDDs from finished rounds
+    * are released by the ContextCleaner as their frames go unreferenced;
+    * `edges` is the only persist, scoped to this call. Local
+    * checkpoints trade executor-loss recovery for speed — on a
+    * long-running shared cluster, snapshot `pairs` to a table first if
+    * the pair computation is expensive to redo.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -342,34 +409,49 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
     edges.persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-    labels.persist()
     try {
+      // seed labels with the direct-neighborhood minimum (one aggregate
+      // over edges): dense dup clusters — the common case — converge to
+      // their final label immediately and the loop only runs its one
+      // confirmation round; chains still need the doubling rounds
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(least(col("src"), min(col("dst"))).as("lbl"))
+        .localCheckpoint(true)
       var converged = false
       var rounds = 0
+      // labels only ever decrease, so sum(lbl) is monotone until the
+      // fixpoint: comparing it across rounds is a cheap convergence
+      // probe over the just-checkpointed round (no join + isEmpty job).
+      // Decimal(38) sum cannot overflow for any realistic node count.
+      var checksum = sumLabels(labels)
       while (!converged && rounds < maxIter) {
+        // propagation aggregate, checkpointed because it feeds BOTH
+        // sides of the pointer-jump self-join (Spark would otherwise
+        // run the edges-join + groupBy twice per round)
         val nbr = edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"))
           .union(labels.select(col("id"), col("lbl")))
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
         // pointer jump: a label is always a node id, so the self-join
         // always matches, and monotonicity gives parent-label <= label
         val parent = nbr.select(col("id").as("pid"), col("lbl").as("plbl"))
         val next = nbr.join(parent, nbr("lbl") === parent("pid"))
           .select(nbr("id"), least(nbr("lbl"), col("plbl")).as("lbl"))
-        next.persist()
-        converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") < col("prev")).isEmpty
-        labels.unpersist()
+          .localCheckpoint(true)
+        val sum = sumLabels(next)
+        // null = empty label set (no pairs): nothing can change, stop
+        converged = sum == null || sum.compareTo(checksum) == 0
+        checksum = sum
         labels = next
         rounds += 1
       }
       labels.select(col("id"), col("lbl").as("cluster_id"))
-        .localCheckpoint(true)
     } finally {
-      labels.unpersist()
       edges.unpersist()
     }
   }
+
+  private def sumLabels(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
 }

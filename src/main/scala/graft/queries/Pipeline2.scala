@@ -53,10 +53,13 @@ object Pipeline2 {
       "p24_dup_clusters",
       (s, dir) => {
         import s.implicits._
-        val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50)
-        Dedup.connectedComponents(pairs)
-          .select($"id".as("doc_id"), $"cluster_id")
+        // scoped form: connectedComponents materializes eagerly (its
+        // result is a localCheckpoint), so the shingle cache can be
+        // released before this query's frame is even returned
+        Dedup.ngramJaccardPairsScoped(t(s, dir, "documents"),
+            "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50) { pairs =>
+          Dedup.connectedComponents(pairs)
+        }.select($"id".as("doc_id"), $"cluster_id")
           .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $jaccardPairsCtes,
