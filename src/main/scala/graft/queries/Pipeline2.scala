@@ -75,6 +75,67 @@ object Pipeline2 {
              |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      // the COMPLETE near-dup dedup pipeline in one entry: pairs ->
+      // clusters -> keep the minimum doc id per cluster -> per-source
+      // survivor counts. This is the composition a 100 TB run executes
+      // (pair generation is bucketed, the cluster graph is id-only, the
+      // survivor filter is one left-anti join against the small dropped
+      // set); the oracle replays it with a recursive CTE over the same
+      // oracled Jaccard edge set.
+      "p28_dedup_survivors",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val dropped = Dedup.ngramJaccardPairsScoped(docs,
+            "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50) { pairs =>
+          Dedup.connectedComponents(pairs)
+        }.filter($"id" =!= $"cluster_id")
+          .select($"id".as("doc_id"), lit(1).as("is_dup"))
+        docs.join(dropped, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg((count(lit(1)) - count($"is_dup")).as("n_kept"),
+            count($"is_dup").as("n_dropped"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id),
+             |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(lbl) <> id)
+             |SELECT source,
+             |  COUNT(*) - COUNT(d.id) AS n_kept,
+             |  COUNT(d.id) AS n_dropped
+             |FROM documents LEFT JOIN drp d ON d.id = doc_id
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // vocabulary building: global token counts, top 200 by frequency
+      // with a deterministic tie-break — the tokenizer-training /
+      // coverage-analysis pass. Explode + partial-agg + TakeOrdered:
+      // the shuffle carries one row per distinct token, the top-k never
+      // materializes a full sort at scale.
+      "p29_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(200)
+      },
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token
+             |      FROM documents)
+             |GROUP BY token
+             |ORDER BY n DESC, token
+             |LIMIT 200""".stripMargin)),
+
+    QueryDef(
       // corpus mixing: sample strata at different rates in one map-side
       // pass (here: keep 4/16 of English, 8/16 of everything else) with
       // the same engine-portable md5 determinism as p19.

@@ -80,6 +80,122 @@ object Relational4 {
              |FROM months LEFT JOIN per USING (m)
              |ORDER BY month_start""".stripMargin)),
 
+    // ---- q45: statistical moments from decimal-exact sufficient stats ----
+    // corr / stddev / mean per group WITHOUT float-sum nondeterminism:
+    // the aggregate computes the five sufficient statistics (n, Sx, Sy,
+    // Sxx, Syy, Sxy) in DECIMAL — order-independent, exact — and the
+    // moments come from ONE final double expression per group. Identical
+    // decimal inputs + identical IEEE expression trees = bit-equal
+    // doubles on both engines, so the statistics family is hash-oracled
+    // without any round() fuzz. Same single-shuffle partial-agg shape as
+    // any sum; nothing here degrades at scale.
+    QueryDef(
+      "q45_stats_moments",
+      (s, dir) => {
+        import s.implicits._
+        val q = $"l_quantity".cast(D18)
+        val p = $"l_extendedprice".cast(D18)
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).as("sx"), sum(p).as("sy"),
+            sum((q * q).cast(DecimalType(38, 4))).as("sxx"),
+            sum((p * p).cast(DecimalType(38, 4))).as("syy"),
+            sum((q * p).cast(DecimalType(38, 4))).as("sxy"))
+          .select($"l_returnflag",
+            $"n",
+            ($"sx".cast("double") / $"n".cast("double")).as("mean_qty"),
+            sqrt(($"n".cast("double") * $"sxx".cast("double") -
+                $"sx".cast("double") * $"sx".cast("double")) /
+              ($"n".cast("double") * ($"n".cast("double") - lit(1.0d))))
+              .as("stddev_qty"),
+            (($"n".cast("double") * $"sxy".cast("double") -
+                $"sx".cast("double") * $"sy".cast("double")) /
+              sqrt(($"n".cast("double") * $"sxx".cast("double") -
+                  $"sx".cast("double") * $"sx".cast("double")) *
+                ($"n".cast("double") * $"syy".cast("double") -
+                  $"sy".cast("double") * $"sy".cast("double"))))
+              .as("corr_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag,
+             |    COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+             |             CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+             |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+             |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+             |             CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+             |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q46: NOT IN / IN three-valued logic ------------------------------
+    // The classic SQL trap, demoed both ways in one result: a NOT IN
+    // whose subquery contains a NULL matches NOTHING (every comparison
+    // is UNKNOWN), while the same subquery without the NULL behaves like
+    // an anti join, and IN ignores the NULL. The raw tables carry no
+    // NULLs, so nullif() plants one deterministically on both engines.
+    // Scale note: a nullable NOT IN forces Spark's null-aware anti join
+    // (broadcast-only) — fine for a dimension-sized subquery like this;
+    // rewrite as NOT EXISTS with explicit null predicates when the
+    // subquery side is fact-sized.
+    QueryDef(
+      "q46_notin_nulls",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_rows
+                |FROM customer
+                |WHERE c_custkey NOT IN
+                |  (SELECT nullif(o_custkey, 7) FROM orders
+                |   WHERE o_orderpriority = '1-URGENT')
+                |UNION ALL
+                |SELECT 'not_in_no_null', COUNT(*)
+                |FROM customer
+                |WHERE c_custkey NOT IN
+                |  (SELECT o_custkey FROM orders
+                |   WHERE o_orderpriority = '1-URGENT')
+                |UNION ALL
+                |SELECT 'in_with_null', COUNT(*)
+                |FROM customer
+                |WHERE c_custkey IN
+                |  (SELECT nullif(o_custkey, 7) FROM orders
+                |   WHERE o_orderpriority = '1-URGENT')
+                |ORDER BY variant""".stripMargin)
+      },
+      Some("""SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_rows
+             |FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT nullif(o_custkey, 7) FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'not_in_no_null', COUNT(*)
+             |FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'in_with_null', COUNT(*)
+             |FROM customer
+             |WHERE c_custkey IN
+             |  (SELECT nullif(o_custkey, 7) FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY variant""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second
