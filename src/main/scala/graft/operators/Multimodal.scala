@@ -212,6 +212,178 @@ object Multimodal {
     Some((sampleRate, nFrames, env))
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    // 4x4 average-luma thumbnail of the sampled frame, row-major
+    StructField("thumb", ArrayType(FloatType, containsNull = false))))
+
+  /** Decode a Y4M (YUV4MPEG2) payload and sample every `stride`-th frame
+    * (up to `maxFrames`), producing (width, height, totalFrames,
+    * sampled (frameIdx, 4x4 average-luma thumb)). Y4M is the plain
+    * uncompressed video interchange format of the ffmpeg/mjpegtools
+    * world: a text header `YUV4MPEG2 W.. H.. F..` then `FRAME\n` +
+    * raw planes per frame — parseable with zero codec dependencies.
+    * 4:2:0 chroma (C420*) and 4:4:4 (C444) are supported; the thumb
+    * reads only the Y plane (luma IS the Y byte). Returns None for
+    * non-Y4M or malformed payloads; geometry math is in Long so hostile
+    * headers degrade to None, never a crash.
+    */
+  private[operators] def decodeY4mFrames(
+      bytes: Array[Byte],
+      stride: Int,
+      maxFrames: Int): Option[(Int, Int, Int, Seq[(Int, Array[Float])])] = {
+    val magic = "YUV4MPEG2"
+    if (bytes.length < magic.length ||
+      !(0 until magic.length).forall(i => bytes(i) == magic.charAt(i)))
+      return None
+    // header line: space-separated parameter tags, terminated by \n
+    var p = magic.length
+    var w = -1
+    var h = -1
+    var chroma = "420"
+    while (p < bytes.length && bytes(p) != '\n') {
+      if (bytes(p) == ' ') {
+        p += 1
+        if (p < bytes.length) {
+          val tag = bytes(p).toChar
+          val start = p + 1
+          var e = start
+          while (e < bytes.length && bytes(e) != ' ' && bytes(e) != '\n') e += 1
+          val v = new String(bytes, start, e - start, "US-ASCII")
+          tag match {
+            case 'W' => w = v.toIntOption.getOrElse(-1)
+            case 'H' => h = v.toIntOption.getOrElse(-1)
+            case 'C' => chroma = v
+            case _ => () // F (rate), I (interlace), A (aspect), X (ext) — ignored
+          }
+          p = e
+        }
+      } else p += 1
+    }
+    if (p >= bytes.length) return None
+    p += 1 // consume the header newline
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val ySize = w.toLong * h
+    val frameSize: Long =
+      if (chroma.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        ySize + 2L * ((w / 2).toLong * (h / 2))
+      } else if (chroma == "444") 3L * ySize
+      else return None // 422/mono/etc: not needed, reject loudly via None
+    if (frameSize > Int.MaxValue) return None
+
+    def lumaThumbAt(yOff: Long): Array[Float] = {
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * 4 / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * 4 / w).toInt
+          val c = gy * 4 + gx
+          sums(c) += bytes((yOff + y.toLong * w + x).toInt) & 0xff
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(16)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+    }
+
+    val frameTag = "FRAME"
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Float])]
+    var idx = 0
+    while (p < bytes.length) {
+      if (p + frameTag.length > bytes.length ||
+        !(0 until frameTag.length).forall(i => bytes(p + i) == frameTag.charAt(i)))
+        return None // trailing garbage: treat the whole payload as malformed
+      p += frameTag.length
+      while (p < bytes.length && bytes(p) != '\n') p += 1 // frame params
+      if (p >= bytes.length) return None
+      p += 1
+      if (p.toLong + frameSize > bytes.length) return None // truncated frame
+      if (idx % stride == 0 && sampled.length < maxFrames)
+        sampled += ((idx, lumaThumbAt(p)))
+      p += frameSize.toInt
+      idx += 1
+    }
+    Some((w, h, idx, sampled.toSeq))
+  }
+
+  /** Frame sampling over video payloads: every `stride`-th frame (capped
+    * at `maxFrames` per document) becomes a row with the frame's 4x4
+    * average-luma thumbnail — the "sample frames for captioning /
+    * embedding" pass of a video training pipeline. Input needs
+    * (doc_id, payload); undecodable payloads contribute zero rows
+    * (filter-on-decode, the streaming-friendly contract — join back
+    * against the corpus to find them). Same `mapPartitions` batch shape
+    * as [[decodeFeatures]]: decoder init amortizes per partition, and
+    * the payload column never shuffles — sampling is map-side at any
+    * scale.
+    */
+  def frameSamples(
+      withPayloadDf: DataFrame,
+      stride: Int = 2,
+      maxFrames: Int = 16,
+      targetPartitions: Int = 0): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, "stride/maxFrames must be >= 1")
+    val spark = withPayloadDf.sparkSession
+    val repartitioned =
+      if (targetPartitions > 0) withPayloadDf.repartition(targetPartitions)
+      else withPayloadDf
+    val rdd = repartitioned.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val decoded =
+          try decodeY4mFrames(bytes, stride, maxFrames)
+          catch { case _: Exception => None }
+        decoded match {
+          case Some((w, h, n, frames)) =>
+            frames.map { case (idx, thumb) => Row(id, idx, w, h, n, thumb.toSeq) }
+          case None => Nil
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Deterministic synthetic Y4M clip (8x8, C420, constant-luma frames):
+    * frame f of doc d has every Y byte equal to (d*7 + f*13) mod 256.
+    * Exists so frame-sampling can be ORACLE-checked end-to-end — the
+    * decoded thumbnail of an analytically-known payload is itself
+    * analytically known, so a SQL engine with no video decoder can
+    * still verify the full parse-sample-decode path.
+    */
+  def syntheticY4m(docId: Long, nFrames: Int): Array[Byte] = {
+    val w = 8
+    val h = 8
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val frameSize = w * h + 2 * (w / 2) * (h / 2)
+    val out = new Array[Byte](header.length + nFrames * (frameHdr.length + frameSize))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(frameHdr, 0, out, p, frameHdr.length)
+      p += frameHdr.length
+      val v = (math.floorMod(docId * 7 + f * 13, 256)).toByte
+      java.util.Arrays.fill(out, p, p + w * h, v)
+      p += w * h
+      java.util.Arrays.fill(out, p, p + 2 * (w / 2) * (h / 2), 128.toByte)
+      p += 2 * (w / 2) * (h / 2)
+      f += 1
+    }
+    out
+  }
+
   /** Feature extraction over payload batches. Recognized image formats
     * (BMP/PPM) are truly decoded — real dimensions, real pixel-average
     * thumbnail; anything else gets a deterministic opaque fingerprint:

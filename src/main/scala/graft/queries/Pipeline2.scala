@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Second wave of training-data pipeline capabilities: duplicate-cluster
@@ -176,6 +176,34 @@ object Pipeline2 {
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |     unnest(generate_series(1, greatest(len(toks), 1), 4)) AS g(s)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QueryDef(
+      // video frame sampling with a REAL decoder (Y4M — the ffmpeg-world
+      // uncompressed interchange format), oracle-checked end-to-end: the
+      // payloads are deterministic synthetic clips whose per-frame luma
+      // is analytically known, so DuckDB verifies the full
+      // parse->sample->decode path without owning a video decoder. The
+      // sampling itself is pure map-side (payloads never shuffle).
+      "p30_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val vids = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.syntheticY4m(id, (3 + id % 5).toInt))))
+          .toDF("doc_id", "payload")
+        Multimodal.frameSamples(vids, stride = 2, maxFrames = 16)
+          .select($"doc_id", $"frame_idx", $"width", $"height", $"n_frames",
+            round(element_at($"thumb", 1).cast("double"), 6).as("luma"))
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |  8 AS width, 8 AS height,
+             |  CAST(3 + doc_id % 5 AS INT) AS n_frames,
+             |  ROUND(CAST(CAST(((doc_id * 7 + f * 13) % 256) / 255.0 AS REAL)
+             |        AS DOUBLE), 6) AS luma
+             |FROM documents,
+             |  unnest(generate_series(0, 2 + doc_id % 5, 2)) AS g(f)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     QueryDef(
       // Gopher-style repetition signals: duplicate-token ratio and top

@@ -201,4 +201,71 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(opaque.isNullAt(opaque.fieldIndex("width")))
     assert(opaque.getAs[Long]("content_hash") != 0L)
   }
+
+  /** Hand-built Y4M with per-pixel control: `pix(f, x, y)` is the Y byte. */
+  private def y4m(w: Int, h: Int, nFrames: Int, chroma: String = "C420",
+      params: String = " F25:1 Ip A1:1")(pix: (Int, Int, Int) => Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h$params $chroma\n".getBytes(StandardCharsets.US_ASCII))
+    val chromaSize = if (chroma == "C444") 2 * w * h else 2 * (w / 2) * (h / 2)
+    for (f <- 0 until nFrames) {
+      bos.write("FRAME\n".getBytes(StandardCharsets.US_ASCII))
+      for (y <- 0 until h; x <- 0 until w) bos.write(pix(f, x, y) & 0xff)
+      for (_ <- 0 until chromaSize) bos.write(128)
+    }
+    bos.toByteArray
+  }
+
+  test("Y4M: frame count, stride sampling, and real luma averaging") {
+    // 4 frames; frame f is left-dark right-bright so the thumb splits
+    val clip = y4m(8, 8, 4)((f, x, _) => if (x < 4) f * 10 else 200 + f)
+    val got = Multimodal.decodeY4mFrames(clip, stride = 2, maxFrames = 16).get
+    val (w, h, n, frames) = got
+    assert((w, h, n) == (8, 8, 4))
+    assert(frames.map(_._1) == Seq(0, 2))
+    val t0 = frames.head._2
+    // row-major 4x4: columns 0-1 dark (f=0 -> 0), columns 2-3 bright (200)
+    assert(t0(0) == 0f && t0(1) == 0f)
+    assert(math.abs(t0(2) - 200f / 255f) < 1e-6 && math.abs(t0(3) - 200f / 255f) < 1e-6)
+    val t2 = frames(1)._2
+    assert(math.abs(t2(0) - 20f / 255f) < 1e-6)
+  }
+
+  test("Y4M: maxFrames caps, C444 supported, unknown chroma rejected") {
+    val clip = y4m(4, 4, 6)((f, _, _) => f)
+    val sampled = Multimodal.decodeY4mFrames(clip, stride = 1, maxFrames = 3).get._4
+    assert(sampled.map(_._1) == Seq(0, 1, 2))
+    val c444 = y4m(4, 4, 2, chroma = "C444")((f, _, _) => 100 + f)
+    val got444 = Multimodal.decodeY4mFrames(c444, 1, 16).get
+    assert(got444._3 == 2 && math.abs(got444._4.head._2(0) - 100f / 255f) < 1e-6)
+    val mono = y4m(4, 4, 1, chroma = "Cmono")((_, _, _) => 7)
+    assert(Multimodal.decodeY4mFrames(mono, 1, 16).isEmpty)
+  }
+
+  test("Y4M: truncated frame, odd 4:2:0 dims, and non-Y4M payloads reject") {
+    val clip = y4m(4, 4, 2)((_, _, _) => 50)
+    val truncated = clip.dropRight(5)
+    assert(Multimodal.decodeY4mFrames(truncated, 1, 16).isEmpty)
+    val odd = y4m(3, 4, 1)((_, _, _) => 50) // 3 wide cannot be 4:2:0
+    assert(Multimodal.decodeY4mFrames(odd, 1, 16).isEmpty)
+    assert(Multimodal.decodeY4mFrames("not video".getBytes("UTF-8"), 1, 16).isEmpty)
+    assert(Multimodal.decodeY4mFrames(Array.empty[Byte], 1, 16).isEmpty)
+  }
+
+  test("frameSamples: map-side rows per sampled frame; undecodable yields none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Multimodal.syntheticY4m(1L, 5)),
+      (2L, "opaque bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.frameSamples(df, stride = 2, maxFrames = 16)
+      .orderBy(col("doc_id"), col("frame_idx")).collect()
+    assert(rows.forall(_.getLong(0) == 1L))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(rows.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8 && r.getInt(4) == 5))
+    // constant-luma synthetic: frame f of doc d is ((7d + 13f) mod 256)/255
+    val luma0 = rows(0).getAs[scala.collection.Seq[Float]]("thumb").head
+    assert(math.abs(luma0 - 7f / 255f) < 1e-6)
+  }
 }
