@@ -178,6 +178,36 @@ object Pipeline2 {
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     QueryDef(
+      // per-label embedding centroids (class prototypes): posexplode to
+      // (label, dim, x), decimal-exact sums per cell, one double divide
+      // at the end — vector aggregation as a single partial-aggregated
+      // shuffle of scalar cells, never whole arrays. Emitted dim-wise
+      // (label, dim, centroid) so the oracle compares scalars.
+      "p31_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding"))
+          .select($"label", $"pos".as("dim"),
+            $"col".cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("x"))
+          .groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+          // round(,6) per the house float recipe: engines disagree on
+          // float->decimal rounding at rare decimal-tie positions, so
+          // the exact-decimal sum can differ by a few 1e-9 quanta
+          .select($"label", $"dim",
+            round($"sx".cast("double") / $"n".cast("double"), 6).as("centroid"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+             |  ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+             |FROM embeddings,
+             |  unnest(generate_series(1, len(embedding))) AS g(i)
+             |GROUP BY label, i
+             |ORDER BY label, dim""".stripMargin)),
+
+    QueryDef(
       // video frame sampling with a REAL decoder (Y4M — the ffmpeg-world
       // uncompressed interchange format), oracle-checked end-to-end: the
       // payloads are deterministic synthetic clips whose per-frame luma

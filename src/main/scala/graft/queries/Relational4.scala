@@ -196,6 +196,40 @@ object Relational4 {
              |   WHERE o_orderpriority = '1-URGENT')
              |ORDER BY variant""".stripMargin)),
 
+    // ---- q47: IGNORE NULLS window gap-fill --------------------------------
+    // Forward-fill / previous-non-null — the standard sensor/event
+    // gap-fill. The raw table has no NULLs, so a CASE plants them
+    // deterministically (only 'view' events carry a reading); LAST_VALUE
+    // IGNORE NULLS over a running frame fills forward, LAG IGNORE NULLS
+    // fetches the previous reading. One window sort per user partition —
+    // the same single-shuffle shape as any per-key window at scale.
+    QueryDef(
+      "q47_ignore_nulls_fill",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT event_id, user_id, reading,
+                |  LAST_VALUE(reading) IGNORE NULLS OVER wf AS filled,
+                |  LAG(reading) IGNORE NULLS OVER wo AS prev_reading
+                |FROM (SELECT event_id, user_id, ts,
+                |        CASE WHEN event_type = 'view' THEN value END AS reading
+                |      FROM events)
+                |WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                |       wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+                |ORDER BY user_id, event_id""".stripMargin)
+      },
+      // DuckDB's IGNORE NULLS goes inside the call parens
+      Some("""SELECT event_id, user_id, reading,
+             |  LAST_VALUE(reading IGNORE NULLS) OVER wf AS filled,
+             |  LAG(reading IGNORE NULLS) OVER wo AS prev_reading
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type = 'view' THEN value END AS reading
+             |      FROM events)
+             |WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |       wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second
