@@ -124,6 +124,58 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_content_key")
       .drop("_content_key")
 
+  /** Stream-static enrichment join + windowed rollup: the standard
+    * "attach dimension attributes at ingest" shape. The static side is
+    * broadcast — a stream-static join keeps NO join state (the dimension
+    * is re-planned per microbatch, so slowly-changing dims pick up
+    * changes on the next batch), and the only stateful operator is the
+    * watermarked window aggregate. At 100 TB/day the stream side never
+    * shuffles for the join; only the (window, dimension-key) aggregate
+    * rows do.
+    */
+  def enrichedWindowedTotals(
+      events: DataFrame,
+      dim: DataFrame,
+      joinKey: String = "user_id",
+      dimCol: String = "tier",
+      windowDur: String = "10 minutes",
+      watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(joinKey), col(dimCol))), Seq(joinKey))
+      .groupBy(window(col("ts"), windowDur), col(dimCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(dimCol), col("n"), col("total_value"))
+
+  /** Stream-stream interval join: pair each left event with right-side
+    * events for the same user within `[ts, ts + horizon]` — the
+    * view-to-click attribution shape. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, so Spark
+    * can expire join state: memory is (rate x (watermark + horizon)),
+    * not stream lifetime. Inner join in append mode — rows emit once
+    * both sides' watermarks pass the match window.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      userCol: String = "user_id",
+      horizon: String = "10 minutes",
+      watermark: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(userCol).as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(userCol).as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_user").as("user_id"), col("l_event_id"),
+        col("r_event_id"), col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Run a streaming query over a parquet directory and collect the final
     * result via the memory sink (synchronous, for tests/demos).
     */

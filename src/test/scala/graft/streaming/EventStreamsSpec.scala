@@ -57,6 +57,40 @@ class EventStreamsSpec extends AnyFunSuite {
       "(a,null), (null,a) and (a,a) must produce three distinct keys")
   }
 
+  test("stream-static enrichment join matches the batch computation") {
+    import spark.implicits._
+    val dim = spark.read.parquet(srcDir).select($"user_id").distinct()
+      .withColumn("tier", concat(lit("t"), ($"user_id" % 3).cast("string")))
+    dim.persist()
+    try {
+      val streamed = EventStreams.runToMemory(spark, srcDir, "enriched_win",
+        df => EventStreams.enrichedWindowedTotals(df, dim))
+      val batch = EventStreams.enrichedWindowedTotals(
+        spark.read.parquet(srcDir), dim)
+      val s = streamed.collect()
+      assert(s.nonEmpty)
+      val bSet = batch.collect().map(_.toString).toSet
+      // append emits only closed windows; each must equal batch exactly
+      assert(s.forall(r => bSet(r.toString)))
+    } finally dim.unpersist()
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val views = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "view")
+    val clicks = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "click")
+    val streamed = EventStreams.runToMemory(spark, srcDir, "interval_join",
+      df => EventStreams.intervalJoin(views(df), clicks(df)))
+    val batchDf = spark.read.parquet(srcDir)
+    val batch = EventStreams.intervalJoin(views(batchDf), clicks(batchDf))
+    val s = streamed.collect().map(_.toString).sorted
+    val b = batch.collect().map(_.toString).sorted
+    assert(s.nonEmpty, "the sf0.001 events must produce view->click pairs")
+    // inner stream-stream joins emit every match once drained: exact equality
+    assert(s.toSeq == b.toSeq)
+  }
+
   test("sessionization emits gap-separated sessions (batch-mode check)") {
     import spark.implicits._
     val events = spark.read.parquet(srcDir)
