@@ -84,9 +84,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.filter(!_._3).map(r => "\"" + short(r._1) + "\"")
+    // list at most 20 failed keys: the COUNT is the driver's signal, the
+    // full list is in target/bench-full.json, and an everything-failed
+    // run must still fit the tail window
     val failedPart =
       if (failed.isEmpty) "\"failed\":0"
-      else s""""failed":${failed.size},"failed_queries":[${failed.mkString(",")}]"""
+      else s""""failed":${failed.size},"failed_queries":[${failed.take(20).mkString(",")}]"""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$failedPart,"sf":"$sfDir"}"""
   }
 }

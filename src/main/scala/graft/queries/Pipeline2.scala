@@ -236,6 +236,70 @@ object Pipeline2 {
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     QueryDef(
+      // JSONL round-trip: documents -> compressed JSON-lines sink ->
+      // schema-inferred read -> aggregate. JSONL is the interchange
+      // format of every LLM data pipeline; the oracle aggregates the
+      // ORIGINAL parquet, so a pass proves the sink/source cycle is
+      // lossless (string escaping, type inference, codec) — not just
+      // that the aggregate runs.
+      "p32_jsonl_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_jsonl_roundtrip").getPath
+        t(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(tmp)
+        s.read.json(tmp)
+          .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // corpus-relative quality filtering: keep docs at or above the
+      // corpus's 60th-percentile quality score. The cutoff is a
+      // percentile AGGREGATE broadcast back over the corpus (scalar
+      // cross join — the corpus itself never reshuffles), the shape a
+      // 100 TB quality gate uses (with approx_percentile when the exact
+      // cutoff needn't be reproducible; Spark `percentile` ==
+      // DuckDB `quantile_cont` exactly, so the oracle uses the exact
+      // one).
+      "p33_quality_percentile_filter",
+      (s, dir) => {
+        import s.implicits._
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            TextAnalysis.qualityScore($"text").as("quality"))
+        val thr = scored.agg(percentile($"quality", lit(0.6)).as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter($"quality" >= $"thr")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), min($"quality").as("min_quality"))
+          .orderBy($"lang")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+             |    + (CASE WHEN (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |                  / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0
+             |            THEN 1.0 ELSE 0.5 END) * 0.4
+             |    + (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |                    / length(text)) * 10.0, 1.0)) * 0.2 AS quality
+             |  FROM documents),
+             |thr AS (SELECT quantile_cont(quality, 0.6) AS thr FROM scored)
+             |SELECT lang, COUNT(*) AS n_kept, MIN(quality) AS min_quality
+             |FROM scored, thr
+             |WHERE quality >= thr
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       // Gopher-style repetition signals: duplicate-token ratio and top
       // token frequency per document — the quality gate that catches
       // boilerplate/spam that length and punctuation scores miss.

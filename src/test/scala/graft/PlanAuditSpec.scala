@@ -125,4 +125,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("kinds=Node"), p)
     assert(p.contains("columns=id"), p)
   }
+
+  test("q45 moments run as one partial-aggregated shuffle, no extra pass") {
+    val p = plan("q45_stats_moments")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one exchange for the groupBy, one for the final tiny sort — the five
+    // sufficient statistics must NOT add passes over lineitem
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"one scan of lineitem only:\n$p")
+  }
+
+  test("p29 vocab top-k never materializes a global sort") {
+    val p = plan("p29_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p31 centroids shuffle scalar cells, not embedding arrays") {
+    val p = plan("p31_label_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial aggregation must run map-side:\n$p")
+    // the explode (Generate) must happen BEFORE the exchange so only
+    // (label, dim, decimal) cells shuffle, never array<float> payloads
+    val genIdx = p.indexOf("Generate")
+    val exIdx = p.indexOf("Exchange")
+    assert(genIdx >= 0 && exIdx >= 0 && genIdx > exIdx,
+      s"Generate must be below the first Exchange in the plan tree:\n$p")
+  }
 }
