@@ -230,6 +230,52 @@ object Relational4 {
              |       wo AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- q48: SCD-2 merge (MERGE INTO as a join composition) --------------
+    // The warehouse upsert: a change batch (updates, deletes, inserts,
+    // derived deterministically from the snapshot itself) applied to a
+    // dimension snapshot with slowly-changing-dimension semantics —
+    // touched v1 rows close (is_current=false), updates emit a current
+    // v2, inserts arrive as current v1. Two branches: snapshot LEFT JOIN
+    // changes (old versions) + the change batch's new versions, unioned.
+    // At scale the change batch is orders of magnitude smaller than the
+    // snapshot — Spark broadcasts it, so the snapshot never shuffles.
+    QueryDef(
+      "q48_scd2_merge",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .select($"c_custkey".as("k"), $"c_acctbal".as("bal"))
+        val changes = cust.filter($"k" % 10 === 3)
+          .select($"k", lit("U").as("op"), ($"bal" + 100.0).as("new_bal"))
+          .unionAll(cust.filter($"k" % 10 === 7)
+            .select($"k", lit("D").as("op"), lit(null).cast("double").as("new_bal")))
+          .unionAll(cust.filter($"k" % 100 === 11)
+            .select(($"k" + 900000).as("k"), lit("I").as("op"), lit(50.0).as("new_bal")))
+        val oldRows = cust
+          .join(broadcast(changes.select($"k", $"op")), Seq("k"), "left")
+          .select($"k", $"bal", lit(1).as("version"), $"op".isNull.as("is_current"))
+        val newRows = changes.filter($"op".isin("U", "I"))
+          .select($"k", $"new_bal".as("bal"),
+            when($"op" === "U", 2).otherwise(1).as("version"),
+            lit(true).as("is_current"))
+        oldRows.unionByName(newRows).orderBy($"k", $"version")
+      },
+      Some("""WITH cust AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+             |changes AS (
+             |  SELECT k, 'U' AS op, bal + 100.0 AS new_bal FROM cust WHERE k % 10 = 3
+             |  UNION ALL
+             |  SELECT k, 'D', CAST(NULL AS DOUBLE) FROM cust WHERE k % 10 = 7
+             |  UNION ALL
+             |  SELECT k + 900000, 'I', 50.0 FROM cust WHERE k % 100 = 11)
+             |SELECT k, bal, 1 AS version, (op IS NULL) AS is_current
+             |FROM cust LEFT JOIN (SELECT k, op FROM changes) USING (k)
+             |UNION ALL
+             |SELECT k, new_bal AS bal,
+             |  CASE WHEN op = 'U' THEN 2 ELSE 1 END AS version,
+             |  true AS is_current
+             |FROM changes WHERE op IN ('U', 'I')
+             |ORDER BY k, version""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second
