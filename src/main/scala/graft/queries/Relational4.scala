@@ -276,6 +276,42 @@ object Relational4 {
              |FROM changes WHERE op IN ('U', 'I')
              |ORDER BY k, version""".stripMargin)),
 
+    // ---- q49: NAIVE band join auto-rewritten by the optimizer rule --------
+    // Coincident-event pairs within +-30s across ALL users — a pure band
+    // join with no equality key, which Catalyst can only plan as a
+    // nested loop (|L| x |R| comparisons). The query is written naively;
+    // graft.plans.BandJoinRewrite (injected via extraOptimizations, or
+    // spark.sql.extensions for a deployment) rewrites it to the bucket-
+    // expansion equi-join q32 builds by hand. BandJoinRuleSpec pins
+    // result-equality with the rule off; the oracle checks it against
+    // DuckDB, which plans its own interval join.
+    QueryDef(
+      "q49_band_join_rule",
+      (s, dir) => {
+        import s.implicits._
+        if (!s.experimental.extraOptimizations.contains(_root_.graft.plans.BandJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ _root_.graft.plans.BandJoinRewrite
+        val ev = Tables.t(s, dir, "events")
+          .select($"event_id", $"event_type", unix_micros($"ts").as("tu"))
+        val a = ev.select($"event_id".as("a_id"), $"event_type".as("a_type"),
+          $"tu".as("a_tu"))
+        val b = ev.select($"event_id".as("b_id"), $"event_type".as("b_type"),
+          $"tu".as("b_tu"))
+        a.join(b, $"b_tu" >= $"a_tu" - 30000000L &&
+            $"b_tu" <= $"a_tu" + 30000000L && $"a_id" < $"b_id")
+          .groupBy($"a_type", $"b_type").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"a_type", $"b_type")
+      },
+      Some("""SELECT a.event_type AS a_type, b.event_type AS b_type,
+             |  COUNT(*) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 30000000
+             |                        AND epoch_us(a.ts) + 30000000
+             | AND a.event_id < b.event_id
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second

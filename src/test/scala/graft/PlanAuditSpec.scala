@@ -126,6 +126,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("columns=id"), p)
   }
 
+  test("q49 naive band join is auto-rewritten away from a nested loop") {
+    val p = plan("q49_band_join_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"BandJoinRewrite must turn the pure band join into an equi-join:\n$p")
+    assert(p.contains("__band_bin"), p)
+  }
+
   test("q45 moments run as one partial-aggregated shuffle, no extra pass") {
     val p = plan("q45_stats_moments")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
