@@ -262,6 +262,46 @@ object Pipeline2 {
              |ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // corrupt-record accounting on the standard JSON source — the
+      // same PERMISSIVE contract the osmpbf source implements: bad
+      // lines land in _corrupt_record instead of failing the scan, and
+      // the dirty/clean split stays queryable. Corruption is planted
+      // analytically (every 97th doc), so DuckDB can verify the
+      // accounting from the clean table.
+      "p34_corrupt_jsonl_permissive",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val lines = t(s, dir, "documents")
+          .select(
+            when($"doc_id" % 97 === 0,
+              concat(lit("{\"doc_id\":"), $"doc_id".cast("string"), lit(",INVALID")))
+              .otherwise(to_json(struct($"doc_id", $"lang", $"text")))
+              .as("value"))
+          .as[String]
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("text", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(lines)
+          .groupBy($"_corrupt_record".isNotNull.as("is_corrupt"))
+          .agg(count(lit(1)).as("n"),
+            sum(when($"_corrupt_record".isNull,
+              TextAnalysis.tokenCount($"text")).otherwise(0).cast("long"))
+              .as("n_tokens"))
+          .orderBy($"is_corrupt")
+      },
+      Some("""SELECT (doc_id % 97 = 0) AS is_corrupt, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0
+             |           ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // corpus-relative quality filtering: keep docs at or above the
       // corpus's 60th-percentile quality score. The cutoff is a
       // percentile AGGREGATE broadcast back over the corpus (scalar
