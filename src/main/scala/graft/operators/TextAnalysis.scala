@@ -120,9 +120,13 @@ object TextAnalysis {
 
   /** Overlapping token windows (size `size`, step `stride`) — the
     * context-window chunking pass of every embedding/pretraining
-    * pipeline. Emits (chunk_idx, n_chunk_tokens, chunk) per input row;
-    * trailing windows shorter than `size` are kept (the tail of a
-    * document is data too). Pure codegen built-ins: split once, then
+    * pipeline. Emits (chunk_idx, n_chunk_tokens, chunk) per input row.
+    * The final window may be shorter than `size` (the document tail is
+    * data too), but a window is only emitted if it covers at least one
+    * token the previous window did not — start positions stop at
+    * `n - size + stride` (clamped to [1, n]), so no chunk is a pure
+    * suffix of its predecessor (duplicate content is poison in a dedup
+    * pipeline). Pure codegen built-ins: split once, then
     * slice/array_join over a generated start sequence — no UDF, no
     * shuffle; chunking is embarrassingly map-side at any scale.
     */
@@ -133,9 +137,11 @@ object TextAnalysis {
       size: Int = 8,
       stride: Int = 4): org.apache.spark.sql.DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
+    val n = org.apache.spark.sql.functions.size(col("toks"))
+    val lastStart = greatest(least(n - size + stride, n), lit(1))
     df.select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), col("toks"),
-        posexplode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("toks")), lit(1)), lit(stride))))
+        posexplode(sequence(lit(1), lastStart, lit(stride))))
       .select(col(idCol),
         col("pos").cast("int").as("chunk_idx"),
         org.apache.spark.sql.functions.size(slice(col("toks"), col("col"), lit(size)))

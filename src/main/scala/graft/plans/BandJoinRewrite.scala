@@ -32,9 +32,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * produce NULL buckets, which an inner equi-join drops — exactly the
   * rows the original predicate would drop.
   *
+  * Bin arithmetic runs in DECIMAL(38,0) with bucket width >= 2, so the
+  * rewrite is exact over the FULL Long domain — no ANSI overflow where
+  * the original query succeeded, no wrap-around misbinning with ANSI
+  * off (exact-offset bands, hi == lo, are left alone).
+  *
   * Register per-session via `spark.experimental.extraOptimizations
-  * :+= BandJoinRewrite`, or for a deployment via
-  * `spark.sql.extensions=graft.plans.GraftSparkExtensions`.
+  * :+= BandJoinRewrite`, for a deployment via
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions`, or apply
+  * eagerly and scoped to one frame via
+  * `ColumnBridge.ofRows(spark, BandJoinRewrite(df.queryExecution.analyzed))`
+  * (how q49 uses it — no session-global optimizer mutation).
   */
 object BandJoinRewrite extends Rule[LogicalPlan] {
 
@@ -50,15 +58,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case b: java.lang.Byte => b.longValue
   }
 
+  private def integralLit(v: Any, t: DataType): Boolean =
+    v != null && isIntegral(t)
+
   /** Decompose `e` as (attr + const) over an integral attribute. */
   private def linear(e: Expression): Option[(AttributeReference, Long)] = e match {
     case a: AttributeReference if isIntegral(a.dataType) => Some((a, 0L))
     case Add(a: AttributeReference, Literal(v, t), _)
-        if isIntegral(a.dataType) && isIntegral(t) => Some((a, litLong(v)))
+        if isIntegral(a.dataType) && integralLit(v, t) => Some((a, litLong(v)))
     case Add(Literal(v, t), a: AttributeReference, _)
-        if isIntegral(a.dataType) && isIntegral(t) => Some((a, litLong(v)))
+        if isIntegral(a.dataType) && integralLit(v, t) => Some((a, litLong(v)))
     case Subtract(a: AttributeReference, Literal(v, t), _)
-        if isIntegral(a.dataType) && isIntegral(t) => Some((a, -litLong(v)))
+        if isIntegral(a.dataType) && integralLit(v, t) => Some((a, -litLong(v)))
     case _ => None
   }
 
@@ -114,37 +125,51 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** floor(e / w) in exact integral arithmetic (Pmod is non-negative). */
+  private val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  private def decLit(v: Long): Expression =
+    Literal(org.apache.spark.sql.types.Decimal(v), Dec)
+
+  /** floor(e / w) with the dividend in DECIMAL(38,0): Long bin inputs
+    * near +-2^63 (offset by up to MaxAbsBound) cannot overflow decimal
+    * subtraction/Pmod, and with w >= 2 the quotient always fits a Long,
+    * so the bin math is exact over the FULL integral domain — no ANSI
+    * overflow where the original query succeeded, no silent wrap-around
+    * misbinning with ANSI off. (Pmod is non-negative, so subtracting it
+    * lands on an exact multiple of w and IntegralDivide is exact.)
+    */
   private def floorDiv(e: Expression, w: Long): Expression = {
-    val wl = Literal(w, LongType)
+    val wl = decLit(w)
     new IntegralDivide(new Subtract(e, new Pmod(e, wl)), wl)
   }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  private def asDec(e: Expression): Expression = Cast(e, Dec)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _)
-        if j.resolved && eligibleBand(j, cond).isDefined =>
-      val (x, y, lo, hi) = eligibleBand(j, cond).get
-      val w = hi - lo + 1 // >= 1 by the eligibility check
-      val b0 = floorDiv(new Subtract(asLong(x), Literal(hi, LongType)), w)
-      val leftBin =
-        AttributeReference("__band_bin", LongType, nullable = b0.nullable)()
-      val newLeft = Generate(
-        Explode(CreateArray(Seq(b0, new Add(b0, Literal(1L, LongType))))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(leftBin), child = l)
-      val rBin = Alias(floorDiv(asLong(y), w), "__band_bin_r")()
-      val newRight = Project(r.output :+ rBin, r)
-      val rewritten = Project(j.output,
-        Filter(cond,
-          Join(newLeft, newRight, Inner,
-            Some(EqualTo(leftBin, rBin.toAttribute)),
-            JoinHint.NONE)))
-      logInfo(s"BandJoinRewrite: rewrote band join on " +
-        s"(${x.name}, ${y.name}) in [$lo, $hi] to bucket width $w")
-      rewritten
+    case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved =>
+      eligibleBand(j, cond) match {
+        case None => j
+        case Some((x, y, lo, hi)) =>
+          val w = hi - lo + 1 // >= 2 by the eligibility check
+          val b0 = floorDiv(new Subtract(asDec(x), decLit(hi)), w)
+          val leftBin =
+            AttributeReference("__band_bin", LongType, nullable = b0.nullable)()
+          val newLeft = Generate(
+            Explode(CreateArray(Seq(b0, new Add(b0, Literal(1L, LongType))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(leftBin), child = l)
+          val rBin = Alias(floorDiv(asDec(y), w), "__band_bin_r")()
+          val newRight = Project(r.output :+ rBin, r)
+          // the original join's hint survives on the rewritten join
+          val rewritten = Project(j.output,
+            Filter(cond,
+              Join(newLeft, newRight, Inner,
+                Some(EqualTo(leftBin, rBin.toAttribute)),
+                hint)))
+          logInfo(s"BandJoinRewrite: rewrote band join on " +
+            s"(${x.name}, ${y.name}) in [$lo, $hi] to bucket width $w")
+          rewritten
+      }
   }
 
   /** (x, y, lo, hi) if the join is a pure integral band join. */
@@ -164,7 +189,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       if (los.nonEmpty && his.nonEmpty) {
         val lo = los.max
         val hi = his.min
-        if (lo <= hi && math.abs(lo) < MaxAbsBound && math.abs(hi) < MaxAbsBound)
+        // lo < hi so the bucket width is >= 2, which keeps the decimal
+        // floorDiv quotient within Long for any input (see floorDiv)
+        if (lo < hi && math.abs(lo) < MaxAbsBound && math.abs(hi) < MaxAbsBound)
           Some((bs.head._3, bs.head._4, lo, hi))
         else None
       } else None

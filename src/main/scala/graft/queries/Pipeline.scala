@@ -18,6 +18,36 @@ object Pipeline {
 
   private val stopEn = Seq("the", "a", "of", "and", "is")
 
+  /** Jaccard-dedup tuning shared by p07 (pairs), p24 (clusters), and p28
+    * (survivors) — Scala calls and oracle SQL both interpolate these, so
+    * a tuning change cannot desynchronize the three oracles.
+    */
+  private[queries] val JaccardMin = 0.35
+  private[queries] val JaccardMaxDf = 50
+
+  /** The DuckDB CTE chain computing the SAME candidate/count frames as
+    * [[graft.operators.Dedup.ngramJaccardPairs]] (shingles, per-doc
+    * counts, DF cap, inverted-index candidates). p07's oracle scores
+    * pairs from it; p24/p28 extend it with the transitive closure.
+    */
+  private[queries] val jaccardCommonCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id AS id,
+       |    unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_distinct(list_transform(
+       |        generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |      ELSE [text] END) AS shingle
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+       |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |oksh AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $JaccardMaxDf),
+       |flt AS (SELECT id, shingle FROM sh JOIN oksh USING (shingle)),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM flt a JOIN flt b USING (shingle)
+       |  WHERE a.id < b.id GROUP BY a.id, b.id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ---------------------------------------------------
@@ -182,26 +212,11 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-            minJaccard = 0.35, maxShingleDf = 50)
+            minJaccard = JaccardMin, maxShingleDf = JaccardMaxDf)
           .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id AS id,
-             |    unnest(CASE WHEN len(toks) >= 3
-             |      THEN list_distinct(list_transform(
-             |        generate_series(1, len(toks) - 2),
-             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-             |      ELSE [text] END) AS shingle
-             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
-             |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-             |oksh AS (SELECT shingle FROM sh GROUP BY shingle
-             |         HAVING COUNT(*) BETWEEN 2 AND 50),
-             |flt AS (SELECT id, shingle FROM sh JOIN oksh USING (shingle)),
-             |common AS (
-             |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-             |  FROM flt a JOIN flt b USING (shingle)
-             |  WHERE a.id < b.id GROUP BY a.id, b.id)
+      Some(s"""WITH $jaccardCommonCtes
              |SELECT id_a, id_b,
              |  round(CAST(n_common AS DOUBLE)
              |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
@@ -209,7 +224,7 @@ object Pipeline {
              |JOIN nsh na ON na.id = id_a
              |JOIN nsh nb ON nb.id = id_b
              |WHERE CAST(n_common AS DOUBLE)
-             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.35
+             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= $JaccardMin
              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(

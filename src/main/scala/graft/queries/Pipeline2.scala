@@ -13,32 +13,19 @@ import org.apache.spark.sql.functions._
 object Pipeline2 {
   import Tables.t
 
-  /** p07's shingle/pair CTE chain (threshold 0.35, DF cap 50) — reused by
-    * the cluster oracle so the edge set is definitionally identical.
+  /** p07's shingle/pair CTE chain extended with the thresholded `pairs`
+    * frame — built from [[Pipeline.jaccardCommonCtes]] so the cluster
+    * oracles verify against the edge set p07's oracle is defined on,
+    * by construction rather than by copy.
     */
   private val jaccardPairsCtes =
-    """sh AS (
-      |  SELECT doc_id AS id,
-      |    unnest(CASE WHEN len(toks) >= 3
-      |      THEN list_distinct(list_transform(
-      |        generate_series(1, len(toks) - 2),
-      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |      ELSE [text] END) AS shingle
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
-      |nsh AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-      |oksh AS (SELECT shingle FROM sh GROUP BY shingle
-      |         HAVING COUNT(*) BETWEEN 2 AND 50),
-      |flt AS (SELECT id, shingle FROM sh JOIN oksh USING (shingle)),
-      |common AS (
-      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-      |  FROM flt a JOIN flt b USING (shingle)
-      |  WHERE a.id < b.id GROUP BY a.id, b.id),
+    s"""${Pipeline.jaccardCommonCtes},
       |pairs AS (
       |  SELECT id_a, id_b FROM common
       |  JOIN nsh na ON na.id = id_a
       |  JOIN nsh nb ON nb.id = id_b
       |  WHERE CAST(n_common AS DOUBLE)
-      |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.35)""".stripMargin
+      |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= ${Pipeline.JaccardMin})""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -56,8 +43,8 @@ object Pipeline2 {
         // scoped form: connectedComponents materializes eagerly (its
         // result is a localCheckpoint), so the shingle cache can be
         // released before this query's frame is even returned
-        Dedup.ngramJaccardPairsScoped(t(s, dir, "documents"),
-            "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50) { pairs =>
+        Dedup.ngramJaccardPairsScoped(t(s, dir, "documents"), "doc_id",
+            "text", Pipeline.JaccardMin, Pipeline.JaccardMaxDf) { pairs =>
           Dedup.connectedComponents(pairs)
         }.select($"id".as("doc_id"), $"cluster_id")
           .orderBy($"doc_id")
@@ -86,8 +73,8 @@ object Pipeline2 {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val dropped = Dedup.ngramJaccardPairsScoped(docs,
-            "doc_id", "text", minJaccard = 0.35, maxShingleDf = 50) { pairs =>
+        val dropped = Dedup.ngramJaccardPairsScoped(docs, "doc_id", "text",
+            Pipeline.JaccardMin, Pipeline.JaccardMaxDf) { pairs =>
           Dedup.connectedComponents(pairs)
         }.filter($"id" =!= $"cluster_id")
           .select($"id".as("doc_id"), lit(1).as("is_dup"))
@@ -174,7 +161,8 @@ object Pipeline2 {
              |  CAST(len(toks[s : least(s + 7, len(toks))]) AS INT) AS n_chunk_tokens,
              |  array_to_string(toks[s : least(s + 7, len(toks))], ' ') AS chunk
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |     unnest(generate_series(1, greatest(len(toks), 1), 4)) AS g(s)
+             |     unnest(generate_series(
+             |       1, greatest(least(len(toks) - 8 + 4, len(toks)), 1), 4)) AS g(s)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     QueryDef(
@@ -245,8 +233,13 @@ object Pipeline2 {
       "p32_jsonl_roundtrip",
       (s, dir) => {
         import s.implicits._
+        // per-JVM, per-SF path: concurrent Verify/Bench processes (or
+        // interleaved scale factors) must not overwrite each other's
+        // round-trip directory mid-read
         val tmp = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_jsonl_roundtrip").getPath
+          sys.props("java.io.tmpdir"),
+          s"graft_jsonl_roundtrip_${ProcessHandle.current().pid()}_" +
+            s"${java.lang.Integer.toHexString(dir.hashCode)}").getPath
         t(s, dir, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(tmp)
         s.read.json(tmp)

@@ -249,8 +249,11 @@ object Relational4 {
           .select($"k", lit("U").as("op"), ($"bal" + 100.0).as("new_bal"))
           .unionAll(cust.filter($"k" % 10 === 7)
             .select($"k", lit("D").as("op"), lit(null).cast("double").as("new_bal")))
+          // negated keys for inserts: disjoint from real custkeys at ANY
+          // scale factor (an offset like k + 900000 collides once the
+          // table outgrows it, silently closing a real customer's row)
           .unionAll(cust.filter($"k" % 100 === 11)
-            .select(($"k" + 900000).as("k"), lit("I").as("op"), lit(50.0).as("new_bal")))
+            .select((-$"k").as("k"), lit("I").as("op"), lit(50.0).as("new_bal")))
         val oldRows = cust
           .join(broadcast(changes.select($"k", $"op")), Seq("k"), "left")
           .select($"k", $"bal", lit(1).as("version"), $"op".isNull.as("is_current"))
@@ -266,7 +269,7 @@ object Relational4 {
              |  UNION ALL
              |  SELECT k, 'D', CAST(NULL AS DOUBLE) FROM cust WHERE k % 10 = 7
              |  UNION ALL
-             |  SELECT k + 900000, 'I', 50.0 FROM cust WHERE k % 100 = 11)
+             |  SELECT -k, 'I', 50.0 FROM cust WHERE k % 100 = 11)
              |SELECT k, bal, 1 AS version, (op IS NULL) AS is_current
              |FROM cust LEFT JOIN (SELECT k, op FROM changes) USING (k)
              |UNION ALL
@@ -279,27 +282,29 @@ object Relational4 {
     // ---- q49: NAIVE band join auto-rewritten by the optimizer rule --------
     // Coincident-event pairs within +-30s across ALL users — a pure band
     // join with no equality key, which Catalyst can only plan as a
-    // nested loop (|L| x |R| comparisons). The query is written naively;
-    // graft.plans.BandJoinRewrite (injected via extraOptimizations, or
-    // spark.sql.extensions for a deployment) rewrites it to the bucket-
-    // expansion equi-join q32 builds by hand. BandJoinRuleSpec pins
-    // result-equality with the rule off; the oracle checks it against
-    // DuckDB, which plans its own interval join.
+    // nested loop (|L| x |R| comparisons). The query is written naively
+    // and graft.plans.BandJoinRewrite turns it into the bucket-expansion
+    // equi-join q32 builds by hand — applied EAGERLY to this one frame
+    // (ColumnBridge.ofRows), so the shared session's optimizer is never
+    // mutated; a deployment would register the same rule globally via
+    // spark.sql.extensions. BandJoinRuleSpec pins result-equality with
+    // the rule off; the oracle checks against DuckDB's own interval
+    // join.
     QueryDef(
       "q49_band_join_rule",
       (s, dir) => {
         import s.implicits._
-        if (!s.experimental.extraOptimizations.contains(_root_.graft.plans.BandJoinRewrite))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ _root_.graft.plans.BandJoinRewrite
         val ev = Tables.t(s, dir, "events")
           .select($"event_id", $"event_type", unix_micros($"ts").as("tu"))
         val a = ev.select($"event_id".as("a_id"), $"event_type".as("a_type"),
           $"tu".as("a_tu"))
         val b = ev.select($"event_id".as("b_id"), $"event_type".as("b_type"),
           $"tu".as("b_tu"))
-        a.join(b, $"b_tu" >= $"a_tu" - 30000000L &&
-            $"b_tu" <= $"a_tu" + 30000000L && $"a_id" < $"b_id")
+        val naive = a.join(b, $"b_tu" >= $"a_tu" - 30000000L &&
+          $"b_tu" <= $"a_tu" + 30000000L && $"a_id" < $"b_id")
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofRows(s, _root_.graft.plans.BandJoinRewrite(
+            naive.queryExecution.analyzed))
           .groupBy($"a_type", $"b_type").agg(count(lit(1)).as("n_pairs"))
           .orderBy($"a_type", $"b_type")
       },

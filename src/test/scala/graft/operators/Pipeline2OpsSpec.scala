@@ -62,12 +62,13 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       "minhashLshPairsScoped must release the signature cache")
   }
 
-  test("chunked covers every token with the configured stride and tail") {
+  test("chunked covers every token; no chunk is a pure suffix of the last") {
     import spark.implicits._
     val df = Seq(
-      (1L, "a b c d e f g h i"), // 9 tokens: starts 1,5,9
+      (1L, "a b c d e f g h i"), // 9 tokens: starts 1,5 (start 9 would re-emit "i")
       (2L, "x y"),               // shorter than size: one chunk
-      (3L, "solo")               // single token
+      (3L, "solo"),              // single token
+      (4L, "a b c d e f g h i j k l m") // 13 tokens: starts 1,5,9
     ).toDF("doc_id", "text")
     val rows = TextAnalysis.chunked(df, "doc_id", "text", size = 8, stride = 4)
       .orderBy($"doc_id", $"chunk_idx").collect()
@@ -75,9 +76,21 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       (1L, 0, 8, "a b c d e f g h"),
       (1L, 1, 5, "e f g h i"),
-      (1L, 2, 1, "i"),
       (2L, 0, 2, "x y"),
-      (3L, 0, 1, "solo")))
+      (3L, 0, 1, "solo"),
+      (4L, 0, 8, "a b c d e f g h"),
+      (4L, 1, 8, "e f g h i j k l"),
+      (4L, 2, 5, "i j k l m")))
+  }
+
+  test("chunked with stride > size keeps gap-sampled tails") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    // size 2, stride 4: starts 1,5,9 — the last window is a real tail,
+    // not a suffix of a previous window
+    val rows = TextAnalysis.chunked(df, "doc_id", "text", size = 2, stride = 4)
+      .orderBy($"chunk_idx").collect().map(r => r.getString(3))
+    assert(rows.toSeq == Seq("a b", "e f", "i"))
   }
 
   test("hashSampledBy matches hashSampled at a uniform rate; 16 keeps all, 0 drops all") {
