@@ -176,6 +176,30 @@ object EventStreams {
         col("r_event_id"), col("l_ts"), col("r_ts"), col("r_value"))
   }
 
+  /** Exactly-once parquet sink via foreachBatch: each micro-batch lands
+    * in its own `_batch_id=` partition with DYNAMIC partition overwrite,
+    * so a replayed batch (checkpoint recovery re-delivers the last
+    * uncommitted batch at-least-once) overwrites its own partition
+    * instead of appending duplicates — idempotent writes on top of
+    * replayed delivery is the standard exactly-once recipe for sinks
+    * without transactions. The spec proves it by deleting the commit
+    * marker and restarting.
+    */
+  def idempotentParquetSink(
+      df: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("_batch_id")
+          .parquet(outDir)
+      }
+
   /** Run a streaming query over a parquet directory and collect the final
     * result via the memory sink (synchronous, for tests/demos).
     */

@@ -91,6 +91,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  test("idempotent foreachBatch sink: commit-marker loss replays without dupes") {
+    val out = Files.createTempDirectory("fb-out").toString
+    val ckpt = Files.createTempDirectory("fb-ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = EventStreams.idempotentParquetSink(
+        stream.filter(col("event_type") === "view"), out, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val expected = spark.read.parquet(out).drop("_batch_id")
+      .collect().map(_.toString).sorted
+    assert(expected.nonEmpty)
+    // simulate a crash between sink write and offset commit: delete the
+    // newest commit marker so restart re-delivers the last batch
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    // the local ChecksumFs keeps a .N.crc sidecar; it must go too or the
+    // replayed commit write fails its rename
+    val crc = new java.io.File(commitsDir, s".${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    commits.last.delete()
+    runOnce()
+    val replayed = spark.read.parquet(out).drop("_batch_id")
+      .collect().map(_.toString).sorted
+    assert(replayed.toSeq == expected.toSeq,
+      "replayed batch must overwrite its own partition, not append duplicates")
+  }
+
   test("sessionization emits gap-separated sessions (batch-mode check)") {
     import spark.implicits._
     val events = spark.read.parquet(srcDir)
