@@ -317,6 +317,51 @@ object Relational4 {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q50: VARIANT shredding of nested semi-structured data ------------
+    // Spark 4's VARIANT type: nested JSON (built deterministically from
+    // customer columns, so both engines agree on the VALUES regardless
+    // of their JSON serialization quirks) parsed once into a variant,
+    // then shredded by path — nested object field, array element by
+    // index, and a missing path that must yield NULL. Money goes through
+    // DECIMAL before the final cast per the house float rule. Each
+    // engine constructs and parses its OWN JSON: the oracle checks the
+    // extracted values, which is exactly what a shredding pass must
+    // preserve.
+    QueryDef(
+      "q50_variant_shred",
+      (s, dir) => {
+        import s.implicits._
+        val j = to_json(struct(
+          struct($"c_custkey".as("id"), $"c_mktsegment".as("seg")).as("cust"),
+          array($"c_acctbal", $"c_acctbal" * 2).as("bals")))
+        t(s, dir, "customer")
+          .withColumn("v", parse_json(j))
+          .select(
+            variant_get($"v", "$.cust.seg", "string").as("seg"),
+            variant_get($"v", "$.bals[1]", "double").as("bal2"),
+            variant_get($"v", "$.not.there", "int").as("missing"))
+          .groupBy($"seg")
+          .agg(count(lit(1)).as("n"),
+            sum($"bal2".cast(D18)).cast("double").as("sum_bal2"),
+            count($"missing").as("n_missing"))
+          .orderBy($"seg")
+      },
+      Some("""WITH shred AS (
+             |  SELECT
+             |    json_extract_string(j, '$.cust.seg') AS seg,
+             |    CAST(json_extract(j, '$.bals[1]') AS DOUBLE) AS bal2,
+             |    CAST(json_extract(j, '$.not.there') AS INT) AS missing
+             |  FROM (SELECT to_json(struct_pack(
+             |          cust := struct_pack(id := c_custkey, seg := c_mktsegment),
+             |          bals := [c_acctbal, c_acctbal * 2])) AS j
+             |        FROM customer))
+             |SELECT seg, COUNT(*) AS n,
+             |  CAST(SUM(CAST(bal2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal2,
+             |  COUNT(missing) AS n_missing
+             |FROM shred
+             |GROUP BY seg
+             |ORDER BY seg""".stripMargin)),
+
     // ---- q37: salted two-stage aggregation over a hot key ----------------
     // event_type has a handful of values — the textbook hot-key shape. A
     // deterministic salt spreads each key over 16 reducers; the second
