@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * Bin arithmetic runs in DECIMAL(38,0) with bucket width >= 2, so the
   * rewrite is exact over the FULL Long domain — no ANSI overflow where
   * the original query succeeded, no wrap-around misbinning with ANSI
-  * off (exact-offset bands, hi == lo, are left alone).
+  * off. Exact-offset bands (hi == lo, i.e. x - y = c) skip the bucket
+  * expansion and become a plain shifted equi-join.
   *
   * Register per-session via `spark.experimental.extraOptimizations
   * :+= BandJoinRewrite`, for a deployment via
@@ -149,8 +150,20 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved =>
       eligibleBand(j, cond) match {
         case None => j
+        case Some((x, y, lo, hi)) if lo == hi =>
+          // degenerate exact-offset band (x - y = lo): a plain equi-join
+          // on the shifted key, no bucket expansion needed. Decimal math
+          // keeps the shift overflow-free over the full Long domain.
+          val rewritten = Project(j.output,
+            Filter(cond,
+              Join(l, r, Inner,
+                Some(EqualTo(new Subtract(asDec(x), decLit(lo)), asDec(y))),
+                hint)))
+          logInfo(s"BandJoinRewrite: rewrote exact-offset band join " +
+            s"(${x.name} - ${y.name} = $lo) to an equi-join")
+          rewritten
         case Some((x, y, lo, hi)) =>
-          val w = hi - lo + 1 // >= 2 by the eligibility check
+          val w = hi - lo + 1 // >= 2: lo < hi in this branch
           val b0 = floorDiv(new Subtract(asDec(x), decLit(hi)), w)
           val leftBin =
             AttributeReference("__band_bin", LongType, nullable = b0.nullable)()
@@ -189,9 +202,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       if (los.nonEmpty && his.nonEmpty) {
         val lo = los.max
         val hi = his.min
-        // lo < hi so the bucket width is >= 2, which keeps the decimal
-        // floorDiv quotient within Long for any input (see floorDiv)
-        if (lo < hi && math.abs(lo) < MaxAbsBound && math.abs(hi) < MaxAbsBound)
+        // lo == hi becomes a shifted equi-join; lo < hi buckets with
+        // width >= 2, which keeps the decimal floorDiv quotient within
+        // Long for any input (see floorDiv)
+        if (lo <= hi && math.abs(lo) < MaxAbsBound && math.abs(hi) < MaxAbsBound)
           Some((bs.head._3, bs.head._4, lo, hi))
         else None
       } else None

@@ -27,6 +27,25 @@ object Pipeline2 {
       |  WHERE CAST(n_common AS DOUBLE)
       |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= ${Pipeline.JaccardMin})""".stripMargin
 
+  /** p32's round-trip directory: per-JVM (pid) so concurrent Verify/
+    * Bench PROCESSES cannot overwrite each other mid-read — within one
+    * process the warmup/timed passes run sequentially and the overwrite
+    * is the point. A shutdown hook removes it, so repeated runs don't
+    * accumulate gzip'd corpus copies in tmp.
+    */
+  private lazy val jsonlRoundtripDir: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_jsonl_roundtrip_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getPath
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -146,9 +165,11 @@ object Pipeline2 {
              |ORDER BY lang""".stripMargin)),
 
     QueryDef(
-      // context-window chunking (size 8, stride 4, short tail kept):
-      // the map-side pass that turns documents into training/embedding
-      // windows. Verified row-by-row against list slicing in DuckDB.
+      // context-window chunking (size 8, stride 4): the map-side pass
+      // that turns documents into training/embedding windows. A shorter
+      // final window is kept only when it covers tokens the previous
+      // window did not (pure-suffix tails are suppressed — duplicate
+      // content). Verified row-by-row against list slicing in DuckDB.
       "p26_chunking",
       (s, dir) => {
         import s.implicits._
@@ -233,13 +254,7 @@ object Pipeline2 {
       "p32_jsonl_roundtrip",
       (s, dir) => {
         import s.implicits._
-        // per-JVM, per-SF path: concurrent Verify/Bench processes (or
-        // interleaved scale factors) must not overwrite each other's
-        // round-trip directory mid-read
-        val tmp = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          s"graft_jsonl_roundtrip_${ProcessHandle.current().pid()}_" +
-            s"${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+        val tmp = jsonlRoundtripDir
         t(s, dir, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(tmp)
         s.read.json(tmp)

@@ -192,10 +192,12 @@ object EventStreams {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // per-write option, NOT a session conf set: scoping dynamic
+        // overwrite to this write leaves every other overwrite in the
+        // session with the static semantics it expects
         batch.withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch_id")
           .parquet(outDir)
       }

@@ -67,6 +67,25 @@ class BandJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-offset band (lo == hi) becomes a shifted equi-join") {
+    import spark.implicits._
+    val l = (0L until 60L).map(i => (i, i % 17)).toDF("lid", "x")
+    val r = (0L until 60L).map(i => (i, i % 19)).toDF("rid", "y")
+    def q(ldf: DataFrame, rdf: DataFrame): DataFrame =
+      ldf.join(rdf, rdf("y") >= ldf("x") + 5 && rdf("y") <= ldf("x") + 5)
+        .select(ldf("lid"), rdf("rid"))
+    val naive = q(l, r).collect().map(_.toString).sorted
+    withRule {
+      val got = q(l, r)
+      val physical = got.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"),
+        s"x - y = c must plan as an equi-join:\n$physical")
+      assert(got.collect().map(_.toString).sorted.toSeq == naive.toSeq)
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("joins with an equality conjunct are left alone") {
     import spark.implicits._
     val l = (0L until 50L).map(i => (i, i % 5, i % 20)).toDF("lid", "k", "x")

@@ -112,10 +112,12 @@ class EventStreamsSpec extends AnyFunSuite {
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     assert(commits.nonEmpty)
     // the local ChecksumFs keeps a .N.crc sidecar; it must go too or the
-    // replayed commit write fails its rename
+    // replayed commit write fails its rename. Files.delete THROWS on
+    // failure — a delete that silently fails would make this test pass
+    // without ever exercising a replay.
     val crc = new java.io.File(commitsDir, s".${commits.last.getName}.crc")
-    if (crc.exists()) crc.delete()
-    commits.last.delete()
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+    java.nio.file.Files.delete(commits.last.toPath)
     runOnce()
     val replayed = spark.read.parquet(out).drop("_batch_id")
       .collect().map(_.toString).sorted
