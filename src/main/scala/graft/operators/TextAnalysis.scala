@@ -170,6 +170,49 @@ object TextAnalysis {
           col("n_tokens"), 6).as("dup_ratio"),
         col("max_tf"))
 
+  /** Sequence packing (concat-and-chunk): lay documents end to end in
+    * `idCol` order and assign each to the training bin its FIRST token
+    * lands in (`bin = floor(start_offset / budget)`) — the standard
+    * pretraining move that turns a corpus into fixed-budget sequences
+    * with minimal padding.
+    *
+    * The global exclusive prefix sum is computed in two deterministic
+    * levels so the corpus itself never funnels through one partition:
+    * a within-group running sum (window partitioned by `floor(id /
+    * groupSize)`) plus an exclusive sum of the per-group totals. Only
+    * the group-totals window is unpartitioned, and it carries one row
+    * per group — at 10^11 docs with the default grouping that is still
+    * 10^7 rows, at which point the same trick nests one level deeper.
+    * Grouping keys derive from ids, not sampled range boundaries, so
+    * the result is reproducible across engines and partitionings
+    * (`repartitionByRange` samples its bounds; this must not).
+    */
+  def packedBins(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      groupSize: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1 && groupSize >= 1, "budget/groupSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val g = floor(col(idCol) / groupSize).as("g")
+    val within = Window.partitionBy(col("g")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = df.select(col(idCol), col(tokenCol).cast("long").as("t"), g)
+      .withColumn("w_start", coalesce(sum(col("t")).over(within), lit(0L)))
+    val gOffsets = perDoc.groupBy(col("g"))
+      .agg(sum(col("t")).as("g_total"))
+      .withColumn("g_start", coalesce(sum(col("g_total")).over(groups), lit(0L)))
+      .select(col("g"), col("g_start"))
+    perDoc.join(broadcast(gOffsets), Seq("g"))
+      .select(col(idCol),
+        col("t"),
+        (col("g_start") + col("w_start")).as("start_offset"),
+        floor((col("g_start") + col("w_start")) / budget).as("bin"))
+  }
+
   /** Text normalization for dedup/tokenizer front-ends: lowercase,
     * collapse whitespace runs, trim. Pure per-row expressions with exact
     * DuckDB equivalents, so normalized-corpus pipelines stay

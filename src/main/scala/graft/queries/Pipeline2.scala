@@ -270,6 +270,41 @@ object Pipeline2 {
              |ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // sequence packing (concat-and-chunk): documents laid end to end
+      // in doc_id order, each assigned to the 2048-token training bin
+      // its first token lands in. The oracle computes the same global
+      // exclusive prefix sum with one window; the Spark side uses the
+      // two-level deterministic form that scales (only group TOTALS
+      // cross partitions).
+      "p35_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+        TextAnalysis.packedBins(docs, "doc_id", "n_tokens", budget = 2048L)
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"t").as("total_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"bin")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, t,
+             |    COALESCE(SUM(t) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS start_offset
+             |  FROM d)
+             |SELECT CAST(start_offset // 2048 AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c
+             |GROUP BY 1
+             |ORDER BY bin""".stripMargin)),
+
+    QueryDef(
       // corrupt-record accounting on the standard JSON source — the
       // same PERMISSIVE contract the osmpbf source implements: bad
       // lines land in _corrupt_record instead of failing the scan, and

@@ -108,6 +108,21 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(ten < fifteen && fifteen < 500)
   }
 
+  test("packedBins assigns concat-and-chunk bins across group boundaries") {
+    import spark.implicits._
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 2L), (5L, 6L), (6L, 1L))
+      .toDF("doc_id", "n_tokens")
+    // groupSize 2 forces the two-level prefix sum through several groups
+    val got = TextAnalysis.packedBins(docs, "doc_id", "n_tokens",
+        budget = 5L, groupSize = 2L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_offset"), r.getAs[Long]("bin")))
+    // starts: 0,3,7,12,14,20 -> bins 0,0,1,2,2,4
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L),
+      (4L, 12L, 2L), (5L, 14L, 2L), (6L, 20L, 4L)))
+  }
+
   test("repetitionStats counts duplicates and the dominant token") {
     import spark.implicits._
     val df = Seq((1L, "a a a b c"), (2L, "x y z")).toDF("doc_id", "text")

@@ -115,4 +115,36 @@ class BandJoinRuleSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext) // must register without throwing
   }
+
+  test("property: random bands and values match the naive join exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val genCase = for {
+      xs <- Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+      ys <- Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+      lo <- Gen.chooseNum(-50L, 50L)
+      width <- Gen.chooseNum(0L, 60L)
+      strictLo <- Gen.oneOf(true, false)
+      strictHi <- Gen.oneOf(true, false)
+    } yield (xs, ys, lo, lo + width, strictLo, strictHi)
+    val prop = forAll(genCase) { case (xs, ys, lo, hi, sLo, sHi) =>
+      val l = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "x")
+      val r = ys.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "y")
+      def q(ldf: DataFrame, rdf: DataFrame): DataFrame = {
+        // the rule matches attr-vs-attr+lit shapes, so spell the bounds
+        // that way: x >/>= y + lo  AND  x </<= y + hi
+        val low2 = if (sLo) ldf("x") > rdf("y") + lo else ldf("x") >= rdf("y") + lo
+        val up2 = if (sHi) ldf("x") < rdf("y") + hi else ldf("x") <= rdf("y") + hi
+        ldf.join(rdf, low2 && up2).select(ldf("lid"), rdf("rid"))
+      }
+      val naive = q(l, r).collect().map(_.toString).sorted.toSeq
+      val ruled = withRule { q(l, r).collect().map(_.toString).sorted.toSeq }
+      Prop(ruled == naive).label(s"lo=$lo hi=$hi sLo=$sLo sHi=$sHi " +
+        s"naive=${naive.size} ruled=${ruled.size}")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.toString)
+  }
 }
