@@ -213,6 +213,28 @@ object TextAnalysis {
         floor((col("g_start") + col("w_start")) / budget).as("bin"))
   }
 
+  /** Attach corpus data-quality metrics computed DURING the next action
+    * over the frame — `Dataset.observe` evaluates them inside the
+    * existing pass, so a 100 TB pipeline gets its circuit-breaker
+    * numbers (row count, null keys, empty docs, token total) for free
+    * instead of via a second scan. Read the values from the returned
+    * [[org.apache.spark.sql.Observation]] after any action:
+    * `obs.get("n_rows")`.
+    */
+  def corpusMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("null_ids"),
+      sum(when(col(textCol).isNull || col(textCol) === "", 1L).otherwise(0L))
+        .as("empty_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"))
+    (observed, obs)
+  }
+
   /** Text normalization for dedup/tokenizer front-ends: lowercase,
     * collapse whitespace runs, trim. Pure per-row expressions with exact
     * DuckDB equivalents, so normalized-corpus pipelines stay

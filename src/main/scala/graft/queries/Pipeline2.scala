@@ -27,15 +27,15 @@ object Pipeline2 {
       |  WHERE CAST(n_common AS DOUBLE)
       |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= ${Pipeline.JaccardMin})""".stripMargin
 
-  /** p32's round-trip directory: per-JVM (pid) so concurrent Verify/
-    * Bench PROCESSES cannot overwrite each other mid-read — within one
-    * process the warmup/timed passes run sequentially and the overwrite
-    * is the point. A shutdown hook removes it, so repeated runs don't
-    * accumulate gzip'd corpus copies in tmp.
+  /** Round-trip scratch directories: per-JVM (pid) so concurrent
+    * Verify/Bench PROCESSES cannot overwrite each other mid-read —
+    * within one process the warmup/timed passes run sequentially and
+    * the overwrite is the point. A shutdown hook removes them, so
+    * repeated runs don't accumulate corpus copies in tmp.
     */
-  private lazy val jsonlRoundtripDir: String = {
+  private val scratchRoot: String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_jsonl_roundtrip_${ProcessHandle.current().pid()}")
+      s"graft_scratch_${ProcessHandle.current().pid()}")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
@@ -45,6 +45,11 @@ object Pipeline2 {
     }
     d.getPath
   }
+
+  private def scratchDir(name: String): String =
+    new java.io.File(scratchRoot, name).getPath
+
+  private lazy val jsonlRoundtripDir: String = scratchDir("jsonl_roundtrip")
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -303,6 +308,44 @@ object Pipeline2 {
              |FROM c
              |GROUP BY 1
              |ORDER BY bin""".stripMargin)),
+
+    QueryDef(
+      // multi-format federation: one corpus split across parquet (zstd),
+      // ORC, and gzip JSONL by source bucket — the heterogeneous lake a
+      // real pipeline inherits — read back per format, unioned, and
+      // aggregated. The oracle runs over the original table, so a pass
+      // proves every sink/source pair in the matrix is lossless and the
+      // union sees each row exactly once.
+      "p36_multiformat_union",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("fmt_bucket", pmod(xxhash64($"doc_id"), lit(3)))
+        val base = scratchDir("federation")
+        docs.filter($"fmt_bucket" === 0).drop("fmt_bucket")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$base/pq")
+        docs.filter($"fmt_bucket" === 1).drop("fmt_bucket")
+          .write.mode("overwrite").orc(s"$base/orc")
+        docs.filter($"fmt_bucket" === 2).drop("fmt_bucket")
+          .write.mode("overwrite").option("compression", "gzip")
+          .json(s"$base/json")
+        val sch = docs.drop("fmt_bucket").schema
+        s.read.schema(sch).parquet(s"$base/pq")
+          .unionByName(s.read.schema(sch).orc(s"$base/orc"))
+          .unionByName(s.read.schema(sch).json(s"$base/json"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount($"text").cast("long")).as("total_tokens"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     QueryDef(
       // corrupt-record accounting on the standard JSON source — the

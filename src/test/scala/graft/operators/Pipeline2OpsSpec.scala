@@ -123,6 +123,21 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (4L, 12L, 2L), (5L, 14L, 2L), (6L, 20L, 4L)))
   }
 
+  test("corpusMetrics observes quality counters inside the existing action") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(1L), "a b c"), (Some(2L), ""), (None, "x y")
+    ).toDF("doc_id", "text")
+    val (observed, obs) = TextAnalysis.corpusMetrics(docs, "doc_id", "text")
+    // one action; metrics ride along with it — no second scan
+    assert(observed.count() == 3)
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("null_ids") == 1L)
+    assert(m("empty_docs") == 1L)
+    assert(m("total_tokens") == 6L) // "a b c"=3, ""=1 (split yields [""]), "x y"=2
+  }
+
   test("repetitionStats counts duplicates and the dominant token") {
     import spark.implicits._
     val df = Seq((1L, "a a a b c"), (2L, "x y z")).toDF("doc_id", "text")
