@@ -308,6 +308,55 @@ object Dedup {
     (sh, scored)
   }
 
+  /** Incremental n-gram Jaccard: near-dup pairs where at least one side
+    * is from the NEW batch (`isNewCol`) — the daily-ingest shape. A
+    * corpus that grows by 0.1%/day must never recompute old-vs-old
+    * pairs; here the old-old candidates are pruned right after the
+    * inverted-index self-join, BEFORE the pair aggregation, so the
+    * heavy stages scale with (new x corpus), not corpus^2. Jaccard
+    * semantics (DF cap, unfiltered denominators) are identical to
+    * [[ngramJaccardPairs]]; the result is exactly its subset touching
+    * the new batch.
+    *
+    * Lazy persisting form (shingle frame), same cache contract as
+    * [[ngramJaccardPairs]]: Verify/Bench clearCache per query.
+    */
+  def ngramJaccardPairsIncremental(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNewCol: String,
+      minJaccard: Double,
+      maxShingleDf: Int = 10000): DataFrame = {
+    // the flag rides the explode (map-side) so candidate pruning never
+    // needs a corpus-wide flag join
+    val sh = df.select(col(idCol).as("id"),
+        col(isNewCol).cast("boolean").as("is_new"),
+        explode(shinglesWithDupes(col(textCol))).as("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+      .select("shingle")
+    val filtered = sh.join(okShingles, Seq("shingle"))
+    val common = filtered
+      .select(col("shingle"), col("id").as("id_a"), col("is_new").as("new_a"))
+      .join(filtered
+        .select(col("shingle"), col("id").as("id_b"), col("is_new").as("new_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("new_a") || col("new_b")) // old-old dies before the agg
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(nsh.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(nsh.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over token hashes: bit b is the sign of the sum of
     * (+1/-1) votes from each token's hash bit b. Expression form — prefer
     * [[simhashSignatures]] in pipelines (single token-hash evaluation).

@@ -310,6 +310,37 @@ object Pipeline2 {
              |ORDER BY bin""".stripMargin)),
 
     QueryDef(
+      // incremental (batch-vs-corpus) near-dup detection: every 10th doc
+      // plays the new ingest batch; only pairs touching it are computed
+      // — old-vs-old candidates are pruned before any aggregation, the
+      // property that makes daily dedup affordable on a corpus that
+      // dwarfs the ingest. The oracle is p07's pair set filtered to the
+      // same batch predicate, proving the incremental result is exactly
+      // the full result's new-touching subset.
+      "p37_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccardPairsIncremental(
+            t(s, dir, "documents").withColumn("is_new", $"doc_id" % 10 === 0),
+            "doc_id", "text", "is_new",
+            Pipeline.JaccardMin, Pipeline.JaccardMaxDf)
+          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${Pipeline.jaccardCommonCtes}
+             |SELECT id_a, id_b,
+             |  round(CAST(n_common AS DOUBLE)
+             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+             |FROM common
+             |JOIN nsh na ON na.id = id_a
+             |JOIN nsh nb ON nb.id = id_b
+             |WHERE CAST(n_common AS DOUBLE)
+             |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE)
+             |      >= ${Pipeline.JaccardMin}
+             |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       // multi-format federation: one corpus split across parquet (zstd),
       // ORC, and gzip JSONL by source bucket — the heterogeneous lake a
       // real pipeline inherits — read back per format, unioned, and
