@@ -269,6 +269,97 @@ object PbfBlockDecoder {
       ns ++ ws ++ rs ++ cs
     }
 
+  /** Count entities of the requested kinds WITHOUT materializing
+    * anything: the string table is never touched, non-dense entities are
+    * counted as message occurrences, and DenseNodes are counted by
+    * walking the packed `id` field's varint terminations in place — the
+    * decode-free fast path behind COUNT(*) aggregate pushdown. Wire
+    * layout per osmformat.proto: PrimitiveBlock.primitivegroup = field
+    * 2; group fields nodes=1, dense=2, ways=3, relations=4,
+    * changesets=5; DenseNodes.id = packed sint64 field 1.
+    */
+  def countEntities(payload: Array[Byte], kinds: Set[EntityKind.Value]): Long = {
+    val r = new ProtoReader(payload, 0, payload.length)
+    var n = 0L
+    var tag = r.readTag()
+    while (tag != -1) {
+      if ((tag >> 3) == 2 && (tag & 7) == 2) n += countGroup(r.readMessage(), kinds)
+      else r.skip(tag & 7)
+      tag = r.readTag()
+    }
+    n
+  }
+
+  private def countGroup(r: ProtoReader, kinds: Set[EntityKind.Value]): Long = {
+    var n = 0L
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 =>
+          if (kinds(EntityKind.Node)) n += 1
+          r.skip(tag & 7)
+        case 2 =>
+          val d = r.readMessage()
+          if (kinds(EntityKind.Node)) n += countDense(d)
+          // kinds without Node: the message is skipped unvalidated, the
+          // same work a kind-pruned row scan does
+        case 3 =>
+          if (kinds(EntityKind.Way)) n += 1
+          r.skip(tag & 7)
+        case 4 =>
+          if (kinds(EntityKind.Relation)) n += 1
+          r.skip(tag & 7)
+        case 5 =>
+          if (kinds(EntityKind.ChangeSet)) n += 1
+          r.skip(tag & 7)
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    n
+  }
+
+  /** Count DenseNodes entities by walking the packed `id` varints (one
+    * entity per varint — a varint ends at the first byte without the
+    * continuation bit), VALIDATING what a row decode would reject:
+    * truncated varint spans throw, and the lat/lon parallel arrays must
+    * agree with the id cardinality (decodeDense zips them). FAILFAST
+    * count pushdown must never accept a block the row scan fails on.
+    */
+  private def countDense(r: ProtoReader): Long = {
+    var ids = -1L
+    var lats = -1L
+    var lons = -1L
+    var tag = r.readTag()
+    while (tag != -1) {
+      val field = tag >> 3
+      if ((field == 1 || field == 8 || field == 9) && (tag & 7) == 2) {
+        val len = r.readVarint().toInt
+        val end = r.pos + len
+        require(end <= r.end, "DenseNodes packed field overruns the group")
+        var n = 0L
+        var p = r.pos
+        while (p < end) {
+          if ((r.buf(p) & 0x80) == 0) n += 1
+          p += 1
+        }
+        require(len == 0 || (r.buf(end - 1) & 0x80) == 0,
+          "DenseNodes packed field ends mid-varint")
+        r.pos = end
+        field match {
+          case 1 => ids = math.max(ids, 0) + n // repeated packed spans concat
+          case 8 => lats = math.max(lats, 0) + n
+          case 9 => lons = math.max(lons, 0) + n
+        }
+      } else r.skip(tag & 7)
+      tag = r.readTag()
+    }
+    val idCount = math.max(ids, 0)
+    require(idCount == 0 || (lats == idCount && lons == idCount),
+      s"DenseNodes id/lat/lon cardinality mismatch: $ids/$lats/$lons")
+    idCount
+  }
+
   /** ChangeSet is id-only by spec (osmformat.proto:174-189). */
   private def decodeChangeSet(r: ProtoReader): OsmChangeSet = {
     var id = 0L

@@ -238,6 +238,32 @@ object PbfScanner {
       }
     }
 
+  /** Count entities in a byte range without materializing rows — the
+    * executor side of COUNT(*) aggregate pushdown. FAILFAST uses the
+    * decode-free varint-walk counter; PERMISSIVE counts through the
+    * normal tolerant decode iterator instead, so a partially-corrupt
+    * block contributes exactly the records a row scan would have
+    * produced (the fast path could only skip the whole block, silently
+    * disagreeing with the scan it replaces).
+    */
+  def countInRange(
+      in: RangeReader,
+      start: Long,
+      end: Long,
+      kinds: Set[EntityKind.Value],
+      permissive: Boolean = false,
+      skips: SkipListener = SkipListener.Logging): Long =
+    if (permissive)
+      scanBlocks(in, start, end, kinds, withInfo = false, permissive = true,
+        skips).map(_._2.size.toLong).sum
+    else
+      blocksInRange(in, start, end).map { b =>
+        val data = new Array[Byte](b.dataSize)
+        in.read(b.dataStart, data, 0, b.dataSize)
+        val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
+        PbfBlockDecoder.countEntities(payload, kinds)
+      }.sum
+
   /** Truncate an in-memory decode iterator at the first failure
     * (content corruption only — the payload is already read, so no IO
     * can occur here). Shared by the row and columnar permissive paths.

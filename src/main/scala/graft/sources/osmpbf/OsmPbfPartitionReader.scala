@@ -43,6 +43,39 @@ class OsmPbfPartitionReaderFactory(
   }
 }
 
+/** COUNT(*) pushdown readers: one partial-count row per partition, no
+  * row materialization (FAILFAST counts DenseNodes by varint
+  * terminations without even reading the string table; PERMISSIVE
+  * counts through the tolerant decode path for scan-consistency).
+  */
+class OsmPbfCountReaderFactory(
+    kinds: Set[EntityKind.Value],
+    conf: SerializableConfiguration,
+    permissive: Boolean,
+    skips: SkipListener) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmPbfInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (done) false
+        else {
+          val in = new HadoopRangeReader(new Path(p.filePath), conf.value)
+          val n =
+            try PbfScanner.countInRange(in, p.start, p.end, kinds, permissive, skips)
+            finally in.close()
+          row = new GenericInternalRow(Array[Any](n))
+          done = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** Positioned-read adapter over Hadoop's seekable stream, so the same scan
   * logic serves local files, HDFS, and object stores.
   */

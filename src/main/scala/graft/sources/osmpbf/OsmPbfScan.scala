@@ -24,13 +24,35 @@ import graft.pbf.EntityKind
 class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private val parseType = options.getOrDefault("parseType", "all").toLowerCase
   private var requiredSchema: StructType = fullSchema
   private var pushedKinds: Set[EntityKind.Value] = kindsFor(parseType)
   private var pushed: Array[Filter] = Array.empty
   private var queryBounds: QueryBounds = QueryBounds()
+  private var countPushed = false
+
+  /** COUNT(*) with no grouping is answered by the decode-free counter
+    * (per-partition partial counts, Spark sums them): DenseNodes are
+    * counted by varint terminations, the string table is never read.
+    * Spark only attempts this when every filter was pushed, so the
+    * count is always over exactly the rows the scan would produce.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // per-partition partial counts; Spark runs the final sum
 
   private def kindsFor(tpe: String): Set[EntityKind.Value] = tpe match {
     case "node" => Set(EntityKind.Node)
@@ -86,7 +108,9 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new OsmPbfScan(requiredSchema, parseType, pushedKinds, options, queryBounds)
+    new OsmPbfScan(
+      if (countPushed) OsmPbfScan.countSchema else requiredSchema,
+      parseType, pushedKinds, options, queryBounds, countPushed)
 }
 
 /** Conjunctive lat/lon bounds extracted from top-level query filters.
@@ -158,6 +182,13 @@ final case class OsmPbfInputPartition(
     end: Long) extends InputPartition
 
 object OsmPbfScan {
+  /** Output schema of a pushed COUNT(*): one partial count per
+    * partition, summed by Spark's final aggregate.
+    */
+  val countSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Corrupt-block policy, same contract as Spark's json/csv sources:
     * PERMISSIVE skips undecodable blocks (with a stderr note), FAILFAST
     * (default) fails the task.
@@ -176,7 +207,8 @@ class OsmPbfScan(
     parseType: String,
     kinds: Set[EntityKind.Value],
     options: CaseInsensitiveStringMap,
-    bounds: QueryBounds = QueryBounds()) extends Scan with Batch {
+    bounds: QueryBounds = QueryBounds(),
+    countOnly: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -191,6 +223,7 @@ class OsmPbfScan(
     val pruning = options.getBoolean("bboxPruning", false) && !bounds.isUnbounded
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
       s"columns=${requiredSchema.fieldNames.mkString(",")}" +
+      (if (countOnly) ", pushedAggregation=count(*)" else "") +
       (if (pruning) s", bboxPrune=$bounds)" else ")")
   }
 
@@ -286,7 +319,10 @@ class OsmPbfScan(
     val skips =
       if (permissive) OsmPbfSkipMetrics.registered(spark)
       else graft.pbf.SkipListener.Logging
-    new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
-      permissive, skips)
+    if (countOnly)
+      new OsmPbfCountReaderFactory(kinds, conf, permissive, skips)
+    else
+      new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
+        permissive, skips)
   }
 }

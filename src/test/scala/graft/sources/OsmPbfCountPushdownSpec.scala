@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** COUNT(*) aggregate pushdown on the osmpbf source: Catalyst hands the
+  * count to the scan (per-partition partial counts from the decode-free
+  * varint counter), and the result matches the row-scan count exactly —
+  * for the unified view, per-kind parseType modes, and the pushed type
+  * filter.
+  */
+class OsmPbfCountPushdownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val fixture = "/root/reference/src/test/java/resources/temp.dat"
+
+  private def read(opts: (String, String)*) = {
+    val r = spark.read.format("osmpbf")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(fixture)
+  }
+
+  test("count(*) is pushed to the scan and matches the row count") {
+    val df = read()
+    val rowCount = df.rdd.count() // RDD path cannot use the pushed agg
+    val pushed = df.count()
+    assert(pushed == rowCount)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregation=count(*)"),
+      s"expected the count to reach the scan:\n$plan")
+  }
+
+  test("pushed count respects parseType and pushed type filters") {
+    val all = read()
+    val nodes = read("parseType" -> "node")
+    val ways = read("parseType" -> "way")
+    val relations = read("parseType" -> "relation")
+    assert(nodes.count() + ways.count() + relations.count() == all.count())
+    // pushed `type` filter composes with the pushed count
+    val filtered = all.filter(col("type") === "way")
+    assert(filtered.count() == ways.count())
+    val plan = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregation=count(*)") &&
+      plan.contains("kinds=Way"), plan)
+  }
+
+  test("grouped or column counts do NOT push down (scan still correct)") {
+    val df = read()
+    val grouped = df.groupBy(col("type")).count()
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAggregation"),
+      s"grouped counts must run the row scan:\n$plan")
+    assert(grouped.count() > 0)
+  }
+}

@@ -110,6 +110,12 @@ object DecodeThroughput {
       require(r.head.getLong(0) == total)
     }
 
+    time("count(*) pushdown (1 core)") {
+      val n = spark.read.format("osmpbf").option("parseType", "node")
+        .load(f.getPath).count()
+      require(n == total)
+    }
+
     spark.stop()
     f.delete()
   }
