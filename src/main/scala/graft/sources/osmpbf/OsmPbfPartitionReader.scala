@@ -22,19 +22,31 @@ class OsmPbfPartitionReaderFactory(
     kinds: Set[EntityKind.Value],
     conf: SerializableConfiguration,
     permissive: Boolean = false,
-    skips: SkipListener = SkipListener.Logging) extends PartitionReaderFactory {
+    skips: SkipListener = SkipListener.Logging,
+    limit: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds, conf,
-      permissive, skips)
+    val base = new OsmPbfPartitionReader(p, requiredSchema, parseType, kinds,
+      conf, permissive, skips)
+    if (limit < 0) base
+    else new PartitionReader[InternalRow] {
+      // pushed LIMIT: stop decoding this byte range after `limit` rows
+      private var remaining = limit
+      override def next(): Boolean =
+        remaining > 0 && base.next() && { remaining -= 1; true }
+      override def get(): InternalRow = base.get()
+      override def close(): Unit = base.close()
+    }
   }
 
   /** Vectorized batches when the pruned schema is the dense-node fast
     * path (id/lat/lon) — e.g. the README tile query after pruning.
+    * A pushed limit takes the row path (per-row cap, no partial batch
+    * logic to get subtly wrong).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    OsmPbfColumnarReader.canServe(requiredSchema, kinds)
+    limit < 0 && OsmPbfColumnarReader.canServe(requiredSchema, kinds)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -25,7 +25,8 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private val parseType = options.getOrDefault("parseType", "all").toLowerCase
   private var requiredSchema: StructType = fullSchema
@@ -53,6 +54,18 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     false // per-partition partial counts; Spark runs the final sum
+
+  private var pushedLimit = -1
+
+  /** Per-partition row cap: a LIMIT n exploration query stops decoding
+    * after n records in each byte range instead of scanning it fully.
+    * Partial pushdown (the default `isPartiallyPushed`) — Spark keeps
+    * the global limit on top.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = limit
+    true
+  }
 
   private def kindsFor(tpe: String): Set[EntityKind.Value] = tpe match {
     case "node" => Set(EntityKind.Node)
@@ -110,7 +123,8 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   override def build(): Scan =
     new OsmPbfScan(
       if (countPushed) OsmPbfScan.countSchema else requiredSchema,
-      parseType, pushedKinds, options, queryBounds, countPushed)
+      parseType, pushedKinds, options, queryBounds, countPushed,
+      if (countPushed) -1 else pushedLimit)
 }
 
 /** Conjunctive lat/lon bounds extracted from top-level query filters.
@@ -208,7 +222,8 @@ class OsmPbfScan(
     kinds: Set[EntityKind.Value],
     options: CaseInsensitiveStringMap,
     bounds: QueryBounds = QueryBounds(),
-    countOnly: Boolean = false) extends Scan with Batch {
+    countOnly: Boolean = false,
+    limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -224,6 +239,7 @@ class OsmPbfScan(
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
       s"columns=${requiredSchema.fieldNames.mkString(",")}" +
       (if (countOnly) ", pushedAggregation=count(*)" else "") +
+      (if (limit >= 0) s", pushedLimit=$limit" else "") +
       (if (pruning) s", bboxPrune=$bounds)" else ")")
   }
 
@@ -323,6 +339,6 @@ class OsmPbfScan(
       new OsmPbfCountReaderFactory(kinds, conf, permissive, skips)
     else
       new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
-        permissive, skips)
+        permissive, skips, limit)
   }
 }

@@ -45,6 +45,17 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
       plan.contains("kinds=Way"), plan)
   }
 
+  test("LIMIT pushes a per-partition row cap to the scan") {
+    val df = read().limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=5"), s"expected a pushed limit:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // the partial pushdown must not break a larger-than-file limit
+    val all = read()
+    assert(all.limit(1000000).count() == all.count())
+  }
+
   test("grouped or column counts do NOT push down (scan still correct)") {
     val df = read()
     val grouped = df.groupBy(col("type")).count()
