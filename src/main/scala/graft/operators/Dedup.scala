@@ -289,34 +289,58 @@ object Dedup {
     // shingle DF counts, candidate join) and Spark does not reuse the
     // exchange across them — persist it once (MLlib-style)
     val sh = explodedShingles(df, idCol, textCol)
-    val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxShingleDf))
-      .select("shingle")
-    val filtered = sh.join(okShingles, Seq("shingle"))
+    val filtered = dfCapFiltered(sh, maxShingleDf)
     val common = filtered.select(col("id").as("id_a"), col("shingle"))
       .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val scored = common
+    (sh, scoreJaccard(common, perDocShingleCounts(sh), minJaccard))
+  }
+
+  /** Per-doc distinct-shingle counts — the Jaccard denominators (always
+    * over the UNFILTERED shingle sets; the DF cap only drops hot-shingle
+    * evidence from the numerator).
+    */
+  private def perDocShingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+  /** Keep only shingles with document frequency in [2, maxShingleDf]:
+    * singletons cannot pair, hot shingles are the stop-list/skew guard.
+    */
+  private def dfCapFiltered(sh: DataFrame, maxShingleDf: Int): DataFrame =
+    sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxShingleDf))
+        .select("shingle"),
+      Seq("shingle"))
+
+  /** Exact Jaccard from common-shingle counts + per-doc denominators,
+    * thresholded — the scoring tail shared by the full and incremental
+    * operators, so their semantics cannot diverge.
+    */
+  private def scoreJaccard(
+      common: DataFrame,
+      nsh: DataFrame,
+      minJaccard: Double): DataFrame =
+    common
       .join(nsh.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(nsh.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (sh, scored)
-  }
 
   /** Incremental n-gram Jaccard: near-dup pairs where at least one side
     * is from the NEW batch (`isNewCol`) — the daily-ingest shape. A
     * corpus that grows by 0.1%/day must never recompute old-vs-old
-    * pairs; here the old-old candidates are pruned right after the
-    * inverted-index self-join, BEFORE the pair aggregation, so the
-    * heavy stages scale with (new x corpus), not corpus^2. Jaccard
-    * semantics (DF cap, unfiltered denominators) are identical to
-    * [[ngramJaccardPairs]]; the result is exactly its subset touching
-    * the new batch.
+    * pairs: ONE join side is restricted to new-batch shingle rows
+    * before the inverted-index join runs, so join work scales with
+    * (new x bucket), not bucket^2 — old-old candidate rows are never
+    * generated, not merely filtered. New-new pairs deduplicate by
+    * orientation (an old partner always pairs, a new partner only with
+    * a larger id). Jaccard semantics (DF cap, unfiltered denominators)
+    * are the shared scoring tail of [[ngramJaccardPairs]]; the result
+    * is exactly its subset touching the new batch.
     *
     * Lazy persisting form (shingle frame), same cache contract as
     * [[ngramJaccardPairs]]: Verify/Bench clearCache per query.
@@ -328,33 +352,25 @@ object Dedup {
       isNewCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000): DataFrame = {
-    // the flag rides the explode (map-side) so candidate pruning never
-    // needs a corpus-wide flag join
+    // the flag rides the explode (map-side) so candidate generation
+    // never needs a corpus-wide flag join
     val sh = df.select(col(idCol).as("id"),
         col(isNewCol).cast("boolean").as("is_new"),
         explode(shinglesWithDupes(col(textCol))).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nsh = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxShingleDf))
-      .select("shingle")
-    val filtered = sh.join(okShingles, Seq("shingle"))
-    val common = filtered
-      .select(col("shingle"), col("id").as("id_a"), col("is_new").as("new_a"))
-      .join(filtered
-        .select(col("shingle"), col("id").as("id_b"), col("is_new").as("new_b")),
-        Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("new_a") || col("new_b")) // old-old dies before the agg
+    val filtered = dfCapFiltered(sh, maxShingleDf)
+    val newSide = filtered.filter(col("is_new"))
+      .select(col("shingle"), col("id").as("n_id"))
+    val allSide = filtered
+      .select(col("shingle"), col("id").as("m_id"), col("is_new").as("m_new"))
+    val common = newSide.join(allSide, Seq("shingle"))
+      .filter(col("m_id") =!= col("n_id"))
+      .filter(!col("m_new") || col("m_id") > col("n_id"))
+      .select(least(col("n_id"), col("m_id")).as("id_a"),
+        greatest(col("n_id"), col("m_id")).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(nsh.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(nsh.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    scoreJaccard(common, perDocShingleCounts(sh.select("id", "shingle")), minJaccard)
   }
 
   /** 64-bit SimHash over token hashes: bit b is the sign of the sum of

@@ -270,23 +270,41 @@ object PbfBlockDecoder {
     }
 
   /** Count entities of the requested kinds WITHOUT materializing
-    * anything: the string table is never touched, non-dense entities are
+    * anything: the string table is never decoded, non-dense entities are
     * counted as message occurrences, and DenseNodes are counted by
     * walking the packed `id` field's varint terminations in place — the
     * decode-free fast path behind COUNT(*) aggregate pushdown. Wire
     * layout per osmformat.proto: PrimitiveBlock.primitivegroup = field
     * 2; group fields nodes=1, dense=2, ways=3, relations=4,
     * changesets=5; DenseNodes.id = packed sint64 field 1.
+    *
+    * Validation contract (the same stance as parquet's row-group-count
+    * pushdown, which does not decode data pages): the FRAME structure
+    * is validated — protobuf framing, string table presence, DenseNodes
+    * packed-field termination and id/lat/lon cardinality — so counting
+    * fails on the structural corruption a row scan fails on. Corruption
+    * INSIDE undecoded message bodies (a broken tag string, a malformed
+    * Way body) is not detectable without decoding and is the documented
+    * difference between a count and a scan.
     */
   def countEntities(payload: Array[Byte], kinds: Set[EntityKind.Value]): Long = {
     val r = new ProtoReader(payload, 0, payload.length)
     var n = 0L
+    var sawStrings = false
     var tag = r.readTag()
     while (tag != -1) {
-      if ((tag >> 3) == 2 && (tag & 7) == 2) n += countGroup(r.readMessage(), kinds)
-      else r.skip(tag & 7)
+      tag >> 3 match {
+        case 1 =>
+          sawStrings = true
+          r.skip(tag & 7)
+        case 2 if (tag & 7) == 2 =>
+          n += countGroup(r.readMessage(), kinds)
+        case _ => r.skip(tag & 7)
+      }
       tag = r.readTag()
     }
+    // parsePrimitiveBlock requires a stringtable; the count must too
+    require(sawStrings, "PrimitiveBlock missing stringtable")
     n
   }
 
@@ -321,10 +339,10 @@ object PbfBlockDecoder {
 
   /** Count DenseNodes entities by walking the packed `id` varints (one
     * entity per varint — a varint ends at the first byte without the
-    * continuation bit), VALIDATING what a row decode would reject:
-    * truncated varint spans throw, and the lat/lon parallel arrays must
-    * agree with the id cardinality (decodeDense zips them). FAILFAST
-    * count pushdown must never accept a block the row scan fails on.
+    * continuation bit), validating what a row decode would reject:
+    * truncated varint spans throw, and lat/lon must cover the id
+    * cardinality (decodeDense indexes lat/lon by id position — SHORT
+    * arrays fail the row scan, surplus entries are ignored by both).
     */
   private def countDense(r: ProtoReader): Long = {
     var ids = -1L
@@ -355,8 +373,8 @@ object PbfBlockDecoder {
       tag = r.readTag()
     }
     val idCount = math.max(ids, 0)
-    require(idCount == 0 || (lats == idCount && lons == idCount),
-      s"DenseNodes id/lat/lon cardinality mismatch: $ids/$lats/$lons")
+    require(idCount == 0 || (lats >= idCount && lons >= idCount),
+      s"DenseNodes lat/lon shorter than ids: $ids/$lats/$lons")
     idCount
   }
 

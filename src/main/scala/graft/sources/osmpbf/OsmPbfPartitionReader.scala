@@ -74,10 +74,15 @@ class OsmPbfCountReaderFactory(
       override def next(): Boolean =
         if (done) false
         else {
-          val in = new HadoopRangeReader(new Path(p.filePath), conf.value)
+          // empty file path = the planner's zero-count placeholder for a
+          // scan with no input files (count() must be 0, not NULL)
           val n =
-            try PbfScanner.countInRange(in, p.start, p.end, kinds, permissive, skips)
-            finally in.close()
+            if (p.filePath.isEmpty) 0L
+            else {
+              val in = new HadoopRangeReader(new Path(p.filePath), conf.value)
+              try PbfScanner.countInRange(in, p.start, p.end, kinds, permissive, skips)
+              finally in.close()
+            }
           row = new GenericInternalRow(Array[Any](n))
           done = true
           true

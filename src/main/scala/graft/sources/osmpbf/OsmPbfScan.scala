@@ -291,6 +291,11 @@ class OsmPbfScan(
         off = end
       }
     }
+    // pushed partial COUNT(*): Spark's final aggregate is a Sum over the
+    // partition counts, and a sum over ZERO rows is NULL — an empty
+    // directory must still produce one zero-count row to keep count()=0
+    if (countOnly && parts.isEmpty)
+      parts += OsmPbfInputPartition("", 0, 0)
     parts.toArray
   }
 

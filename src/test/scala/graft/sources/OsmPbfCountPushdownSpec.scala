@@ -45,6 +45,15 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
       plan.contains("kinds=Way"), plan)
   }
 
+  test("pushed count over an empty directory is 0, not NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("osmpbf-empty").toString
+    val df = spark.read.format("osmpbf").load(dir)
+    assert(df.count() == 0L)
+    val viaSql = df.groupBy().count().collect().head
+    assert(!viaSql.isNullAt(0) && viaSql.getLong(0) == 0L,
+      "the partial-count Sum must see a zero row, not an empty scan")
+  }
+
   test("LIMIT pushes a per-partition row cap to the scan") {
     val df = read().limit(5)
     val plan = df.queryExecution.executedPlan.toString
