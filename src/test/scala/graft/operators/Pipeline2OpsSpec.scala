@@ -123,6 +123,73 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (4L, 12L, 2L), (5L, 14L, 2L), (6L, 20L, 4L)))
   }
 
+  test("property: connectedComponents matches brute-force union-find") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val genEdges = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1) if b != a
+      } yield (a, b))
+    } yield edges
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val prop = forAll(genEdges) { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // min-label canonical form on both sides: the union-find root is
+      // already the component minimum (smaller root wins each union)
+      Prop(got == unionFind(edges))
+        .label(s"${edges.size} edges, expected ${unionFind(edges).size} nodes")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
+  test("property: packedBins equals the naive global cumulative sum") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.chooseNum(1, 50)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 30L))
+      budget <- Gen.chooseNum(1L, 40L)
+      groupSize <- Gen.chooseNum(1L, 8L)
+      // sparse, unordered ids exercise the id-derived grouping
+      ids <- Gen.pick(n, 1L to 200L)
+    } yield (ids.toSeq.sorted.zip(toks), budget, groupSize)
+    val prop = forAll(genCase) { case (docs, budget, groupSize) =>
+      val got = TextAnalysis.packedBins(
+          docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          budget, groupSize)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("start_offset"), r.getAs[Long]("bin")))
+      var acc = 0L
+      val expected = docs.map { case (id, t) =>
+        val start = acc; acc += t; (id, start, start / budget)
+      }
+      Prop(got.toSeq == expected)
+        .label(s"${docs.size} docs budget=$budget groups=$groupSize")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("corpusMetrics observes quality counters inside the existing action") {
     import spark.implicits._
     val docs = Seq(
