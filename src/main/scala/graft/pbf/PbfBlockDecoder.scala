@@ -337,6 +337,84 @@ object PbfBlockDecoder {
     n
   }
 
+  /** (count, min id, max id) for the requested kinds in one pass — the
+    * MIN/MAX/COUNT aggregate-pushdown walker. Ids ARE decoded (dense
+    * sint64 delta chains, per-message id fields for the other kinds),
+    * but lat/lon/strings/tags never are. Returns min/max = Long.Max/
+    * Long.Min sentinels when no entity matched (caller maps to NULL).
+    * Same frame-validation stance as [[countEntities]].
+    */
+  def statsEntities(
+      payload: Array[Byte],
+      kinds: Set[EntityKind.Value]): (Long, Long, Long) = {
+    val r = new ProtoReader(payload, 0, payload.length)
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var sawStrings = false
+    def seen(id: Long): Unit = {
+      n += 1
+      if (id < mn) mn = id
+      if (id > mx) mx = id
+    }
+    // first id field of a non-dense entity message: Node.id is sint64
+    // (zigzag), Way/Relation/ChangeSet ids are plain int64
+    def msgId(m: ProtoReader, zigzag: Boolean): Long = {
+      var id = 0L
+      var found = false
+      var tag = m.readTag()
+      while (tag != -1) {
+        if ((tag >> 3) == 1 && (tag & 7) == 0 && !found) {
+          id = if (zigzag) m.readSVarint() else m.readVarint()
+          found = true
+        } else m.skip(tag & 7)
+        tag = m.readTag()
+      }
+      require(found, "entity message missing id")
+      id
+    }
+    def denseIds(d: ProtoReader): Unit = {
+      var acc = 0L
+      var tag = d.readTag()
+      while (tag != -1) {
+        if ((tag >> 3) == 1 && (tag & 7) == 2) {
+          val len = d.readVarint().toInt
+          val end = d.pos + len
+          require(end <= d.end, "DenseNodes.id overruns the group")
+          while (d.pos < end) { acc += d.readSVarint(); seen(acc) }
+        } else d.skip(tag & 7)
+        tag = d.readTag()
+      }
+    }
+    def group(g: ProtoReader): Unit = {
+      var tag = g.readTag()
+      while (tag != -1) {
+        tag >> 3 match {
+          case 1 if kinds(EntityKind.Node) => seen(msgId(g.readMessage(), zigzag = true))
+          case 2 if kinds(EntityKind.Node) => denseIds(g.readMessage())
+          case 3 if kinds(EntityKind.Way) => seen(msgId(g.readMessage(), zigzag = false))
+          case 4 if kinds(EntityKind.Relation) => seen(msgId(g.readMessage(), zigzag = false))
+          case 5 if kinds(EntityKind.ChangeSet) => seen(msgId(g.readMessage(), zigzag = false))
+          case _ => g.skip(tag & 7)
+        }
+        tag = g.readTag()
+      }
+    }
+    var tag = r.readTag()
+    while (tag != -1) {
+      tag >> 3 match {
+        case 1 =>
+          sawStrings = true
+          r.skip(tag & 7)
+        case 2 if (tag & 7) == 2 => group(r.readMessage())
+        case _ => r.skip(tag & 7)
+      }
+      tag = r.readTag()
+    }
+    require(sawStrings, "PrimitiveBlock missing stringtable")
+    (n, mn, mx)
+  }
+
   /** Count DenseNodes entities by walking the packed `id` varints (one
     * entity per varint — a varint ends at the first byte without the
     * continuation bit), validating what a row decode would reject:

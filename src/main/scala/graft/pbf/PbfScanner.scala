@@ -264,6 +264,44 @@ object PbfScanner {
         PbfBlockDecoder.countEntities(payload, kinds)
       }.sum
 
+  /** (count, min id, max id) for a byte range — MIN/MAX/COUNT aggregate
+    * pushdown. Same policy split as [[countInRange]]: FAILFAST uses the
+    * ids-only walker, PERMISSIVE goes through the tolerant decode
+    * iterator for scan-consistency. Min/max are Long.Max/Long.Min
+    * sentinels when nothing matched.
+    */
+  def statsInRange(
+      in: RangeReader,
+      start: Long,
+      end: Long,
+      kinds: Set[EntityKind.Value],
+      permissive: Boolean = false,
+      skips: SkipListener = SkipListener.Logging): (Long, Long, Long) = {
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    if (permissive)
+      scanBlocks(in, start, end, kinds, withInfo = false, permissive = true,
+        skips).foreach { case (_, it) =>
+        it.foreach { e =>
+          n += 1
+          if (e.id < mn) mn = e.id
+          if (e.id > mx) mx = e.id
+        }
+      }
+    else
+      blocksInRange(in, start, end).foreach { b =>
+        val data = new Array[Byte](b.dataSize)
+        in.read(b.dataStart, data, 0, b.dataSize)
+        val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
+        val (bn, bmn, bmx) = PbfBlockDecoder.statsEntities(payload, kinds)
+        n += bn
+        if (bmn < mn) mn = bmn
+        if (bmx > mx) mx = bmx
+      }
+    (n, mn, mx)
+  }
+
   /** Truncate an in-memory decode iterator at the first failure
     * (content corruption only — the payload is already read, so no IO
     * can occur here). Shared by the row and columnar permissive paths.

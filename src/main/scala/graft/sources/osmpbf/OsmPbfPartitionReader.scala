@@ -55,12 +55,15 @@ class OsmPbfPartitionReaderFactory(
   }
 }
 
-/** COUNT(*) pushdown readers: one partial-count row per partition, no
-  * row materialization (FAILFAST counts DenseNodes by varint
-  * terminations without even reading the string table; PERMISSIVE
-  * counts through the tolerant decode path for scan-consistency).
+/** Aggregate-pushdown readers: one partial row per partition holding
+  * the pushed COUNT(*)/MIN(id)/MAX(id) values, no row materialization.
+  * FAILFAST uses the ids-only walkers (counts never even decode ids;
+  * min/max walk delta chains but skip lat/lon/strings/tags);
+  * PERMISSIVE goes through the tolerant decode path for
+  * scan-consistency.
   */
-class OsmPbfCountReaderFactory(
+class OsmPbfAggReaderFactory(
+    aggs: Seq[String],
     kinds: Set[EntityKind.Value],
     conf: SerializableConfiguration,
     permissive: Boolean,
@@ -74,16 +77,27 @@ class OsmPbfCountReaderFactory(
       override def next(): Boolean =
         if (done) false
         else {
-          // empty file path = the planner's zero-count placeholder for a
-          // scan with no input files (count() must be 0, not NULL)
-          val n =
-            if (p.filePath.isEmpty) 0L
+          // empty file path = the planner's placeholder for a scan with
+          // no input files (count() must be 0, not NULL; min/max NULL)
+          val (n, mn, mx) =
+            if (p.filePath.isEmpty) (0L, Long.MaxValue, Long.MinValue)
             else {
               val in = new HadoopRangeReader(new Path(p.filePath), conf.value)
-              try PbfScanner.countInRange(in, p.start, p.end, kinds, permissive, skips)
-              finally in.close()
+              try {
+                if (aggs == Seq("count"))
+                  (PbfScanner.countInRange(in, p.start, p.end, kinds,
+                    permissive, skips), Long.MaxValue, Long.MinValue)
+                else
+                  PbfScanner.statsInRange(in, p.start, p.end, kinds,
+                    permissive, skips)
+              } finally in.close()
             }
-          row = new GenericInternalRow(Array[Any](n))
+          val values: Array[Any] = aggs.map {
+            case "count" => n: Any
+            case "min" => if (n == 0L) null else (mn: Any)
+            case "max" => if (n == 0L) null else (mx: Any)
+          }.toArray
+          row = new GenericInternalRow(values)
           done = true
           true
         }

@@ -33,22 +33,37 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
   private var pushedKinds: Set[EntityKind.Value] = kindsFor(parseType)
   private var pushed: Array[Filter] = Array.empty
   private var queryBounds: QueryBounds = QueryBounds()
-  private var countPushed = false
+  private var pushedAggs: Seq[String] = Nil
 
-  /** COUNT(*) with no grouping is answered by the decode-free counter
-    * (per-partition partial counts, Spark sums them): DenseNodes are
-    * counted by varint terminations, the string table is never read.
-    * Spark only attempts this when every filter was pushed, so the
-    * count is always over exactly the rows the scan would produce.
+  /** Ungrouped COUNT(*) / MIN(id) / MAX(id) (any combination) are
+    * answered by the scan in one ids-only pass: counts never decode ids
+    * at all (varint terminations), min/max walk the delta chains but
+    * skip lat/lon/strings/tags. Per-partition partials; Spark runs the
+    * final merge. Spark only attempts this when every filter was
+    * pushed, so the result covers exactly the rows the scan would
+    * produce.
     */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countPushed = true
-    ok
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val parsed = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isId(m.column) => Some("min")
+      case m: Max if isId(m.column) => Some("max")
+      case _ => None
+    }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
+    else {
+      pushedAggs = parsed.flatten
+      true
+    }
   }
 
   override def supportCompletePushDown(
@@ -122,9 +137,9 @@ class OsmPbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
 
   override def build(): Scan =
     new OsmPbfScan(
-      if (countPushed) OsmPbfScan.countSchema else requiredSchema,
-      parseType, pushedKinds, options, queryBounds, countPushed,
-      if (countPushed) -1 else pushedLimit)
+      if (pushedAggs.nonEmpty) OsmPbfScan.aggSchema(pushedAggs) else requiredSchema,
+      parseType, pushedKinds, options, queryBounds, pushedAggs,
+      if (pushedAggs.nonEmpty) -1 else pushedLimit)
 }
 
 /** Conjunctive lat/lon bounds extracted from top-level query filters.
@@ -196,12 +211,18 @@ final case class OsmPbfInputPartition(
     end: Long) extends InputPartition
 
 object OsmPbfScan {
-  /** Output schema of a pushed COUNT(*): one partial count per
-    * partition, summed by Spark's final aggregate.
+  /** Output schema of a pushed aggregation: one partial row per
+    * partition (counts non-null, min/max nullable for empty ranges),
+    * merged by Spark's final aggregate.
     */
-  val countSchema: StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  def aggSchema(aggs: Seq[String]): StructType = StructType(aggs.map {
+    case "count" => org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+    case "min" => org.apache.spark.sql.types.StructField(
+      "min(id)", org.apache.spark.sql.types.LongType, nullable = true)
+    case "max" => org.apache.spark.sql.types.StructField(
+      "max(id)", org.apache.spark.sql.types.LongType, nullable = true)
+  })
 
   /** Corrupt-block policy, same contract as Spark's json/csv sources:
     * PERMISSIVE skips undecodable blocks (with a stderr note), FAILFAST
@@ -222,8 +243,10 @@ class OsmPbfScan(
     kinds: Set[EntityKind.Value],
     options: CaseInsensitiveStringMap,
     bounds: QueryBounds = QueryBounds(),
-    countOnly: Boolean = false,
+    pushedAggs: Seq[String] = Nil,
     limit: Int = -1) extends Scan with Batch {
+
+  private def aggOnly: Boolean = pushedAggs.nonEmpty
 
   override def readSchema(): StructType = requiredSchema
 
@@ -238,7 +261,7 @@ class OsmPbfScan(
     val pruning = options.getBoolean("bboxPruning", false) && !bounds.isUnbounded
     s"OsmPbfScan(parseType=$parseType, kinds=${kinds.mkString("+")}, " +
       s"columns=${requiredSchema.fieldNames.mkString(",")}" +
-      (if (countOnly) ", pushedAggregation=count(*)" else "") +
+      (if (aggOnly) s", pushedAggregation=${requiredSchema.fieldNames.mkString(",")}" else "") +
       (if (limit >= 0) s", pushedLimit=$limit" else "") +
       (if (pruning) s", bboxPrune=$bounds)" else ")")
   }
@@ -294,7 +317,8 @@ class OsmPbfScan(
     // pushed partial COUNT(*): Spark's final aggregate is a Sum over the
     // partition counts, and a sum over ZERO rows is NULL — an empty
     // directory must still produce one zero-count row to keep count()=0
-    if (countOnly && parts.isEmpty)
+    // (min/max stay NULL on that placeholder, which IS their semantics)
+    if (aggOnly && parts.isEmpty)
       parts += OsmPbfInputPartition("", 0, 0)
     parts.toArray
   }
@@ -340,8 +364,8 @@ class OsmPbfScan(
     val skips =
       if (permissive) OsmPbfSkipMetrics.registered(spark)
       else graft.pbf.SkipListener.Logging
-    if (countOnly)
-      new OsmPbfCountReaderFactory(kinds, conf, permissive, skips)
+    if (aggOnly)
+      new OsmPbfAggReaderFactory(pushedAggs, kinds, conf, permissive, skips)
     else
       new OsmPbfPartitionReaderFactory(requiredSchema, parseType, kinds, conf,
         permissive, skips, limit)

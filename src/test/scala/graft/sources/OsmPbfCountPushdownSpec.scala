@@ -45,6 +45,26 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
       plan.contains("kinds=Way"), plan)
   }
 
+  test("MIN/MAX(id) push down with COUNT in one pass and match the row scan") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val df = read()
+    val agg = df.agg(cnt(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregation=") && plan.contains("min(id)") &&
+      plan.contains("max(id)"), s"expected min/max to reach the scan:\n$plan")
+    val pushed = agg.collect().head
+    val viaRows = df.select(col("id")).collect().map(_.getLong(0))
+    assert(pushed.getLong(0) == viaRows.length)
+    assert(pushed.getLong(1) == viaRows.min)
+    assert(pushed.getLong(2) == viaRows.max)
+    // min/max over an empty result keep NULL semantics
+    val empty = spark.read.format("osmpbf")
+      .load(java.nio.file.Files.createTempDirectory("osmpbf-mm").toString)
+      .agg(min(col("id")), max(col("id"))).collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+  }
+
   test("pushed count over an empty directory is 0, not NULL") {
     val dir = java.nio.file.Files.createTempDirectory("osmpbf-empty").toString
     val df = spark.read.format("osmpbf").load(dir)
