@@ -137,16 +137,22 @@ object TextAnalysis {
       size: Int = 8,
       stride: Int = 4): org.apache.spark.sql.DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
-    val n = org.apache.spark.sql.functions.size(col("toks"))
+    // Collision-resistant internals: posexplode's outputs are aliased and
+    // the token array gets a __chunk_ prefix, so an input named `toks`,
+    // `pos` or `col` cannot shadow them (same convention as packedBins).
+    val n = org.apache.spark.sql.functions.size(col("__chunk_toks"))
     val lastStart = greatest(least(n - size + stride, n), lit(1))
-    df.select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol), col("toks"),
-        posexplode(sequence(lit(1), lastStart, lit(stride))))
+    df.select(col(idCol), split(col(textCol), " ").as("__chunk_toks"))
+      .select(col(idCol), col("__chunk_toks"),
+        posexplode(sequence(lit(1), lastStart, lit(stride)))
+          .as(Seq("__chunk_pos", "__chunk_start")))
       .select(col(idCol),
-        col("pos").cast("int").as("chunk_idx"),
-        org.apache.spark.sql.functions.size(slice(col("toks"), col("col"), lit(size)))
+        col("__chunk_pos").cast("int").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("__chunk_toks"), col("__chunk_start"), lit(size)))
           .as("n_chunk_tokens"),
-        array_join(slice(col("toks"), col("col"), lit(size)), " ").as("chunk"))
+        array_join(slice(col("__chunk_toks"), col("__chunk_start"), lit(size)), " ")
+          .as("chunk"))
   }
 
   /** Per-document token-repetition profile (the Gopher-style repetition

@@ -358,7 +358,10 @@ object PbfBlockDecoder {
       if (id > mx) mx = id
     }
     // first id field of a non-dense entity message: Node.id is sint64
-    // (zigzag), Way/Relation/ChangeSet ids are plain int64
+    // (zigzag), Way/Relation/ChangeSet ids are plain int64. A message
+    // that omits field 1 means id = 0 (protobuf default-value elision) —
+    // the row decoders (e.g. decodeChangeSet) default to 0 too, so the
+    // pushdown must agree rather than fail a query the plain scan answers.
     def msgId(m: ProtoReader, zigzag: Boolean): Long = {
       var id = 0L
       var found = false
@@ -370,21 +373,44 @@ object PbfBlockDecoder {
         } else m.skip(tag & 7)
         tag = m.readTag()
       }
-      require(found, "entity message missing id")
       id
     }
+    // Decodes the packed id delta chain AND counts lat/lon varints (the
+    // same cheap termination walk countDense does) so this pushdown path
+    // rejects exactly the corruption the row scan rejects: decodeDense
+    // indexes lat/lon by id position, so short arrays must fail here too.
     def denseIds(d: ProtoReader): Unit = {
       var acc = 0L
+      var idCount = 0L
+      var lats = 0L
+      var lons = 0L
       var tag = d.readTag()
       while (tag != -1) {
-        if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val field = tag >> 3
+        if (field == 1 && (tag & 7) == 2) {
           val len = d.readVarint().toInt
           val end = d.pos + len
           require(end <= d.end, "DenseNodes.id overruns the group")
-          while (d.pos < end) { acc += d.readSVarint(); seen(acc) }
+          while (d.pos < end) { acc += d.readSVarint(); seen(acc); idCount += 1 }
+        } else if ((field == 8 || field == 9) && (tag & 7) == 2) {
+          val len = d.readVarint().toInt
+          val end = d.pos + len
+          require(end <= d.end, "DenseNodes packed field overruns the group")
+          var n = 0L
+          var p = d.pos
+          while (p < end) {
+            if ((d.buf(p) & 0x80) == 0) n += 1
+            p += 1
+          }
+          require(len == 0 || (d.buf(end - 1) & 0x80) == 0,
+            "DenseNodes packed field ends mid-varint")
+          d.pos = end
+          if (field == 8) lats += n else lons += n
         } else d.skip(tag & 7)
         tag = d.readTag()
       }
+      require(idCount == 0 || (lats >= idCount && lons >= idCount),
+        s"DenseNodes lat/lon shorter than ids: $idCount/$lats/$lons")
     }
     def group(g: ProtoReader): Unit = {
       var tag = g.readTag()

@@ -118,13 +118,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       leftOut: AttributeSet,
       rightOut: AttributeSet): Boolean =
     conjuncts.exists {
-      case EqualTo(a, b) =>
-        (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut) &&
-          a.references.nonEmpty && b.references.nonEmpty) ||
-        (a.references.subsetOf(rightOut) && b.references.subsetOf(leftOut) &&
-          a.references.nonEmpty && b.references.nonEmpty)
+      // Both plain and null-safe equality already give Catalyst a hash-
+      // joinable key; expanding the band on top would double the left
+      // side for no benefit, so either form disables the rewrite.
+      case EqualTo(a, b) => crossSides(a, b, leftOut, rightOut)
+      case EqualNullSafe(a, b) => crossSides(a, b, leftOut, rightOut)
       case _ => false
     }
+
+  private def crossSides(
+      a: Expression,
+      b: Expression,
+      leftOut: AttributeSet,
+      rightOut: AttributeSet): Boolean =
+    (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut) &&
+      a.references.nonEmpty && b.references.nonEmpty) ||
+    (a.references.subsetOf(rightOut) && b.references.subsetOf(leftOut) &&
+      a.references.nonEmpty && b.references.nonEmpty)
 
   private val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
 

@@ -83,6 +83,22 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (4L, 2, 5, "i j k l m")))
   }
 
+  test("chunked tolerates inputs named toks/pos/col (internals don't shadow)") {
+    import spark.implicits._
+    // round-4 ADVICE: hardcoded internal names made an input column named
+    // toks/pos/col ambiguous. The id column itself using one of those
+    // names is the worst case — it must survive and come back unchanged.
+    for (evil <- Seq("toks", "pos", "col")) {
+      val df = Seq((1L, "a b c d e f g h i")).toDF(evil, "text")
+      val rows = TextAnalysis.chunked(df, evil, "text", size = 8, stride = 4)
+        .orderBy(col("chunk_idx")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      assert(rows.toSeq == Seq(
+        (1L, 0, "a b c d e f g h"),
+        (1L, 1, "e f g h i")), s"idCol=$evil")
+    }
+  }
+
   test("chunked with stride > size keeps gap-sampled tails") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")

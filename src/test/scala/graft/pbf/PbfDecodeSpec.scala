@@ -139,4 +139,61 @@ class PbfDecodeSpec extends AnyFunSuite {
       }
     } finally in.close()
   }
+
+  test("pushdown paths agree: short lat/lon fails COUNT, MIN/MAX AND row scan") {
+    import ProtoWriter._
+    // lats covers only 1 of 2 ids — the row decoder (decodeDense indexes
+    // lat/lon by id position) rejects this block, so BOTH pushdown
+    // walkers must reject it too, not silently answer.
+    val st = msg(repeatedBytes(1, Seq("")))
+    val dense = msg(
+      packedSVarints(1, Seq(10L, 5L)), // ids 10, 15
+      packedSVarints(8, Seq(100L)), // ONE lat for two ids
+      packedSVarints(9, Seq(200L, 1L)))
+    val block = msg(lenDelim(1, st), lenDelim(2, msg(lenDelim(2, dense))))
+    val kinds: Set[EntityKind.Value] = Set(EntityKind.Node)
+    intercept[IllegalArgumentException] {
+      PbfBlockDecoder.countEntities(block, kinds)
+    }
+    intercept[IllegalArgumentException] {
+      PbfBlockDecoder.statsEntities(block, kinds)
+    }
+    intercept[Exception] {
+      PbfBlockDecoder.decodeEntities(
+        PbfBlockDecoder.parsePrimitiveBlock(block), kinds, withInfo = false).toList
+    }
+  }
+
+  test("pushdown stats match row decode on a valid synthetic block") {
+    import ProtoWriter._
+    val st = msg(repeatedBytes(1, Seq("")))
+    val dense = msg(
+      packedSVarints(1, Seq(10L, 5L, -3L)), // ids 10, 15, 12
+      packedSVarints(8, Seq(100L, 1L, 1L)),
+      packedSVarints(9, Seq(200L, 1L, 1L)))
+    val way = msg(varint(1, 7L), packedSVarints(8, Seq(10L, 5L)))
+    val group = msg(lenDelim(2, dense), lenDelim(3, way))
+    val block = msg(lenDelim(1, st), lenDelim(2, group))
+    val all: Set[EntityKind.Value] = Set(EntityKind.Node, EntityKind.Way)
+    val (n, mn, mx) = PbfBlockDecoder.statsEntities(block, all)
+    assert(n == 4 && mn == 7 && mx == 15)
+    assert(PbfBlockDecoder.countEntities(block, all) == 4)
+  }
+
+  test("missing id field means id=0 in pushdown, matching the row decoders") {
+    import ProtoWriter._
+    // protobuf lets a field at its default value (0) be omitted; the row
+    // decoders default id to 0, so MIN/MAX pushdown must answer the same
+    // query instead of throwing.
+    val st = msg(repeatedBytes(1, Seq("")))
+    val changeset = msg(Array.emptyByteArray) // ChangeSet with no fields at all
+    val block =
+      msg(lenDelim(1, st), lenDelim(2, msg(lenDelim(5, changeset))))
+    val kinds: Set[EntityKind.Value] = Set(EntityKind.ChangeSet)
+    val (n, mn, mx) = PbfBlockDecoder.statsEntities(block, kinds)
+    assert(n == 1 && mn == 0 && mx == 0)
+    val rows = PbfBlockDecoder.decodeEntities(
+      PbfBlockDecoder.parsePrimitiveBlock(block), kinds, withInfo = false).toList
+    assert(rows.map(_.id) == List(0L))
+  }
 }

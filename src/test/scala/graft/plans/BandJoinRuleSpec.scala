@@ -100,6 +100,25 @@ class BandJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("null-safe equality conjuncts also disable the rewrite") {
+    import spark.implicits._
+    val l = (0L until 50L).map(i => (i, i % 5, i % 20)).toDF("lid", "k", "x")
+    val r = (0L until 50L).map(i => (i, i % 5, i % 23)).toDF("rid", "k2", "y")
+    withRule {
+      // a <=> b is just as hash-joinable as a = b; expanding the band on
+      // top would double the left side for nothing
+      val q = l.join(r, l("k") <=> r("k2") &&
+        r("y") >= l("x") - 2 && r("y") <= l("x") + 2)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("__band_bin"),
+        s"null-safe equi-band joins already hash-join; rule must not fire:\n$optimized")
+      val physical = q.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"), physical)
+      assert(q.count() > 0)
+    }
+  }
+
   test("double-typed bands are out of scope (no silent float bucketing)") {
     import spark.implicits._
     val l = Seq((1L, 1.5)).toDF("lid", "x")
