@@ -40,4 +40,31 @@ object OsmFunctions {
     exploded.join(nodes.select(col("id").as("node_id"),
         col("lat"), col("lon")), Seq("node_id"))
   }
+
+  /** Relation geometry assembly — the multipolygon pattern implied by
+    * the Relation schema (osmformat.proto:241-259, the entity type the
+    * reference declares but never implements): a TWO-hop join,
+    * relation -> member way (posexplode keeps member order, the ring
+    * order of a multipolygon) -> way nodes -> node coordinates. Output
+    * is one row per resolved point, ordered by `(member_pos, pos)`
+    * within each relation; `role` (outer/inner) rides along so callers
+    * can split rings. Members that are not ways, and ways/nodes outside
+    * the extract, drop out of the inner joins — assembly resolves what
+    * the file can resolve. Both hops are plain equi-joins after
+    * map-side explodes: shuffle-partitioned on way_id/node_id at planet
+    * scale, broadcast-able when the relation side is small.
+    */
+  def resolveRelationGeometry(
+      relations: org.apache.spark.sql.DataFrame,
+      ways: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val members = relations.select(col("id").as("relation_id"),
+        posexplode(col("members")).as(Seq("member_pos", "m")))
+      .where(col("m.memberType") === "way")
+      .select(col("relation_id"), col("member_pos"),
+        col("m.role").as("role"), col("m.memberId").as("way_id"))
+    members.join(resolveWayGeometry(ways, nodes), Seq("way_id"))
+      .select(col("relation_id"), col("member_pos"), col("role"),
+        col("way_id"), col("pos"), col("node_id"), col("lat"), col("lon"))
+  }
 }

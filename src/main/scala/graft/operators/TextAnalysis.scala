@@ -182,13 +182,17 @@ object TextAnalysis {
     * pretraining move that turns a corpus into fixed-budget sequences
     * with minimal padding.
     *
-    * The global exclusive prefix sum is computed in two deterministic
-    * levels so the corpus itself never funnels through one partition:
+    * The global exclusive prefix sum is computed in THREE deterministic
+    * levels so no level ever funnels the corpus through one partition:
     * a within-group running sum (window partitioned by `floor(id /
-    * groupSize)`) plus an exclusive sum of the per-group totals. Only
-    * the group-totals window is unpartitioned, and it carries one row
-    * per group — at 10^11 docs with the default grouping that is still
-    * 10^7 rows, at which point the same trick nests one level deeper.
+    * groupSize)`), a within-SUPER-group running sum over the per-group
+    * totals (window partitioned by `floor(g / groupSize)` — one row per
+    * group, never unpartitioned), and an exclusive sum over the
+    * super-group totals. That last level carries one row per
+    * groupSize^2 documents — ~6,000 rows at 10^11 docs — so it is
+    * folded on the driver and broadcast back, the same
+    * bounded-metadata-to-driver shape as an IVF codebook: the DATA
+    * never leaves the executors, only per-super-group totals do.
     * Grouping keys derive from ids, not sampled range boundaries, so
     * the result is reproducible across engines and partitionings
     * (`repartitionByRange` samples its bounds; this must not).
@@ -204,15 +208,28 @@ object TextAnalysis {
     val g = floor(col(idCol) / groupSize).as("g")
     val within = Window.partitionBy(col("g")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val groups = Window.orderBy(col("g"))
+    val withinSuper = Window.partitionBy(col("sg")).orderBy(col("g"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val perDoc = df.select(col(idCol), col(tokenCol).cast("long").as("t"), g)
       .withColumn("w_start", coalesce(sum(col("t")).over(within), lit(0L)))
     val gOffsets = perDoc.groupBy(col("g"))
       .agg(sum(col("t")).as("g_total"))
-      .withColumn("g_start", coalesce(sum(col("g_total")).over(groups), lit(0L)))
-      .select(col("g"), col("g_start"))
-    perDoc.join(broadcast(gOffsets), Seq("g"))
+      .withColumn("sg", floor(col("g") / groupSize))
+      .withColumn("g_start_in_sg",
+        coalesce(sum(col("g_total")).over(withinSuper), lit(0L)))
+    val superTotals = gOffsets.groupBy(col("sg"))
+      .agg(sum(col("g_total")).as("sg_total"))
+      .orderBy(col("sg")).collect()
+    var acc = 0L
+    val sgStarts = superTotals.map { r =>
+      val row = (r.getLong(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sgStartDf = sgStarts.toDF("sg", "sg_start")
+    val gStarts = gOffsets.join(broadcast(sgStartDf), Seq("sg"))
+      .select(col("g"), (col("sg_start") + col("g_start_in_sg")).as("g_start"))
+    perDoc.join(broadcast(gStarts), Seq("g"))
       .select(col(idCol),
         col("t"),
         (col("g_start") + col("w_start")).as("start_offset"),

