@@ -308,12 +308,20 @@ object Similarity {
   def lshSketches(vec: Column, planes: Int, tables: Int, dims: Int = 64): Column = {
     import graft.functions.VectorFunctions.vec_dot_fd
     val w = planeWeights(tables, planes, dims)
-    array((0 until tables).map { t =>
+    val sketches = array((0 until tables).map { t =>
       (0 until planes).map { p =>
         when(vec_dot_fd(vec, typedLit(w(t)(p))) > 0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
     }: _*)
+    // the bit-identity contract above holds only for vectors of length
+    // <= dims (the native kernel sums the first `dims` components where
+    // the HOF null-padded): enforce it at sketch time rather than let a
+    // longer vector silently sketch a truncation
+    when(size(vec) <= dims, sketches)
+      .otherwise(raise_error(concat(
+        lit("lshSketches: vector length "), size(vec).cast("string"),
+        lit(s" exceeds dims=$dims; raise dims to cover the embedding"))))
   }
 
   /** Near-dup pairs via OR-amplified sketch buckets: a pair is a candidate

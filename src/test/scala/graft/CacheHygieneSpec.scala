@@ -21,4 +21,22 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"$name left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
   }
+
+  test("p24/p28 share one BOUNDED pairs->clusters memo (no accumulation)") {
+    // first p24 computes the shared stage (its checkpoints may persist —
+    // that is the memo's one allowed entry plus loop intermediates the
+    // ContextCleaner reclaims on GC)...
+    SparkEntry.queries("p24_dup_clusters")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    // ...then p28 and a repeated p24 REUSE it: zero new persisted blocks
+    SparkEntry.queries("p28_dedup_survivors")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterFirst,
+      "p28 must reuse p24's pairs->clusters stage, not recompute it")
+    SparkEntry.queries("p24_dup_clusters")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterFirst,
+      "repeated p24 must hit the memo, not accumulate checkpoints")
+  }
 }

@@ -148,6 +148,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f.getAs[Int]("n_bytes") > 0)
   }
 
+  test("lshSketches rejects vectors longer than dims instead of truncating") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val ok = Seq(Array.fill(8)(0.5f)).toDF("vec")
+      .select(Similarity.lshSketches(col("vec"), planes = 4, tables = 2,
+        dims = 8).as("sk"))
+      .collect()
+    assert(ok.head.getAs[scala.collection.Seq[Long]]("sk").length == 2)
+    val tooLong = Seq(Array.fill(9)(0.5f)).toDF("vec")
+      .select(Similarity.lshSketches(col("vec"), planes = 4, tables = 2,
+        dims = 8))
+    val e = intercept[Exception](tooLong.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds dims")), e.toString)
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
