@@ -75,10 +75,10 @@ object Pipeline2 {
     clustersMemo match {
       case Some((k, df)) if k == key => df
       case _ =>
-        val labels = Dedup.ngramJaccardPairsScoped(t(s, dir, "documents"),
-            "doc_id", "text", Pipeline.JaccardMin, Pipeline.JaccardMaxDf) {
-          pairs => Dedup.connectedComponents(pairs)
-        }.localCheckpoint(true)
+        // the pair stage comes from Pipeline.jaccardPairs — already a
+        // memoized checkpoint, so only the CC rounds run here
+        val labels = Dedup.connectedComponents(Pipeline.jaccardPairs(s, dir))
+          .localCheckpoint(true)
         clustersMemo = Some((key, labels))
         labels
     }

@@ -13,7 +13,7 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("cache-using queries leave no persisted RDDs after the per-query clear") {
-    for (name <- Seq("p07_ngram_jaccard", "p08_minhash_lsh", "p17_neardup_lsh")) {
+    for (name <- Seq("p08_minhash_lsh", "p17_neardup_lsh")) {
       SparkEntry.queries(name)(spark, sf).count()
       spark.catalog.clearCache()
       val leaked = spark.sparkContext.getPersistentRDDs
@@ -22,21 +22,30 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("p24/p28 share one BOUNDED pairs->clusters memo (no accumulation)") {
-    // first p24 computes the shared stage (its checkpoints may persist —
-    // that is the memo's one allowed entry plus loop intermediates the
-    // ContextCleaner reclaims on GC)...
+  test("p07/p24/p28 share BOUNDED stage memos (no accumulation)") {
+    // p07 computes the shared pair stage; the memoized checkpoint is the
+    // one allowed persistent entry (the shingle index used to build it
+    // must still have been released by the scoped form)
+    SparkEntry.queries("p07_ngram_jaccard")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP07 = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("p07_ngram_jaccard")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterP07,
+      "repeated p07 must hit the pairs memo, not accumulate checkpoints")
+    // p24 derives clusters from the memoized pairs (CC rounds may add
+    // checkpoints the ContextCleaner reclaims on GC)...
     SparkEntry.queries("p24_dup_clusters")(spark, sf).count()
     spark.catalog.clearCache()
-    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    val afterP24 = spark.sparkContext.getPersistentRDDs.size
     // ...then p28 and a repeated p24 REUSE it: zero new persisted blocks
     SparkEntry.queries("p28_dedup_survivors")(spark, sf).count()
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.size <= afterFirst,
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterP24,
       "p28 must reuse p24's pairs->clusters stage, not recompute it")
     SparkEntry.queries("p24_dup_clusters")(spark, sf).count()
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.size <= afterFirst,
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterP24,
       "repeated p24 must hit the memo, not accumulate checkpoints")
   }
 }
