@@ -155,6 +155,43 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Duplicated n-gram coverage — the corpus-level substring-duplication
+    * signal (the scalable cousin of exact-substring dedup a la "Deduplicating
+    * Training Data Makes Language Models Better"): for each document, the
+    * fraction of its distinct `n`-gram windows that also occur in at
+    * least one OTHER document. High coverage marks boilerplate,
+    * templates and memorization risk that pairwise Jaccard (p07) misses
+    * when no single pair clears its threshold. Documents shorter than
+    * `n` tokens contribute their whole text as one gram (same floor as
+    * the shingle dedup family). Shape at 100 TB: explode + per-doc
+    * distinct (map-side heavy), one shuffle keyed by gram for the
+    * document-frequency count, one shuffle back by gram to join —
+    * an inverted index, never a pairwise product.
+    */
+  def dupNgramCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = tokens(col(textCol))
+    val grams = df.select(col(idCol),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array(col(textCol)))).as("__gram"))
+      .distinct()
+    val gramDf = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__n_docs"))
+    grams.join(gramDf, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("dup_coverage"))
+  }
+
   /** Per-document token-repetition profile (the Gopher-style repetition
     * quality signals): token count, distinct count, duplicate-token
     * ratio, and the top token's frequency. Explode + two-level aggregate

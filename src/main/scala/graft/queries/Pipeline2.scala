@@ -507,6 +507,41 @@ object Pipeline2 {
              |            FROM documents)
              |      GROUP BY doc_id, t)
              |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // duplicated n-gram coverage: fraction of each doc's distinct
+      // 8-gram windows that occur in at least one OTHER document — the
+      // corpus-level substring-duplication signal (boilerplate /
+      // template / memorization risk) that pairwise Jaccard misses when
+      // no single pair clears its threshold. Inverted-index shape: one
+      // shuffle keyed by gram, never a pairwise product.
+      "p38_dup_ngram_coverage",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.dupNgramCoverage(t(s, dir, "documents"),
+            "doc_id", "text", n = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(CASE WHEN len(toks) >= 8
+             |      THEN list_transform(generate_series(1, len(toks) - 7),
+             |        i -> array_to_string(toks[i:i+7], ' '))
+             |      ELSE [text] END) AS gram
+             |  FROM toks),
+             |gdf AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+             |SELECT doc_id,
+             |  COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared,
+             |  round(CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS dup_coverage
+             |FROM g JOIN gdf USING (gram)
+             |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin))
   )
 }

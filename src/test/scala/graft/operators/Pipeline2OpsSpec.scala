@@ -62,6 +62,30 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       "minhashLshPairsScoped must release the signature cache")
   }
 
+  test("dupNgramCoverage counts grams shared with OTHER docs only") {
+    import spark.implicits._
+    // n=2 bigrams: doc1 "a b c" -> {a b, b c}; doc2 "a b x" -> {a b, b x};
+    // doc3 "z z" -> {z z} (no overlap); doc4 short "q" -> whole-text gram
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b x"), (3L, "z z"), (4L, "q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramCoverage(df, "doc_id", "text", n = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), // "a b" shared with doc2
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0), // repeated-within-doc does not count as shared
+      (4L, 1L, 0L, 0.0)))
+    // a doc's gram repeated INSIDE the same doc is not "shared": distinct
+    // per doc first, so "z z z" (bigrams {z z, z z}) stays 0-coverage
+    val solo = TextAnalysis.dupNgramCoverage(
+      Seq((1L, "z z z")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .collect().head
+    assert(solo.getLong(1) == 1 && solo.getLong(2) == 0)
+  }
+
   test("chunked covers every token; no chunk is a pure suffix of the last") {
     import spark.implicits._
     val df = Seq(
