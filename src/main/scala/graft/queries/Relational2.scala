@@ -136,13 +136,22 @@ object Relational2 {
       "q25_metadata",
       (s, dir) => {
         import s.implicits._
+        // project the stable BASENAME (the absolute path is engine-local)
+        // so the metadata surface is hash-proven: the name pins which
+        // file each row came from, n_rows pins the grouping, and the
+        // size predicate pins that file_size was actually read
         t(s, dir, "lineitem")
-          .select($"_metadata.file_path".as("file_path"),
+          .select(
+            element_at(split($"_metadata.file_path", "/"), -1).as("file_name"),
             $"_metadata.file_size".as("file_size"))
-          .groupBy($"file_path", $"file_size")
+          .groupBy($"file_name", $"file_size")
           .agg(count(lit(1)).as("n_rows"))
-          .orderBy($"file_path")
+          .select($"file_name", ($"file_size" > 0).as("size_positive"), $"n_rows")
+          .orderBy($"file_name")
       },
-      None) // file paths are engine-local; rows-only check
+      Some("""SELECT 'lineitem.parquet' AS file_name,
+             |  TRUE AS size_positive,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem""".stripMargin))
   )
 }
