@@ -160,4 +160,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(genIdx >= 0 && exIdx >= 0 && genIdx > exIdx,
       s"Generate must be below the first Exchange in the plan tree:\n$p")
   }
+
+  test("p38 dup-coverage is an inverted index: partial aggs, no product join") {
+    val p = plan("p38_dup_ngram_coverage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join must stay an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram DF count must partial-aggregate map-side:\n$p")
+  }
+
+  test("osm11 relation assembly joins are equi-joins, never nested loops") {
+    val p = plan("osm11_relation_geometry")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"both hops must plan as hash/sort-merge equi-joins:\n$p")
+  }
 }
