@@ -192,6 +192,48 @@ object TextAnalysis {
           .as("dup_coverage"))
   }
 
+  /** Cross-source n-gram leakage matrix — contamination auditing between
+    * corpus partitions (the train/test-leak analysis run before any
+    * split is trusted): for every unordered source pair, how many
+    * distinct `n`-gram windows occur in BOTH. Grams present in more
+    * than `maxDocDf` documents are dropped first (boilerplate cap, the
+    * same discipline as the Jaccard dedup family — ubiquitous grams say
+    * nothing about leakage and are exactly the skew that would melt the
+    * gram shuffle at 100 TB). Output is one row per source pair with
+    * shared-gram counts: tiny, whatever the corpus size. Shape: explode
+    * + distinct, one gram-keyed aggregation for the cap, a gram-keyed
+    * self-join whose fan-out is bounded by sources-per-gram (<= number
+    * of sources), never a document product.
+    */
+  def crossSourceNgramLeak(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      srcCol: String,
+      textCol: String,
+      n: Int = 8,
+      maxDocDf: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && maxDocDf >= 1, "n/maxDocDf must be >= 1")
+    val toks = tokens(col(textCol))
+    val docGrams = df.select(col(idCol), col(srcCol).as("__src"),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array(col(textCol)))).as("__gram"))
+      .distinct()
+    val okGrams = docGrams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocDf)
+      .select(col("__gram"))
+    val srcGrams = docGrams.join(okGrams, Seq("__gram"))
+      .select(col("__src"), col("__gram")).distinct()
+    srcGrams.select(col("__gram"), col("__src").as("src_a"))
+      .join(srcGrams.select(col("__gram"), col("__src").as("src_b")),
+        Seq("__gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Per-document token-repetition profile (the Gopher-style repetition
     * quality signals): token count, distinct count, duplicate-token
     * ratio, and the top token's frequency. Explode + two-level aggregate

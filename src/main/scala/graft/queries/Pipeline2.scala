@@ -542,6 +542,37 @@ object Pipeline2 {
              |    / COUNT(*), 6) AS dup_coverage
              |FROM g JOIN gdf USING (gram)
              |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // cross-source n-gram leakage matrix: shared distinct 8-grams per
+      // source pair after the boilerplate DF cap — the contamination
+      // audit a train/test split runs before it is trusted. Output is
+      // one row per source pair regardless of corpus size.
+      "p39_cross_source_leak",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.crossSourceNgramLeak(t(s, dir, "documents"),
+            "doc_id", "source", "text", n = 8, maxDocDf = 50)
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    unnest(CASE WHEN len(toks) >= 8
+             |      THEN list_transform(generate_series(1, len(toks) - 7),
+             |        i -> array_to_string(toks[i:i+7], ' '))
+             |      ELSE [text] END) AS gram
+             |  FROM toks),
+             |ok AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 50),
+             |sg AS (SELECT DISTINCT source, gram FROM g JOIN ok USING (gram))
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  COUNT(*) AS n_shared_grams
+             |FROM sg a JOIN sg b USING (gram)
+             |WHERE a.source < b.source
+             |GROUP BY a.source, b.source
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }

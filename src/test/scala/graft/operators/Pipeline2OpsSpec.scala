@@ -86,6 +86,28 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(solo.getLong(1) == 1 && solo.getLong(2) == 0)
   }
 
+  test("crossSourceNgramLeak counts shared grams per source pair, capped") {
+    import spark.implicits._
+    // n=2: s1 doc1 {a b, b c}, s1 doc2 {a b}; s2 doc3 {a b, b c, c q};
+    // s3 doc4 {z z}. With maxDocDf=2, "a b" (df=3) is capped out, so
+    // (s1,s2) share only "b c"; s3 shares nothing.
+    val df = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "a b"),
+      (3L, "s2", "a b c q"), (4L, "s3", "z z")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.crossSourceNgramLeak(
+        df, "doc_id", "source", "text", n = 2, maxDocDf = 2)
+      .orderBy($"src_a", $"src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s1", "s2", 1L)))
+    // without the cap, "a b" counts too
+    val uncapped = TextAnalysis.crossSourceNgramLeak(
+        df, "doc_id", "source", "text", n = 2, maxDocDf = 1000)
+      .orderBy($"src_a", $"src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(uncapped.toSeq == Seq(("s1", "s2", 2L)))
+  }
+
   test("chunked covers every token; no chunk is a pure suffix of the last") {
     import spark.implicits._
     val df = Seq(
