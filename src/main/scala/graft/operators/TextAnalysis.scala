@@ -192,6 +192,35 @@ object TextAnalysis {
           .as("dup_coverage"))
   }
 
+  /** Rare-token ratio — the corpus-relative gibberish/noise signal: per
+    * document, the fraction of token OCCURRENCES whose corpus-wide
+    * occurrence count is at most `maxCount`. Complements the
+    * document-local quality scores (p03) and repetition stats (p27)
+    * with a signal only the corpus can give: OCR garbage, mojibake and
+    * random identifiers are exactly the tokens the rest of the corpus
+    * never repeats. Integer counts and an exact ratio — no logs, so the
+    * result is bit-identical across engines (a unigram log-prob score
+    * would ride on libm rounding). Shape: explode + one token-keyed
+    * partial-aggregated shuffle + join back by token — dictionary-sized
+    * state, never a document product.
+    */
+  def rareTokenRatio(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(maxCount >= 1, "maxCount must be >= 1")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    toks.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__n") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6)
+          .as("rare_ratio"))
+  }
+
   /** Cross-source n-gram leakage matrix — contamination auditing between
     * corpus partitions (the train/test-leak analysis run before any
     * split is trusted): for every unordered source pair, how many

@@ -573,6 +573,33 @@ object Pipeline2 {
              |FROM sg a JOIN sg b USING (gram)
              |WHERE a.source < b.source
              |GROUP BY a.source, b.source
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    QueryDef(
+      // rare-token ratio: fraction of each doc's token occurrences whose
+      // corpus-wide count is <= 2 — the corpus-relative noise signal
+      // (OCR garbage / mojibake / random ids) that document-local
+      // quality scores cannot see. Integer-exact, so it hash-matches
+      // across engines where a log-prob score would ride libm rounding.
+      "p40_rare_token_ratio",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.rareTokenRatio(t(s, dir, "documents"),
+            "doc_id", "text", maxCount = 2L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |vocab AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
+             |SELECT doc_id,
+             |  COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rare,
+             |  round(CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS rare_ratio
+             |FROM tok JOIN vocab USING (t)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -108,6 +108,18 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(uncapped.toSeq == Seq(("s1", "s2", 2L)))
   }
 
+  test("rareTokenRatio counts occurrences against corpus-wide counts") {
+    import spark.implicits._
+    // corpus counts: a=3, b=2, q=1 -> rare (<=2): b, q
+    val df = Seq((1L, "a a b"), (2L, "a b q")).toDF("doc_id", "text")
+    val got = TextAnalysis.rareTokenRatio(df, "doc_id", "text", maxCount = 2L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), // b
+      (2L, 3L, 2L, 0.666667))) // b, q
+  }
+
   test("chunked covers every token; no chunk is a pure suffix of the last") {
     import spark.implicits._
     val df = Seq(
