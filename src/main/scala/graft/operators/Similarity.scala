@@ -317,8 +317,10 @@ object Similarity {
     // the bit-identity contract above holds only for vectors of length
     // <= dims (the native kernel sums the first `dims` components where
     // the HOF null-padded): enforce it at sketch time rather than let a
-    // longer vector silently sketch a truncation
-    when(size(vec) <= dims, sketches)
+    // longer vector silently sketch a truncation. A NULL vector is NOT
+    // an error — it sketches through unchanged (all-zero bits, exactly
+    // the pre-guard behavior) and falls out at the cosine stage.
+    when(vec.isNull || size(vec) <= dims, sketches)
       .otherwise(raise_error(concat(
         lit("lshSketches: vector length "), size(vec).cast("string"),
         lit(s" exceeds dims=$dims; raise dims to cover the embedding"))))

@@ -320,11 +320,17 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     val perDoc = df.select(col(idCol), col(tokenCol).cast("long").as("t"), g)
       .withColumn("w_start", coalesce(sum(col("t")).over(within), lit(0L)))
+    // one row per group (metadata-sized, like the memoized stages) —
+    // checkpointed because it feeds TWO consumers, the driver-side
+    // super-total fold below and the final join: without it the corpus
+    // scan + group aggregation would execute twice (the collect is a
+    // separate job, so ReuseExchange cannot share the scan)
     val gOffsets = perDoc.groupBy(col("g"))
       .agg(sum(col("t")).as("g_total"))
       .withColumn("sg", floor(col("g") / groupSize))
       .withColumn("g_start_in_sg",
         coalesce(sum(col("g_total")).over(withinSuper), lit(0L)))
+      .localCheckpoint(true)
     val superTotals = gOffsets.groupBy(col("sg"))
       .agg(sum(col("g_total")).as("sg_total"))
       .orderBy(col("sg")).collect()

@@ -357,19 +357,19 @@ object PbfBlockDecoder {
       if (id < mn) mn = id
       if (id > mx) mx = id
     }
-    // first id field of a non-dense entity message: Node.id is sint64
-    // (zigzag), Way/Relation/ChangeSet ids are plain int64. A message
-    // that omits field 1 means id = 0 (protobuf default-value elision) —
-    // the row decoders (e.g. decodeChangeSet) default to 0 too, so the
-    // pushdown must agree rather than fail a query the plain scan answers.
+    // id field of a non-dense entity message: Node.id is sint64
+    // (zigzag), Way/Relation/ChangeSet ids are plain int64. Protobuf
+    // scalar semantics apply exactly as in the row decoders: an omitted
+    // field 1 means id = 0 (default-value elision), and a REPEATED
+    // field 1 means the LAST occurrence wins (the row decoders
+    // overwrite on each occurrence) — the pushdown must agree with the
+    // scan on both edges, not just the happy path.
     def msgId(m: ProtoReader, zigzag: Boolean): Long = {
       var id = 0L
-      var found = false
       var tag = m.readTag()
       while (tag != -1) {
-        if ((tag >> 3) == 1 && (tag & 7) == 0 && !found) {
+        if ((tag >> 3) == 1 && (tag & 7) == 0) {
           id = if (zigzag) m.readSVarint() else m.readVarint()
-          found = true
         } else m.skip(tag & 7)
         tag = m.readTag()
       }
@@ -388,23 +388,14 @@ object PbfBlockDecoder {
       while (tag != -1) {
         val field = tag >> 3
         if (field == 1 && (tag & 7) == 2) {
+          // repeated packed chunks concatenate (same semantics as the
+          // appendL row decoders): the delta chain continues across them
           val len = d.readVarint().toInt
           val end = d.pos + len
           require(end <= d.end, "DenseNodes.id overruns the group")
           while (d.pos < end) { acc += d.readSVarint(); seen(acc); idCount += 1 }
         } else if ((field == 8 || field == 9) && (tag & 7) == 2) {
-          val len = d.readVarint().toInt
-          val end = d.pos + len
-          require(end <= d.end, "DenseNodes packed field overruns the group")
-          var n = 0L
-          var p = d.pos
-          while (p < end) {
-            if ((d.buf(p) & 0x80) == 0) n += 1
-            p += 1
-          }
-          require(len == 0 || (d.buf(end - 1) & 0x80) == 0,
-            "DenseNodes packed field ends mid-varint")
-          d.pos = end
+          val n = countVarintsInSpan(d)
           if (field == 8) lats += n else lons += n
         } else d.skip(tag & 7)
         tag = d.readTag()
@@ -449,37 +440,47 @@ object PbfBlockDecoder {
     * arrays fail the row scan, surplus entries are ignored by both).
     */
   private def countDense(r: ProtoReader): Long = {
-    var ids = -1L
-    var lats = -1L
-    var lons = -1L
+    var ids = 0L
+    var lats = 0L
+    var lons = 0L
     var tag = r.readTag()
     while (tag != -1) {
       val field = tag >> 3
       if ((field == 1 || field == 8 || field == 9) && (tag & 7) == 2) {
-        val len = r.readVarint().toInt
-        val end = r.pos + len
-        require(end <= r.end, "DenseNodes packed field overruns the group")
-        var n = 0L
-        var p = r.pos
-        while (p < end) {
-          if ((r.buf(p) & 0x80) == 0) n += 1
-          p += 1
-        }
-        require(len == 0 || (r.buf(end - 1) & 0x80) == 0,
-          "DenseNodes packed field ends mid-varint")
-        r.pos = end
+        val n = countVarintsInSpan(r) // repeated packed spans concatenate
         field match {
-          case 1 => ids = math.max(ids, 0) + n // repeated packed spans concat
-          case 8 => lats = math.max(lats, 0) + n
-          case 9 => lons = math.max(lons, 0) + n
+          case 1 => ids += n
+          case 8 => lats += n
+          case 9 => lons += n
         }
       } else r.skip(tag & 7)
       tag = r.readTag()
     }
-    val idCount = math.max(ids, 0)
-    require(idCount == 0 || (lats >= idCount && lons >= idCount),
+    require(ids == 0 || (lats >= ids && lons >= ids),
       s"DenseNodes lat/lon shorter than ids: $ids/$lats/$lons")
-    idCount
+    ids
+  }
+
+  /** Count the varints in one packed span (length-delimited payload at
+    * the reader's position), validating what a row decode would reject:
+    * an overrunning span or one that ends mid-varint throws. Shared by
+    * the COUNT and MIN/MAX pushdown walkers so their validation cannot
+    * drift.
+    */
+  private def countVarintsInSpan(r: ProtoReader): Long = {
+    val len = r.readVarint().toInt
+    val end = r.pos + len
+    require(end <= r.end, "DenseNodes packed field overruns the group")
+    var n = 0L
+    var p = r.pos
+    while (p < end) {
+      if ((r.buf(p) & 0x80) == 0) n += 1
+      p += 1
+    }
+    require(len == 0 || (r.buf(end - 1) & 0x80) == 0,
+      "DenseNodes packed field ends mid-varint")
+    r.pos = end
+    n
   }
 
   /** ChangeSet is id-only by spec (osmformat.proto:174-189). */
@@ -513,9 +514,9 @@ object PbfBlockDecoder {
         var tag = r.readTag()
         while (tag != -1) {
           tag >> 3 match {
-            case 1 => ids = r.readPackedLongs(zigzag = true)
-            case 8 => lats = r.readPackedLongs(zigzag = true)
-            case 9 => lons = r.readPackedLongs(zigzag = true)
+            case 1 => ids = appendL(ids, r.readPackedLongs(zigzag = true))
+            case 8 => lats = appendL(lats, r.readPackedLongs(zigzag = true))
+            case 9 => lons = appendL(lons, r.readPackedLongs(zigzag = true))
             case _ => r.skip(tag & 7)
           }
           tag = r.readTag()
@@ -545,6 +546,19 @@ object PbfBlockDecoder {
       dense.iterator ++ plain.iterator
     }
 
+  /** Repeated packed fields may legally arrive as MULTIPLE chunks of the
+    * same field number, and protobuf semantics say they concatenate —
+    * every packed read site appends rather than overwrites, so the row
+    * decoders, the columnar path, and the pushdown walkers (which count
+    * across chunks) all agree on multi-chunk input. The common case
+    * (one chunk) stays allocation-free.
+    */
+  private def appendL(cur: Array[Long], next: Array[Long]): Array[Long] =
+    if (cur.isEmpty) next else cur ++ next
+
+  private def appendI(cur: Array[Int], next: Array[Int]): Array[Int] =
+    if (cur.isEmpty) next else cur ++ next
+
   /** DenseNodes: parallel packed arrays, all DELTA coded; tags flattened as
     * ((keyId valId)* 0)* — osmformat.proto:216-227. State (running id/lat/
     * lon, keys_vals cursor) is scoped to this group: fixes reference defect
@@ -563,11 +577,11 @@ object PbfBlockDecoder {
     var tag = r.readTag()
     while (tag != -1) {
       tag >> 3 match {
-        case 1 => ids = r.readPackedLongs(zigzag = true)
+        case 1 => ids = appendL(ids, r.readPackedLongs(zigzag = true))
         case 5 => denseInfo = r.readMessage()
-        case 8 => lats = r.readPackedLongs(zigzag = true)
-        case 9 => lons = r.readPackedLongs(zigzag = true)
-        case 10 => keysVals = r.readPackedInts(zigzag = false)
+        case 8 => lats = appendL(lats, r.readPackedLongs(zigzag = true))
+        case 9 => lons = appendL(lons, r.readPackedLongs(zigzag = true))
+        case 10 => keysVals = appendI(keysVals, r.readPackedInts(zigzag = false))
         case _ => r.skip(tag & 7)
       }
       tag = r.readTag()
@@ -611,12 +625,12 @@ object PbfBlockDecoder {
     var tag = r.readTag()
     while (tag != -1) {
       tag >> 3 match {
-        case 1 => versions = r.readPackedInts(zigzag = false)
-        case 2 => timestamps = r.readPackedLongs(zigzag = true)
-        case 3 => changesets = r.readPackedLongs(zigzag = true)
-        case 4 => uids = r.readPackedInts(zigzag = true)
-        case 5 => userSids = r.readPackedInts(zigzag = true)
-        case 6 => visibles = r.readPackedLongs(zigzag = false)
+        case 1 => versions = appendI(versions, r.readPackedInts(zigzag = false))
+        case 2 => timestamps = appendL(timestamps, r.readPackedLongs(zigzag = true))
+        case 3 => changesets = appendL(changesets, r.readPackedLongs(zigzag = true))
+        case 4 => uids = appendI(uids, r.readPackedInts(zigzag = true))
+        case 5 => userSids = appendI(userSids, r.readPackedInts(zigzag = true))
+        case 6 => visibles = appendL(visibles, r.readPackedLongs(zigzag = false))
         case _ => r.skip(tag & 7)
       }
       tag = r.readTag()
@@ -656,8 +670,8 @@ object PbfBlockDecoder {
     while (tag != -1) {
       tag >> 3 match {
         case 1 => id = r.readSVarint()
-        case 2 => keys = r.readPackedInts(zigzag = false)
-        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 2 => keys = appendI(keys, r.readPackedInts(zigzag = false))
+        case 3 => vals = appendI(vals, r.readPackedInts(zigzag = false))
         case 4 =>
           val m = r.readMessage()
           if (withInfo) info = Some(decodeInfo(block, m))
@@ -685,12 +699,12 @@ object PbfBlockDecoder {
     while (tag != -1) {
       tag >> 3 match {
         case 1 => id = r.readVarint()
-        case 2 => keys = r.readPackedInts(zigzag = false)
-        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 2 => keys = appendI(keys, r.readPackedInts(zigzag = false))
+        case 3 => vals = appendI(vals, r.readPackedInts(zigzag = false))
         case 4 =>
           val m = r.readMessage()
           if (withInfo) info = Some(decodeInfo(block, m))
-        case 8 => refs = r.readPackedLongs(zigzag = true)
+        case 8 => refs = appendL(refs, r.readPackedLongs(zigzag = true))
         case _ => r.skip(tag & 7)
       }
       tag = r.readTag()
@@ -719,14 +733,14 @@ object PbfBlockDecoder {
     while (tag != -1) {
       tag >> 3 match {
         case 1 => id = r.readVarint()
-        case 2 => keys = r.readPackedInts(zigzag = false)
-        case 3 => vals = r.readPackedInts(zigzag = false)
+        case 2 => keys = appendI(keys, r.readPackedInts(zigzag = false))
+        case 3 => vals = appendI(vals, r.readPackedInts(zigzag = false))
         case 4 =>
           val m = r.readMessage()
           if (withInfo) info = Some(decodeInfo(block, m))
-        case 8 => roles = r.readPackedInts(zigzag = false)
-        case 9 => memids = r.readPackedLongs(zigzag = true)
-        case 10 => types = r.readPackedInts(zigzag = false)
+        case 8 => roles = appendI(roles, r.readPackedInts(zigzag = false))
+        case 9 => memids = appendL(memids, r.readPackedLongs(zigzag = true))
+        case 10 => types = appendI(types, r.readPackedInts(zigzag = false))
         case _ => r.skip(tag & 7)
       }
       tag = r.readTag()

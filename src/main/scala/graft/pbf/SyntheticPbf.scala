@@ -117,9 +117,12 @@ object SyntheticPbf {
   }
 
   /** Length-framed file block: big-endian int32 header size, BlobHeader
-    * {type, datasize}, then a raw Blob wrapping `payload`.
+    * {type, datasize}, then a raw Blob wrapping `payload`. Returns the
+    * EXACT number of bytes written, so `write` can guarantee the
+    * at-least-targetBytes contract (an undercounting estimate would make
+    * ensureFile's size check fail forever and regenerate on every run).
     */
-  def writeFrame(out: OutputStream, blockType: String, payload: Array[Byte]): Unit = {
+  def writeFrame(out: OutputStream, blockType: String, payload: Array[Byte]): Long = {
     val blob = new ByteArrayOutputStream(payload.length + 8)
     writeLenDelim(blob, 1, payload) // Blob.raw
     val header = new ByteArrayOutputStream(32)
@@ -131,6 +134,7 @@ object SyntheticPbf {
       ((h.length >> 8) & 0xff).toByte, (h.length & 0xff).toByte))
     out.write(h)
     blob.writeTo(out)
+    4L + h.length + blob.size()
   }
 
   private def headerPayload: Array[Byte] = {
@@ -147,15 +151,13 @@ object SyntheticPbf {
       Paths.get(path).getParent, ".synth", ".pbf.tmp")
     val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 20)
     try {
-      writeFrame(out, "OSMHeader", headerPayload)
-      var written = 0L
+      var written = writeFrame(out, "OSMHeader", headerPayload)
       var blockIdx = 1L
       while (written < targetBytes) {
         val payload =
           if (blockIdx % 8 == 0) wayBlockPayload(blockIdx)
           else denseBlockPayload(blockIdx)
-        writeFrame(out, "OSMData", payload)
-        written += payload.length + 24
+        written += writeFrame(out, "OSMData", payload)
         blockIdx += 1
       }
     } finally out.close()

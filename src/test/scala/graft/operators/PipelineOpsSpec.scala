@@ -163,6 +163,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("exceeds dims")), e.toString)
+    // a NULL vector is not an error: it sketches through (all-zero bits)
+    // and drops out at the cosine stage, as before the guard
+    val withNull = Seq(Some(Array.fill(8)(0.5f)), None).toDF("vec")
+      .select(Similarity.lshSketches(col("vec"), planes = 4, tables = 2,
+        dims = 8).as("sk"))
+      .collect()
+    assert(withNull.length == 2)
   }
 
   test("fingerprint is order-sensitive") {

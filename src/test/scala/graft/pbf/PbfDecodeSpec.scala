@@ -180,6 +180,44 @@ class PbfDecodeSpec extends AnyFunSuite {
     assert(PbfBlockDecoder.countEntities(block, all) == 4)
   }
 
+  test("multi-chunk packed fields concatenate identically in row scan and pushdown") {
+    import ProtoWriter._
+    // protobuf-legal: a repeated packed field split into several chunks
+    // of the same field number concatenates. ids [10] ++ [5] = delta
+    // chain 10, 15; lats/lons also split mid-field.
+    val st = msg(repeatedBytes(1, Seq("")))
+    val dense = msg(
+      packedSVarints(1, Seq(10L)), packedSVarints(1, Seq(5L)),
+      packedSVarints(8, Seq(100L)), packedSVarints(8, Seq(1L)),
+      packedSVarints(9, Seq(200L, 1L)))
+    val block = msg(lenDelim(1, st), lenDelim(2, msg(lenDelim(2, dense))))
+    val kinds: Set[EntityKind.Value] = Set(EntityKind.Node)
+    val rows = PbfBlockDecoder.decodeEntities(
+      PbfBlockDecoder.parsePrimitiveBlock(block), kinds, withInfo = false).toList
+    assert(rows.map(_.id) == List(10L, 15L))
+    assert(PbfBlockDecoder.countEntities(block, kinds) == 2)
+    val (n, mn, mx) = PbfBlockDecoder.statsEntities(block, kinds)
+    assert(n == 2 && mn == 10 && mx == 15)
+    // the columnar path agrees too
+    val cols = PbfBlockDecoder.decodeDenseColumns(
+      PbfBlockDecoder.parsePrimitiveBlock(block)).toList
+    assert(cols.head._1.toList == List(10L, 15L))
+  }
+
+  test("repeated id field: last occurrence wins in both row scan and pushdown") {
+    import ProtoWriter._
+    // protobuf scalar semantics: a re-sent scalar field overwrites
+    val st = msg(repeatedBytes(1, Seq("")))
+    val way = msg(varint(1, 7L), packedSVarints(8, Seq(10L)), varint(1, 9L))
+    val block = msg(lenDelim(1, st), lenDelim(2, msg(lenDelim(3, way))))
+    val kinds: Set[EntityKind.Value] = Set(EntityKind.Way)
+    val rows = PbfBlockDecoder.decodeEntities(
+      PbfBlockDecoder.parsePrimitiveBlock(block), kinds, withInfo = false).toList
+    assert(rows.map(_.id) == List(9L))
+    val (n, mn, mx) = PbfBlockDecoder.statsEntities(block, kinds)
+    assert(n == 1 && mn == 9 && mx == 9)
+  }
+
   test("missing id field means id=0 in pushdown, matching the row decoders") {
     import ProtoWriter._
     // protobuf lets a field at its default value (0) be omitted; the row
