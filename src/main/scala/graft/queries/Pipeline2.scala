@@ -600,6 +600,54 @@ object Pipeline2 {
              |    / COUNT(*), 6) AS rare_ratio
              |FROM tok JOIN vocab USING (t)
              |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // survivor policy variant: keep the LONGEST document per near-dup
+      // cluster (tie-break lowest id) instead of the minimum id — the
+      // policy real pipelines run (keep the best copy, drop the rest).
+      // Reuses the shared pairs->clusters stage; the per-cluster pick is
+      // one row_number window partitioned by cluster (cluster count
+      // scales with the corpus, so the window never funnels).
+      "p41_dedup_keep_longest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val ranked = dupClusters(s, dir)
+          .join(docs.select($"doc_id".as("id"), $"n_chars"), Seq("id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"cluster_id")
+              .orderBy($"n_chars".desc, $"id")))
+        val dropped = ranked.filter($"rn" > 1)
+          .select($"id".as("doc_id"), lit(1).as("is_dup"))
+        docs.join(dropped, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg((count(lit(1)) - count($"is_dup")).as("n_kept"),
+            count($"is_dup").as("n_dropped"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id),
+             |lbl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+             |drp AS (
+             |  SELECT id FROM (
+             |    SELECT l.id,
+             |      ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+             |        ORDER BY d.n_chars DESC, l.id) AS rn
+             |    FROM lbl l JOIN documents d ON d.doc_id = l.id)
+             |  WHERE rn > 1)
+             |SELECT source,
+             |  COUNT(*) - COUNT(p.id) AS n_kept,
+             |  COUNT(p.id) AS n_dropped
+             |FROM documents LEFT JOIN drp p ON p.id = doc_id
+             |GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }
