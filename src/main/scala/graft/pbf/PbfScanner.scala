@@ -69,6 +69,16 @@ object SkipListener {
   * parseable BlobHeader at the implied block start, `type == "OSMData"`
   * (fixing defect D7) — so a signature that happens to occur inside
   * compressed payload bytes cannot desynchronize the reader.
+  *
+  * Known assumption (shared with the reference): the signature search
+  * expects the canonical BlobHeader serialization — `type` first, so the
+  * signature sits [[SigOffsetInBlock]] bytes after the frame start. A
+  * writer emitting fields out of order is wire-format legal but
+  * unobserved in practice (osmosis/osmium/JOSM all serialize in field
+  * order); such frames still parse everywhere frames are reached by
+  * position ([[readBlockRef]] parses the header order-agnostically) —
+  * only signature-search realignment (mid-file split entry, PERMISSIVE
+  * recovery) would miss them.
   */
 object PbfScanner {
 
@@ -171,11 +181,42 @@ object PbfScanner {
     header
   }
 
-  /** All OSMData blocks whose frame start lies in [start, end). */
-  def blocksInRange(in: RangeReader, start: Long, end: Long): Iterator[BlockRef] =
+  /** All OSMData blocks whose frame start lies in [start, end).
+    *
+    * Frame-level corruption (a frame that should start where the
+    * previous one ended but does not parse) follows the same
+    * PERMISSIVE/FAILFAST contract as payload corruption: FAILFAST
+    * throws — silent realignment would return a successful result with
+    * a block's rows missing — while PERMISSIVE reports the loss to the
+    * SkipListener and realigns by signature search. Skipping a PARTIAL
+    * block at a split head (start > 0 landing mid-block) is the normal
+    * split protocol, not corruption, and stays silent in both modes;
+    * a file whose very first frame (start == 0) does not parse is
+    * corruption.
+    */
+  def blocksInRange(
+      in: RangeReader,
+      start: Long,
+      end: Long,
+      permissive: Boolean = false,
+      skips: SkipListener = SkipListener.Logging): Iterator[BlockRef] =
     new Iterator[BlockRef] {
+      private def lostFraming(pos: Long, cause: String): Option[BlockRef] = {
+        if (!permissive)
+          throw new IllegalArgumentException(
+            s"corrupt PBF frame at byte $pos: $cause " +
+              "(mode=PERMISSIVE skips undecodable frames)")
+        val next = findBlockStart(in, pos + 1).filter(_ < end)
+          .flatMap(readBlockRef(in, _))
+        skips.skippedBlock(pos,
+          s"$cause; realigned to ${next.map(_.start).getOrElse(-1L)}")
+        next
+      }
       private var nextBlock: Option[BlockRef] =
-        findBlockStart(in, start).filter(_ < end).flatMap(readBlockRef(in, _))
+        if (start == 0 && in.size > 0 && readBlockRef(in, 0).isEmpty)
+          lostFraming(0, "file does not begin with a parseable frame")
+        else
+          findBlockStart(in, start).filter(_ < end).flatMap(readBlockRef(in, _))
       override def hasNext: Boolean = nextBlock.isDefined
       override def next(): BlockRef = {
         val b = nextBlock.get
@@ -189,9 +230,7 @@ object PbfScanner {
             case Some(nb) if nb.blockType == "OSMData" => return Some(nb)
             case Some(nb) => pos = nb.nextStart // e.g. OSMHeader mid-stream
             case None =>
-              // framing lost (corrupt frame) — realign by signature search
-              return findBlockStart(in, pos + 1).filter(_ < end)
-                .flatMap(readBlockRef(in, _))
+              return lostFraming(pos, "frame does not parse where one should start")
           }
         }
         None
@@ -217,8 +256,9 @@ object PbfScanner {
       kinds: Set[EntityKind.Value],
       withInfo: Boolean = false,
       permissive: Boolean = false,
-      skips: SkipListener = SkipListener.Logging): Iterator[(BlockRef, Iterator[OsmEntity])] =
-    blocksInRange(in, start, end).flatMap { b =>
+      skips: SkipListener = SkipListener.Logging,
+      withTags: Boolean = true): Iterator[(BlockRef, Iterator[OsmEntity])] =
+    blocksInRange(in, start, end, permissive, skips).flatMap { b =>
       // the read happens OUTSIDE the permissive guard: IO errors are
       // transient infrastructure failures that must fail the task (and
       // be retried), never be misreported as corrupt data and skipped
@@ -227,7 +267,7 @@ object PbfScanner {
       try {
         val payload = PbfBlockDecoder.inflateBlob(data, 0, b.dataSize)
         val entities = PbfBlockDecoder.decodeEntities(
-          PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo)
+          PbfBlockDecoder.parsePrimitiveBlock(payload), kinds, withInfo, withTags)
         // entity decode is lazy — in permissive mode a mid-block decode
         // failure must truncate THIS block's iteration, not kill the scan
         Iterator.single((b, if (permissive) tolerant(entities, b.start, skips) else entities))
@@ -255,7 +295,7 @@ object PbfScanner {
       skips: SkipListener = SkipListener.Logging): Long =
     if (permissive)
       scanBlocks(in, start, end, kinds, withInfo = false, permissive = true,
-        skips).map(_._2.size.toLong).sum
+        skips, withTags = false).map(_._2.size.toLong).sum
     else
       blocksInRange(in, start, end).map { b =>
         val data = new Array[Byte](b.dataSize)
@@ -282,7 +322,7 @@ object PbfScanner {
     var mx = Long.MinValue
     if (permissive)
       scanBlocks(in, start, end, kinds, withInfo = false, permissive = true,
-        skips).foreach { case (_, it) =>
+        skips, withTags = false).foreach { case (_, it) =>
         it.foreach { e =>
           n += 1
           if (e.id < mn) mn = e.id

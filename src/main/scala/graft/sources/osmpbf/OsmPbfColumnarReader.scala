@@ -32,7 +32,8 @@ class OsmPbfColumnarPartitionReader(
     skips: SkipListener = SkipListener.Logging) extends PartitionReader[ColumnarBatch] {
 
   private val in = new HadoopRangeReader(new Path(part.filePath), conf.value)
-  private val blocks = PbfScanner.blocksInRange(in, part.start, part.end)
+  private val blocks =
+    PbfScanner.blocksInRange(in, part.start, part.end, permissive, skips)
 
   private var groups: Iterator[(Array[Long], Array[Double], Array[Double])] =
     Iterator.empty
@@ -59,6 +60,10 @@ class OsmPbfColumnarPartitionReader(
       }
     }
     val (ids, lats, lons) = groups.next()
+    // release the superseded batch's vectors before allocating the next
+    // (the ColumnVector lifecycle contract; harmless for OnHeap, load-
+    // bearing if the allocation ever moves off-heap)
+    if (current != null) current.close()
     current = toBatch(ids, lats, lons)
     true
   }

@@ -216,12 +216,35 @@ object OsmPbfOffset {
       case c => c.toString
     } + "\""
 
+  /** Single-pass inverse of [[q]]: unescapes \", \\ AND the \u00XX
+    * control-character escapes q() writes — a path containing a control
+    * character must round-trip exactly or restart recovery reprocesses
+    * (list mode) or fails to reopen (watermark mode) that file.
+    */
+  private[osmpbf] def unq(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def fromJson(json: String): OsmPbfOffset = {
     // minimal parser for the fixed shape written by json() above
     val entry = """\{"path":"((?:[^"\\]|\\.)*)","len":(\d+)\}""".r
     OsmPbfOffset(entry.findAllMatchIn(json).map { m =>
-      val path = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      (path, m.group(2).toLong)
+      (unq(m.group(1)), m.group(2).toLong)
     }.toSeq)
   }
 }
@@ -245,8 +268,7 @@ object OsmPbfWatermarkOffset {
     val name = """"((?:[^"\\]|\\.)*)"""".r
     val at = """"at":\[(.*)\]""".r.findFirstMatchIn(json).map(_.group(1))
       .filter(_.nonEmpty)
-      .map(s => name.findAllMatchIn(s).map(
-        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+      .map(s => name.findAllMatchIn(s).map(m => OsmPbfOffset.unq(m.group(1))).toSeq)
       .getOrElse(Seq.empty)
     OsmPbfWatermarkOffset(wm, at)
   }

@@ -291,19 +291,39 @@ class OsmPbfScan(
     //    bbox, or with an unreadable header are conservatively kept.
     val validate = options.getBoolean("validateHeader", true)
     val prune = options.getBoolean("bboxPruning", false) && !bounds.isUnbounded
+    def keep(path: String): Boolean = {
+      val in = new HadoopRangeReader(new Path(path), hadoopConf)
+      val header =
+        try {
+          if (validate) graft.pbf.PbfScanner.validateHeader(in, path)
+          else // opt-out of validation: a bad header must not break
+               // planning just because bbox pruning wants a peek
+            scala.util.Try(graft.pbf.PbfScanner.readHeader(in))
+              .toOption.flatten
+        } finally in.close()
+      !prune || header.flatMap(_.bbox).forall(bounds.intersects)
+    }
     val pruned =
       if (!validate && !prune) paths
-      else paths.filter { case (path, _) =>
-        val in = new HadoopRangeReader(new Path(path), hadoopConf)
-        val header =
-          try {
-            if (validate) graft.pbf.PbfScanner.validateHeader(in, path)
-            else // opt-out of validation: a bad header must not break
-                 // planning just because bbox pruning wants a peek
-              scala.util.Try(graft.pbf.PbfScanner.readHeader(in))
-                .toOption.flatten
-          } finally in.close()
-        !prune || header.flatMap(_.bbox).forall(bounds.intersects)
+      else if (paths.sizeIs <= 1) paths.filter(p => keep(p._1))
+      else {
+        // each header peek is an independent open+read round-trip; on a
+        // directory of thousands of object-store files a sequential loop
+        // stalls planning for minutes, so fan out on a bounded pool (the
+        // same move Spark's InMemoryFileIndex makes for listing) —
+        // validation failures still propagate and fail planning
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, paths.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val decided = paths.map { case p @ (path, _) =>
+            Future { (p, keep(path)) }
+          }
+          Await.result(Future.sequence(decided), Duration.Inf)
+            .collect { case (p, true) => p }
+        } finally pool.shutdown()
       }
     val parts = ArrayBuffer.empty[InputPartition]
     for ((path, len) <- pruned) {

@@ -218,6 +218,28 @@ class PbfDecodeSpec extends AnyFunSuite {
     assert(n == 1 && mn == 9 && mx == 9)
   }
 
+  test("ProtoReader rejects hostile lengths instead of looping or zero-padding") {
+    import ProtoWriter._
+    // negative length varint (0xFF..FA encodes -6 as toInt): without the
+    // bounds check readMessage would move pos BACKWARDS -> infinite loop
+    val negLen = key(1, 2) ++ Array(0xfa, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0xff, 0x01).map(_.toByte)
+    val r1 = new ProtoReader(negLen, 0, negLen.length)
+    r1.readTag()
+    intercept[IllegalArgumentException](r1.readMessage())
+    // declared length past the slice end: must throw, not zero-pad
+    val overrun = key(1, 2) ++ varintBytes(100) ++ Array[Byte](1, 2, 3)
+    val r2 = new ProtoReader(overrun, 0, overrun.length)
+    r2.readTag()
+    intercept[IllegalArgumentException](r2.readBytes())
+    // packed span whose last varint has the continuation bit set: the
+    // row-scan reader must reject it exactly like the pushdown walker
+    val midVarint = lenDelim(1, Array(0x96.toByte, 0x01, 0x80.toByte))
+    val r3 = new ProtoReader(midVarint, 0, midVarint.length)
+    r3.readTag()
+    intercept[IllegalArgumentException](r3.readPackedLongs(zigzag = false))
+  }
+
   test("missing id field means id=0 in pushdown, matching the row decoders") {
     import ProtoWriter._
     // protobuf lets a field at its default value (0) be omitted; the row

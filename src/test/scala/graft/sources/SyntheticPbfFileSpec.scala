@@ -206,10 +206,9 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     }
   }
 
-  test("scan realigns past corrupt bytes between valid frames") {
+  test("frame corruption: PERMISSIVE realigns and accounts, FAILFAST throws") {
     // valid block, then garbage (including a fake "OSMData" signature
-    // embedded in junk that does NOT frame-validate), then a valid block:
-    // the scanner must recover both real blocks and nothing else
+    // embedded in junk that does NOT frame-validate), then a valid block
     val f = Files.createTempFile("synth-corrupt", ".pbf").toFile
     val out = new FileOutputStream(f)
     out.write(frame("OSMData", dataBlock(1, 10), "raw"))
@@ -219,10 +218,26 @@ class SyntheticPbfFileSpec extends AnyFunSuite {
     out.write(junk)
     out.write(frame("OSMData", dataBlock(100, 7), "raw"))
     out.close()
+    // PERMISSIVE: recover both real blocks, nothing else, loss accounted
+    val metrics = graft.sources.osmpbf.OsmPbfSkipMetrics.registered(spark)
+    metrics.reset()
     val ids = spark.read.format("osmpbf").option("parseType", "node")
+      .option("mode", "PERMISSIVE")
       .load(f.getPath).select("id").collect().map(_.getLong(0)).sorted
     assert(ids.length == 17, s"expected 10 + 7 nodes, got ${ids.length}")
     assert(ids.take(3).toSeq == Seq(1L, 2L, 3L) && ids.last == 106L)
+    assert(metrics.skippedBlocks.value >= 1L,
+      "frame-level loss must be accounted, not silent")
+    // FAILFAST (default): silent realignment would return a successful
+    // result with rows missing — it must throw instead
+    val e = intercept[Exception] {
+      spark.read.format("osmpbf").option("parseType", "node")
+        .load(f.getPath).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("corrupt PBF frame")), e.toString)
   }
 
   test("changeset primitive groups decode via parseType=changeset") {
