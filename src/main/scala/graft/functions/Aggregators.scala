@@ -13,12 +13,14 @@ object Aggregators {
 
   /** Exact mean of a 2-decimal money column: accumulate integer cents
     * (lossless), divide once at finish. Deterministic under any partition
-    * order — the well-behaved custom-UDAF shape.
+    * order — the well-behaved custom-UDAF shape. Input is boxed
+    * `java.lang.Long` so SQL NULLs are SKIPPED like AVG's (a primitive
+    * encoder would zero-fill them and drag the mean toward 0).
     */
-  class ExactMeanCents extends Aggregator[Long, CentsBuf, Double] {
+  class ExactMeanCents extends Aggregator[java.lang.Long, CentsBuf, Double] {
     override def zero: CentsBuf = CentsBuf(0L, 0L)
-    override def reduce(b: CentsBuf, cents: Long): CentsBuf =
-      CentsBuf(b.cents + cents, b.n + 1)
+    override def reduce(b: CentsBuf, cents: java.lang.Long): CentsBuf =
+      if (cents == null) b else CentsBuf(b.cents + cents, b.n + 1)
     override def merge(a: CentsBuf, b: CentsBuf): CentsBuf =
       CentsBuf(a.cents + b.cents, a.n + b.n)
     override def finish(b: CentsBuf): Double =

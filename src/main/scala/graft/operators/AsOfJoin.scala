@@ -29,13 +29,22 @@ object AsOfJoin {
       tsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Each payload is carried inside a single-field STRUCT: the struct is
+    // non-null for every right row even when the payload VALUE is null,
+    // so ignoreNulls skips only the left rows' filler — a matched right
+    // row with a genuinely-NULL payload yields NULL (DuckDB ASOF
+    // semantics), not a stale older row's value.
+    def structType(p: String) =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", right.schema(p).dataType)))
     val l = left
       .withColumn("__side", lit(1))
-      .withColumns(payload.map(p => s"__p_$p" -> lit(null)).toMap)
+      .withColumns(payload.map(p =>
+        s"__p_$p" -> lit(null).cast(structType(p))).toMap)
     val r = right
       .withColumn("__side", lit(0))
       .select((Seq(col(key), col(tsCol), col("__side")) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++
+        payload.map(p => struct(col(p).as("v")).as(s"__p_$p")) ++
         leftCols.filterNot(c => c == key || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val unioned = l.select((leftCols ++ Seq("__side") ++ payload.map(p => s"__p_$p"))
@@ -46,7 +55,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, p) =>
       df.withColumn(s"asof_$p",
-        last(col(s"__p_$p"), ignoreNulls = true).over(w))
+        last(col(s"__p_$p"), ignoreNulls = true).over(w).getField("v"))
     }
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)

@@ -78,18 +78,12 @@ object Dedup {
     */
   private val MinhashP = 2147483647L
 
-  /** splitmix64 — deterministic per-hash-function constants computed once
-    * on the driver and shipped as array literals, so executors never
-    * re-derive them per element.
+  /** Deterministic per-hash-function constants ([[graft.functions.Hashing
+    * .splitmix64]]) computed once on the driver and shipped as array
+    * literals, so executors never re-derive them per element.
     */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   private def hashConstants(numHashes: Int): (Array[Long], Array[Long]) = {
+    import graft.functions.Hashing.splitmix64
     val a = Array.tabulate(numHashes)(i =>
       math.floorMod(splitmix64(2L * i), MinhashP - 1) + 1)
     val b = Array.tabulate(numHashes)(i =>
@@ -206,6 +200,13 @@ object Dedup {
       bands: Int,
       maxBucketSize: Int): (DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.vec_match_count
+    // bands must tile the signature exactly: bands > numHashes makes
+    // every band an empty slice (one degenerate bucket that the size cap
+    // silently drops -> ZERO pairs), and a non-divisor silently ignores
+    // the tail signature components — both are misconfigurations, not
+    // quiet no-ops
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
     // ids-only banded frame: (band, band_hash, id)

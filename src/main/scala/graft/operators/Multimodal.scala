@@ -399,7 +399,9 @@ object Multimodal {
       // per-partition init would go here (codec handles, model weights)
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // totality: a NULL payload (e.g. encoded from a NULL text) is an
+        // empty opaque payload, never an NPE outside the guards below
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         var h = 0xcbf29ce484222325L
         var i = 0
         while (i < bytes.length) {
@@ -428,7 +430,9 @@ object Multimodal {
                 if (bytes.length > 0) { // empty payload keeps an all-zero thumb
                   var t = 0
                   while (t < 16) {
-                    val idx = math.min((t * bytes.length) / 16, bytes.length - 1)
+                    // long arithmetic: t * length overflows Int at ~137 MB
+                    val idx = math.min((t.toLong * bytes.length / 16).toInt,
+                      bytes.length - 1)
                     thumb(t) = (bytes(idx) & 0xff) / 255.0f
                     t += 1
                   }

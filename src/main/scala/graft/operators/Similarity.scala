@@ -54,6 +54,10 @@ object Similarity {
     emb.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      // a NULL query or corpus vector yields sim = NULL: drop it, so a
+      // null-embedded query returns EMPTY rather than rows ranked by
+      // nothing (uniform contract across brute/LSH/IVF top-k)
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -64,12 +68,7 @@ object Similarity {
     * row x plane x dim) costs thousands of string hashes per row.
     */
   private def planeWeights(tables: Int, planes: Int, dims: Int): Seq[Seq[Seq[Double]]] = {
-    def splitmix64(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    import graft.functions.Hashing.splitmix64
     Seq.tabulate(tables, planes, dims) { (t, p, d) =>
       math.floorMod(splitmix64(((t * 1024L + p) << 20) + d), 2000001L) / 1000000.0 - 1.0
     }
@@ -101,6 +100,10 @@ object Similarity {
       .filter(col(idCol) =!= queryId &&
         bit_count(col("sketch").bitwiseXOR(col("q_sketch"))) <= maxSketchHamming)
       .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      // a NULL query or corpus vector yields sim = NULL: drop it, so a
+      // null-embedded query returns EMPTY rather than rows ranked by
+      // nothing (uniform contract across brute/LSH/IVF top-k)
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -228,6 +231,10 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("q_vec")).as("sim"))
+      // a NULL query or corpus vector yields sim = NULL: drop it, so a
+      // null-embedded query returns EMPTY rather than rows ranked by
+      // nothing (uniform contract across brute/LSH/IVF top-k)
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -252,14 +259,19 @@ object Similarity {
       minSim: Double): DataFrame = {
     val spark = emb.sparkSession
     val margin = minSim - 1e-6
-    val corpus: Array[(Long, Array[Float])] = emb
+    // NULL vectors carry no similarity and are excluded up front (the
+    // family contract: lshSketches passes them through, ivfBuild filters
+    // them — this operator must not be the crash point), and the
+    // prefilter below guards ragged lengths instead of overrunning.
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val corpus: Array[(Long, Array[Float])] = nonNull
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
     import spark.implicits._
-    val candidates = emb
+    val candidates = nonNull
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -273,7 +285,8 @@ object Similarity {
               var dot = 0.0
               var nb = 0.0
               var i = 0
-              while (i < va.length) {
+              val n = math.min(va.length, vb.length)
+              while (i < n) {
                 val b = vb(i).toDouble
                 dot += va(i) * b
                 nb += b * b

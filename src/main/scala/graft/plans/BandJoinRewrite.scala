@@ -100,7 +100,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     le.flatMap { case (p, q, adj) =>
       (linear(p), linear(q)) match {
         case (Some((px, pc)), Some((qx, qc)))
-            if math.abs(pc) < MaxAbsBound && math.abs(qc) < MaxAbsBound =>
+            // direct comparisons, not math.abs: abs(Long.MinValue) is
+            // NEGATIVE and would slip past an abs-based guard, letting
+            // w = hi - lo + 1 overflow into a corrupt bucket width
+            if pc > -MaxAbsBound && pc < MaxAbsBound &&
+              qc > -MaxAbsBound && qc < MaxAbsBound =>
           if (leftOut.contains(px) && rightOut.contains(qx))
             // x + pc <= y + qc + adj  ->  x - y <= qc - pc + adj
             Some(((px.exprId, qx.exprId), scala.util.Right(qc - pc + adj), px, qx))
@@ -215,7 +219,8 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         // lo == hi becomes a shifted equi-join; lo < hi buckets with
         // width >= 2, which keeps the decimal floorDiv quotient within
         // Long for any input (see floorDiv)
-        if (lo <= hi && math.abs(lo) < MaxAbsBound && math.abs(hi) < MaxAbsBound)
+        if (lo <= hi && lo > -MaxAbsBound && lo < MaxAbsBound &&
+            hi > -MaxAbsBound && hi < MaxAbsBound)
           Some((bs.head._3, bs.head._4, lo, hi))
         else None
       } else None

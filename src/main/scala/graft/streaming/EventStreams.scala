@@ -77,7 +77,14 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                  // a LATE cross-batch event (t before the carried state)
+                  // extends the session backwards, never rewinds `last` —
+                  // rewinding would make the next in-order event see a
+                  // false gap and wrongly split the session (and emit
+                  // session_end < session_start)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
                 case Some(s) =>
                   closed += UserSession(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)

@@ -13,6 +13,21 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("minhash LSH rejects a bands/numHashes mismatch instead of silence") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // bands > numHashes previously made every band an empty slice -> one
+    // degenerate bucket the size cap drops -> ZERO pairs, silently
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(df, "doc_id", "text", numHashes = 8, bands = 16)
+        .count()
+    }
+    intercept[IllegalArgumentException] { // non-divisor ignores tail components
+      Dedup.minhashLshPairs(df, "doc_id", "text", numHashes = 64, bands = 10)
+        .count()
+    }
+  }
+
   test("minhash LSH recalls every exact-Jaccard pair above threshold") {
     val docs = t(spark, sf, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

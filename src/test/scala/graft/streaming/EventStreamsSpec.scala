@@ -147,6 +147,46 @@ class EventStreamsSpec extends AnyFunSuite {
     emitted.foreach { case (u, n) => assert(n <= total(u)) }
   }
 
+  test("a late cross-batch event extends the session backwards, never splits it") {
+    import spark.implicits._
+    val gapMs = 60 * 1000L
+    def ev(id: Long, tMs: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(tMs), 1L, "t", 1.0)
+    // batch 1 carries state last=100s; batch 2 delivers a LATE t=70s event
+    // (within gap of the carried session) followed by t=150s (within gap
+    // of 100s but NOT of 70s): rewinding `last` to 70s would wrongly
+    // split and emit session_end < session_start
+    val dir = java.nio.file.Files.createTempDirectory("late-ev").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late-ck").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema
+    // one file per arrival so maxFilesPerTrigger=1 delivers them as two
+    // ordered micro-batches with batch 2's events TOGETHER (sorted 70,150)
+    def writeBatch(events: Seq[EventStreams.Event]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(dir)
+    writeBatch(Seq(ev(1, 100000L)))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[EventStreams.UserSession]()
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapMs)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.UserSession], _: Long) =>
+        b.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeBatch(Seq(ev(2, 70000L), ev(3, 150000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val closed = out.asScala.toList
+    // nothing may close: 70s merges backwards (start=70s), 150s is within
+    // gap of last=100s — one open session [70s, 150s] with 3 events
+    assert(closed.isEmpty,
+      s"late event must not split the session: $closed")
+  }
+
   test("flatMapGroupsWithState sessions match the SQL window sessionization") {
     import spark.implicits._
     // q33 (window composition) with the same 30-min gap
