@@ -51,7 +51,13 @@ object AsOfJoin {
         .map(col): _*)
       .unionByName(r.select((leftCols ++ Seq("__side") ++ payload.map(p => s"__p_$p"))
         .map(col): _*))
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+    // the payload structs join the ORDER BY as a deterministic tie-break:
+    // duplicate right rows at the same (key, ts) would otherwise make
+    // "last" partition-order dependent (flaky across runs); with the tie
+    // ordered by payload value, the greatest payload wins, always
+    val w = Window.partitionBy(col(key))
+      .orderBy((Seq(col(tsCol), col("__side")) ++
+        payload.map(p => col(s"__p_$p"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, p) =>
       df.withColumn(s"asof_$p",

@@ -25,11 +25,6 @@ object Pipeline {
   private[queries] val JaccardMin = 0.35
   private[queries] val JaccardMaxDf = 50
 
-  /** The DuckDB CTE chain computing the SAME candidate/count frames as
-    * [[graft.operators.Dedup.ngramJaccardPairs]] (shingles, per-doc
-    * counts, DF cap, inverted-index candidates). p07's oracle scores
-    * pairs from it; p24/p28 extend it with the transitive closure.
-    */
   /** Cross-entry memo for the Jaccard PAIR stage itself — the upstream
     * half of the shared dedup pipeline. p07 (pairs), p24 (clusters via
     * Pipeline2.dupClusters) and p28 (survivors) all start from this
@@ -62,6 +57,11 @@ object Pipeline {
     }
   }
 
+  /** The DuckDB CTE chain computing the SAME candidate/count frames as
+    * [[graft.operators.Dedup.ngramJaccardPairs]] (shingles, per-doc
+    * counts, DF cap, inverted-index candidates). p07's oracle scores
+    * pairs from it; p24/p28 extend it with the transitive closure.
+    */
   private[queries] val jaccardCommonCtes: String =
     s"""sh AS (
        |  SELECT doc_id AS id,

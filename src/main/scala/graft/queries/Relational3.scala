@@ -12,6 +12,35 @@ object Relational3 {
 
   private val D18 = DecimalType(18, 2)
 
+  /** SQL-surface queries keep ONE text: the engine runs it via s.sql and
+    * the oracle replays the identical string in DuckDB, so the two can
+    * never de-synchronize; q36 reuses q29's text as its oracle, which is
+    * exactly its equivalence claim.
+    */
+  private val q27Sql = """SELECT c_nationkey, COUNT(*) AS n_rich,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+             |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,10))
+             |     / COUNT(*) FROM customer)
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin
+
+  private val q29Sql = """SELECT s_name, COUNT(*) AS n_waiting
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > l1.l_shipdate)
+             |GROUP BY s_name
+             |ORDER BY n_waiting DESC, s_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q27: scalar subquery (global aggregate as predicate) ------------
@@ -19,23 +48,9 @@ object Relational3 {
       "q27_scalar_subquery",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT c_nationkey, COUNT(*) AS n_rich,
-                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-                |FROM customer
-                |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
-                |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,10))
-                |     / COUNT(*) FROM customer)
-                |GROUP BY c_nationkey
-                |ORDER BY c_nationkey""".stripMargin)
+        s.sql(q27Sql)
       },
-      Some("""SELECT c_nationkey, COUNT(*) AS n_rich,
-             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-             |FROM customer
-             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
-             |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,10))
-             |     / COUNT(*) FROM customer)
-             |GROUP BY c_nationkey
-             |ORDER BY c_nationkey""".stripMargin)),
+      Some(q27Sql)),
 
     // ---- q28: LIKE / IN predicate pushdown -------------------------------
     QueryDef(
@@ -62,35 +77,9 @@ object Relational3 {
       "q29_multi_exists",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT s_name, COUNT(*) AS n_waiting
-                |FROM supplier
-                |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-                |JOIN orders ON o_orderkey = l1.l_orderkey
-                |WHERE o_orderstatus = 'F'
-                |  AND EXISTS (SELECT 1 FROM lineitem l2
-                |              WHERE l2.l_orderkey = l1.l_orderkey
-                |                AND l2.l_suppkey <> l1.l_suppkey)
-                |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                |                  WHERE l3.l_orderkey = l1.l_orderkey
-                |                    AND l3.l_suppkey <> l1.l_suppkey
-                |                    AND l3.l_shipdate > l1.l_shipdate)
-                |GROUP BY s_name
-                |ORDER BY n_waiting DESC, s_name""".stripMargin)
+        s.sql(q29Sql)
       },
-      Some("""SELECT s_name, COUNT(*) AS n_waiting
-             |FROM supplier
-             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-             |JOIN orders ON o_orderkey = l1.l_orderkey
-             |WHERE o_orderstatus = 'F'
-             |  AND EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = l1.l_orderkey
-             |                AND l2.l_suppkey <> l1.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-             |                  WHERE l3.l_orderkey = l1.l_orderkey
-             |                    AND l3.l_suppkey <> l1.l_suppkey
-             |                    AND l3.l_shipdate > l1.l_shipdate)
-             |GROUP BY s_name
-             |ORDER BY n_waiting DESC, s_name""".stripMargin)),
+      Some(q29Sql)),
 
     // ---- q36: q29's semantics re-planned by hand -------------------------
     // Catalyst decorrelates the double EXISTS into three full lineitem
@@ -142,20 +131,7 @@ object Relational3 {
           .agg(count(lit(1)).as("n_waiting"))
           .orderBy($"n_waiting".desc, $"s_name")
       },
-      Some("""SELECT s_name, COUNT(*) AS n_waiting
-             |FROM supplier
-             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-             |JOIN orders ON o_orderkey = l1.l_orderkey
-             |WHERE o_orderstatus = 'F'
-             |  AND EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = l1.l_orderkey
-             |                AND l2.l_suppkey <> l1.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-             |                  WHERE l3.l_orderkey = l1.l_orderkey
-             |                    AND l3.l_suppkey <> l1.l_suppkey
-             |                    AND l3.l_shipdate > l1.l_shipdate)
-             |GROUP BY s_name
-             |ORDER BY n_waiting DESC, s_name""".stripMargin)),
+      Some(q29Sql)),
 
     // ---- q31: ranking-function breadth (ntile, percent_rank, cume_dist,
     //           dense_rank) + range frame ----------------------------------
@@ -267,17 +243,28 @@ object Relational3 {
       "q34_approx_distinct",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
-          .agg(
-            countDistinct($"l_partkey").as("exact_parts"),
-            countDistinct($"l_orderkey").as("exact_orders"),
-            (abs(approx_count_distinct($"l_partkey") -
-              countDistinct($"l_partkey")).cast("double") /
-              countDistinct($"l_partkey") <= 0.10).as("approx_parts_ok"),
-            (abs(approx_count_distinct($"l_orderkey", 0.01) -
-              countDistinct($"l_orderkey")).cast("double") /
-              countDistinct($"l_orderkey") <= 0.05).as("approx_orders_ok"))
+        // SEPARATE aggregation passes joined on the 3-row group key:
+        // mixing two countDistincts with two HLL sketches in ONE agg
+        // makes Catalyst Expand-multiply the fact table per distinct
+        // group and drags the HLL buffers through it (measured 46s vs
+        // ~1s per pass at sf0.1) — and at 100 TB the Expand is a
+        // fact-table x3 shuffle. Exact counts use the two-level
+        // distinct-then-count shape (map-side dedup, no Expand).
+        val li = t(s, dir, "lineitem")
+        def exactDistinct(c: String, as: String) =
+          li.select($"l_returnflag", col(c)).distinct()
+            .groupBy($"l_returnflag").agg(count(lit(1)).as(as))
+        val approx = li.groupBy($"l_returnflag").agg(
+          approx_count_distinct($"l_partkey").as("ap"),
+          approx_count_distinct($"l_orderkey", 0.01).as("ao"))
+        exactDistinct("l_partkey", "exact_parts")
+          .join(exactDistinct("l_orderkey", "exact_orders"), Seq("l_returnflag"))
+          .join(approx, Seq("l_returnflag"))
+          .select($"l_returnflag", $"exact_parts", $"exact_orders",
+            (abs($"ap" - $"exact_parts").cast("double") /
+              $"exact_parts" <= 0.10).as("approx_parts_ok"),
+            (abs($"ao" - $"exact_orders").cast("double") /
+              $"exact_orders" <= 0.05).as("approx_orders_ok"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,

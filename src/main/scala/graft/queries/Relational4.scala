@@ -13,6 +13,35 @@ object Relational4 {
 
   private val D18 = DecimalType(18, 2)
 
+  // SQL-surface queries keep ONE text (engine body == DuckDB oracle)
+  private val q02Sql =
+    """SELECT n_name, c_custkey, c_name, c_acctbal
+             |FROM customer c
+             |JOIN nation ON c.c_nationkey = n_nationkey
+             |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY n_name, c_custkey""".stripMargin
+
+  private val q46Sql =
+    """SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_rows
+             |FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT nullif(o_custkey, 7) FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'not_in_no_null', COUNT(*)
+             |FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'in_with_null', COUNT(*)
+             |FROM customer
+             |WHERE c_custkey IN
+             |  (SELECT nullif(o_custkey, 7) FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY variant""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q02: correlated scalar MAX subquery (TPC-H Q2 shape) ------------
@@ -22,19 +51,9 @@ object Relational4 {
       "q02_correlated_max",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT n_name, c_custkey, c_name, c_acctbal
-                |FROM customer c
-                |JOIN nation ON c.c_nationkey = n_nationkey
-                |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
-                |                   WHERE c2.c_nationkey = c.c_nationkey)
-                |ORDER BY n_name, c_custkey""".stripMargin)
+        s.sql(q02Sql)
       },
-      Some("""SELECT n_name, c_custkey, c_name, c_acctbal
-             |FROM customer c
-             |JOIN nation ON c.c_nationkey = n_nationkey
-             |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
-             |                   WHERE c2.c_nationkey = c.c_nationkey)
-             |ORDER BY n_name, c_custkey""".stripMargin)),
+      Some(q02Sql)),
 
     // ---- q44: recursive CTE ----------------------------------------------
     // WITH RECURSIVE generating a month spine, equi-joined to a
@@ -158,43 +177,9 @@ object Relational4 {
       "q46_notin_nulls",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_rows
-                |FROM customer
-                |WHERE c_custkey NOT IN
-                |  (SELECT nullif(o_custkey, 7) FROM orders
-                |   WHERE o_orderpriority = '1-URGENT')
-                |UNION ALL
-                |SELECT 'not_in_no_null', COUNT(*)
-                |FROM customer
-                |WHERE c_custkey NOT IN
-                |  (SELECT o_custkey FROM orders
-                |   WHERE o_orderpriority = '1-URGENT')
-                |UNION ALL
-                |SELECT 'in_with_null', COUNT(*)
-                |FROM customer
-                |WHERE c_custkey IN
-                |  (SELECT nullif(o_custkey, 7) FROM orders
-                |   WHERE o_orderpriority = '1-URGENT')
-                |ORDER BY variant""".stripMargin)
+        s.sql(q46Sql)
       },
-      Some("""SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_rows
-             |FROM customer
-             |WHERE c_custkey NOT IN
-             |  (SELECT nullif(o_custkey, 7) FROM orders
-             |   WHERE o_orderpriority = '1-URGENT')
-             |UNION ALL
-             |SELECT 'not_in_no_null', COUNT(*)
-             |FROM customer
-             |WHERE c_custkey NOT IN
-             |  (SELECT o_custkey FROM orders
-             |   WHERE o_orderpriority = '1-URGENT')
-             |UNION ALL
-             |SELECT 'in_with_null', COUNT(*)
-             |FROM customer
-             |WHERE c_custkey IN
-             |  (SELECT nullif(o_custkey, 7) FROM orders
-             |   WHERE o_orderpriority = '1-URGENT')
-             |ORDER BY variant""".stripMargin)),
+      Some(q46Sql)),
 
     // ---- q47: IGNORE NULLS window gap-fill --------------------------------
     // Forward-fill / previous-non-null — the standard sensor/event
