@@ -230,9 +230,11 @@ object TextAnalysis {
     * nothing about leakage and are exactly the skew that would melt the
     * gram shuffle at 100 TB). Output is one row per source pair with
     * shared-gram counts: tiny, whatever the corpus size. Shape: explode
-    * + distinct, one gram-keyed aggregation for the cap, a gram-keyed
-    * self-join whose fan-out is bounded by sources-per-gram (<= number
-    * of sources), never a document product.
+    * + distinct, then ONE gram-keyed aggregation computing the doc-df
+    * cap AND the per-gram source set together; source pairs expand
+    * map-side from that set (bounded by the number of sources), so the
+    * gram strings shuffle exactly once and no self-join or document
+    * product ever forms.
     */
   def crossSourceNgramLeak(
       df: org.apache.spark.sql.DataFrame,
@@ -249,17 +251,17 @@ object TextAnalysis {
             i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array(col(textCol)))).as("__gram"))
       .distinct()
-    val okGrams = docGrams.groupBy(col("__gram"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocDf)
-      .select(col("__gram"))
-    val srcGrams = docGrams.join(okGrams, Seq("__gram"))
-      .select(col("__src"), col("__gram")).distinct()
-    srcGrams.select(col("__gram"), col("__src").as("src_a"))
-      .join(srcGrams.select(col("__gram"), col("__src").as("src_b")),
-        Seq("__gram"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
+    val perGram = docGrams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__df"),
+        array_sort(collect_set(col("__src"))).as("__srcs"))
+      .filter(col("__df") <= maxDocDf && size(col("__srcs")) >= 2)
+    // all ordered source pairs of the (sorted) per-gram source set
+    val pairsOfGram = flatten(transform(col("__srcs"), (a, i) =>
+      transform(slice(col("__srcs"), i + lit(2),
+          size(col("__srcs"))),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    perGram.select(explode(pairsOfGram).as("__pair"))
+      .groupBy(col("__pair.src_a").as("src_a"), col("__pair.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
