@@ -164,9 +164,12 @@ object TextAnalysis {
     * when no single pair clears its threshold. Documents shorter than
     * `n` tokens contribute their whole text as one gram (same floor as
     * the shingle dedup family). Shape at 100 TB: explode + per-doc
-    * distinct (map-side heavy), one shuffle keyed by gram for the
-    * document-frequency count, one shuffle back by gram to join —
-    * an inverted index, never a pairwise product.
+    * distinct (map-side heavy), then the document-frequency rides a
+    * window PARTITIONED BY GRAM (gram cardinality scales with the
+    * corpus — never a single-partition funnel), so the gram strings
+    * shuffle once instead of aggregate-then-join-back twice; the final
+    * per-doc rollup shuffles only (id, counts). An inverted index,
+    * never a pairwise product.
     */
   def dupNgramCoverage(
       df: org.apache.spark.sql.DataFrame,
@@ -174,6 +177,7 @@ object TextAnalysis {
       textCol: String,
       n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
     val grams = df.select(col(idCol),
         explode(when(size(toks) >= n,
@@ -181,9 +185,9 @@ object TextAnalysis {
             i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array(col(textCol)))).as("__gram"))
       .distinct()
-    val gramDf = grams.groupBy(col("__gram"))
-      .agg(count(lit(1)).as("__n_docs"))
-    grams.join(gramDf, Seq("__gram"))
+    grams
+      .withColumn("__n_docs",
+        count(lit(1)).over(Window.partitionBy(col("__gram"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
