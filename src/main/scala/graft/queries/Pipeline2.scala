@@ -648,6 +648,23 @@ object Pipeline2 {
              |  COUNT(p.id) AS n_dropped
              |FROM documents LEFT JOIN drp p ON p.id = doc_id
              |GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // tokenizer TRAINING: the first 12 BPE merges learned over the
+      // corpus (weighted by word frequency, deterministic tie-break).
+      // Inherently iterative — each round's pair counts depend on the
+      // previous merge — so no SQL oracle exists; the algorithm is
+      // golden-tested in BpeTrainerSpec against hand-computed merges,
+      // and this entry carries the rows-only check. Per-round state is
+      // the word dictionary, never the corpus (see BpeTrainer).
+      "p42_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.BpeTrainer.learnMerges(
+            t(s, dir, "documents"), "text", numMerges = 12)
+          .orderBy($"rank")
+      },
+      None)
   )
 }

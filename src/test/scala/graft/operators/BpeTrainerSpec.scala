@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Golden BPE merges on a hand-computed corpus (the algorithm is
+  * iterative, so no SQL oracle exists — this spec IS the correctness
+  * gate for p42's rows-only entry).
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("learnMerges reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    // dictionary: aaab x2, ab x1
+    //  round 1: (a,a) weighted 4 beats (a,b) 3        -> aa
+    //  round 2: (a,b) 3 beats (aa,a) 2                -> ab
+    //  round 3: (aa,ab) 2                             -> aaab
+    //  round 4: no pairs left -> stop
+    val df = Seq("aaab aaab ab").toDF("text")
+    val got = BpeTrainer.learnMerges(df, "text", numMerges = 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "a", "a", "aa", 4L),
+      (1, "a", "b", "ab", 3L),
+      (2, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("greedy left-to-right overlap: aaa merges to [aa, a], not [aa, aa]") {
+    import spark.implicits._
+    val df = Seq("aaa aaa aaa").toDF("text")
+    val merges = BpeTrainer.learnMerges(df, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq(("a", "a")))
+    val toks = BpeTrainer.applyMerges(df.limit(1), "text", merges.toSeq)
+      .select("bpe_tokens").collect()
+      .map(_.getSeq[String](0).toList)
+    assert(toks.forall(_ == List("aa", "a")))
+  }
+
+  test("minPairCount floor stops the loop; ties break lexicographically") {
+    import spark.implicits._
+    // every pair occurs once -> below the default floor of 2 after the
+    // first (tie-broken) merge consumes them
+    val df = Seq("xy").toDF("text")
+    val got = BpeTrainer.learnMerges(df, "text", numMerges = 5,
+      minPairCount = 1L).collect()
+    assert(got.length == 1) // (x,y) -> xy, then no pairs remain
+    // lexicographic tie-break: "ab" and "ba" pairs both count 2; (a,b) wins
+    val tie = Seq("ab ab ba ba").toDF("text")
+    val first = BpeTrainer.learnMerges(tie, "text", numMerges = 1)
+      .collect().head
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+}
