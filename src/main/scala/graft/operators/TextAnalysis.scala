@@ -163,13 +163,20 @@ object TextAnalysis {
     * templates and memorization risk that pairwise Jaccard (p07) misses
     * when no single pair clears its threshold. Documents shorter than
     * `n` tokens contribute their whole text as one gram (same floor as
-    * the shingle dedup family). Shape at 100 TB: explode + per-doc
-    * distinct (map-side heavy), then the document-frequency rides a
-    * window PARTITIONED BY GRAM (gram cardinality scales with the
-    * corpus — never a single-partition funnel), so the gram strings
-    * shuffle once instead of aggregate-then-join-back twice; the final
-    * per-doc rollup shuffles only (id, counts). An inverted index,
-    * never a pairwise product.
+    * the shingle dedup family). NULL/empty documents are dropped up
+    * front (both engines then agree on the NULL edge — a NULL gram row
+    * survives Spark's groupBy but not a SQL JOIN USING (gram)).
+    *
+    * Shape at 100 TB: explode + per-doc distinct (map-side heavy), then
+    * per-gram document frequency via `groupBy(__gram).agg(count)` —
+    * partial aggregation combines map-side, so a boilerplate gram
+    * present in 10^9 documents reduces to per-partition partial counts,
+    * never a single-task posting list (the window-partitioned-by-gram
+    * alternative funnels exactly that way). All the coverage ratio
+    * needs per gram is the BOOLEAN df > 1, so the join-back carries one
+    * bit per distinct gram; AQE skew-split handles the hot-gram join
+    * side. The final per-doc rollup shuffles only (id, counts). An
+    * inverted index, never a pairwise product, never a per-key funnel.
     */
   def dupNgramCoverage(
       df: org.apache.spark.sql.DataFrame,
@@ -177,20 +184,21 @@ object TextAnalysis {
       textCol: String,
       n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
-    val grams = df.select(col(idCol),
+    val grams = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol),
         explode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => array_join(slice(toks, i, lit(n)), " ")))
           .otherwise(array(col(textCol)))).as("__gram"))
       .distinct()
-    grams
-      .withColumn("__n_docs",
-        count(lit(1)).over(Window.partitionBy(col("__gram"))))
+    val gramDf = grams.groupBy(col("__gram"))
+      .agg((count(lit(1)) > 1).as("__shared"))
+    grams.join(gramDf, Seq("__gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        sum(when(col("__shared"), 1L).otherwise(0L)).as("n_shared"))
       .select(col(idCol), col("n_grams"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_grams"), 6)
           .as("dup_coverage"))
@@ -249,7 +257,9 @@ object TextAnalysis {
       maxDocDf: Int = 50): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && maxDocDf >= 1, "n/maxDocDf must be >= 1")
     val toks = tokens(col(textCol))
-    val docGrams = df.select(col(idCol), col(srcCol).as("__src"),
+    val docGrams = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), col(srcCol).as("__src"),
         explode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => array_join(slice(toks, i, lit(n)), " ")))

@@ -525,7 +525,8 @@ object Pipeline2 {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, text, string_split(text, ' ') AS toks
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
              |g AS (
              |  SELECT DISTINCT doc_id,
              |    unnest(CASE WHEN len(toks) >= 8
@@ -558,7 +559,8 @@ object Pipeline2 {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
              |g AS (
              |  SELECT DISTINCT doc_id, source,
              |    unnest(CASE WHEN len(toks) >= 8

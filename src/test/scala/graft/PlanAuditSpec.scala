@@ -168,6 +168,11 @@ class PlanAuditSpec extends AnyFunSuite {
       s"gram join must stay an equi-join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"gram DF count must partial-aggregate map-side:\n$p")
+    // The gram DF must come from an aggregation (map-side combinable),
+    // never a window partitioned by gram: a hot boilerplate gram would
+    // funnel its whole posting list into ONE window task at 100 TB.
+    assert(!p.contains("Window"),
+      s"per-gram DF must not ride a gram-partitioned window:\n$p")
   }
 
   test("osm11 relation assembly joins are equi-joins, never nested loops") {

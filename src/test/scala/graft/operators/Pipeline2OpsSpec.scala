@@ -84,6 +84,12 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       Seq((1L, "z z z")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
       .collect().head
     assert(solo.getLong(1) == 1 && solo.getLong(2) == 0)
+    // NULL/empty text is dropped up front (both engines then agree on
+    // the NULL edge), never emitted as a NULL gram group
+    val withNulls = TextAnalysis.dupNgramCoverage(
+      Seq((1L, "a b"), (2L, null), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2).collect()
+    assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("crossSourceNgramLeak counts shared grams per source pair, capped") {
