@@ -384,6 +384,60 @@ object Multimodal {
     out
   }
 
+  /** Deterministic synthetic payloads with CLOSED-FORM features, one of
+    * the three real decode formats per doc (docId mod 3): a 4x4 grey
+    * BMP, a 4x4 grey PPM, and a 16-sample constant PCM WAV. Geometry is
+    * chosen so every thumbnail cell holds exactly ONE pixel/sample —
+    * the decoded feature is then a single textually-replicable IEEE
+    * expression ((0.299v + 0.587v + 0.114v)/255 for images,
+    * sqrt((s/32768)^2) for audio), so a SQL engine with no decoder
+    * verifies the full byte-parse -> decode -> feature path
+    * bit-for-bit (the p30 Y4M pattern, extended to all three formats).
+    */
+  def syntheticPayload(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => syntheticBmp((docId % 256).toInt)
+    case 1 => syntheticPpm(((docId * 31) % 256).toInt)
+    case _ => syntheticWav((8000 + (docId % 8) * 1000).toInt,
+      (((docId % 200) - 100) * 327).toShort, 16)
+  }
+
+  /** 4x4 24bpp bottom-up BMP, every pixel grey `v` (0..255). */
+  private[operators] def syntheticBmp(v: Int): Array[Byte] = {
+    val w = 4
+    val h = 4
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowStride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowStride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (_ <- 0 until h) {
+      for (_ <- 0 until w * 3) b.put(v.toByte)
+      for (_ <- 0 until rowStride - w * 3) b.put(0.toByte)
+    }
+    b.array()
+  }
+
+  /** 4x4 binary PPM (P6, maxval 255), every pixel grey `v`. */
+  private[operators] def syntheticPpm(v: Int): Array[Byte] =
+    "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(3 * 16)(v.toByte)
+
+  /** Mono 16-bit PCM WAV: `n` samples of constant amplitude `s`. */
+  private[operators] def syntheticWav(rate: Int, s: Short, n: Int): Array[Byte] = {
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (_ <- 0 until n) b.putShort(s)
+    b.array()
+  }
+
   /** Feature extraction over payload batches. Recognized image formats
     * (BMP/PPM) are truly decoded — real dimensions, real pixel-average
     * thumbnail; anything else gets a deterministic opaque fingerprint:

@@ -721,20 +721,60 @@ object Pipeline {
              |ORDER BY origin""".stripMargin)),
 
     QueryDef(
-      // thumb is projected to a comma-joined string: the verify harness
-      // sorts/hashes result columns and cannot canonicalize raw float
-      // arrays; the array form stays covered by PipelineOpsSpec /
-      // MultimodalDecodeSpec.
+      // multimodal feature extraction, ORACLE-CHECKED end-to-end (the
+      // p30 pattern widened to all three real decoders): every doc gets
+      // a closed-form payload — 4x4 grey BMP, 4x4 grey PPM, or constant
+      // 16-sample PCM WAV by doc_id mod 3 — sized so each thumbnail
+      // cell holds exactly ONE pixel/sample. The decoded feature is
+      // then a single IEEE-double expression both engines evaluate
+      // identically (explicit DOUBLE casts keep DuckDB out of DECIMAL
+      // arithmetic), so DuckDB verifies byte parse -> decode -> feature
+      // with no image/audio library. The opaque-fallback path stays
+      // covered by p13 + MultimodalDecodeSpec.
       "p14_multimodal_features",
       (s, dir) => {
         import s.implicits._
-        Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
-          .select($"doc_id", $"n_bytes", $"content_hash", $"format",
+        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeFeatures(payloads)
+          .select($"doc_id", $"n_bytes", $"format",
             $"width", $"height", $"sample_rate",
-            array_join(transform($"thumb", f => f.cast("string")), ",")
-              .as("thumb_csv"))
+            round(element_at($"thumb", 1).cast("double"), 6).as("feat_first"),
+            round(element_at($"thumb", 16).cast("double"), 6).as("feat_last"))
           .orderBy($"doc_id")
       },
-      None) // engine-specific FNV hash + thumbnail; exactness in ScalaTest
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id % 3 AS fmt,
+             |    CAST(doc_id % 256 AS BIGINT) AS bv,
+             |    CAST((doc_id * 31) % 256 AS BIGINT) AS pv,
+             |    CAST(((doc_id % 200) - 100) * 327 AS BIGINT) AS wv
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, fmt,
+             |    CASE fmt WHEN 0 THEN bv ELSE pv END AS gv,
+             |    sqrt((CAST(wv AS DOUBLE) / 32768) * (CAST(wv AS DOUBLE) / 32768))
+             |      AS rms
+             |  FROM m),
+             |g AS (
+             |  SELECT doc_id, fmt,
+             |    CASE WHEN fmt = 2 THEN rms
+             |      ELSE (CAST(0.299 AS DOUBLE) * gv + CAST(0.587 AS DOUBLE) * gv
+             |            + CAST(0.114 AS DOUBLE) * gv) / CAST(255 AS DOUBLE)
+             |    END AS feat
+             |  FROM f)
+             |SELECT doc_id,
+             |  CAST(CASE fmt WHEN 0 THEN 102 WHEN 1 THEN 59 ELSE 76 END AS INT)
+             |    AS n_bytes,
+             |  CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END
+             |    AS format,
+             |  CAST(CASE WHEN fmt = 2 THEN NULL ELSE 4 END AS INT) AS width,
+             |  CAST(CASE WHEN fmt = 2 THEN NULL ELSE 4 END AS INT) AS height,
+             |  CAST(CASE WHEN fmt = 2 THEN 8000 + (doc_id % 8) * 1000
+             |       ELSE NULL END AS INT) AS sample_rate,
+             |  ROUND(CAST(CAST(feat AS REAL) AS DOUBLE), 6) AS feat_first,
+             |  ROUND(CAST(CAST(feat AS REAL) AS DOUBLE), 6) AS feat_last
+             |FROM g
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -103,11 +103,14 @@ object Relational4 {
     // corr / stddev / mean per group WITHOUT float-sum nondeterminism:
     // the aggregate computes the five sufficient statistics (n, Sx, Sy,
     // Sxx, Syy, Sxy) in DECIMAL — order-independent, exact — and the
-    // moments come from ONE final double expression per group. Identical
-    // decimal inputs + identical IEEE expression trees = bit-equal
-    // doubles on both engines, so the statistics family is hash-oracled
-    // without any round() fuzz. Same single-shuffle partial-agg shape as
-    // any sum; nothing here degrades at scale.
+    // moments come from ONE final double expression per group. The
+    // derived moments are rounded to 9 digits: the decimal inputs are
+    // identical on both engines, but a wide-DECIMAL -> DOUBLE cast is
+    // not correctly rounded everywhere (DuckDB's two-step int128/10^s
+    // division can land 1 ulp off Spark's BigDecimal.doubleValue, seen
+    // at sf0.001), and round(9) absorbs exactly that last-ulp class
+    // while keeping 9 significant-digit strictness. Same single-shuffle
+    // partial-agg shape as any sum; nothing here degrades at scale.
     QueryDef(
       "q45_stats_moments",
       (s, dir) => {
@@ -124,17 +127,17 @@ object Relational4 {
             sum((q * p).cast(DecimalType(38, 4))).as("sxy"))
           .select($"l_returnflag",
             $"n",
-            ($"sx".cast("double") / $"n".cast("double")).as("mean_qty"),
-            sqrt(($"n".cast("double") * $"sxx".cast("double") -
+            round($"sx".cast("double") / $"n".cast("double"), 9).as("mean_qty"),
+            round(sqrt(($"n".cast("double") * $"sxx".cast("double") -
                 $"sx".cast("double") * $"sx".cast("double")) /
-              ($"n".cast("double") * ($"n".cast("double") - lit(1.0d))))
+              ($"n".cast("double") * ($"n".cast("double") - lit(1.0d)))), 9)
               .as("stddev_qty"),
-            (($"n".cast("double") * $"sxy".cast("double") -
+            round(($"n".cast("double") * $"sxy".cast("double") -
                 $"sx".cast("double") * $"sy".cast("double")) /
               sqrt(($"n".cast("double") * $"sxx".cast("double") -
                   $"sx".cast("double") * $"sx".cast("double")) *
                 ($"n".cast("double") * $"syy".cast("double") -
-                  $"sy".cast("double") * $"sy".cast("double"))))
+                  $"sy".cast("double") * $"sy".cast("double"))), 9)
               .as("corr_qty_price"))
           .orderBy($"l_returnflag")
       },
@@ -151,16 +154,18 @@ object Relational4 {
              |             CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
-             |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-             |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_qty,
+             |  ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
              |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-             |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
-             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 9)
+             |    AS stddev_qty,
+             |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
              |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
              |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
              |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-             |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+             |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             |    AS corr_qty_price
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
     // ---- q46: NOT IN / IN three-valued logic ------------------------------

@@ -268,4 +268,27 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     val luma0 = rows(0).getAs[scala.collection.Seq[Float]]("thumb").head
     assert(math.abs(luma0 - 7f / 255f) < 1e-6)
   }
+
+  test("syntheticPayload decodes to its closed-form features (p14 oracle)") {
+    // doc 0 -> BMP grey 0; doc 3 -> BMP grey 3; doc 1 -> PPM grey 31;
+    // doc 2 -> WAV amplitude (2%200-100)*327 = -32046 at 10000 Hz
+    val bmp = Multimodal.decodeImage(Multimodal.syntheticPayload(3L)).get
+    assert(bmp._1 == "bmp" && bmp._2 == 4 && bmp._3 == 4)
+    val expLuma = ((0.299 * 3 + 0.587 * 3 + 0.114 * 3) / 255.0).toFloat
+    assert(bmp._4.forall(_ == expLuma), bmp._4.toSeq)
+    assert(Multimodal.syntheticPayload(3L).length == 102)
+
+    val ppm = Multimodal.decodeImage(Multimodal.syntheticPayload(1L)).get
+    assert(ppm._1 == "ppm" && ppm._2 == 4 && ppm._3 == 4)
+    val expLumaP = ((0.299 * 31 + 0.587 * 31 + 0.114 * 31) / 255.0).toFloat
+    assert(ppm._4.forall(_ == expLumaP), ppm._4.toSeq)
+    assert(Multimodal.syntheticPayload(1L).length == 59)
+
+    val wav = Multimodal.decodeAudio(Multimodal.syntheticPayload(2L)).get
+    assert(wav._1 == 10000 && wav._2 == 16)
+    val v = -32046.0 / 32768.0
+    val expRms = math.sqrt(v * v).toFloat
+    assert(wav._3.forall(_ == expRms), wav._3.toSeq)
+    assert(Multimodal.syntheticPayload(2L).length == 76)
+  }
 }
