@@ -54,10 +54,20 @@ object AsOfJoin {
     // the payload structs join the ORDER BY as a deterministic tie-break:
     // duplicate right rows at the same (key, ts) would otherwise make
     // "last" partition-order dependent (flaky across runs); with the tie
-    // ordered by payload value, the greatest payload wins, always
+    // ordered by payload value, the greatest payload wins, always. A
+    // payload of a NON-ORDERABLE type (MapType, variant) cannot sort
+    // directly, so it tie-breaks on an orderable surrogate instead —
+    // its JSON rendering — keeping the determinism without narrowing
+    // the accepted payload types.
+    def tieBreak(p: String): Column = {
+      val c = col(s"__p_$p")
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(right.schema(p).dataType)) c
+      else to_json(c)
+    }
     val w = Window.partitionBy(col(key))
       .orderBy((Seq(col(tsCol), col("__side")) ++
-        payload.map(p => col(s"__p_$p"))): _*)
+        payload.map(tieBreak)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, p) =>
       df.withColumn(s"asof_$p",

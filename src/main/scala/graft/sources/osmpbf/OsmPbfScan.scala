@@ -312,8 +312,8 @@ class OsmPbfScan(
         // stalls planning for minutes, so fan out on a bounded pool (the
         // same move Spark's InMemoryFileIndex makes for listing) —
         // validation failures still propagate and fail planning
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+        import scala.concurrent.duration._
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, paths.size))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -321,8 +321,18 @@ class OsmPbfScan(
           val decided = paths.map { case p @ (path, _) =>
             Future { (p, keep(path)) }
           }
-          Await.result(Future.sequence(decided), Duration.Inf)
+          // bounded wait: one wedged object-store read must FAIL planning
+          // with a clear message, not hang the driver forever holding up
+          // to 16 open readers (Duration.Inf would)
+          try Await.result(Future.sequence(decided), 300.seconds)
             .collect { case (p, true) => p }
+          catch {
+            case _: TimeoutException => throw new java.io.IOException(
+              s"osmpbf header peek over ${paths.size} files did not " +
+                "complete within 300s - a reader is likely wedged; retry, " +
+                "or disable the peek (validate=false and no bbox filter) " +
+                "to plan without reading headers")
+          }
         } finally pool.shutdown()
       }
     val parts = ArrayBuffer.empty[InputPartition]

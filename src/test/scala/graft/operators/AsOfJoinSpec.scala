@@ -26,6 +26,24 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"expected NULL payload from the matched ts=2 row, got ${got.head}")
   }
 
+  test("non-orderable payload types (MapType) join via the surrogate tie-break") {
+    import spark.implicits._
+    // a MapType payload cannot join the window ORDER BY directly (maps
+    // are not orderable in Spark): the tie-break must fall back to the
+    // JSON surrogate instead of failing analysis
+    val right = Seq(
+      (1L, 1L, Map("a" -> 1)),
+      (1L, 2L, Map("b" -> 2))
+    ).toDF("k", "ts", "m")
+    val left = Seq((1L, 3L), (1L, 1L)).toDF("k", "ts")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("m"))
+      .orderBy("ts").collect()
+    assert(got(0).getMap[String, Int](got(0).fieldIndex("asof_m")) ==
+      Map("a" -> 1)) // ts=1 matches the ts=1 right row inclusively
+    assert(got(1).getMap[String, Int](got(1).fieldIndex("asof_m")) ==
+      Map("b" -> 2)) // ts=3 carries the latest (ts=2) map forward
+  }
+
   test("left rows before any right row get NULL; inclusive match at equal ts") {
     import spark.implicits._
     val right = Seq((1L, 5L, 42.0)).toDF("k", "ts", "v")

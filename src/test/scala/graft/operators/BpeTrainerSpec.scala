@@ -27,6 +27,13 @@ class BpeTrainerSpec extends AnyFunSuite {
       (0, "a", "a", "aa", 4L),
       (1, "a", "b", "ab", 3L),
       (2, "aa", "ab", "aaab", 2L)))
+    // the pair-count-delta mode must learn the IDENTICAL table
+    val inc = BpeTrainer.learnMerges(df, "text", numMerges = 10,
+        incremental = true)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(inc.toSeq == got.toSeq)
   }
 
   test("greedy left-to-right overlap: aaa merges to [aa, a], not [aa, aa]") {
@@ -39,6 +46,37 @@ class BpeTrainerSpec extends AnyFunSuite {
       .select("bpe_tokens").collect()
       .map(_.getSeq[String](0).toList)
     assert(toks.forall(_ == List("aa", "a")))
+  }
+
+  test("applyMerges enforces the expression-tree merge ceiling") {
+    import spark.implicits._
+    val df = Seq("ab").toDF("text")
+    val tooMany = (0 until BpeTrainer.MaxExpressionMerges + 1)
+      .map(i => (s"x$i", s"y$i"))
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.applyMerges(df, "text", tooMany)
+    }
+    assert(e.getMessage.contains("applyMergesIterative"))
+  }
+
+  test("applyMergesIterative matches applyMerges, and scales past the ceiling") {
+    import spark.implicits._
+    val df = Seq((1L, "aaab banana aab"), (2L, "aaa")).toDF("id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("a", "n"))
+    val expr = BpeTrainer.applyMerges(df, "text", merges)
+      .select($"id", $"bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_.toString)
+    val iter = BpeTrainer.applyMergesIterative(df, "text", merges)
+      .select($"id", $"bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_.toString)
+    assert(expr.toSeq == iter.toSeq)
+    // a merge table far past the expression ceiling runs fine here: the
+    // table rides a broadcast, the plan stays constant-size
+    val big = (0 until 1000).map(i => (s"q$i", s"z$i")) ++ merges
+    val bigToks = BpeTrainer.applyMergesIterative(df, "text", big)
+      .select($"id", $"bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_.toString)
+    assert(bigToks.toSeq == iter.toSeq) // unused merges change nothing
   }
 
   test("minPairCount floor stops the loop; ties break lexicographically") {
