@@ -50,6 +50,7 @@ object Pipeline2 {
     new java.io.File(scratchRoot, name).getPath
 
   private lazy val jsonlRoundtripDir: String = scratchDir("jsonl_roundtrip")
+  private lazy val csvRoundtripDir: String = scratchDir("csv_roundtrip")
 
   /** Cross-entry memo for the shared pairs->clusters stage. Bench and
     * Verify time every entry in isolation, so p24 and p28 would re-run
@@ -667,6 +668,96 @@ object Pipeline2 {
             t(s, dir, "documents"), "text", numMerges = 12)
           .orderBy($"rank")
       },
-      None)
+      None),
+
+    QueryDef(
+      // CSV sink/source round-trip with ADVERSARIAL quoting: a derived
+      // column embeds commas, double quotes and a literal newline, so a
+      // pass proves the writer's RFC-4180 quoting/escaping and the
+      // multiLine + gzip read path, not just the happy path. Oracle =
+      // recompute from the ORIGINAL parquet (p32's losslessness
+      // pattern); the CSV bytes never touch DuckDB.
+      "p43_csv_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = csvRoundtripDir
+        t(s, dir, "documents")
+          .withColumn("tricky", concat($"lang", lit(",\""), $"source",
+            lit("\"\n"), substring($"text", 1, 10)))
+          .write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip")
+          // the WRITER trims leading/trailing whitespace by default,
+          // which silently eats boundary tokens — disable for
+          // losslessness (the reader's default is already no-trim)
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(tmp)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, " +
+            "source STRING, n_chars BIGINT, tricky STRING")
+          .option("header", "true").option("multiLine", "true")
+          .csv(tmp)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"tricky")).as("tricky_chars"),
+            sum(TextAnalysis.tokenCount($"text")).as("total_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(lang) + len(source) + 4
+             |           + len(substring(text, 1, 10))) AS BIGINT)
+             |    AS tricky_chars,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |    AS total_tokens
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // corpus mixture REBALANCING: derive per-language sampling rates
+      // from the token totals themselves (equalize toward the smallest
+      // language's token count, floor 1/16) and apply them in the same
+      // deterministic md5 pass as p25 — the "compute the mixture, then
+      // mix" op of a training-data pipeline, end to end. Rates are
+      // integer sixteenths (engine-portable, no float thresholds); the
+      // per-language totals are a tiny broadcast, the sampling filter
+      // is map-side — nothing here shuffles the corpus.
+      "p44_mixture_rebalance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+        val totals = docs.groupBy($"lang").agg(sum($"n_tokens").as("tot"))
+        val minTot = totals.agg(min($"tot").as("min_tot"))
+        val rates = totals.crossJoin(broadcast(minTot))
+          .select($"lang",
+            greatest(lit(1), floor($"min_tot" * 16 / $"tot").cast("int"))
+              .as("rate16"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(TextAnalysis.hashSampledBy($"doc_id", $"rate16"))
+          .groupBy($"lang")
+          .agg(first($"rate16").as("rate16"),
+            count(lit(1)).as("n_kept"),
+            sum($"n_tokens").as("kept_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""WITH dt AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |tot AS (SELECT lang, SUM(n_tokens) AS tot FROM dt GROUP BY lang),
+             |mn AS (SELECT MIN(tot) AS min_tot FROM tot),
+             |rates AS (
+             |  SELECT lang,
+             |    GREATEST(1, CAST(FLOOR(min_tot * 16 / tot) AS INT)) AS rate16
+             |  FROM tot, mn)
+             |SELECT lang, CAST(MIN(rate16) AS INT) AS rate16,
+             |  COUNT(*) AS n_kept,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+             |FROM dt JOIN rates USING (lang)
+             |WHERE rate16 >= 16
+             |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             |      < lower(to_hex(rate16))
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
   )
 }
