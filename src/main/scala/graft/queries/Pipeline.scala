@@ -380,7 +380,11 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
+        // the 10-row ground-truth frame feeds TWO consumers (the overlap
+        // aggregate and the output rows); eagerly checkpointing it runs
+        // the brute-force scan once instead of twice
         val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+          .localCheckpoint(true)
         val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
           queryId = 0, k = 10, maxSketchHamming = 8)
         val ov = exact.select($"vec_id")
@@ -414,7 +418,10 @@ object Pipeline {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
+        // two consumers of the 10-row ground truth: checkpoint once
+        // (same reasoning as p11)
         val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+          .localCheckpoint(true)
         val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
           queryId = 0, k = 10)
         val ov = exact.select($"vec_id")

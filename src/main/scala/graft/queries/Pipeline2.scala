@@ -676,7 +676,13 @@ object Pipeline2 {
       // pass proves the writer's RFC-4180 quoting/escaping and the
       // multiLine + gzip read path, not just the happy path. Oracle =
       // recompute from the ORIGINAL parquet (p32's losslessness
-      // pattern); the CSV bytes never touch DuckDB.
+      // pattern); the CSV bytes never touch DuckDB. Scale note:
+      // multiLine + gzip makes each FILE one split — correct here by
+      // construction, and the write side still parallelizes (one file
+      // per task); a 100 TB CSV interchange would forbid embedded
+      // newlines (or use a splittable codec) to restore intra-file
+      // splits, which is exactly what this entry's adversarial column
+      // exists to check you can't silently assume.
       "p43_csv_roundtrip",
       (s, dir) => {
         import s.implicits._

@@ -175,6 +175,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-gram DF must not ride a gram-partitioned window:\n$p")
   }
 
+  test("p44 mixture rates ride a broadcast join, never a corpus shuffle") {
+    val p = plan("p44_mixture_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the per-language rate table must broadcast:\n$p")
+  }
+
   test("osm11 relation assembly joins are equi-joins, never nested loops") {
     val p = plan("osm11_relation_geometry")
     assert(!p.contains("CartesianProduct") &&

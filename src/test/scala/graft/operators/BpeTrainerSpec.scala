@@ -79,6 +79,57 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(bigToks.toSeq == iter.toSeq) // unused merges change nothing
   }
 
+  test("property: full-recount and incremental modes learn identical tables") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // random small corpora over a 3-letter alphabet: word shapes that
+    // exercise overlap merges ("aaa"), cross-word frequency ties, and
+    // the minPairCount floor
+    val genWord = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genCorpus = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val prop = forAll(genCorpus) { corpus =>
+      val df = Seq(corpus).toDF("text")
+      def table(inc: Boolean) =
+        BpeTrainer.learnMerges(df, "text", numMerges = 4, incremental = inc)
+          .orderBy($"rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(4))).toSeq
+      val full = table(inc = false)
+      val delta = table(inc = true)
+      Prop(full == delta).label(s"corpus='$corpus' full=$full delta=$delta")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.toString)
+  }
+
+  test("property: applyMergesIterative matches applyMerges on random input") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val genWord = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val genCase = for {
+      words <- Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, genWord))
+      merges <- Gen.someOf(Seq(("a", "a"), ("a", "b"), ("b", "a"),
+        ("b", "b"), ("aa", "b"), ("ab", "a")))
+    } yield (words.mkString(" "), merges.toSeq)
+    val prop = forAll(genCase) { case (text, merges) =>
+      val df = Seq(text).toDF("text")
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select($"bpe_tokens").collect().map(_.getSeq[String](0).toList).toSeq
+      val expr = toks(BpeTrainer.applyMerges(df, "text", merges))
+      val iter = toks(BpeTrainer.applyMergesIterative(df, "text", merges))
+      Prop(expr == iter).label(s"text='$text' merges=$merges")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("minPairCount floor stops the loop; ties break lexicographically") {
     import spark.implicits._
     // every pair occurs once -> below the default floor of 2 after the
