@@ -43,4 +43,50 @@ class SkewJoinSpec extends AnyFunSuite {
     val lonely = Seq((1L, 999L)).toDF("row_id", "k") // key matches no dim
     assert(SkewJoin.saltedEquiJoin(lonely, small, "k", "dk", "row_id").count() == 0)
   }
+
+  test("AQE splits the hot partition of a skewed SMJ (OptimizeSkewedJoin fires)") {
+    // The runtime counterpart of manual salting: AQE detects the
+    // oversized post-shuffle partition from map output statistics and
+    // splits it into parallel sub-joins. Thresholds are production-sized
+    // (256 MB), so pin them down to fixture scale; broadcast is disabled
+    // to force the sort-merge join AQE's skew handling applies to.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 200k rows, 95% on one key: the hot key's post-shuffle partition
+      // is far beyond factor x median AND the byte threshold
+      val left = spark.range(200000)
+        .select(col("id").as("row_id"),
+          when(pmod(col("id"), lit(20)) < lit(19), lit(1L))
+            .otherwise(pmod(col("id"), lit(20)) + lit(2)).as("k"))
+      val right = spark.range(200)
+        .select(col("id").as("dk"), concat(lit("d"), col("id")).as("label"))
+      val joined = left.join(right, col("k") === col("dk"))
+      // execute THIS queryExecution (count() would plan a separate one
+      // and the inspected AdaptiveSparkPlan would never finalize)
+      val n = joined.collect().length
+      assert(n == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ:\n${finalPlan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
