@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -44,10 +44,31 @@ class OsmPbfMicroBatchStream(
     parseType: String,
     kinds: Set[EntityKind.Value],
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val dir = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("osmpbf stream: no path specified"))
+
+  /** Admission control (`maxFilesPerTrigger` option): a replication
+    * stream started against a deep backlog must NOT plan years of diffs
+    * in one trigger — each micro-batch admits at most this many new
+    * files (pending work stays queued for later triggers, which also
+    * keeps per-batch state and commit latency bounded). Unset = all
+    * available, the file-source default.
+    */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n =
+        try v.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxFilesPerTrigger must be a positive integer, got '$v'")
+        }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxFilesPerTrigger must be > 0, got $n")
+      n
+    }
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
   private val maxBytes =
@@ -90,6 +111,51 @@ class OsmPbfMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     if (json.trim.startsWith("{")) OsmPbfWatermarkOffset.fromJson(json)
     else OsmPbfOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate-limited offset advance: admit at most the limit's file count
+    * of pending work beyond `start`, in deterministic order (name order
+    * for `list` mode; (mtime, name) for `watermark` mode — a watermark
+    * offset can only ever cover an mtime-prefix of the pending set, and
+    * partially-admitted same-mtime groups ride the atWatermark names,
+    * so the next trigger picks up exactly the rest).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val files = listFiles()
+    start match {
+      case s: OsmPbfOffset =>
+        val seen = s.files.map(_._1).toSet
+        val fresh = files.filterNot(f => seen(f._1)).take(cap)
+        if (fresh.isEmpty) s
+        else OsmPbfOffset(s.files ++ fresh.map(f => (f._1, f._2)))
+      case s: OsmPbfWatermarkOffset =>
+        val pending = files.filter { case (p, _, m) =>
+          m > s.watermarkMs ||
+            (m == s.watermarkMs && !s.atWatermark.contains(p))
+        }.sortBy(f => (f._3, f._1)).take(cap)
+        if (pending.isEmpty) s
+        else {
+          val wm = pending.last._3
+          val prevAtWm = if (s.watermarkMs == wm) s.atWatermark else Seq.empty
+          OsmPbfWatermarkOffset(wm,
+            (prevAtWm ++ pending.filter(_._3 == wm).map(_._1))
+              .distinct.sorted)
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected osmpbf offset kind: $other")
+    }
+  }
+
+  /** True head of the stream (un-capped), so lag metrics show the real
+    * backlog while admission control paces consumption.
+    */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fresh: Seq[(String, Long)] = (start, end) match {

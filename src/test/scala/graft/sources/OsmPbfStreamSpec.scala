@@ -38,6 +38,54 @@ class OsmPbfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces a backlog across micro-batches, exactly once") {
+    for (mode <- Seq("list", "watermark")) {
+      val dir = Files.createTempDirectory(s"pbf-stream-paced-$mode")
+      // a 5-file backlog EXISTS before the query starts: without
+      // admission control the first trigger would plan all of it
+      for (i <- 1 to 5)
+        Files.copy(Paths.get(fixture), dir.resolve(s"f$i.pbf"))
+      val q = spark.readStream.format("osmpbf")
+        .option("parseType", "node")
+        .option("streamOffsetMode", mode)
+        .option("maxFilesPerTrigger", "2")
+        .load(dir.toString)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(s"pbf_paced_$mode")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // exactly once, complete
+        assert(spark.table(s"pbf_paced_$mode").collect().head.getLong(0)
+          == 5 * 9720L, mode)
+        // paced: the backlog drained over >= 3 batches of <= 2 files
+        val batches = q.recentProgress
+          .filter(_.numInputRows > 0)
+        assert(batches.length >= 3,
+          s"$mode: expected >= 3 rate-limited batches, got " +
+            s"${batches.map(_.numInputRows).mkString(",")}")
+        assert(batches.forall(_.numInputRows <= 2 * 9720L),
+          s"$mode: a batch exceeded maxFilesPerTrigger=2: " +
+            s"${batches.map(_.numInputRows).mkString(",")}")
+      } finally q.stop()
+    }
+    // option validation surfaces as a query failure naming the option
+    // (stream construction runs on the query thread, not at start())
+    val dir2 = Files.createTempDirectory("pbf-stream-badopt")
+    val q2 = spark.readStream.format("osmpbf")
+      .option("parseType", "node")
+      .option("maxFilesPerTrigger", "0").load(dir2.toString)
+      .writeStream.format("memory").queryName("pbf_badopt")
+      .outputMode("append").start()
+    try {
+      val bad = intercept[Exception] { q2.processAllAvailable() }
+      def rootMsgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: rootMsgs(e.getCause))
+      assert(rootMsgs(bad).exists(m => m != null && m.contains("maxFilesPerTrigger")),
+        bad.toString)
+    } finally q2.stop()
+  }
+
   test("watermark offset mode streams exactly once with bounded offsets") {
     val dir = Files.createTempDirectory("pbf-stream-wm")
     val stream = spark.readStream.format("osmpbf")
