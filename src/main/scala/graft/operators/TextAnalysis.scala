@@ -204,6 +204,71 @@ object TextAnalysis {
           .as("dup_coverage"))
   }
 
+  /** Duplicated-substring SPANS — the positional refinement of
+    * [[dupNgramCoverage]] and the Spark-native shape of exact substring
+    * dedup ("Deduplicating Training Data Makes Language Models Better"):
+    * instead of one coverage ratio, report per document the MAXIMAL
+    * duplicated token spans — how many disjoint runs, how many tokens
+    * they cover, and the covered fraction — so a downstream pass can cut
+    * the spans out rather than drop whole documents. A position is
+    * duplicated when its `k`-token window occurs more than once in the
+    * corpus (across documents OR repeated within one — within-doc
+    * repetition is duplication too); overlapping/adjacent duplicated
+    * windows merge into one span (positions `p1 < p2` merge when
+    * `p2 - p1 <= k`). Documents shorter than `k` tokens report zero
+    * spans: a sub-`k` run is below the match floor by definition.
+    *
+    * Shape at 100 TB: positional k-grams explode map-side; the
+    * occurrence count is ONE gram-keyed partial aggregation whose
+    * join-back carries a single bit (never a posting list — a
+    * boilerplate gram shared by 10^9 documents reduces to partial
+    * counts, and AQE skew-split covers the hot join key); the span
+    * merge is a gaps-and-islands window PARTITIONED BY document, so its
+    * partitions are bounded by document length, never corpus size.
+    */
+  def dupSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val pos = base
+      .filter(size(col("__ts")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__ts")) - (k - 1)),
+          i => array_join(slice(col("__ts"), i, lit(k)), " ")))
+          .as(Seq("__i", "__gram")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("__pos"),
+        col("__gram"))
+    val gramDup = pos.groupBy(col("__gram"))
+      .agg((count(lit(1)) > 1).as("__dup"))
+    val dupPos = pos.join(gramDup, Seq("__gram"))
+      .filter(col("__dup")).select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = dupPos
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_tokens"))
+    base.select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_token_fraction"))
+  }
+
   /** Rare-token ratio — the corpus-relative gibberish/noise signal: per
     * document, the fraction of token OCCURRENCES whose corpus-wide
     * occurrence count is at most `maxCount`. Complements the

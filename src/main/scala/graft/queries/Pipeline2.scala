@@ -764,6 +764,62 @@ object Pipeline2 {
              |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
              |      < lower(to_hex(rate16))
              |GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // duplicated-substring SPANS (the positional refinement of p38's
+      // coverage ratio, a la "Deduplicating Training Data Makes
+      // Language Models Better"): per document, the maximal duplicated
+      // 8-token runs — span count, covered tokens, covered fraction —
+      // so a cut-the-span pass can follow instead of whole-doc drops.
+      // Duplication counts within-document repeats too. Scale shape:
+      // one gram-keyed partial aggregation (one-bit join-back, no
+      // posting lists) + a per-document gaps-and-islands window
+      // (bounded by doc length, never corpus size).
+      "p45_substring_dedup",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
+             |starts AS (
+             |  SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+             |  FROM base WHERE len(ts) >= 8),
+             |pos AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+             |  FROM starts),
+             |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+             |dp AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |             IS NULL
+             |           OR pos - lag(pos) OVER (PARTITION BY doc_id
+             |             ORDER BY pos) > 8
+             |         THEN 1 ELSE 0 END AS new_isl
+             |  FROM dp),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl2 GROUP BY doc_id, isl),
+             |perdoc AS (
+             |  SELECT doc_id, count(*) AS n_dup_spans,
+             |         SUM(e - s + 1) AS dup_tokens
+             |  FROM spans GROUP BY doc_id)
+             |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(b.ts), 6)
+             |    AS dup_token_fraction
+             |FROM base b LEFT JOIN perdoc p USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin))
   )
 }

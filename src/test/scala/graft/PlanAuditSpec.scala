@@ -175,6 +175,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-gram DF must not ride a gram-partitioned window:\n$p")
   }
 
+  test("p45 substring spans: gram DF by aggregation; window is doc-keyed") {
+    val p = plan("p45_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join must stay an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram occurrence count must partial-aggregate map-side:\n$p")
+    // the gaps-and-islands merge may window — but ONLY partitioned by
+    // the document id (bounded by doc length), never by gram
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.forall(l => l.contains("doc_id") && !l.contains("__gram")),
+      s"span-merge windows must partition by doc_id, not gram:\n$p")
+  }
+
   test("p44 mixture rates ride a broadcast join, never a corpus shuffle") {
     val p = plan("p44_mixture_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -92,6 +92,49 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("dupSpans merges duplicated windows into maximal per-doc spans") {
+    import spark.implicits._
+    // k=4 windows. doc1/doc2 share "a b c d" at the head and "w x y z"
+    // at a far offset (gap > k) -> TWO disjoint spans each; doc3 is one
+    // token repeated (within-doc duplication counts) -> one full span;
+    // doc4 is below the k floor; doc5 is all-unique.
+    val df = Seq(
+      (1L, "a b c d m1 m2 m3 m4 m5 w x y z"),
+      (2L, "a b c d n1 n2 n3 n4 n5 w x y z"),
+      (3L, "r r r r r r"),
+      (4L, "p q"),
+      (5L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(df, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 13L, 2L, 8L, 0.615385), // spans [1,4] and [10,13]
+      (2L, 13L, 2L, 8L, 0.615385),
+      (3L, 6L, 1L, 6L, 1.0),       // 3 overlapping windows merge to [1,6]
+      (4L, 2L, 0L, 0L, 0.0),       // shorter than k: below the match floor
+      (5L, 6L, 0L, 0L, 0.0)))
+    // adjacent-but-not-overlapping windows (p2 - p1 == k exactly) merge:
+    // doc1 shares "a b c d" with doc2 and "e f g h" with doc3, nothing
+    // in between -> dup positions {1, 5} fuse into ONE 8-token span
+    val adj = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x2 x3 x4 x5"),
+      (3L, "w1 w2 w3 w4 e f g h")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.dupSpans(adj, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 1L, 8L), (2L, 1L, 4L), (3L, 1L, 4L)))
+    // NULL/empty text is dropped up front, same contract as the
+    // coverage/leak operators
+    val withNulls = TextAnalysis.dupSpans(
+      Seq((1L, "a b c d"), (2L, null), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 4).collect()
+    assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("crossSourceNgramLeak counts shared grams per source pair, capped") {
     import spark.implicits._
     // n=2: s1 doc1 {a b, b c}, s1 doc2 {a b}; s2 doc3 {a b, b c, c q};
