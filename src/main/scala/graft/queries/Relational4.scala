@@ -613,6 +613,52 @@ object Relational4 {
              |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      // ANALYZE-style per-column profile in ONE scan: row/null/EXACT
+      // distinct counts plus min/max for every numeric lineitem column.
+      // Shape matters: stack-melt to (column, value), then TWO-level
+      // aggregation — (column, value) partial-aggregates map-side to
+      // the distinct set, the second level reduces to 8 rows. Never
+      // multiple count(DISTINCT) in one aggregate: that plans an
+      // Expand that multiplies the fact table per distinct column (the
+      // q34 bug class). One shuffle of (column, distinct value) pairs,
+      // linear in distinct values, at any corpus size.
+      "q51_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val melt = t(s, dir, "lineitem").select(expr(
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
+            ") as (column_name, v)"))
+        melt.groupBy($"column_name", $"v").agg(count(lit(1)).as("cnt"))
+          .groupBy($"column_name")
+          .agg(sum($"cnt").as("n_rows"),
+            sum(when($"v".isNull, $"cnt").otherwise(0L)).as("n_nulls"),
+            count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+            min($"v").as("vmin"), max($"v").as("vmax"))
+          .orderBy($"column_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val melt = cols.map(c =>
+          s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+          .mkString("\nUNION ALL ")
+        s"""WITH m AS (
+           |$melt)
+           |SELECT column_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  MIN(v) AS vmin, MAX(v) AS vmax
+           |FROM m GROUP BY column_name
+           |ORDER BY column_name""".stripMargin
+      })
   )
 }

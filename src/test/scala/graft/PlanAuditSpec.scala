@@ -189,6 +189,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"span-merge windows must partition by doc_id, not gram:\n$p")
   }
 
+  test("q51 profiler: two-level distinct aggregation, never an Expand") {
+    val p = plan("q51_column_profile")
+    // multiple count(DISTINCT) in one aggregate would plan an Expand
+    // that multiplies the fact table once per profiled column (the q34
+    // bug class); the melt + two-level shape must never do that
+    assert(!p.contains("Expand"), s"profiler must not Expand the scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct set must partial-aggregate map-side:\n$p")
+  }
+
   test("p44 mixture rates ride a broadcast join, never a corpus shuffle") {
     val p = plan("p44_mixture_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
