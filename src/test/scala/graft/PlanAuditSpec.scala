@@ -116,6 +116,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
   }
 
+  test("PQ encode is a pure map: zero exchanges, zero joins") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val index = graft.operators.Similarity
+      .pqBuild(emb, "vec_id", "embedding", m = 8, k = 16)
+    val p = graft.operators.Similarity
+      .pqEncode(emb, "vec_id", "embedding", index)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encoding must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"codebooks must ride as literals:\n$p")
+    assert(!p.contains("Window"), s"argmin must not use a window:\n$p")
+  }
+
   test("osmpbf scan reports pruned columns and pushed kind") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("osmpbf")

@@ -130,6 +130,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(k2 < k8 && k8 < total)
   }
 
+  test("PQ top-k overlaps brute-force top-k; ADC never scores the result") {
+    val emb = t(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val overlap = pq.count(p => exact.contains(p._1)).toDouble / 10
+    assert(overlap >= 0.6, s"PQ overlap $overlap")
+    // the approximation only CHOOSES candidates: every returned sim is
+    // the exact cosine, bit-equal to the brute-force value
+    pq.filter(p => exact.contains(p._1)).foreach { case (id, sim) =>
+      assert(sim == exact(id), s"vec $id: pq sim $sim != exact ${exact(id)}")
+    }
+  }
+
+  test("PQ encode covers every vector with m codes in [0, k)") {
+    val emb = t(spark, sf, "embeddings")
+    val idx = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, k = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", idx)
+    assert(enc.count() == emb.count())
+    val bad = enc.filter(
+      size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    // refined codebooks keep the same contract
+    val idx2 = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, k = 16,
+      kmeansIters = 1)
+    val enc2 = Similarity.pqEncode(emb, "vec_id", "embedding", idx2)
+    assert(enc2.count() == emb.count())
+  }
+
+  test("a prebuilt PQ index reproduces the inline-build results") {
+    val emb = t(spark, sf, "embeddings")
+    val idx = Similarity.pqBuild(emb, "vec_id", "embedding")
+    val inline = Similarity.pqTopK(emb, "vec_id", "embedding", 0, 10)
+      .collect().map(_.toString).toSeq
+    val reused = Similarity.pqTopK(emb, "vec_id", "embedding", 0, 10,
+        index = Some(idx))
+      .collect().map(_.toString).toSeq
+    assert(inline == reused)
+    // unknown query id: empty result, not a crash (uniform ANN contract)
+    assert(Similarity.pqTopK(emb, "vec_id", "embedding", -999, 5,
+      index = Some(idx)).count() == 0)
+  }
+
   test("a prebuilt IVF index reproduces the inline-build results") {
     val emb = t(spark, sf, "embeddings")
     val idx = Similarity.ivfBuild(emb, "vec_id", "embedding")
