@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeansOp, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Second wave of training-data pipeline capabilities: duplicate-cluster
@@ -862,6 +862,20 @@ object Pipeline2 {
              |  TRUE AS pq_overlap_ok
              |FROM s WHERE vec_id <> 0
              |ORDER BY sim DESC, vec_id
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      // distributed Lloyd's k-means over embeddings, ORACLE-EXACT: the
+      // DuckDB oracle replays the identical iterations because
+      // centroids stay exact (decimal-sum, count) pairs and the
+      // nearest-cluster test is the cross-multiplied decimal form —
+      // the hash gate applied to an ITERATIVE ML op, not a self-gate.
+      // k=4, 3 rounds, deterministic lowest-id seeds; output is
+      // per-cluster size + mean squared distance.
+      "p47_kmeans_clusters",
+      (s, dir) =>
+        KMeansOp.clusterStats(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, iters = 3),
+      Some(KMeansOp.oracleSql(k = 4, iters = 3)))
   )
 }

@@ -128,6 +128,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"argmin must not use a window:\n$p")
   }
 
+  test("kmeans assignment is a pure map: zero exchanges, zero joins") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val model = graft.operators.KMeansOp
+      .fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val p = graft.operators.KMeansOp
+      .assign(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"cluster state must ride as literals:\n$p")
+    assert(!p.contains("Window"), s"argmin must not use a window:\n$p")
+  }
+
   test("osmpbf scan reports pruned columns and pushed kind") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("osmpbf")
