@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.ZOrder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -659,6 +660,36 @@ object Relational4 {
            |  MIN(v) AS vmin, MAX(v) AS vmax
            |FROM m GROUP BY column_name
            |ORDER BY column_name""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // Z-ORDER layout audit: Morton-interleave (l_partkey, l_suppkey),
+      // chunk rows by the key's high bits (a stand-in for the files a
+      // z-sorted write would produce), and emit each chunk's row count
+      // + per-dimension min/max — exactly the file statistics a reader
+      // prunes on. Small boxes in BOTH dimensions = multi-dim file
+      // skipping, which no single-column sort provides; the ZOrderSpec
+      // quantifies the bbox shrink vs an orderkey layout. The z-key is
+      // pure codegen'd bit arithmetic, identical in the oracle.
+      "q52_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey",
+            ZOrder.interleave16($"l_partkey", $"l_suppkey").as("zkey"))
+          .groupBy(shiftright($"zkey", 14).as("chunk"))
+          .agg(count(lit(1)).as("n_rows"),
+            min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+            min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+          .orderBy($"chunk")
+      },
+      Some(s"""SELECT ${ZOrder.interleave16Sql("l_partkey", "l_suppkey")} >> 14
+             |    AS chunk,
+             |  COUNT(*) AS n_rows,
+             |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY chunk""".stripMargin))
   )
 }
