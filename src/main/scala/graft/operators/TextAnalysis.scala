@@ -226,30 +226,44 @@ object TextAnalysis {
     * merge is a gaps-and-islands window PARTITIONED BY document, so its
     * partitions are bounded by document length, never corpus size.
     */
-  def dupSpans(
+  /** (id, __ts token array) for non-empty docs — shared front of the
+    * positional-gram family.
+    */
+  private def tokenized(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
-      textCol: String,
-      k: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val base = df
-      .filter(col(textCol).isNotNull && col(textCol) =!= "")
-      .select(col(idCol), tokens(col(textCol)).as("__ts"))
-    val pos = base
-      .filter(size(col("__ts")) >= k)
-      .select(col(idCol),
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(df.columns.map(col): _*)
+      .withColumn("__ts", tokens(col(textCol)))
+
+  /** Positional k-grams (…, __pos 1-based, __gram) for docs of >= k
+    * tokens. `extraCols` of `base` ride along map-side.
+    */
+  private def positionalGrams(
+      base: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      k: Int,
+      extraCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    base.filter(size(col("__ts")) >= k)
+      .select(col(idCol) +: extraCols.map(col) :+ col("__ts") :+
         posexplode(transform(sequence(lit(1), size(col("__ts")) - (k - 1)),
           i => array_join(slice(col("__ts"), i, lit(k)), " ")))
-          .as(Seq("__i", "__gram")))
-      .select(col(idCol), (col("__i") + 1).cast("long").as("__pos"),
-        col("__gram"))
-    val gramDup = pos.groupBy(col("__gram"))
-      .agg((count(lit(1)) > 1).as("__dup"))
-    val dupPos = pos.join(gramDup, Seq("__gram"))
-      .filter(col("__dup")).select(col(idCol), col("__pos"))
+          .as(Seq("__i", "__gram")): _*)
+      .select(col(idCol) +: extraCols.map(col) :+
+        (col("__i") + 1).cast("long").as("__pos") :+ col("__gram"): _*)
+
+  /** Gaps-and-islands merge of flagged positions into maximal spans
+    * [__s, __e] (windows [p, p+k-1]; p2 joins p1 when p2 - p1 <= k).
+    * The window partitions by document — bounded by doc length.
+    */
+  private def mergeSpans(
+      flaggedPos: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val spans = dupPos
+    flaggedPos
       .withColumn("__prev", lag(col("__pos"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1L)
@@ -257,7 +271,22 @@ object TextAnalysis {
       .withColumn("__isl", sum(col("__new")).over(w))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"))
-    val perDoc = spans.groupBy(col(idCol))
+  }
+
+  def dupSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = tokenized(df, idCol, textCol)
+      .select(col(idCol), col("__ts"))
+    val pos = positionalGrams(base, idCol, k)
+    val gramDup = pos.groupBy(col("__gram"))
+      .agg((count(lit(1)) > 1).as("__dup"))
+    val dupPos = pos.join(gramDup, Seq("__gram"))
+      .filter(col("__dup")).select(col(idCol), col("__pos"))
+    val perDoc = mergeSpans(dupPos, idCol, k).groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("__e") - col("__s") + 1).as("dup_tokens"))
     base.select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"))
@@ -267,6 +296,46 @@ object TextAnalysis {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("dup_token_fraction"))
+  }
+
+  /** Cross-source LEAK SPANS — contamination depth, the positional
+    * refinement of the p39 leak matrix: per document, the LONGEST
+    * contiguous token run whose `k`-gram windows all occur in at least
+    * one OTHER source. A 200-token verbatim benchmark answer inside a
+    * training shard scores 200 here while the p39 count can't tell it
+    * from 200 scattered boilerplate grams — span depth is what decides
+    * "remove the document" vs "cut the span". A position is leaky iff
+    * its gram occurs in >= 2 distinct sources (if it does, every holder
+    * has a foreign witness; if not, none does — so one bit per gram
+    * covers every document uniformly).
+    *
+    * Scale shape: the source-distinct count is TWO stacked partial
+    * aggregations — (gram, source) then gram — so a boilerplate gram
+    * reduces map-side and its join-back carries one bit (the p38/p45
+    * discipline); the span merge windows by document only.
+    */
+  def crossSourceLeakSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      srcCol: String,
+      textCol: String,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = tokenized(df, idCol, textCol)
+      .select(col(idCol), col(srcCol), col("__ts"))
+    val pos = positionalGrams(base, idCol, k, extraCols = Seq(srcCol))
+    val gramLeak = pos.select(col("__gram"), col(srcCol)).distinct()
+      .groupBy(col("__gram"))
+      .agg((count(lit(1)) >= 2).as("__leak"))
+    val leakPos = pos.join(gramLeak, Seq("__gram"))
+      .filter(col("__leak")).select(col(idCol), col("__pos"))
+    val perDoc = mergeSpans(leakPos, idCol, k).groupBy(col(idCol))
+      .agg(max(col("__e") - col("__s") + 1).as("max_leak_span"))
+    base.select(col(idCol), col(srcCol),
+        size(col("__ts")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col(srcCol), col("n_tokens"),
+        coalesce(col("max_leak_span"), lit(0L)).as("max_leak_span"))
   }
 
   /** Rare-token ratio — the corpus-relative gibberish/noise signal: per

@@ -876,6 +876,58 @@ object Pipeline2 {
       (s, dir) =>
         KMeansOp.clusterStats(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 4, iters = 3),
-      Some(KMeansOp.oracleSql(k = 4, iters = 3)))
+      Some(KMeansOp.oracleSql(k = 4, iters = 3))),
+
+    QueryDef(
+      // cross-source LEAK SPANS (contamination depth): per document,
+      // the longest contiguous token run whose 8-gram windows all
+      // occur in another source — the signal that separates a verbatim
+      // benchmark answer (one deep span -> remove/cut) from scattered
+      // boilerplate (shallow spans) which p39's pair counts cannot
+      // distinguish. One bit per gram (>= 2 distinct sources) via two
+      // stacked partial aggregations; span merge windows by document.
+      "p48_leak_spans",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.crossSourceLeakSpans(t(s, dir, "documents"),
+            "doc_id", "source", "text", k = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |starts AS (
+             |  SELECT doc_id, source, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+             |  FROM base WHERE len(ts) >= 8),
+             |pos AS (
+             |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+             |         array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+             |  FROM starts),
+             |leak AS (
+             |  SELECT gram FROM (SELECT DISTINCT gram, source FROM pos)
+             |  GROUP BY gram HAVING COUNT(*) >= 2),
+             |lp AS (SELECT doc_id, pos FROM pos JOIN leak USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |             IS NULL
+             |           OR pos - lag(pos) OVER (PARTITION BY doc_id
+             |             ORDER BY pos) > 8
+             |         THEN 1 ELSE 0 END AS new_isl
+             |  FROM lp),
+             |isl2 AS (
+             |  SELECT doc_id, pos,
+             |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl2 GROUP BY doc_id, isl),
+             |perdoc AS (
+             |  SELECT doc_id, MAX(e - s + 1) AS max_leak_span
+             |  FROM spans GROUP BY doc_id)
+             |SELECT b.doc_id, b.source, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(p.max_leak_span, 0) AS BIGINT) AS max_leak_span
+             |FROM base b LEFT JOIN perdoc p USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin))
   )
 }

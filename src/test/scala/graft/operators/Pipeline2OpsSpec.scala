@@ -135,6 +135,32 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("crossSourceLeakSpans measures contamination depth, not breadth") {
+    import spark.implicits._
+    // k=4. docs 1 (train) and 2 (eval) share a DEEP 8-token run; docs 3
+    // (train) and 4 (eval) share two SHALLOW far-apart 4-token runs.
+    // Same-source sharing (docs 5,6) must NOT count as leakage.
+    val df = Seq(
+      (1L, "train", "a b c d e f g h x1 x2"),
+      (2L, "eval", "y1 a b c d e f g h y2"),
+      (3L, "train", "p q r s m1 m2 m3 m4 m5 w x y z"),
+      (4L, "eval", "p q r s n1 n2 n3 n4 n5 w x y z"),
+      (5L, "train", "s1 s2 s3 s4 t1 t2"),
+      (6L, "train", "s1 s2 s3 s4 t3 t4")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.crossSourceLeakSpans(df, "doc_id", "source",
+        "text", k = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "train", 10L, 8L), // deep: the whole shared run, merged
+      (2L, "eval", 10L, 8L),
+      (3L, "train", 13L, 4L), // shallow: two disjoint spans, max is 4
+      (4L, "eval", 13L, 4L),
+      (5L, "train", 6L, 0L),  // same-source duplication is not leakage
+      (6L, "train", 6L, 0L)))
+  }
+
   test("crossSourceNgramLeak counts shared grams per source pair, capped") {
     import spark.implicits._
     // n=2: s1 doc1 {a b, b c}, s1 doc2 {a b}; s2 doc3 {a b, b c, c q};
