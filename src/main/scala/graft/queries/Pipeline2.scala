@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, KMeansOp, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeansOp, Multimodal, PageRankOp, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Second wave of training-data pipeline capabilities: duplicate-cluster
@@ -928,6 +928,28 @@ object Pipeline2 {
              |SELECT b.doc_id, b.source, CAST(len(b.ts) AS BIGINT) AS n_tokens,
              |  CAST(COALESCE(p.max_leak_span, 0) AS BIGINT) AS max_leak_span
              |FROM base b LEFT JOIN perdoc p USING (doc_id)
-             |ORDER BY b.doc_id""".stripMargin))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    QueryDef(
+      // PageRank over the customer-supplier commerce graph, ORACLE-
+      // EXACT (KMeansOp discipline applied to graph centrality — the
+      // classic link-graph quality signal of pretraining pipelines):
+      // integer ranks, damping 17/20 via floor division, so DuckDB
+      // replays the identical 3 rounds and hash-gates an iterative
+      // graph op. Top-20 nodes by final rank.
+      "p49_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val ranks = PageRankOp.pageRank(
+          PageRankOp.commerceEdges(t(s, dir, "lineitem"),
+            t(s, dir, "orders")),
+          iters = 3)
+        ranks.select(
+            when($"node" % 2 === 0, "c").otherwise("s").as("node_type"),
+            expr("node DIV 2").as("node_key"), $"rank")
+          .orderBy($"rank".desc, $"node_type", $"node_key")
+          .limit(20)
+      },
+      Some(PageRankOp.commerceOracleSql(iters = 3)))
   )
 }

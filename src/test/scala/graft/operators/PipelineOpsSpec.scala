@@ -198,6 +198,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("pageRank conserves bounded mass and ranks hubs above leaves") {
+    import spark.implicits._
+    // star graph: hub 0 <-> leaves 1..8, plus an isolated 2-cycle 10<->11
+    val und = (1L to 8L).map(l => (0L, l)) :+ (10L, 11L)
+    val edges = und.toDF("a", "b")
+    val bidir = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+    val ranks = PageRankOp.pageRank(bidir, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scale = 1000000000000L
+    // floor division only ever LOSES mass: total in (0, n*scale]
+    val total = ranks.values.sum
+    assert(total > 0 && total <= ranks.size * scale, total.toString)
+    // the hub out-ranks every leaf; leaves are symmetric -> equal ranks
+    assert((1L to 8L).forall(l => ranks(0L) > ranks(l)))
+    assert((2L to 8L).forall(l => ranks(l) == ranks(1L)))
+    // the detached 2-cycle keeps its own symmetric rank
+    assert(ranks(10L) == ranks(11L))
+    // determinism end to end
+    val again = PageRankOp.pageRank(bidir, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == ranks)
+  }
+
   test("a prebuilt IVF index reproduces the inline-build results") {
     val emb = t(spark, sf, "embeddings")
     val idx = Similarity.ivfBuild(emb, "vec_id", "embedding")
