@@ -690,6 +690,49 @@ object Relational4 {
              |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
              |FROM lineitem
              |GROUP BY 1
-             |ORDER BY chunk""".stripMargin))
+             |ORDER BY chunk""".stripMargin)),
+
+    QueryDef(
+      // mergeable quantile SKETCH (Greenwald-Khanna via
+      // approx_percentile) — the single-pass, fixed-memory path to
+      // percentiles at 100 TB, where an exact percentile needs a full
+      // sort. Gated the p11/p16 way: output rows are the EXACT
+      // quantiles (oracle-replayed), plus a literal-TRUE boolean
+      // asserting the sketch's value lands within 0.2% RANK error of
+      // its target (the sketch promises 0.01%; the in-frame check
+      // counts rows <= sketch value, so the gate is exact arithmetic,
+      // not value tolerance).
+      "q53_approx_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        val li = t(s, dir, "lineitem").select($"l_extendedprice".as("v"))
+        val agg = li.agg(
+          percentile($"v", typedlit(ps)).as("exact_qs"),
+          approx_percentile($"v", typedlit(ps), lit(10000)).as("approx_qs"),
+          count(lit(1)).as("n"))
+        val rows = agg.select(
+            posexplode(arrays_zip($"exact_qs", $"approx_qs"))
+              .as(Seq("i", "qs")), $"n")
+          .select(element_at(typedLit(ps), $"i" + 1).as("p"),
+            $"qs.exact_qs".as("exact_q"), $"qs.approx_qs".as("approx_v"),
+            $"n")
+        li.crossJoin(broadcast(rows))
+          .groupBy($"p", $"exact_q", $"n")
+          .agg(sum(when($"v" <= $"approx_v", 1L).otherwise(0L))
+            .as("rank_at_approx"))
+          .select($"p", round($"exact_q", 4).as("exact_q"),
+            (abs($"rank_at_approx" - $"p" * $"n") <= $"n" / 500.0)
+              .as("approx_ok"))
+          .orderBy($"p")
+      },
+      Some("""WITH q AS (
+             |  SELECT quantile_cont(l_extendedprice,
+             |           [0.25, 0.5, 0.75, 0.95]) AS qs
+             |  FROM lineitem)
+             |SELECT ps.p, ROUND(qs[ps.i], 4) AS exact_q, TRUE AS approx_ok
+             |FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95))
+             |  ps(i, p)
+             |ORDER BY ps.p""".stripMargin))
   )
 }
