@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -69,6 +69,26 @@ class OsmPbfMicroBatchStream(
         s"maxFilesPerTrigger must be > 0, got $n")
       n
     }
+
+  /** Byte-budget admission (`maxBytesPerTrigger` option): replication
+    * diffs vary ~100x in size, so a file-count cap alone cannot bound a
+    * trigger's work. SOFT cap (the file-source convention): admit files
+    * while the running total stays under the budget, always at least
+    * one — a single over-budget file must still make progress.
+    * Composes with `maxFilesPerTrigger`: whichever cap hits first wins.
+    */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxBytesPerTrigger must be a positive long, got '$v'")
+        }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxBytesPerTrigger must be > 0, got $n")
+      n
+    }
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
   private val maxBytes =
@@ -113,32 +133,63 @@ class OsmPbfMicroBatchStream(
     else OsmPbfOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
 
-  /** Rate-limited offset advance: admit at most the limit's file count
-    * of pending work beyond `start`, in deterministic order (name order
-    * for `list` mode; (mtime, name) for `watermark` mode — a watermark
-    * offset can only ever cover an mtime-prefix of the pending set, and
+  /** (file cap, byte cap) of a ReadLimit; composites take the tightest
+    * of each axis.
+    */
+  private def caps(limit: ReadLimit): (Int, Long) = limit match {
+    case m: ReadMaxFiles => (m.maxFiles(), Long.MaxValue)
+    case b: ReadMaxBytes => (Int.MaxValue, b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(caps).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Int.MaxValue, Long.MaxValue)
+  }
+
+  /** Longest admissible PREFIX of `pending` under the caps: stops at
+    * the first file that would bust either budget (no skip-ahead —
+    * offsets must stay order-contiguous), but always admits the first
+    * file so an over-budget file cannot wedge the stream.
+    */
+  private def admit(
+      pending: Seq[(String, Long, Long)],
+      limit: ReadLimit): Seq[(String, Long, Long)] = {
+    val (maxF, maxB) = caps(limit)
+    var bytes = 0L
+    pending.takeWhile { f =>
+      val ok = bytes == 0L || (bytes + f._2 <= maxB)
+      if (ok) bytes += f._2
+      ok
+    }.take(maxF)
+  }
+
+  /** Rate-limited offset advance: admit a bounded prefix of pending
+    * work beyond `start`, in deterministic order (name order for `list`
+    * mode; (mtime, name) for `watermark` mode — a watermark offset can
+    * only ever cover an mtime-prefix of the pending set, and
     * partially-admitted same-mtime groups ride the atWatermark names,
     * so the next trigger picks up exactly the rest).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cap = limit match {
-      case m: ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
-    }
     val files = listFiles()
     start match {
       case s: OsmPbfOffset =>
         val seen = s.files.map(_._1).toSet
-        val fresh = files.filterNot(f => seen(f._1)).take(cap)
+        val fresh = admit(files.filterNot(f => seen(f._1)), limit)
         if (fresh.isEmpty) s
         else OsmPbfOffset(s.files ++ fresh.map(f => (f._1, f._2)))
       case s: OsmPbfWatermarkOffset =>
-        val pending = files.filter { case (p, _, m) =>
+        val pending = admit(files.filter { case (p, _, m) =>
           m > s.watermarkMs ||
             (m == s.watermarkMs && !s.atWatermark.contains(p))
-        }.sortBy(f => (f._3, f._1)).take(cap)
+        }.sortBy(f => (f._3, f._1)), limit)
         if (pending.isEmpty) s
         else {
           val wm = pending.last._3

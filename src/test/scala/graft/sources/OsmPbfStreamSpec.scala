@@ -86,6 +86,51 @@ class OsmPbfStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger paces by bytes; composite takes the tighter cap") {
+    val fixSize = Files.size(Paths.get(fixture))
+    // byte budget of ~2.5 files: batches of exactly 2, soft-cap style
+    val dir = Files.createTempDirectory("pbf-stream-bytes")
+    for (i <- 1 to 5)
+      Files.copy(Paths.get(fixture), dir.resolve(s"f$i.pbf"))
+    val q = spark.readStream.format("osmpbf")
+      .option("parseType", "node")
+      .option("maxBytesPerTrigger", (fixSize * 5 / 2).toString)
+      .load(dir.toString)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("pbf_bytes")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pbf_bytes").collect().head.getLong(0) == 5 * 9720L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3 &&
+        batches.forall(_.numInputRows <= 2 * 9720L),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+    // composite: file cap 3 AND byte cap of one file -> singleton batches
+    // (the byte axis is tighter; an over-budget first file still admits)
+    val dir2 = Files.createTempDirectory("pbf-stream-composite")
+    for (i <- 1 to 3)
+      Files.copy(Paths.get(fixture), dir2.resolve(s"g$i.pbf"))
+    val q2 = spark.readStream.format("osmpbf")
+      .option("parseType", "node")
+      .option("maxFilesPerTrigger", "3")
+      .option("maxBytesPerTrigger", "1")
+      .load(dir2.toString)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("pbf_composite")
+      .outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("pbf_composite").collect().head.getLong(0)
+        == 3 * 9720L)
+      val batches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3 &&
+        batches.forall(_.numInputRows == 9720L),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
+  }
+
   test("watermark offset mode streams exactly once with bounded offsets") {
     val dir = Files.createTempDirectory("pbf-stream-wm")
     val stream = spark.readStream.format("osmpbf")
