@@ -549,4 +549,60 @@ object Dedup {
       }
     (ckpt, sum0)
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs — the character-level
+    * member of the dedup family: catches single-typo / small-patch
+    * duplicates that token-set measures (Jaccard, MinHash) blur and
+    * positional grams (p45) fragment. All-pairs Levenshtein is O(n^2)
+    * DP per pair times O(N^2) pairs, so candidates come from ANCHOR
+    * BUCKETS: two keys per document (its `keyLen`-char prefix and
+    * suffix — a small edit budget cannot corrupt both ends), bucket-
+    * capped at `maxBucket` (the p08 discipline: a boilerplate prefix
+    * shared by millions of docs is template noise, and uncapped it is
+    * exactly the quadratic blowup this operator exists to avoid) and
+    * length-banded (|len_a - len_b| <= maxDist is a lower bound on the
+    * distance). Survivors get the EXACT DP distance — the bucketing
+    * chooses candidates, never scores (the ANN contract). Candidate
+    * semantics are part of the operator's definition, so the oracle
+    * replays them identically.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 16,
+      keyLen: Int = 24,
+      maxBucket: Int = 50): DataFrame = {
+    require(maxDist >= 0 && keyLen >= 1 && maxBucket >= 2,
+      "maxDist/keyLen/maxBucket out of range")
+    val pre = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .withColumn("__pfx", substring(col("__t"), 1, keyLen))
+      .withColumn("__sfx",
+        when(col("__len") <= keyLen, col("__t"))
+          .otherwise(col("__t").substr(col("__len") - (keyLen - 1),
+            lit(keyLen))))
+    val keyed = pre.select(col(idCol), col("__t"), col("__len"),
+      explode(array(concat(lit("p:"), col("__pfx")),
+        concat(lit("s:"), col("__sfx")))).as("__k"))
+    val ok = keyed.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__k"))
+    val kk = keyed.join(ok, Seq("__k"))
+    val a = kk.select(col("__k"), col(idCol).as("id_a"),
+      col("__t").as("__ta"), col("__len").as("__la"))
+    val b = kk.select(col("__k"), col(idCol).as("id_b"),
+      col("__t").as("__tb"), col("__len").as("__lb"))
+    a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("__ta"), col("__tb"))
+      .distinct() // a pair may arrive via both its prefix and suffix key
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

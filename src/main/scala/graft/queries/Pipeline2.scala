@@ -950,6 +950,42 @@ object Pipeline2 {
           .orderBy($"rank".desc, $"node_type", $"node_key")
           .limit(20)
       },
-      Some(PageRankOp.commerceOracleSql(iters = 3)))
+      Some(PageRankOp.commerceOracleSql(iters = 3))),
+
+    QueryDef(
+      // edit-distance (Levenshtein) near-dup pairs — the character-
+      // level dedup modality: typo-level duplicates that token-set
+      // measures blur. Candidates from capped prefix/suffix anchor
+      // buckets + length band (candidate semantics are part of the
+      // operator and replayed by the oracle); survivors get the exact
+      // DP distance.
+      "p50_edit_distance_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+            maxDist = 16, keyLen = 24, maxBucket = 50)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH pre AS (
+             |  SELECT doc_id, text AS t, length(text) AS len,
+             |    substring(text, 1, 24) AS pfx,
+             |    CASE WHEN length(text) <= 24 THEN text
+             |         ELSE substring(text, length(text) - 23, 24) END AS sfx
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |keyed AS (
+             |  SELECT doc_id, t, len, 'p:' || pfx AS k FROM pre
+             |  UNION ALL SELECT doc_id, t, len, 's:' || sfx FROM pre),
+             |ok AS (
+             |  SELECT k FROM keyed GROUP BY k
+             |  HAVING COUNT(*) BETWEEN 2 AND 50),
+             |kk AS (SELECT doc_id, t, len, k FROM keyed JOIN ok USING (k)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.t AS ta, b.t AS tb
+             |  FROM kk a JOIN kk b ON a.k = b.k
+             |  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16)
+             |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(ta, tb) <= 16
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

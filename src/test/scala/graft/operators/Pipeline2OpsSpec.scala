@@ -161,6 +161,40 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (6L, "train", 6L, 0L)))
   }
 
+  test("editDistancePairs finds typo-level dups via either anchor") {
+    import spark.implicits._
+    val longPad = "z" * 30
+    val df = Seq(
+      // pair via PREFIX anchor: shared 24-char head, one char changed
+      // deep in the tail
+      (1L, s"the quick brown fox jumps over $longPad A"),
+      (2L, s"the quick brown fox jumps over $longPad B"),
+      // pair via SUFFIX anchor only: heads differ in the first 24 chars
+      (3L, s"AAAA different head here $longPad common tail stays same"),
+      (4L, s"BBBB different head here $longPad common tail stays same"),
+      // near-miss: same prefix but FAR in edit distance (long random tail)
+      (5L, s"the quick brown fox jumps over " + ("q r s t u v w " * 8)),
+      // short docs below keyLen: the whole text is the anchor, so a
+      // typo breaks BOTH anchors — not found at keyLen=24 (the honest
+      // recall limit of anchor bucketing), found at keyLen=4
+      (6L, "tiny doc"), (7L, "tiny dog")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        maxDist = 16, keyLen = 24, maxBucket = 50)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (3L, 4L, 4L)), got.mkString(","))
+    val shortAnchors = Dedup.editDistancePairs(df, "doc_id", "text",
+        maxDist = 16, keyLen = 4, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shortAnchors.contains((6L, 7L, 1L)), shortAnchors.toString)
+    // the bucket cap drops a boilerplate-prefix flood entirely
+    val flood = (1L to 60L).map(i => (i, s"boilerplate header text!! v$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(flood, "doc_id", "text",
+      maxDist = 16, keyLen = 24, maxBucket = 50).count() == 0)
+  }
+
   test("crossSourceNgramLeak counts shared grams per source pair, capped") {
     import spark.implicits._
     // n=2: s1 doc1 {a b, b c}, s1 doc2 {a b}; s2 doc3 {a b, b c, c q};
