@@ -733,6 +733,67 @@ object Relational4 {
              |SELECT ps.p, ROUND(qs[ps.i], 4) AS exact_q, TRUE AS approx_ok
              |FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95))
              |  ps(i, p)
-             |ORDER BY ps.p""".stripMargin))
+             |ORDER BY ps.p""".stripMargin)),
+
+    QueryDef(
+      // time-series RESAMPLE + GAP-FILL: regularize the irregular event
+      // stream onto a complete hourly grid per series (sequence() from
+      // each series' own bounds — a tiny per-series explode, never a
+      // global calendar), mark empty hours, and carry the last observed
+      // hourly average forward (LOCF via last(ignoreNulls) over a
+      // series-keyed window — bounded by series length, the q47
+      // pattern). Hour sums ride DECIMAL so the grid values are
+      // engine-exact before the one rounded division.
+      "q54_resample_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(D18)).cast("double").as("hour_sum"))
+        val grid = hourly.groupBy($"event_type")
+          .agg(min($"h").as("h0"), max($"h").as("h1"))
+          .select($"event_type",
+            explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy($"event_type").orderBy($"h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select($"event_type", $"h",
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            round(coalesce($"hour_sum", lit(0.0)), 2).as("hour_sum"),
+            when($"n_events" > 0, $"hour_sum" / $"n_events").as("__avg"))
+          .withColumn("filled_avg",
+            round(last($"__avg", ignoreNulls = true).over(w), 4))
+          .drop("__avg")
+          .orderBy($"event_type", $"h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS hour_sum
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, min(h) AS h0, max(h) AS h1
+             |  FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT event_type,
+             |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |  FROM bounds),
+             |j AS (
+             |  SELECT g.event_type, g.h,
+             |    COALESCE(n_events, 0) AS n_events,
+             |    ROUND(COALESCE(hour_sum, 0.0), 2) AS hour_sum,
+             |    CASE WHEN n_events > 0 THEN hour_sum / n_events END AS avg0
+             |  FROM grid g LEFT JOIN hourly USING (event_type, h))
+             |SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events,
+             |  hour_sum,
+             |  ROUND(last_value(avg0 IGNORE NULLS) OVER (
+             |    PARTITION BY event_type ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             |    AS filled_avg
+             |FROM j
+             |ORDER BY event_type, h""".stripMargin))
   )
 }
