@@ -794,6 +794,76 @@ object Relational4 {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
              |    AS filled_avg
              |FROM j
-             |ORDER BY event_type, h""".stripMargin))
+             |ORDER BY event_type, h""".stripMargin)),
+
+    QueryDef(
+      // ORDERED conversion funnel (view -> click -> purchase): a user
+      // advances a stage only via an event strictly AFTER the stage
+      // they already reached — the canonical events-table analysis, and
+      // deliberately NOT three independent EXISTS (a purchase before
+      // the first view must not count). One conditional aggregation per
+      // user (min ts per stage, then the ordering predicate), then a
+      // one-row rollup: per-stage user counts + conversion rates.
+      "q55_conversion_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"user_id", $"event_type", $"ts")
+        // one user-keyed aggregation per stage, each chained on the
+        // previous stage's qualified timestamp (joins co-locate on the
+        // same user key, so AQE reuses the partitioning)
+        val tv = ev.groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"ts")).as("tv"))
+        val tc = ev.join(tv, Seq("user_id"))
+          .groupBy($"user_id")
+          .agg(min($"tv").as("tv"),
+            min(when($"event_type" === "click" && $"ts" > $"tv", $"ts"))
+              .as("tc"))
+        val tp = ev.join(tc, Seq("user_id"))
+          .groupBy($"user_id")
+          .agg(min($"tv").as("tv"), min($"tc").as("tc"),
+            min(when($"event_type" === "purchase" && $"ts" > $"tc", $"ts"))
+              .as("tp"))
+        tp.agg(
+            sum(when($"tv".isNotNull, 1L).otherwise(0L)).as("n_view"),
+            sum(when($"tc".isNotNull, 1L).otherwise(0L)).as("n_click"),
+            sum(when($"tp".isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+          .select($"n_view", $"n_click", $"n_purchase",
+            round($"n_click".cast("double") / $"n_view", 6)
+              .as("view_to_click"),
+            round($"n_purchase".cast("double") / $"n_click", 6)
+              .as("click_to_purchase"))
+      },
+      Some("""WITH tv AS (
+             |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |    AS tv
+             |  FROM events GROUP BY user_id),
+             |tc AS (
+             |  SELECT e.user_id,
+             |    MIN(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+             |      AS tc,
+             |    MIN(tv) AS tv
+             |  FROM events e JOIN tv USING (user_id) GROUP BY e.user_id),
+             |tp AS (
+             |  SELECT e.user_id, MIN(tc.tv) AS tv, MIN(tc.tc) AS tc,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts > tc.tc
+             |        THEN ts END) AS tp
+             |  FROM events e JOIN tc USING (user_id) GROUP BY e.user_id)
+             |SELECT
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_view,
+             |  CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_click,
+             |  CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_purchase,
+             |  ROUND(CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE)
+             |    / SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 6)
+             |    AS view_to_click,
+             |  ROUND(CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE)
+             |    / SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END), 6)
+             |    AS click_to_purchase
+             |FROM tp""".stripMargin))
   )
 }
