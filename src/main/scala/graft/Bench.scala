@@ -93,13 +93,18 @@ object Bench {
     * names plus a per-query ok map (~4 KB) and the line arrived truncated,
     * so the driver recorded `parsed: null`. Keep this line well under the
     * window: per-query keys are the unique name prefix before the first
-    * '_' (q36_multi_exists_window -> q36), seconds carry 2 decimals, and
-    * failures are listed by key only when present.
+    * '_' (q36_multi_exists_window -> q36), per-query seconds carry ONE
+    * decimal (the 2-decimal form crossed 1800 chars at 115 queries;
+    * full precision is in target/bench-full.json), the total keeps 2,
+    * and failures are listed by key only when present.
     */
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
+    def fmt1(v: Double): String =
+      if (v >= 100) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.filter(!_._3).map(r => "\"" + short(r._1) + "\"")

@@ -30,7 +30,9 @@ class BenchLineSpec extends AnyFunSuite {
   test("line is well-formed for the driver's parser") {
     val results = Seq(("q01_pricing_summary", 1.234567, true), ("p08_minhash_lsh", 0.5, false))
     val line = Bench.renderLine(results, "/tmp/sf")
-    assert(line.startsWith("""{"metric":"total","value":1.73,"unit":"sec","queries":{"q01":1.23,"p08":0.50},"""))
+    // total keeps 2 decimals; per-query values carry 1 (the 2-decimal
+    // form crossed the 1800-char window at 115 queries)
+    assert(line.startsWith("""{"metric":"total","value":1.73,"unit":"sec","queries":{"q01":1.2,"p08":0.5},"""))
     assert(line.endsWith(""""failed":1,"failed_queries":["p08"],"sf":"/tmp/sf"}"""))
   }
 }
