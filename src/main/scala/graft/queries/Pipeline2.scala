@@ -986,6 +986,57 @@ object Pipeline2 {
              |  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16)
              |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
              |FROM cand WHERE levenshtein(ta, tb) <= 16
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      // CLUSTER-SAFE train/val/test split: fold assignment hashes the
+      // near-dup CLUSTER representative, not the document — two near-
+      // identical docs split across train and eval is exactly how eval
+      // leaks into training, and independent per-doc hashing guarantees
+      // it happens. Composition: the shared pairs->clusters memo gives
+      // labels; fold = md5(cluster rep) hex bucket (12/2/2 sixteenths
+      // -> train/val/test), one map-side pass, engine-portable. The
+      // oracle replays labels via the recursive CTE and the identical
+      // md5 arithmetic.
+      "p51_cluster_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val labels = dupClusters(s, dir)
+          .select($"id".as("doc_id"), $"cluster_id")
+        val h = substring(md5($"rep".cast("string")), 1, 1)
+        t(s, dir, "documents")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("fold",
+            when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+          .groupBy($"fold", $"source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"fold", $"source")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id),
+             |labels AS (SELECT id, MIN(lbl) AS cluster_id
+             |           FROM reach GROUP BY id),
+             |d AS (
+             |  SELECT doc_id, source,
+             |    COALESCE(l.cluster_id, doc_id) AS rep
+             |  FROM documents LEFT JOIN labels l ON l.id = doc_id),
+             |f AS (
+             |  SELECT source,
+             |    CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) < 'c'
+             |           THEN 'train'
+             |         WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) < 'e'
+             |           THEN 'val'
+             |         ELSE 'test' END AS fold
+             |  FROM d)
+             |SELECT fold, source, COUNT(*) AS n_docs
+             |FROM f GROUP BY fold, source
+             |ORDER BY fold, source""".stripMargin))
   )
 }
