@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.DecimalType
   * means and drop the oracle — the mechanism is unchanged.
   *
   * Seeds are the k lowest-id vectors (deterministic, no RNG — the
-  * ivfBuild/pqBuild discipline).
+  * ivfBuild/pqBuild discipline). All vectors must share one
+  * dimensionality: a short vector NULL-pads the zip_with here but
+  * inner-joins per-dim in the oracle — ragged corpora are out of
+  * contract (the embeddings table is uniformly 64-dim).
   */
 object KMeansOp {
 
