@@ -46,6 +46,13 @@ object PageRankOp {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // Overflow guard: total mass is conserved-or-lost, so no rank can
+    // exceed n*scale; (rank * 17) must stay in Long. Spark's non-ANSI
+    // multiply would wrap SILENTLY (DuckDB would error — divergence,
+    // not replay), so fail fast and tell the caller the remedy.
+    require(n <= Long.MaxValue / 17 / scale,
+      s"pageRank: n*scale*17 exceeds Long range (n=$n, scale=$scale); " +
+        "lower `scale` (ranks stay proportional) so n*scale <= 2^63/17")
     val base = (scale * 3 / 20) / n // both engines: (scale*3/20) // n
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {

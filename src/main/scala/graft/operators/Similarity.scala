@@ -62,6 +62,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[bruteForceTopK]] with selection on the ROUNDED similarity
+    * (`digits`), vec-id tie-break — the ordering the DuckDB ANN oracles
+    * use (`ORDER BY round(sim, 6) DESC, vec_id`). Selecting on the raw
+    * double instead can flip the k-boundary row whenever ranks k and
+    * k+1 round to the same value (the q45 last-ulp flake class), so
+    * every oracle-compared exact top-k must come through here.
+    */
+  def bruteForceTopKRounded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      digits: Int = 6): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("q_vec")), digits).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic splitmix64-derived hyperplane weights in [-1, 1),
     * computed ONCE on the driver and shipped as a literal — the
     * expression-level alternative (hashing a "plane-p-d" string per
@@ -409,7 +434,14 @@ object Similarity {
             nrm += nsq(mi)(best)
             mi += 1
           }
-          (id, v, dot / math.sqrt(nrm))
+          // all-zero centroids (a degenerate corpus seeding zero
+          // vectors) give nrm == 0; 0/0 = NaN sorts ABOVE every real
+          // double in a descending sort and would flood the candidate
+          // window — sink such rows instead
+          val adc =
+            if (nrm == 0.0) Double.NegativeInfinity
+            else dot / math.sqrt(nrm)
+          (id, v, adc)
         }
       }
       .toDF(idCol, vecCol, "__adc")

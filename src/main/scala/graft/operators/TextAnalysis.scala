@@ -234,7 +234,6 @@ object TextAnalysis {
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.filter(col(textCol).isNotNull && col(textCol) =!= "")
-      .select(df.columns.map(col): _*)
       .withColumn("__ts", tokens(col(textCol)))
 
   /** Positional k-grams (…, __pos 1-based, __gram) for docs of >= k

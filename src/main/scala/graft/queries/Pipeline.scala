@@ -27,6 +27,56 @@ object Pipeline {
   private[queries] val JaccardMin = 0.35
   private[queries] val JaccardMaxDf = 50
 
+  /** Shared scaffold of the self-oracled ANN family (p11 LSH / p16 IVF
+    * / p46 PQ): the output rows are the EXACT top-10 — selected on the
+    * ROUNDED similarity with vec-id tie-break, exactly the ordering the
+    * oracle's `ORDER BY sim DESC, vec_id` applies to its rounded alias
+    * (selecting on the raw double can flip the k-boundary row when
+    * ranks 10 and 11 round equal — the q45 last-ulp flake class) —
+    * plus one literal-TRUE boolean gating the approximate method's
+    * overlap with that set.
+    */
+  private[queries] def annGated(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      approx: org.apache.spark.sql.DataFrame,
+      gateName: String,
+      minOverlap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // the 10-row ground truth feeds two consumers (overlap aggregate +
+    // output rows): checkpoint so the brute-force scan runs once
+    val exact = Similarity.bruteForceTopKRounded(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0, 10)
+      .localCheckpoint(true)
+    val ov = exact.select($"vec_id")
+      .join(approx.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__ov"))
+    exact.crossJoin(broadcast(ov))
+      .select($"vec_id", $"sim", ($"__ov" >= minOverlap).as(gateName))
+      .orderBy($"sim".desc, $"vec_id")
+  }
+
+  /** The one DuckDB brute-force-cosine oracle all four ANN entries
+    * share (p10 plain; p11/p16/p46 add their literal-TRUE gate) — a
+    * threshold or cast fix lands in exactly one place.
+    */
+  private[queries] def annOracleSql(gate: Option[String]): String = {
+    val gateSel = gate.map(g => s",\n  TRUE AS $g").getOrElse("")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |el AS (SELECT e.vec_id,
+       |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+       |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+       |       FROM embeddings e CROSS JOIN q),
+       |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+       |             CAST(SUM(x*x) AS DOUBLE) AS nx,
+       |             CAST(SUM(y*y) AS DOUBLE) AS ny
+       |      FROM el GROUP BY vec_id)
+       |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim$gateSel
+       |FROM s WHERE vec_id <> 0
+       |ORDER BY sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Cross-entry memo for the Jaccard PAIR stage itself — the upstream
     * half of the shared dedup pipeline. p07 (pairs), p24 (clusters via
     * Pipeline2.dupClusters) and p28 (survivors) all start from this
@@ -343,109 +393,39 @@ object Pipeline {
 
     // ---- similarity search ----------------------------------------------
     QueryDef(
+      // exact brute-force ANN baseline; selection on the rounded sim
+      // (vec-id tie-break) = the oracle's ordering of its rounded alias
       "p10_ann_bruteforce",
-      (s, dir) => {
-        import s.implicits._
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
-        emb.crossJoin(broadcast(q))
-          .filter($"vec_id" =!= 0)
-          .select($"vec_id",
-            round(Similarity.cosine($"embedding", $"q_vec"), 6).as("sim"))
-          .orderBy($"sim".desc, $"vec_id")
-          .limit(10)
-      },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-             |el AS (SELECT e.vec_id,
-             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
-             |       FROM embeddings e CROSS JOIN q),
-             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY vec_id)
-             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-             |FROM s WHERE vec_id <> 0
-             |ORDER BY sim DESC, vec_id
-             |LIMIT 10""".stripMargin)),
+      (s, dir) =>
+        Similarity.bruteForceTopKRounded(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 0, 10),
+      Some(annOracleSql(None))),
 
     QueryDef(
-      // sign-LSH ANN, SELF-ORACLING: the output is the EXACT top-10 (the
-      // oracle recomputes it all-pairs, like p10) plus a literal-TRUE
-      // boolean pinning the LSH top-10's overlap with it. Multi-probe
-      // hamming radius 8 (radius 3 recalls almost nothing on these
-      // embeddings: measured 0.0-0.2 vs 0.6-0.9 at radius 8); gate 5/10
-      // under that measured band.
+      // sign-LSH ANN, SELF-ORACLING (annGated scaffold): exact top-10
+      // plus a literal-TRUE overlap boolean. Multi-probe hamming radius
+      // 8 (radius 3 recalls almost nothing on these embeddings:
+      // measured 0.0-0.2 vs 0.6-0.9 at radius 8); gate 5/10 under that
+      // measured band.
       "p11_ann_lsh",
-      (s, dir) => {
-        import s.implicits._
-        val emb = t(s, dir, "embeddings")
-        // the 10-row ground-truth frame feeds TWO consumers (the overlap
-        // aggregate and the output rows); eagerly checkpointing it runs
-        // the brute-force scan once instead of twice
-        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
-          .localCheckpoint(true)
-        val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
-          queryId = 0, k = 10, maxSketchHamming = 8)
-        val ov = exact.select($"vec_id")
-          .join(approx.select($"vec_id"), Seq("vec_id"), "left_semi")
-          .agg(count(lit(1)).as("__ov"))
-        exact.select($"vec_id", round($"sim", 6).as("sim"))
-          .crossJoin(broadcast(ov))
-          .select($"vec_id", $"sim", ($"__ov" >= 5).as("lsh_overlap_ok"))
-          .orderBy($"sim".desc, $"vec_id")
-      },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-             |el AS (SELECT e.vec_id,
-             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
-             |       FROM embeddings e CROSS JOIN q),
-             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY vec_id)
-             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
-             |  TRUE AS lsh_overlap_ok
-             |FROM s WHERE vec_id <> 0
-             |ORDER BY sim DESC, vec_id
-             |LIMIT 10""".stripMargin)),
+      (s, dir) =>
+        annGated(s, dir,
+          Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id",
+            "embedding", queryId = 0, k = 10, maxSketchHamming = 8),
+          "lsh_overlap_ok", minOverlap = 5),
+      Some(annOracleSql(Some("lsh_overlap_ok")))),
 
     QueryDef(
-      // IVF ANN, SELF-ORACLING: exact top-10 plus a literal-TRUE boolean
-      // pinning the IVF top-10's overlap (default nProbe=4 codebook;
-      // measured overlap 0.9-1.0 at sf0.001/0.01/0.1, gate 6/10).
+      // IVF ANN, SELF-ORACLING (annGated scaffold): default nProbe=4
+      // codebook; measured overlap 0.9-1.0 at sf0.001/0.01/0.1, gate
+      // 6/10.
       "p16_ann_ivf",
-      (s, dir) => {
-        import s.implicits._
-        val emb = t(s, dir, "embeddings")
-        // two consumers of the 10-row ground truth: checkpoint once
-        // (same reasoning as p11)
-        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
-          .localCheckpoint(true)
-        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queryId = 0, k = 10)
-        val ov = exact.select($"vec_id")
-          .join(ivf.select($"vec_id"), Seq("vec_id"), "left_semi")
-          .agg(count(lit(1)).as("__ov"))
-        exact.select($"vec_id", round($"sim", 6).as("sim"))
-          .crossJoin(broadcast(ov))
-          .select($"vec_id", $"sim", ($"__ov" >= 6).as("ivf_overlap_ok"))
-          .orderBy($"sim".desc, $"vec_id")
-      },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-             |el AS (SELECT e.vec_id,
-             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
-             |       FROM embeddings e CROSS JOIN q),
-             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY vec_id)
-             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
-             |  TRUE AS ivf_overlap_ok
-             |FROM s WHERE vec_id <> 0
-             |ORDER BY sim DESC, vec_id
-             |LIMIT 10""".stripMargin)),
+      (s, dir) =>
+        annGated(s, dir,
+          Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id",
+            "embedding", queryId = 0, k = 10),
+          "ivf_overlap_ok", minOverlap = 6),
+      Some(annOracleSql(Some("ivf_overlap_ok")))),
 
     QueryDef(
       "p12_embedding_neardup",

@@ -832,37 +832,12 @@ object Pipeline2 {
       // cosine. Measured overlap at m=16/k=64/rerank=100:
       // 10/10 at sf0.001, sf0.01 and sf0.1 — gate 6/10 under that band.
       "p46_ann_pq",
-      (s, dir) => {
-        import s.implicits._
-        val emb = t(s, dir, "embeddings")
-        // two consumers of the 10-row ground truth: checkpoint once
-        // (same reasoning as p11/p16)
-        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
-          .localCheckpoint(true)
-        val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
-          queryId = 0, k = 10)
-        val ov = exact.select($"vec_id")
-          .join(pq.select($"vec_id"), Seq("vec_id"), "left_semi")
-          .agg(count(lit(1)).as("__ov"))
-        exact.select($"vec_id", round($"sim", 6).as("sim"))
-          .crossJoin(broadcast(ov))
-          .select($"vec_id", $"sim", ($"__ov" >= 6).as("pq_overlap_ok"))
-          .orderBy($"sim".desc, $"vec_id")
-      },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-             |el AS (SELECT e.vec_id,
-             |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
-             |       FROM embeddings e CROSS JOIN q),
-             |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY vec_id)
-             |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
-             |  TRUE AS pq_overlap_ok
-             |FROM s WHERE vec_id <> 0
-             |ORDER BY sim DESC, vec_id
-             |LIMIT 10""".stripMargin)),
+      (s, dir) =>
+        Pipeline.annGated(s, dir,
+          Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id",
+            "embedding", queryId = 0, k = 10),
+          "pq_overlap_ok", minOverlap = 6),
+      Some(Pipeline.annOracleSql(Some("pq_overlap_ok")))),
 
     QueryDef(
       // distributed Lloyd's k-means over embeddings, ORACLE-EXACT: the

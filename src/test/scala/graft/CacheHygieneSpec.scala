@@ -13,9 +13,16 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("cache-using queries leave no persisted RDDs after the per-query clear") {
+    // compare against a BEFORE snapshot, not absolute emptiness: earlier
+    // suites in the same shared session may have final CC checkpoints
+    // still awaiting the GC-driven ContextCleaner — p17 must simply add
+    // nothing of its own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries("p17_neardup_lsh")(spark, sf).count()
     spark.catalog.clearCache()
-    val leaked = spark.sparkContext.getPersistentRDDs
+    val leaked = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
     assert(leaked.isEmpty,
       s"p17 left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     // p08's exact-companion gate reads the shared Jaccard pairs memo, so
@@ -23,12 +30,17 @@ class CacheHygieneSpec extends AnyFunSuite {
     // clear — but nothing else, and re-running must not accumulate
     SparkEntry.queries("p08_minhash_lsh")(spark, sf).count()
     spark.catalog.clearCache()
-    val afterP08 = spark.sparkContext.getPersistentRDDs
+    val afterP08 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
     assert(afterP08.size <= 1,
       s"p08 may keep only the pairs memo: ${afterP08.values.map(_.name)}")
     SparkEntry.queries("p08_minhash_lsh")(spark, sf).count()
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.size <= afterP08.size,
+    val repeat = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    assert(repeat.size <= afterP08.size,
       "repeated p08 must hit the pairs memo, not accumulate")
   }
 
