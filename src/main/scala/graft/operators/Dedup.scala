@@ -68,6 +68,45 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Bloom-prefiltered decontamination — the scale path when the eval
+    * set's shingle inventory is too large to broadcast as an exact hash
+    * relation (at 1e9 shingles a 1%-fpp Bloom is ~1.2 GB vs 30+ GB of
+    * strings — the sketch still broadcasts when the set no longer can).
+    * Two phases, the production shape:
+    *   1. probe every corpus shingle against the broadcast Bloom
+    *      map-side — no false negatives, so ~(1 - fpp) of clean
+    *      shingles die before any shuffle;
+    *   2. exact-confirm the surviving sliver with a join against the
+    *      real eval shingles (NOT broadcast-hinted: when the eval set
+    *      outgrows the broadcast threshold this becomes a shuffle join
+    *      of sliver-vs-set; Catalyst/AQE picks by size).
+    * The result is therefore EXACT — identical to the all-exact p23
+    * join — which is what makes the operator hash-oracle-able; the
+    * Bloom only changes how much data reaches phase 2. The probe is a
+    * Scala UDF over the broadcast sketch: Spark's own might_contain
+    * expression is not user-facing, and the probe sits behind the
+    * codegen'd shingle kernel on an already-exploded row stream.
+    *
+    * Returns distinct contaminated (id, shingle) pairs.
+    */
+  def bloomDecontaminatePairs(
+      corpus: DataFrame,
+      benchShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 200000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = benchShingles.stat.bloomFilter("shingle", expectedItems, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((sh: String) => sh != null && bloomB.value.mightContainString(sh))
+    corpus.select(col(idCol).as("id"),
+        explode(shinglesWithDupes(col(textCol))).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(benchShingles, "shingle")
+      .select(col("id"), col("shingle")).distinct()
+  }
+
   /** MinHash signature as an array of `numHashes` minima over shingle
     * hashes, using the classic (a*x+b) mod p universal family with
     * deterministic constants.
@@ -572,8 +611,11 @@ object Dedup {
   /** Drops the given persistent RDDs' blocks non-blockingly, at the
     * raw-RDD level (localCheckpoint storage never enters the Dataset
     * cache manager, so this cannot trigger its cascading re-plan).
+    * ONLY safe for checkpoints nothing will read again: unpersisting a
+    * local checkpoint discards both the data and the (truncated)
+    * lineage. Shared by the iterative operators (CC, PageRank).
     */
-  private def releasePersisted(
+  private[operators] def releasePersisted(
       spark: SparkSession, ids: Set[Int]): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))

@@ -54,18 +54,28 @@ object PageRankOp {
       s"pageRank: n*scale*17 exceeds Long range (n=$n, scale=$scale); " +
         "lower `scale` (ranks stay proportional) so n*scale <= 2^63/17")
     val base = (scale * 3 / 20) / n // both engines: (scale*3/20) // n
+    val sc = edges.sparkSession.sparkContext
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    // superseded round checkpoints are released eagerly (the
+    // connectedComponents discipline): once round i is materialized,
+    // nothing ever reads round i-1 again, so live checkpoint storage
+    // stays O(1) in iterations instead of waiting on the ContextCleaner
+    var liveIds = Set.empty[Int]
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(rank * 17) DIV (20 * deg)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      val before = sc.getPersistentRDDs.keySet
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      val added = sc.getPersistentRDDs.keySet.diff(before).toSet
+      Dedup.releasePersisted(edges.sparkSession, liveIds)
+      liveIds = added
     }
     ranks
   }

@@ -539,4 +539,61 @@ object TextAnalysis {
       "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
     regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
   }
+
+  /** Bigram language-model quality score — the perplexity-family signal
+    * (docs whose token transitions are common in the corpus score high,
+    * gibberish scores low), made INTEGER-EXACT with the PageRank
+    * discipline so a DuckDB replay is bit-identical: the add-1-smoothed
+    * transition probability is the scaled floor quotient
+    *   p(cur|prev) = ((bc + 1) * scale) DIV (cc + V)
+    * (bc = corpus bigram count, cc = corpus count of bigrams with that
+    * context token, V = corpus distinct-token count) and the per-doc
+    * score is `sum(p) DIV n_bigrams` — the arithmetic-mean scaled
+    * probability. No float log / no summation-order sensitivity; the
+    * log-perplexity view is a monotone transform the caller can apply.
+    * Overflow contract: (bc + 1) * scale must fit a Long, i.e. the
+    * hottest bigram count < 2^63/scale (~9.2e9 at the default scale) —
+    * beyond that, lower `scale`.
+    *
+    * Scale shape: the bigram/context count frames are
+    * dictionary-vs-corpus aggregations (map-side partial agg, same
+    * discipline as rareTokenRatio) joined back on their keys — AQE
+    * splits a hot boilerplate bigram; V is a 1-row broadcast. The
+    * corpus-sized bigram frame is derived THREE times (probe side + two
+    * count dictionaries) — declaratively correct everywhere; at 100 TB
+    * snapshot it to a table first so the tokenize pass runs once.
+    *
+    * Output: one row per doc with >= 1 bigram:
+    * (idCol, n_bigrams, lm_score).
+    */
+  def bigramLmScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000000L): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val bi = toks.filter(size(col("__ts")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("__bg"))
+      .select(col(idCol),
+        col("__bg.p").as("__prev"), col("__bg.c").as("__cur"))
+    val bc = bi.groupBy(col("__prev"), col("__cur"))
+      .agg(count(lit(1)).as("__bc"))
+    val cc = bi.groupBy(col("__prev")).agg(count(lit(1)).as("__cc"))
+    val v = toks.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    bi.join(bc, Seq("__prev", "__cur"))
+      .join(cc, Seq("__prev"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        expr(s"((__bc + 1) * ${scale}L) DIV (__cc + __v)").as("__p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sp DIV n_bigrams").as("lm_score"))
+  }
 }

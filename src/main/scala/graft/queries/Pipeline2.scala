@@ -1012,6 +1012,87 @@ object Pipeline2 {
              |  FROM d)
              |SELECT fold, source, COUNT(*) AS n_docs
              |FROM f GROUP BY fold, source
-             |ORDER BY fold, source""".stripMargin))
+             |ORDER BY fold, source""".stripMargin)),
+
+    QueryDef(
+      // bigram LM quality score, INTEGER-EXACT (the PageRank
+      // discipline): add-1-smoothed transition probability as a scaled
+      // floor quotient, per-doc score = mean scaled probability — DuckDB
+      // replays every division bit-identically, so an LM-family quality
+      // signal gets a hash gate instead of a tolerance band.
+      "p52_bigram_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"lm_score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_slice(ts, 1, len(ts) - 1)) AS prev,
+             |    unnest(list_slice(ts, 2, len(ts))) AS cur
+             |  FROM toks WHERE len(ts) >= 2),
+             |bc AS (SELECT prev, cur, COUNT(*) AS bc FROM bi GROUP BY prev, cur),
+             |cc AS (SELECT prev, COUNT(*) AS cc FROM bi GROUP BY prev),
+             |v AS (SELECT COUNT(DISTINCT t) AS v
+             |      FROM (SELECT unnest(ts) AS t FROM toks)),
+             |p AS (
+             |  SELECT doc_id, ((bc.bc + 1) * 1000000000) // (cc.cc + v.v) AS p
+             |  FROM bi JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score
+             |FROM p GROUP BY doc_id
+             |ORDER BY lm_score DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // Bloom-prefiltered decontamination (eval set = doc_id % 37 == 0):
+      // the scale path p23 can't take when the eval shingle set outgrows
+      // a broadcast hash relation. The Bloom admits every truly-shared
+      // pair (no false negatives) and the exact-confirm join removes its
+      // false positives, so the output matches the all-exact join and
+      // the oracle hash applies; bloom_complete literally pins the
+      // no-false-negative property by comparing against the un-bloomed
+      // exact pair count.
+      "p53_bloom_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val bench = Dedup.explodedShingles(
+            docs.filter($"doc_id" % 37 === 0), "doc_id", "text")
+          .select($"shingle").distinct()
+          .localCheckpoint(true) // feeds the sketch build + two joins
+        val corpus = docs.filter($"doc_id" % 37 =!= 0)
+        val confirmed = Dedup.bloomDecontaminatePairs(
+          corpus, bench, "doc_id", "text")
+        val exactN = corpus.select($"doc_id".as("id"),
+            explode(Dedup.shinglesWithDupes($"text")).as("shingle"))
+          .join(bench, "shingle")
+          .select($"id", $"shingle").distinct()
+          .agg(count(lit(1)).as("b"))
+        val gate = confirmed.agg(count(lit(1)).as("a")).crossJoin(exactN)
+          .select(($"a" === $"b").as("bloom_complete"))
+        confirmed.groupBy($"id").agg(count(lit(1)).as("n_shared"))
+          .crossJoin(broadcast(gate))
+          .select($"id".as("doc_id"), $"n_shared", $"bloom_complete")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id,
+             |    unnest(CASE WHEN len(toks) >= 3
+             |      THEN list_distinct(list_transform(
+             |        generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      ELSE [text] END) AS shingle
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 37 = 0)
+             |SELECT id AS doc_id, COUNT(*) AS n_shared, TRUE AS bloom_complete
+             |FROM sh JOIN bench USING (shingle)
+             |WHERE id % 37 <> 0
+             |GROUP BY id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -864,6 +864,35 @@ object Relational4 {
              |      AS DOUBLE)
              |    / SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END), 6)
              |    AS click_to_purchase
-             |FROM tp""".stripMargin))
+             |FROM tp""".stripMargin)),
+
+    QueryDef(
+      // PIVOT: long->wide reshaping with an EXPLICIT value list (the
+      // scale contract — valueless pivot collects the distinct key set
+      // to the driver to plan the schema; a fixed list keeps planning
+      // O(1) and the job one pass). Counts are integer-exact, so the
+      // wide frame hash-matches DuckDB's conditional-aggregation
+      // rendering; na.fill(0) mirrors COUNT FILTER's 0-for-absent.
+      "q56_pivot_wide",
+      (s, dir) => {
+        import s.implicits._
+        val years = 1995 to 2001
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot(year($"o_orderdate"), years)
+          .agg(count(lit(1)))
+          .na.fill(0, years.map(_.toString))
+          .toDF("o_orderpriority" +: years.map(y => s"y$y"): _*)
+          .orderBy($"o_orderpriority")
+      },
+      Some {
+        val cols = (1995 to 2001).map(y =>
+          s"COUNT(*) FILTER (year(o_orderdate) = $y) AS y$y")
+        s"""SELECT o_orderpriority,
+           |  ${cols.mkString(",\n  ")}
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin
+      })
   )
 }

@@ -78,6 +78,25 @@ class RelationalSpec extends AnyFunSuite {
       li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("q56 pivot round-trips through stack (unpivot) to the long form") {
+    import org.apache.spark.sql.functions._
+    val wide = SparkEntry.queries("q56_pivot_wide")(spark, sf)
+    val years = 1995 to 2001
+    // stack is Spark's unpivot kernel: wide (priority, y1995..y2001)
+    // back to long (priority, year, n); zero rows survive as zeros in
+    // the wide frame, so drop them to compare against the plain groupBy
+    val long = wide.select(col("o_orderpriority"),
+        expr(s"stack(${years.size}, " +
+          years.map(y => s"'$y', y$y").mkString(", ") + ") AS (yr, n)"))
+      .filter(col("n") > 0)
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("string").as("yr"))
+      .agg(count(lit(1)).as("n"))
+    assert(long.count() == direct.count())
+    assert(long.except(direct).isEmpty && direct.except(long).isEmpty)
+  }
+
   test("q09 running sum is monotone per user for positive values") {
     val rows = SparkEntry.queries("q09_running_user_spend")(spark, sf)
       .collect().groupBy(_.getAs[Long]("user_id"))

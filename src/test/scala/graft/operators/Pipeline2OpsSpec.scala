@@ -399,4 +399,40 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (1L, 5L, 3L, 0.4, 3L),
       (2L, 3L, 3L, 0.0, 1L)))
   }
+
+  test("bloomDecontaminatePairs equals the exact join (no false negatives)") {
+    import spark.implicits._
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x y a b c d"), // shares shingles "a b c" and "b c d"
+      (11L, "q r s"),       // shares nothing
+      (12L, "b c d e")      // shares "b c d"
+    ).toDF("doc_id", "text")
+    val benchShingles = Dedup.explodedShingles(bench, "doc_id", "text")
+      .select($"shingle").distinct()
+    val got = Dedup.bloomDecontaminatePairs(corpus, benchShingles,
+        "doc_id", "text")
+      .orderBy($"id", $"shingle").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (10L, "a b c"), (10L, "b c d"), (12L, "b c d")))
+  }
+
+  test("bigramLmScore matches the hand-computed integer arithmetic") {
+    import spark.implicits._
+    // corpus: bigrams (a,b)x3 (two in doc 1, one in doc 2), (b,a)x1;
+    // contexts cc(a)=3, cc(b)=1; V = |{a,b,x}| = 3; scale 1e9:
+    //   p(a,b) = 4e9 // 6 = 666666666,  p(b,a) = 2e9 // 4 = 500000000
+    //   doc 1: (666666666+500000000+666666666) // 3 = 611111110
+    //   doc 2: 666666666 // 1
+    // doc 3 has one token (no bigrams), doc 4 is NULL: both absent.
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 611111110L),
+      (2L, 1L, 666666666L)))
+  }
 }
