@@ -596,4 +596,57 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"),
         expr("__sp DIV n_bigrams").as("lm_score"))
   }
+
+  /** DSIR-style importance score — data selection by distribution
+    * matching (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling"): score each raw-corpus document by how
+    * target-like its token distribution is, so the pipeline can resample
+    * the raw pool toward a high-quality target slice. The per-token
+    * signal is the add-1-smoothed likelihood ratio
+    *   r(t) = (tc_target(t) + 1) / (tc_raw(t) + 1)
+    * and the per-doc score is the mean scaled ratio — INTEGER-EXACT with
+    * the [[bigramLmScore]] discipline: each ratio is the scaled floor
+    * quotient ((tc_t + 1) * scale) DIV (tc_r + 1), the doc score
+    * `sum DIV n_tokens`, so a DuckDB replay is bit-identical and the
+    * hash gate applies. The constant global normalizer
+    * (N_raw + V)/(N_target + V) is deliberately dropped: it is the same
+    * for every document, so ranking and resampling weights are
+    * unchanged and every remaining division stays Long-safe. Overflow
+    * contract: (hottest target token count + 1) * scale must fit a
+    * Long — at the default scale 1e6 that allows per-token target
+    * counts up to ~9.2e12; lower `scale` beyond that.
+    *
+    * Scale shape: both count frames are dictionary-vs-corpus
+    * aggregations (map-side partial agg) joined back on the token key —
+    * AQE splits a hot stopword; no window, no driver-side data. Target
+    * docs are scored 0-cost (excluded) — DSIR only ever scores the raw
+    * pool.
+    *
+    * Output: one row per non-target doc with >= 1 token:
+    * (idCol, n_tokens, dsir_score).
+    */
+  def dsirScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(tokens(col(textCol))).as("__t"))
+    val tcT = toks.filter(col("__tgt"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__tc_t"))
+    val tcR = toks.filter(!col("__tgt"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__tc_r"))
+    toks.filter(!col("__tgt")).drop("__tgt")
+      .join(tcT, Seq("__t"), "left")
+      .join(tcR, Seq("__t"))
+      .select(col(idCol),
+        expr(s"((coalesce(__tc_t, 0L) + 1) * ${scale}L) DIV (__tc_r + 1)")
+          .as("__r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__r")).as("__sr"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sr DIV n_tokens").as("dsir_score"))
+  }
 }

@@ -1093,6 +1093,35 @@ object Pipeline2 {
              |FROM sh JOIN bench USING (shingle)
              |WHERE id % 37 <> 0
              |GROUP BY id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // DSIR-style distribution-matching selection (target = src0 docs):
+      // per-token add-1 likelihood ratios as scaled floor quotients, doc
+      // score = mean ratio — integer-exact, so the importance-resampling
+      // signal gets a hash gate. Top-20 most-target-like raw docs.
+      "p54_dsir_importance",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+            $"source" === "src0")
+          .orderBy($"dsir_score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source = 'src0' AS tgt, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tct AS (SELECT t, COUNT(*) AS tc_t FROM toks WHERE tgt GROUP BY t),
+             |tcr AS (SELECT t, COUNT(*) AS tc_r FROM toks WHERE NOT tgt GROUP BY t),
+             |r AS (
+             |  SELECT doc_id,
+             |    ((COALESCE(tc_t, 0) + 1) * 1000000) // (tc_r + 1) AS r
+             |  FROM toks LEFT JOIN tct USING (t) JOIN tcr USING (t)
+             |  WHERE NOT tgt)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(r) // COUNT(*) AS BIGINT) AS dsir_score
+             |FROM r GROUP BY doc_id
+             |ORDER BY dsir_score DESC, doc_id
+             |LIMIT 20""".stripMargin))
   )
 }

@@ -418,6 +418,29 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (10L, "a b c"), (10L, "b c d"), (12L, "b c d")))
   }
 
+  test("dsirScore matches the hand-computed likelihood ratios") {
+    import spark.implicits._
+    // target corpus: "a a b" -> tc_t(a)=2, tc_t(b)=1
+    // raw corpus: doc 10 "a b", doc 11 "c c"; tc_r(a)=1, tc_r(b)=1,
+    // tc_r(c)=2; scale 1e6:
+    //   r(a) = 3e6 // 2 = 1500000, r(b) = 2e6 // 2 = 1000000,
+    //   r(c) = 1e6 // 3 = 333333
+    //   doc 10: (1500000 + 1000000) // 2 = 1250000  (target-like)
+    //   doc 11: (333333 + 333333) // 2 = 333333     (not)
+    // the target doc itself is never scored; NULL text absent.
+    val df = Seq(
+      (1L, "a a b", "tgt"), (10L, "a b", "raw"), (11L, "c c", "raw"),
+      (12L, null.asInstanceOf[String], "raw")
+    ).toDF("doc_id", "text", "src")
+    val got = TextAnalysis.dsirScore(df, "doc_id", "text",
+        col("src") === "tgt")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 1250000L),
+      (11L, 2L, 333333L)))
+  }
+
   test("bigramLmScore matches the hand-computed integer arithmetic") {
     import spark.implicits._
     // corpus: bigrams (a,b)x3 (two in doc 1, one in doc 2), (b,a)x1;
