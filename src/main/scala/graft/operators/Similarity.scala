@@ -596,4 +596,88 @@ object Similarity {
         cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Cosine similarity as a micro-unit integer (round to 6 decimals,
+    * scale by 1e6): the [[cosine]] decimal kernel is already bit-stable
+    * across engines, and integerizing makes downstream argmax/compare
+    * logic EXACTLY replayable — no float near-tie can reorder a greedy
+    * selection between Spark and an oracle replay.
+    */
+  private def sim6(a: Column, b: Column): Column =
+    round(round(cosine(a, b), 6) * lit(1000000), 0).cast("long")
+
+  /** MMR (maximal-marginal-relevance) diverse top-k selection — the
+    * data-selection step after dedup: pick k documents that are both
+    * relevant to a query/centroid AND mutually diverse, so a training
+    * batch is not k near-copies of the best hit. Greedy standard MMR at
+    * lambda = 0.5: round 1 takes the most relevant candidate; each later
+    * round takes argmax of (rel6 - maxsim6), where maxsim6 is the
+    * running max similarity to the already-selected set. All scores are
+    * micro-unit integers ([[sim6]]), ties break on id — the selection
+    * sequence is fully deterministic and an oracle replays it round for
+    * round.
+    *
+    * Scale shape: classic iterative-driver discipline (the p47/p49
+    * family). Per round: ONE distributed argmax (TakeOrdered, 1 row to
+    * the driver — id + k*dims floats total over the whole run) and one
+    * map-side rescore of the candidate frame against the broadcast pick
+    * (zero shuffle). The candidate frame is localCheckpoint'd per round
+    * with eager release of the superseded round, so live storage is
+    * O(corpus), not O(k * corpus); k actions total.
+    *
+    * Output: (rank 1..k, idCol, rel6, mmr6) in selection order.
+    */
+  def mmrSelect(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"))
+    // rel6 null only for zero-norm vectors; drop them (oracle mirrors)
+    val before0 = sc.getPersistentRDDs.keySet
+    var cand = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        sim6(col(vecCol), col("__q")).as("__rel6"))
+      .filter(col("__rel6").isNotNull)
+      .withColumn("__maxsim6", lit(Long.MinValue))
+      .localCheckpoint(true)
+    // track ONLY this operator's checkpoints — never shared memos
+    var liveIds = sc.getPersistentRDDs.keySet.diff(before0).toSet
+    val picks = Seq.newBuilder[(Int, Long, Long, Long)]
+    for (r <- 1 to k) {
+      // round 1 has an empty selected set: mmr = relevance alone
+      val mmr6 = if (r == 1) col("__rel6")
+                 else col("__rel6") - col("__maxsim6")
+      // the pick's vector rides along with the argmax row — ONE job per
+      // round instead of a second lookup job for the rescore probe
+      val top = cand.orderBy(mmr6.desc, col("__id")).limit(1)
+        .select(col("__id"), col("__rel6"), mmr6.as("__mmr6"), col("__vec"))
+        .collect()
+      if (top.nonEmpty) {
+        val row = top.head
+        val pickId = row.getLong(0)
+        picks += ((r, pickId, row.getLong(1), row.getLong(2)))
+        if (r < k) {
+          val pickVec = row.getSeq[Float](3).toArray
+          val before = sc.getPersistentRDDs.keySet
+          cand = cand.filter(col("__id") =!= pickId)
+            .withColumn("__maxsim6",
+              greatest(col("__maxsim6"),
+                sim6(col("__vec"), typedLit(pickVec))))
+            .localCheckpoint(true)
+          val added = sc.getPersistentRDDs.keySet.diff(before).toSet
+          Dedup.releasePersisted(spark, liveIds) // superseded round only
+          liveIds = added
+        }
+      }
+    }
+    Dedup.releasePersisted(spark, liveIds)
+    picks.result().toDF("sel_rank", idCol, "rel6", "mmr6")
+  }
 }

@@ -1122,6 +1122,81 @@ object Pipeline2 {
              |  CAST(SUM(r) // COUNT(*) AS BIGINT) AS dsir_score
              |FROM r GROUP BY doc_id
              |ORDER BY dsir_score DESC, doc_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // MMR diverse top-k: greedy relevance-vs-diversity selection in
+      // micro-unit integer scores, so the DuckDB oracle replays the
+      // EXACT selection sequence via k chained CTE rounds (each round:
+      // cosine to the previous pick, running max, argmax with id
+      // tie-break) — a sequential greedy algorithm under a hash gate.
+      "p55_mmr_diverse_topk",
+      (s, dir) =>
+        Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id",
+          "embedding", queryId = 0, k = 8),
+      Some(mmrOracleSql(k = 8)))
   )
+
+  /** DuckDB replay of [[Similarity.mmrSelect]]: round r's pick becomes
+    * round r+1's similarity probe. Each round is three CTEs (pick
+    * embedding, decimal cosine to every remaining candidate, running
+    * max + exclusion) generated here so oracle and operator can never
+    * drift on round count or tie-break. Every chained CTE is
+    * `AS MATERIALIZED`: each round references its predecessor twice
+    * (probe subquery + exclusion), so DuckDB's default inlining would
+    * duplicate the plan per round — 2^k copies of the base scan; tested
+    * non-terminating at k=8 — where materialization keeps the replay
+    * linear in k.
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val sim6 =
+      "CAST(round(round(dot / (sqrt(nx) * sqrt(ny)), 6) * 1000000, 0) AS BIGINT)"
+    def simCtes(r: Int) =
+      s"""pe$r AS MATERIALIZED (SELECT embedding AS pe FROM embeddings
+         |  WHERE vec_id = (SELECT vec_id FROM pick$r)),
+         |el$r AS (SELECT e.vec_id,
+         |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+         |    CAST(unnest(p.pe) AS DECIMAL(18,9)) AS y
+         |  FROM embeddings e CROSS JOIN pe$r p WHERE e.vec_id <> 0),
+         |s$r AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+         |    CAST(SUM(x*x) AS DOUBLE) AS nx, CAST(SUM(y*y) AS DOUBLE) AS ny
+         |  FROM el$r GROUP BY vec_id),
+         |sim$r AS MATERIALIZED (SELECT vec_id, $sim6 AS s6 FROM s$r)"""
+        .stripMargin
+    val rounds = (2 to k).map { r =>
+      val msFrom =
+        if (r == 2) s"cand c JOIN sim${r - 1} s USING (vec_id)"
+        else s"ms${r - 2} c JOIN sim${r - 1} s USING (vec_id)"
+      val maxsim =
+        if (r == 2) "s.s6" else "GREATEST(c.maxsim6, s.s6)"
+      s"""${simCtes(r - 1)},
+         |ms${r - 1} AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel6, $maxsim AS maxsim6
+         |  FROM $msFrom
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pick${r - 1})),
+         |pick$r AS MATERIALIZED (
+         |  SELECT vec_id, rel6, rel6 - maxsim6 AS mmr6
+         |  FROM ms${r - 1} ORDER BY rel6 - maxsim6 DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map { r =>
+      if (r == 1)
+        s"SELECT 1 AS sel_rank, vec_id, rel6, rel6 AS mmr6 FROM pick1"
+      else s"SELECT $r AS sel_rank, vec_id, rel6, mmr6 FROM pick$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |elq AS (SELECT e.vec_id,
+       |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+       |    CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |sq AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+       |    CAST(SUM(x*x) AS DOUBLE) AS nx, CAST(SUM(y*y) AS DOUBLE) AS ny
+       |  FROM elq GROUP BY vec_id),
+       |cand AS MATERIALIZED (SELECT vec_id, $sim6 AS rel6 FROM sq),
+       |pick1 AS MATERIALIZED (
+       |  SELECT vec_id, rel6 FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
+       |$rounds
+       |$unions
+       |ORDER BY sel_rank""".stripMargin
+  }
 }

@@ -288,6 +288,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("mmrSelect trades relevance for diversity (hand-built geometry)") {
+    import spark.implicits._
+    // query q = (1,0). a=(0.8,0.6) and c=(0.8,-0.6) tie on relevance
+    // (0.8) — round 1 must take a by the id tie-break. b=(0.79,0.61) is
+    // a near-copy of a (sim ~1.0 -> mmr ~ -0.21); c is equally relevant
+    // but diverse (sim(a,c)=0.28 -> mmr 0.52) -> round 2 takes c, and
+    // the near-copy comes last. Pure relevance top-2 would be {a, b}.
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.8f, 0.6f)),   // a: rel 0.8
+      (2L, Array(0.79f, 0.61f)), // b: rel ~0.79, sim(a,b) ~ 1.0
+      (3L, Array(0.8f, -0.6f))   // c: rel 0.8, sim(a,c) = 0.28
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding", 0, 3)
+      .orderBy($"sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmrSelect leaves no persisted blocks behind and caps k at corpus size") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // k=5 but only ONE candidate: selection stops at the corpus
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding", 0, 5)
+    assert(got.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty, "mmrSelect leaked checkpoints")
+  }
+
   test("langId picks a language deterministically") {
     import spark.implicits._
     val df = Seq("the cat and the dog is here", "el gato de la casa que y",
