@@ -893,6 +893,45 @@ object Relational4 {
            |FROM orders
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // higher-order array functions over collected per-order arrays:
+      // transform/filter/exists/aggregate run INSIDE codegen on the
+      // array value — no explode/re-group round trip, no UDF. Integer
+      // quantities keep every HOF result exact; the array itself ships
+      // as a joined string (driver's pandas sort can't order raw
+      // arrays).
+      "q57_array_hof",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_list($"q")).as("qs"))
+          .filter(exists($"qs", x => x === 1))
+          .select($"l_orderkey",
+            size($"qs").as("n_items"),
+            aggregate($"qs", lit(0L), (a, x) => a + x).as("total_qty"),
+            size(filter($"qs", x => x > 30)).as("n_heavy"),
+            aggregate(transform($"qs", x => x * x), lit(0L),
+              (a, x) => a + x).as("sum_sq"),
+            array_join($"qs", ",").as("qs_str"))
+          .orderBy($"sum_sq".desc, $"l_orderkey")
+          .limit(25)
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  CAST(len(qs) AS INTEGER) AS n_items,
+             |  CAST(list_sum(qs) AS BIGINT) AS total_qty,
+             |  CAST(len(list_filter(qs, x -> x > 30)) AS INTEGER) AS n_heavy,
+             |  CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_sq,
+             |  array_to_string(qs, ',') AS qs_str
+             |FROM a WHERE list_contains(qs, 1)
+             |ORDER BY sum_sq DESC, l_orderkey
+             |LIMIT 25""".stripMargin))
   )
 }

@@ -97,6 +97,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(long.except(direct).isEmpty && direct.except(long).isEmpty)
   }
 
+  test("q57 array HOFs agree with the explode-based recomputation") {
+    import org.apache.spark.sql.functions._
+    val hof = SparkEntry.queries("q57_array_hof")(spark, sf)
+      .select(col("l_orderkey"), col("n_items"), col("total_qty"),
+        col("n_heavy"), col("sum_sq"))
+    val direct = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("int").as("n_items"),
+        sum(col("q")).as("total_qty"),
+        sum(when(col("q") > 30, 1).otherwise(0)).cast("int").as("n_heavy"),
+        sum(col("q") * col("q")).as("sum_sq"),
+        max(when(col("q") === 1, 1)).as("has_one"))
+      .filter(col("has_one") === 1).drop("has_one")
+    assert(hof.join(direct,
+      Seq("l_orderkey", "n_items", "total_qty", "n_heavy", "sum_sq"))
+      .count() == hof.count())
+  }
+
   test("q09 running sum is monotone per user for positive values") {
     val rows = SparkEntry.queries("q09_running_user_spend")(spark, sf)
       .collect().groupBy(_.getAs[Long]("user_id"))
