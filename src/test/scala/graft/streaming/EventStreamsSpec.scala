@@ -187,6 +187,50 @@ class EventStreamsSpec extends AnyFunSuite {
       s"late event must not split the session: $closed")
   }
 
+  test("too-late events are dropped AND the drop is accounted in progress") {
+    import spark.implicits._
+    // the operational contract at 100 TB/day: a watermark is a data-loss
+    // policy, so the loss must be observable — stateOperators'
+    // numRowsDroppedByWatermark is where ingest monitoring reads it
+    val dir = Files.createTempDirectory("late-drop-ev").toString
+    val ckpt = Files.createTempDirectory("late-drop-ck").toString
+    def ev(id: Long, mins: Int) = EventStreams.Event(id,
+      new java.sql.Timestamp(1767225600000L + mins * 60000L), 1L, "t", 1.0)
+    def writeBatch(events: Seq[EventStreams.Event]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(dir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema
+    // batch 1 advances the watermark to 120 - 15 = 105min
+    writeBatch(Seq(ev(1, 0), ev(2, 120)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a 30min event is far below the 105min watermark -> its
+      // window [25,35) is long closed; the row must die at the state op
+      writeBatch(Seq(ev(3, 30), ev(4, 130)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      // the count is POST-Expand: a 10min/5min sliding window fans each
+      // event into 2 window rows, so one late event = 2 dropped state
+      // rows — monitoring math must use the fan-out, not raw events
+      assert(dropped == 2L,
+        s"expected the late event's 2 window rows accounted, got $dropped")
+    } finally q.stop()
+    // and the late row's window truly never surfaced
+    val emitted = spark.table("late_drop")
+      .select(col("w_start")).distinct().collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(!emitted.contains(1767225600000L + 25 * 60000L) &&
+      !emitted.contains(1767225600000L + 30 * 60000L))
+  }
+
   test("flatMapGroupsWithState sessions match the SQL window sessionization") {
     import spark.implicits._
     // q33 (window composition) with the same 30-min gap
