@@ -236,4 +236,53 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"both hops must plan as hash/sort-merge equi-joins:\n$p")
   }
+
+  test("p52 LM score: count frames are aggregations, never a window") {
+    val p = plan("p52_bigram_lm_score")
+    assert(!p.contains("Window"),
+      s"bigram/context DF must come from partial aggs, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the V frame must broadcast (1 row), never cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final agg pairs for bc/cc:\n$p")
+  }
+
+  test("p54 DSIR: dictionary joins are equi-joins with partial aggs") {
+    val p = plan("p54_dsir_importance")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"token-dictionary join-back must stay equi + agg:\n$p")
+  }
+
+  test("p53 bloom probe filters rows BEFORE the exact-confirm join") {
+    val p = plan("p53_bloom_decontamination")
+    // the map-side Bloom probe survives as a UDF filter; without it the
+    // whole corpus shingle stream reaches the shuffle join
+    assert(p.contains("Filter UDF"), s"bloom probe filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the first equi-join in the tree is the exact-confirm join (BHJ at
+    // test SF; SMJ/SHJ when the eval set outgrows broadcast) — the probe
+    // filter must appear BELOW it, i.e. later in the rendered tree
+    val joinIdx = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).min
+    assert(p.indexOf("Filter UDF") > joinIdx,
+      s"probe must sit below the confirm join in the plan tree:\n$p")
+  }
+
+  test("q56 pivot partial-aggregates before every shuffle") {
+    val p = plan("q56_pivot_wide")
+    // two-level agg (count by (priority,year) -> pivotfirst by priority)
+    // + final sort = 3 exchanges, but each carries only O(groups) rows
+    // because a partial aggregate sits below it — pin both properties
+    assert(p.contains("partial_count"), s"map-side count missing:\n$p")
+    assert(p.contains("partial_pivotfirst"),
+      s"map-side pivot aggregation missing:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q57 array HOFs stay in codegen: no window, top-k not a global sort") {
+    val p = plan("q57_array_hof")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
