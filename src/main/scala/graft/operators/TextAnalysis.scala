@@ -625,6 +625,54 @@ object TextAnalysis {
     * Output: one row per non-target doc with >= 1 token:
     * (idCol, n_tokens, dsir_score).
     */
+  /** Per-source token-budget cut — deterministic budget sampling: walk
+    * each source's documents in doc-id order and keep them while the
+    * source's running token total stays within `budget`. The standard
+    * "cap every domain's contribution" mixing step, made exact (a rate-
+    * based sample like p44 only hits a budget in expectation; this hits
+    * it exactly, same docs every run).
+    *
+    * Scale shape — the [[packedBins]] two-level prefix-sum discipline,
+    * NOT one window per source (a 10^9-doc source would funnel into a
+    * single window task): level 1 aggregates token totals per
+    * (source, chunk of `chunkSize` ids) map-side; the chunk-level
+    * running sum is a window over N/chunkSize rows per source; the
+    * doc-level window runs inside bounded (source, chunk) partitions
+    * and adds the chunk offset. Both windows are partitioned; no
+    * unpartitioned window, no single-source funnel.
+    *
+    * Returns kept docs: (sourceCol, idCol, n_tokens, cum_tokens).
+    */
+  def tokenBudgetCut(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budget: Long,
+      chunkSize: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1 && chunkSize >= 1, "budget/chunkSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(sourceCol), col(idCol),
+        tokenCount(col(textCol)).cast("long").as("__t"),
+        floor(col(idCol) / chunkSize).as("__chunk"))
+    val chunkTotals = toks.groupBy(col(sourceCol), col("__chunk"))
+      .agg(sum(col("__t")).as("__chunk_t"))
+    val chunkW = Window.partitionBy(col(sourceCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunkTotals.withColumn("__before",
+      coalesce(sum(col("__chunk_t")).over(chunkW), lit(0L)))
+    val docW = Window.partitionBy(col(sourceCol), col("__chunk"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsets.select(col(sourceCol), col("__chunk"), col("__before")),
+        Seq(sourceCol, "__chunk"))
+      .withColumn("__cum", col("__before") + sum(col("__t")).over(docW))
+      .filter(col("__cum") <= budget)
+      .select(col(sourceCol), col(idCol), col("__t").as("n_tokens"),
+        col("__cum").as("cum_tokens"))
+  }
+
   def dsirScore(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -1125,6 +1125,34 @@ object Pipeline2 {
              |LIMIT 20""".stripMargin)),
 
     QueryDef(
+      // per-source token-budget cut: exact deterministic budget
+      // sampling (not rate-in-expectation like p44) via the p35
+      // two-level prefix sum — no per-source window funnel. The oracle
+      // replays with a plain single window; same rows by construction.
+      "p56_token_budget",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.tokenBudgetCut(t(s, dir, "documents"),
+            "doc_id", "text", "source", budget = 1200L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+            max($"cum_tokens").as("tokens_used"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |w AS (
+             |  SELECT source, doc_id, t,
+             |    SUM(t) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM c)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+             |  CAST(MAX(cum) AS BIGINT) AS tokens_used
+             |FROM w WHERE cum <= 1200
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
       // MMR diverse top-k: greedy relevance-vs-diversity selection in
       // micro-unit integer scores, so the DuckDB oracle replays the
       // EXACT selection sequence via k chained CTE rounds (each round:

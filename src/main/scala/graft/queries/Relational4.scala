@@ -932,6 +932,57 @@ object Relational4 {
              |  array_to_string(qs, ',') AS qs_str
              |FROM a WHERE list_contains(qs, 1)
              |ORDER BY sum_sq DESC, l_orderkey
-             |LIMIT 25""".stripMargin))
+             |LIMIT 25""".stripMargin)),
+
+    // ---- q58: SCD2 point-in-time join (q48's read side) -------------------
+    // The temporal lookup every warehouse fact load runs: each order
+    // joins the customer VERSION valid at its order date. Versions are
+    // derived deterministically (k % 3 == 0 customers change segment at
+    // the cut date). The join is an EQUI-join on the customer key with
+    // the validity range as a join filter — per-key version counts are
+    // tiny and bounded, so this never degenerates toward a band join at
+    // scale; revenue goes through DECIMAL before the final double cast.
+    QueryDef(
+      "q58_scd2_pointintime",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"))
+        val lo = lit("1990-01-01").cast("timestamp")
+        val cut = lit("1997-07-01").cast("timestamp")
+        val hi = lit("9999-12-31").cast("timestamp")
+        val v1 = cust.select($"k", $"seg", lo.as("valid_from"),
+          when($"k" % 3 === 0, cut).otherwise(hi).as("valid_to"))
+        val v2 = cust.filter($"k" % 3 === 0)
+          .select($"k", concat($"seg", lit("_V2")).as("seg"),
+            cut.as("valid_from"), hi.as("valid_to"))
+        val dim = v1.unionByName(v2)
+        t(s, dir, "orders")
+          .select($"o_custkey".as("k"), $"o_orderdate", $"o_totalprice")
+          .join(dim, Seq("k"))
+          .filter($"o_orderdate" >= $"valid_from" &&
+            $"o_orderdate" < $"valid_to")
+          .groupBy($"seg")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(D18)).cast("double").as("revenue"))
+          .orderBy($"seg")
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+             |dim AS (
+             |  SELECT k, seg, TIMESTAMP '1990-01-01' AS valid_from,
+             |    CASE WHEN k % 3 = 0 THEN TIMESTAMP '1997-07-01'
+             |         ELSE TIMESTAMP '9999-12-31' END AS valid_to
+             |  FROM cust
+             |  UNION ALL
+             |  SELECT k, seg || '_V2', TIMESTAMP '1997-07-01',
+             |    TIMESTAMP '9999-12-31'
+             |  FROM cust WHERE k % 3 = 0)
+             |SELECT seg, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders JOIN dim ON o_custkey = dim.k
+             |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+             |GROUP BY seg ORDER BY seg""".stripMargin))
   )
 }

@@ -285,4 +285,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("p56 budget cut: chunk totals partial-aggregate, windows stay keyed") {
+    val p = plan("p56_token_budget")
+    // level-1 chunk totals must partial-aggregate map-side, and every
+    // window must carry a partition key (source / source+chunk) — an
+    // unkeyed window here would be the single-source funnel the
+    // operator exists to avoid
+    assert(p.contains("partial_sum"), s"chunk totals must partial-agg:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange may feed these windows:\n$p")
+  }
+
+  test("q58 point-in-time join stays an equi-join with a range filter") {
+    val p = plan("q58_scd2_pointintime")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal validity must ride the custkey equi-join as a filter:\n$p")
+  }
 }

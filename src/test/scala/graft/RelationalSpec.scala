@@ -116,6 +116,14 @@ class RelationalSpec extends AnyFunSuite {
       .count() == hof.count())
   }
 
+  test("q58 point-in-time join matches every order to exactly one version") {
+    import org.apache.spark.sql.functions._
+    val total = SparkEntry.queries("q58_scd2_pointintime")(spark, sf)
+      .agg(sum(col("n_orders"))).collect().head.getLong(0)
+    assert(total == Tables.t(spark, sf, "orders").count(),
+      "validity ranges must tile time: no order lost or double-matched")
+  }
+
   test("q09 running sum is monotone per user for positive values") {
     val rows = SparkEntry.queries("q09_running_user_spend")(spark, sf)
       .collect().groupBy(_.getAs[Long]("user_id"))

@@ -441,6 +441,39 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (11L, 2L, 333333L)))
   }
 
+  test("tokenBudgetCut two-level prefix sum equals a naive window across chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // chunkSize=2 forces chunk boundaries INSIDE each source's stream;
+    // budget 7 cuts mid-chunk for s1 (3+3 kept, +3 would pass 7) and
+    // exactly at a boundary for s2 (2+2+2+1 -> all 7 kept)
+    val df = Seq(
+      (0L, "a b c", "s1"), (1L, "a b c", "s1"), (2L, "a b c", "s1"),
+      (3L, "a b c", "s1"),
+      (10L, "a b", "s2"), (11L, "a b", "s2"), (12L, "a b", "s2"),
+      (13L, "a", "s2"),
+      (20L, null.asInstanceOf[String], "s3")
+    ).toDF("doc_id", "text", "src")
+    val got = TextAnalysis.tokenBudgetCut(df, "doc_id", "text", "src",
+        budget = 7L, chunkSize = 2L)
+      .orderBy($"src", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("s1", 0L, 3L), ("s1", 1L, 6L),
+      ("s2", 10L, 2L), ("s2", 11L, 4L), ("s2", 12L, 6L), ("s2", 13L, 7L)))
+    // and the naive single-window cumsum agrees row for row
+    val naive = df.filter($"text".isNotNull)
+      .select($"src", $"doc_id",
+        size(split($"text", " ")).cast("long").as("t"))
+      .withColumn("cum", sum($"t").over(
+        Window.partitionBy($"src").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= 7)
+      .orderBy($"src", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
   test("bigramLmScore matches the hand-computed integer arithmetic") {
     import spark.implicits._
     // corpus: bigrams (a,b)x3 (two in doc 1, one in doc 2), (b,a)x1;
