@@ -983,6 +983,45 @@ object Relational4 {
              |    AS revenue
              |FROM orders JOIN dim ON o_custkey = dim.k
              |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
-             |GROUP BY seg ORDER BY seg""".stripMargin))
+             |GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // ---- q59: distribution ranks (ntile / percent_rank / cume_dist) -------
+    // The rank-family trio q31 doesn't cover. The window order carries
+    // c_custkey as a tie-break so every rank is unique and both engines
+    // compute identical integer ranks; percent_rank and cume_dist are
+    // then exact integer ratios evaluated in double — bit-identical —
+    // and rounded to 6 only as rendering.
+    QueryDef(
+      "q59_distribution_ranks",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"n_name")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"c_custkey", $"c_acctbal",
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .groupBy($"n_name", $"quartile")
+          .agg(count(lit(1)).as("n_cust"),
+            round(min($"pr"), 6).as("min_pr"),
+            round(max($"cd"), 6).as("max_cd"))
+          .orderBy($"n_name", $"quartile")
+      },
+      Some("""WITH r AS (
+             |  SELECT n_name,
+             |    NTILE(4) OVER w AS quartile,
+             |    PERCENT_RANK() OVER w AS pr,
+             |    CUME_DIST() OVER w AS cd
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WINDOW w AS (PARTITION BY n_name
+             |               ORDER BY c_acctbal, c_custkey))
+             |SELECT n_name, quartile, COUNT(*) AS n_cust,
+             |  ROUND(MIN(pr), 6) AS min_pr,
+             |  ROUND(MAX(cd), 6) AS max_cd
+             |FROM r GROUP BY n_name, quartile
+             |ORDER BY n_name, quartile""".stripMargin))
   )
 }

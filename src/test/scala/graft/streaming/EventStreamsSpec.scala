@@ -187,6 +187,31 @@ class EventStreamsSpec extends AnyFunSuite {
       s"late event must not split the session: $closed")
   }
 
+  test("windowed counts run unchanged on the RocksDB state store") {
+    // at 100 TB/day the default HDFS-backed in-memory state store OOMs
+    // on state size; RocksDB spills to local disk and is the provider a
+    // real deployment sets. Same query, same results, different backend
+    // — pinned here so the operators never grow a hidden dependency on
+    // the default provider's semantics (e.g. its looser key ordering)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.runToMemory(spark, srcDir, "win_rocks",
+        df => EventStreams.windowedCounts(df))
+      val batch = EventStreams.windowedCounts(spark.read.parquet(srcDir))
+      val bSet = batch.collect().map(_.toString).toSet
+      val s = streamed.collect()
+      assert(s.nonEmpty, "append-mode output must be non-empty")
+      assert(s.forall(r => bSet(r.toString)),
+        "RocksDB-backed results must equal the batch computation")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("too-late events are dropped AND the drop is accounted in progress") {
     import spark.implicits._
     // the operational contract at 100 TB/day: a watermark is a data-loss
