@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, KMeansOp, Multimodal, PageRankOp, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeansOp, Multimodal, PageRankOp, RankOps, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Second wave of training-data pipeline capabilities: duplicate-cluster
@@ -1151,6 +1151,43 @@ object Pipeline2 {
              |  CAST(MAX(cum) AS BIGINT) AS tokens_used
              |FROM w WHERE cum <= 1200
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // curriculum ordering: easy-first per-source ranks, interleaved
+      // across sources (sort by (rank, source)) so training never sees
+      // a long single-domain run. The per-source rank comes from
+      // RankOps.rankWithinKey — the range-partition + offset
+      // composition, NOT a per-source window: one 10^9-doc source is a
+      // single window partition in the naive plan and ~n/P bounded
+      // tasks here. Rank values are partitioning-independent, so the
+      // plain-window DuckDB replay hash-matches.
+      "p57_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source", $"doc_id",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        RankOps.rankWithinKey(docs, "source",
+            Seq($"n_tokens", $"doc_id"), rankCol = "curriculum_rank")
+          .orderBy($"curriculum_rank", $"source")
+          .limit(30)
+          .select($"curriculum_rank", $"source", $"doc_id", $"n_tokens")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, doc_id,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |r AS (
+             |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY n_tokens, doc_id)
+             |      AS curriculum_rank
+             |  FROM c)
+             |SELECT curriculum_rank, source, doc_id, n_tokens
+             |FROM r
+             |ORDER BY curriculum_rank, source
+             |LIMIT 30""".stripMargin)),
 
     QueryDef(
       // MMR diverse top-k: greedy relevance-vs-diversity selection in

@@ -298,6 +298,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no single-partition exchange may feed these windows:\n$p")
   }
 
+  test("p57 per-key rank range-partitions; no key becomes one task") {
+    val p = plan("p57_curriculum_order")
+    // rankWithinKey's contract: the corpus shuffles by RANGE over
+    // (key, order), never hash-by-key-alone into per-key window tasks
+    assert(p.contains("rangepartitioning"),
+      s"range repartition missing from the rank plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange may appear:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 must not global-sort:\n$p")
+  }
+
   test("q58 point-in-time join stays an equi-join with a range filter") {
     val p = plan("q58_scd2_pointintime")
     assert(!p.contains("CartesianProduct") &&

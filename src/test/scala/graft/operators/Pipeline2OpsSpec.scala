@@ -441,6 +441,28 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (11L, 2L, 333333L)))
   }
 
+  test("rankWithinKey equals the naive per-key window at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one dominant key (40 rows) + tiny keys, ranked at 1, 3 and 7
+    // partitions: the range split slices the hot key across partitions
+    // and the offsets must stitch the exact same ranks back together
+    val rows = (1 to 40).map(i => ("hot", 1000L - i, i.toLong)) ++
+      Seq(("a", 5L, 100L), ("a", 5L, 101L), ("b", 9L, 200L))
+    val df = rows.toDF("k", "v", "id")
+    val naive = df.withColumn("r", row_number().over(
+        Window.partitionBy($"k").orderBy($"v", $"id")))
+      .select($"k", $"id", $"r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    for (p <- Seq(1, 3, 7)) {
+      val got = RankOps.rankWithinKey(df, "k", Seq($"v", $"id"),
+          rankCol = "r", numPartitions = Some(p))
+        .select($"k", $"id", $"r").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"mismatch at numPartitions=$p")
+    }
+  }
+
   test("tokenBudgetCut two-level prefix sum equals a naive window across chunks") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
