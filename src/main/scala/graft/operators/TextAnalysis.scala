@@ -673,6 +673,72 @@ object TextAnalysis {
         col("__cum").as("cum_tokens"))
   }
 
+  /** Integer-exact linear text classifier — the fasttext-shaped
+    * in-pipeline domain/language gate, trained and applied in one
+    * declarative flow. Training is the token-class count dictionary
+    * (per-class add-1-smoothed token likelihoods); scoring uses the
+    * mean-scaled-likelihood variant of naive Bayes — per token,
+    *   l(t, c) = ((tc(c,t) + 1) * scale) DIV (n_c + V)
+    * and a document's class score is sum(l) DIV n_tokens. Summing
+    * scaled likelihoods instead of log-likelihoods keeps every
+    * operation in Long (the [[dsirScore]]/[[bigramLmScore]] discipline)
+    * so prediction — argmax with a deterministic (score DESC, class)
+    * tie-break — is bit-identical under a DuckDB replay. The log-space
+    * product variant needs floats and is NOT replayable; this
+    * integerized form is the price of a hash gate, and behaves like any
+    * linear bag-of-words classifier in practice.
+    *
+    * Scale shape: the model IS a DataFrame (class x token counts) —
+    * dictionary-sized, partial-aggregated, joined back on the token
+    * key; scoring explodes (doc-token, class) via the dictionary join
+    * (fan-out = |classes|), aggregates per (doc, class) map-side, and
+    * the argmax window partitions by doc over |classes| rows. No
+    * driver-side model object, no funnel.
+    *
+    * Returns one row per test doc: (idCol, labelCol actual, predicted).
+    */
+  def classifyByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      isTrain: Column,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), col(labelCol), isTrain.as("__tr"),
+        explode(tokens(col(textCol))).as("__t"))
+    val tc = toks.filter(col("__tr"))
+      .groupBy(col(labelCol).as("__c"), col("__t"))
+      .agg(count(lit(1)).as("__tc"))
+    val nc = toks.filter(col("__tr"))
+      .groupBy(col(labelCol).as("__c")).agg(count(lit(1)).as("__nc"))
+    val v = toks.filter(col("__tr"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    // the model frame: every (class, token) likelihood, incl. unseen
+    // tokens handled at score time via the left join's +1 smoothing
+    val model = tc.join(nc, Seq("__c")).crossJoin(broadcast(v))
+      .select(col("__c"), col("__t"),
+        expr(s"((__tc + 1) * ${scale}L) DIV (__nc + __v)").as("__l"))
+    val classes = nc.crossJoin(broadcast(v))
+      .select(col("__c"), expr(s"${scale}L DIV (__nc + __v)").as("__l0"))
+    val test = toks.filter(!col("__tr"))
+    val scored = test
+      .crossJoin(broadcast(classes))
+      .join(model, Seq("__c", "__t"), "left")
+      .select(col(idCol), col(labelCol), col("__c"),
+        coalesce(col("__l"), col("__l0")).as("__l"))
+      .groupBy(col(idCol), col(labelCol), col("__c"))
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__sl"))
+      .select(col(idCol), col(labelCol), col("__c"),
+        expr("__sl DIV __n").as("__score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__c"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("__c").as("predicted"))
+  }
+
   def dsirScore(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -1153,6 +1153,53 @@ object Pipeline2 {
              |GROUP BY source ORDER BY source""".stripMargin)),
 
     QueryDef(
+      // in-pipeline text classifier (fasttext-shaped quality/domain
+      // gate): train on even doc_ids, predict lang for the rest, emit
+      // the confusion matrix. Integer-exact mean-scaled-likelihood
+      // scoring with a deterministic argmax tie-break, so training AND
+      // inference replay bit-identically in DuckDB — a trained
+      // classifier under a hash gate.
+      "p58_token_classifier",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.classifyByTokens(t(s, dir, "documents"),
+            "doc_id", "text", "lang", $"doc_id" % 2 === 0)
+          .groupBy($"lang".as("actual"), $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"actual", $"predicted")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, doc_id % 2 = 0 AS tr,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tc AS (SELECT lang AS c, t, COUNT(*) AS tc
+             |       FROM toks WHERE tr GROUP BY c, t),
+             |nc AS (SELECT lang AS c, COUNT(*) AS nc
+             |       FROM toks WHERE tr GROUP BY c),
+             |v AS (SELECT COUNT(DISTINCT t) AS v FROM toks WHERE tr),
+             |model AS (
+             |  SELECT c, t, ((tc + 1) * 1000000) // (nc + v.v) AS l
+             |  FROM tc JOIN nc USING (c) CROSS JOIN v),
+             |cls AS (SELECT c, 1000000 // (nc + v.v) AS l0
+             |        FROM nc CROSS JOIN v),
+             |sc AS (
+             |  SELECT doc_id, lang, cls.c,
+             |    CAST(SUM(COALESCE(model.l, cls.l0)) // COUNT(*) AS BIGINT)
+             |      AS score
+             |  FROM toks CROSS JOIN cls
+             |  LEFT JOIN model ON model.c = cls.c AND model.t = toks.t
+             |  WHERE NOT toks.tr
+             |  GROUP BY doc_id, lang, cls.c),
+             |pred AS (
+             |  SELECT doc_id, lang, c AS predicted,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, c) AS rn
+             |  FROM sc)
+             |SELECT lang AS actual, predicted, COUNT(*) AS n
+             |FROM pred WHERE rn = 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       // curriculum ordering: easy-first per-source ranks, interleaved
       // across sources (sort by (rank, source)) so training never sees
       // a long single-domain run. The per-source rank comes from

@@ -1022,6 +1022,38 @@ object Relational4 {
              |  ROUND(MIN(pr), 6) AS min_pr,
              |  ROUND(MAX(cd), 6) AS max_cd
              |FROM r GROUP BY n_name, quartile
-             |ORDER BY n_name, quartile""".stripMargin))
+             |ORDER BY n_name, quartile""".stripMargin)),
+
+    // ---- q60: Count-Min sketch heavy hitters (self-oracled) ---------------
+    // The streaming-friendly frequency sketch: one distributed pass
+    // builds a ~100 KB CMS (cell-wise-additive merge — estimates are
+    // partitioning-independent), then the top-10 exact heavy hitters
+    // are probed against it. CMS estimates can't be replayed by DuckDB,
+    // so the q34 discipline applies: the output carries the exact
+    // counts plus two literal-TRUE bounds the oracle asserts — CMS
+    // never underestimates, and with the fixed seed the eps*N
+    // overestimate bound holds deterministically on this data.
+    QueryDef(
+      "q60_countmin_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_suppkey")
+        val eps = 0.0005
+        val cms = li.stat.countMinSketch("l_suppkey", eps, 0.99, 42)
+        val bound = math.ceil(eps * cms.totalCount()).toLong
+        val cmsB = s.sparkContext.broadcast(cms)
+        val est = udf((k: Long) => cmsB.value.estimateCount(k))
+        li.groupBy($"l_suppkey").agg(count(lit(1)).as("n_exact"))
+          .orderBy($"n_exact".desc, $"l_suppkey").limit(10)
+          .select($"l_suppkey", $"n_exact",
+            (est($"l_suppkey") >= $"n_exact").as("cms_no_underestimate"),
+            (est($"l_suppkey") <= $"n_exact" + lit(bound))
+              .as("cms_within_bound"))
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS n_exact,
+             |  TRUE AS cms_no_underestimate, TRUE AS cms_within_bound
+             |FROM lineitem GROUP BY l_suppkey
+             |ORDER BY n_exact DESC, l_suppkey
+             |LIMIT 10""".stripMargin))
   )
 }

@@ -441,6 +441,26 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (11L, 2L, 333333L)))
   }
 
+  test("classifyByTokens matches hand-computed scores incl. the tie-break") {
+    import spark.implicits._
+    // train: en={cat,dog}, fr={chat,chien}; V=4, nc=2 each, scale 1e6:
+    //   seen l = 2e6//6 = 333333, unseen l0 = 1e6//6 = 166666
+    // doc 3 "cat cat" -> en 333333 vs fr 166666 -> en
+    // doc 4 "chien"   -> en 166666 vs fr 333333 -> fr
+    // doc 5 "dog chat" -> both (333333+166666)//2 = 249999: exact tie,
+    //   deterministic tie-break picks the smaller class name ("en")
+    val df = Seq(
+      (0L, "cat dog", "en"), (2L, "chat chien", "fr"),
+      (3L, "cat cat", "en"), (5L, "chien", "fr"), (7L, "dog chat", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.classifyByTokens(df, "doc_id", "text", "lang",
+        $"doc_id" % 2 === 0)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (3L, "en", "en"), (5L, "fr", "fr"), (7L, "fr", "en")))
+  }
+
   test("rankWithinKey equals the naive per-key window at any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
