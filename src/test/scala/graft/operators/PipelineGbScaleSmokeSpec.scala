@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** GB-scale PIPELINE smoke — the dedup/token family's counterpart to
+  * `OsmPbfGbScaleSmokeSpec`: the source side proves the scan scales;
+  * this proves the core corpus operators do, on a corpus two orders of
+  * magnitude past the oracle fixtures, with ANALYTIC expectations (the
+  * corpus is replicated + deterministically mutated, so every result is
+  * known in closed form — correctness at scale, not just survival).
+  *
+  * Default: ~170x replication of the sf0.1 documents (~250 MB of raw
+  * text, ~850k docs), generate-once cached under /tmp/graft-synth.
+  * Set SPARK_GRAFT_GBSMOKE=1 for the ~1 GB / 3.4M-doc variant in the
+  * same assertions.
+  *
+  * Loose throughput bands (shared-box noise): the point is catching
+  * order-of-magnitude regressions — an accidental O(n^2) pair
+  * expansion, a lost partial aggregation, a collect() of the corpus —
+  * not ±20% drift.
+  */
+class PipelineGbScaleSmokeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def timedMs[T](f: => T): (T, Long) = {
+    val t0 = System.nanoTime()
+    val v = f
+    (v, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  test("dedup/token/rank operators hold analytic results at ~GB scale") {
+    import spark.implicits._
+    val full = sys.env.get("SPARK_GRAFT_GBSMOKE").contains("1")
+    val r = if (full) 680 else 170
+    val dir = s"/tmp/graft-synth/docs_x$r.parquet"
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val (nBase, charsBase, toksBase, nBaseDistinct) = {
+      val row = base.agg(count(lit(1)), sum(length($"text")),
+        sum(size(split($"text", " "))),
+        countDistinct($"text")).collect().head
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    }
+    if (!new java.io.File(dir).exists()) {
+      // every original doc fans out r times: 4/5 of replicas keep the
+      // text byte-identical (exact dups), 1/5 get a globally-unique
+      // suffix -> distinct texts = nBase + nBase * ceil(r/5)
+      base.withColumn("__r", explode(lit((0 until r).toArray)))
+        .select(
+          ($"doc_id" * 1000 + $"__r").as("doc_id"),
+          when($"__r" % 5 === 0,
+            concat($"text", lit(" uniq "), $"doc_id" * 1000 + $"__r"))
+            .otherwise($"text").as("text"),
+          $"source")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val textMb = charsBase * r / 1e6
+    val uniqPerBase = (r + 4) / 5 // __r % 5 == 0 count in [0, r)
+
+    // 1. exact dedup: distinct-text groups are known in closed form —
+    //    replicated groups collapse to the BASE corpus's distinct texts
+    //    (it carries a few pre-existing dups itself), suffixed replicas
+    //    are globally unique by construction
+    val (nDistinct, dedupMs) = timedMs(
+      Dedup.exactGroups(docs, md5($"text"), "doc_id").count())
+    assert(nDistinct == nBaseDistinct + nBase * uniqPerBase,
+      s"exact-dup group count off: $nDistinct")
+    val dedupMbps = textMb / (dedupMs / 1000.0)
+    info(f"exact dedup: ${dedupMs}ms over $textMb%.0f MB text " +
+      f"($dedupMbps%.0f MB/s)")
+    assert(dedupMbps >= 30, f"exact dedup $dedupMbps%.1f MB/s < 30 MB/s")
+
+    // 2. token totals: replicas add exactly 2 tokens per unique suffix
+    val (totToks, tokMs) = timedMs(
+      docs.agg(sum(size(split($"text", " ")))).collect().head.getLong(0))
+    assert(totToks == toksBase * r + 2L * nBase * uniqPerBase,
+      s"token total off: $totToks")
+    val tokMbps = textMb / (tokMs / 1000.0)
+    info(f"token count: ${tokMs}ms ($tokMbps%.0f MB/s)")
+    assert(tokMbps >= 30, f"token count $tokMbps%.1f MB/s < 30 MB/s")
+
+    // 3. rankWithinKey at corpus scale: ranks must tile 1..count(key)
+    //    exactly (sum check = count*(count+1)/2 per source)
+    val (rankOk, rankMs) = timedMs {
+      val ranked = RankOps.rankWithinKey(
+        docs.select($"source", $"doc_id"), "source",
+        Seq($"doc_id"), rankCol = "r")
+      ranked.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"r").as("sr"))
+        .filter($"sr" =!= $"n" * ($"n" + 1) / 2)
+        .count() == 0
+    }
+    assert(rankOk, "rankWithinKey ranks must tile 1..n per source")
+    info(s"rankWithinKey over ${nBase * r} rows: ${rankMs}ms")
+    assert(rankMs < 120000, s"rank took ${rankMs}ms — order-of-magnitude off")
+  }
+}
