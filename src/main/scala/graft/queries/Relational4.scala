@@ -1054,6 +1054,60 @@ object Relational4 {
              |  TRUE AS cms_no_underestimate, TRUE AS cms_within_bound
              |FROM lineitem GROUP BY l_suppkey
              |ORDER BY n_exact DESC, l_suppkey
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // ---- q61: map higher-order functions (q57's array-HOF sibling) --------
+    // Per-customer year->stats MAPS processed by map_filter /
+    // map_zip_with / map_entries entirely inside codegen. Money rides
+    // as integer cents so the zipped per-order ratio is exact integer
+    // division, and maps render as sorted "k:v" joined strings (maps
+    // have no stable order and the driver's pandas sort can't order raw
+    // maps). DuckDB replays the SEMANTICS relationally — conditional
+    // counts + string_agg — pinning the map ops to their relational
+    // meaning rather than to another engine's map quirks.
+    QueryDef(
+      "q61_map_hof",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "orders")
+          .groupBy($"o_custkey", year($"o_orderdate").as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+        per.groupBy($"o_custkey")
+          .agg(
+            map_from_entries(sort_array(collect_list(struct($"y", $"n"))))
+              .as("nm"),
+            map_from_entries(sort_array(collect_list(struct($"y", $"cents"))))
+              .as("cm"))
+          .select($"o_custkey",
+            size($"nm").as("n_years"),
+            size(map_filter($"nm", (_, v) => v >= 3)).as("busy_years"),
+            array_join(
+              transform(
+                // (c / n) is double division; the truncating long cast
+                // equals integer // here (positive operands, n bounded,
+                // so the correctly-rounded quotient never crosses the
+                // next integer)
+                map_entries(map_zip_with($"nm", $"cm",
+                  (_, n, c) => (c / n).cast("long"))),
+                e => concat(e.getField("key").cast("string"), lit(":"),
+                  e.getField("value").cast("string"))),
+              ",").as("cents_per_order"))
+          .filter($"n_years" >= 3)
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, year(o_orderdate) AS y, COUNT(*) AS n,
+             |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_custkey,
+             |  CAST(COUNT(*) AS INTEGER) AS n_years,
+             |  CAST(COUNT(*) FILTER (n >= 3) AS INTEGER) AS busy_years,
+             |  string_agg(y || ':' || (cents // n), ',' ORDER BY y)
+             |    AS cents_per_order
+             |FROM per GROUP BY o_custkey
+             |HAVING COUNT(*) >= 3
+             |ORDER BY o_custkey""".stripMargin))
   )
 }
