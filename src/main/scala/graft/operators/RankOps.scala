@@ -48,7 +48,7 @@ object RankOps {
       rankCol: String = "rank_in_key",
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val ranged = df
       .repartitionByRange(parts, (col(keyCol) +: order): _*)
       .withColumn("__pid", spark_partition_id())

@@ -650,7 +650,8 @@ object Similarity {
     // track ONLY this operator's checkpoints — never shared memos
     var liveIds = sc.getPersistentRDDs.keySet.diff(before0).toSet
     val picks = Seq.newBuilder[(Int, Long, Long, Long)]
-    for (r <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
       // round 1 has an empty selected set: mmr = relevance alone
       val mmr6 = if (r == 1) col("__rel6")
                  else col("__rel6") - col("__maxsim6")
@@ -659,7 +660,8 @@ object Similarity {
       val top = cand.orderBy(mmr6.desc, col("__id")).limit(1)
         .select(col("__id"), col("__rel6"), mmr6.as("__mmr6"), col("__vec"))
         .collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true // corpus smaller than k: stop
+      else {
         val row = top.head
         val pickId = row.getLong(0)
         picks += ((r, pickId, row.getLong(1), row.getLong(2)))
