@@ -597,6 +597,55 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Deterministic +-1 weight matrix for [[signProjection]] — exposed
+    * so an oracle can embed the IDENTICAL matrix as literals and replay
+    * the projection exactly (no cross-engine hash function needed).
+    */
+  def signProjectionWeights(
+      inDims: Int, outDims: Int, seed: Long): Array[Array[Int]] = {
+    import graft.functions.Hashing.splitmix64
+    Array.tabulate(outDims, inDims)((j, i) =>
+      if ((splitmix64(seed + j.toLong * inDims + i) & 1L) == 1L) 1 else -1)
+  }
+
+  /** Johnson-Lindenstrauss sign projection (Achlioptas +-1 variant):
+    * reduce `inDims`-dim embeddings to `outDims` components, each an
+    * EXACT DECIMAL sum of +-1-weighted inputs — pairwise distances are
+    * preserved within the JL bound at a fraction of the ANN cost, the
+    * standard pre-step before brute-force/LSH search over very wide
+    * embeddings. Sign weights instead of Gaussians make every component
+    * order-independent decimal arithmetic, so the projection is
+    * bit-stable across engines and partitionings (the q45 discipline);
+    * the final double cast is rendered at 9 digits — the sum's own
+    * decimal scale, so rounding is the identity on the true value and
+    * only absorbs the double-cast ulp; a coarser digit count can land
+    * on an exact .5 tie of the scale-9 sum and split the engines
+    * (observed at 6).
+    *
+    * Scale shape: a pure map — the weight matrix ships as literals
+    * inside the expression (outDims x inDims ints), zero shuffle, zero
+    * driver data. Output: (idCol, p0 .. p{outDims-1}).
+    */
+  def signProjection(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    val w = signProjectionWeights(inDims, outDims, seed)
+    val projections = (0 until outDims).map { j =>
+      round(
+        aggregate(
+          zip_with(decVec(col(vecCol)), typedLit(w(j)),
+            (x, wt) => (x * wt).cast(DSum)),
+          lit(BigDecimal(0)).cast(DSum), (a, v) => (a + v).cast(DSum))
+          .cast("double"),
+        9).as(s"p$j")
+    }
+    emb.select((col(idCol) +: projections): _*)
+  }
+
   /** Cosine similarity as a micro-unit integer (round to 6 decimals,
     * scale by 1e6): the [[cosine]] decimal kernel is already bit-stable
     * across engines, and integerizing makes downstream argmax/compare

@@ -1153,6 +1153,22 @@ object Pipeline2 {
              |GROUP BY source ORDER BY source""".stripMargin)),
 
     QueryDef(
+      // JL sign projection (Achlioptas +-1): 64 -> 16 dims as exact
+      // decimal sums, pure map with the weight matrix as literals —
+      // the distance-preserving pre-step before ANN over wide
+      // embeddings. The oracle embeds the identical matrix as a VALUES
+      // relation, so the projection replays bit-exactly.
+      "p59_random_projection",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.signProjection(
+            t(s, dir, "embeddings").filter($"vec_id" < 20),
+            "vec_id", "embedding", inDims = 64)
+          .orderBy($"vec_id")
+      },
+      Some(signProjectionOracleSql(inDims = 64, outDims = 16, seed = 7L))),
+
+    QueryDef(
       // in-pipeline text classifier (fasttext-shaped quality/domain
       // gate): train on even doc_ids, predict lang for the rest, emit
       // the confusion matrix. Integer-exact mean-scaled-likelihood
@@ -1248,6 +1264,35 @@ object Pipeline2 {
           "embedding", queryId = 0, k = 8),
       Some(mmrOracleSql(k = 8)))
   )
+
+  /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,
+    * embedded as a VALUES relation, replayed via parallel unnest +
+    * decimal sums — the projection is exact on both engines.
+    */
+  private def signProjectionOracleSql(
+      inDims: Int, outDims: Int, seed: Long): String = {
+    // float -> DOUBLE -> DECIMAL: DuckDB's direct FLOAT->DECIMAL cast
+    // scales in float precision (wrong last digits); the double hop is
+    // the exact binary extension, matching Spark's cast semantics
+    val w = Similarity.signProjectionWeights(inDims, outDims, seed)
+    val values = (0 until outDims).flatMap(j =>
+      (0 until inDims).map(i => s"($j,${i + 1},${w(j)(i)})"))
+      .mkString(",")
+    val cols = (0 until outDims).map(j =>
+      s"round(MAX(pj) FILTER (j = $j), 9) AS p$j").mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding) AS x
+       |  FROM embeddings WHERE vec_id < 20),
+       |w(j, i, wt) AS (VALUES $values),
+       |p AS (
+       |  SELECT vec_id, j,
+       |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * wt) AS DOUBLE) AS pj
+       |  FROM e JOIN w USING (i) GROUP BY vec_id, j)
+       |SELECT vec_id,
+       |  $cols
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB replay of [[Similarity.mmrSelect]]: round r's pick becomes
     * round r+1's similarity probe. Each round is three CTEs (pick

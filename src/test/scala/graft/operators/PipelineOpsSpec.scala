@@ -288,6 +288,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("signProjection of a unit basis vector reads out the weight matrix") {
+    import spark.implicits._
+    // e_0 projects to exactly column 0 of the +-1 matrix; e_2 to
+    // column 2 — the projection is the identity on basis vectors, so
+    // any wiring bug (row/col swap, seed drift, off-by-one) shows up
+    val dims = 8
+    def basis(i: Int) = Array.tabulate(dims)(d => if (d == i) 1f else 0f)
+    val df = Seq((0L, basis(0)), (2L, basis(2)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.signProjectionWeights(dims, 4, seed = 7L)
+    val got = Similarity.signProjection(df, "vec_id", "embedding",
+        inDims = dims, outDims = 4, seed = 7L)
+      .orderBy($"vec_id").collect()
+    assert((0 until 4).forall(j => got(0).getDouble(j + 1) == w(j)(0)))
+    assert((0 until 4).forall(j => got(1).getDouble(j + 1) == w(j)(2)))
+  }
+
   test("mmrSelect trades relevance for diversity (hand-built geometry)") {
     import spark.implicits._
     // query q = (1,0). a=(0.8,0.6) and c=(0.8,-0.6) tie on relevance
