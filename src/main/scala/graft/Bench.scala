@@ -56,7 +56,32 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // Per-query shuffle/spill accounting: at 100 TB the shuffle volume,
+    // not the local wall clock, is the cost a plan change moves — record
+    // it next to the seconds so a regression that keeps wall time flat
+    // but doubles the exchange (local disks hide it at sf0.1) is still
+    // visible in the detail file. Stage events arrive on the async
+    // listener bus; the post-timing clearCache+GC window is orders of
+    // magnitude longer than its drain, so per-query attribution is
+    // stable in practice.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val shuffleR = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shuffleR.addAndGet(m.shuffleReadMetrics.localBytesRead +
+              m.shuffleReadMetrics.remoteBytesRead)
+            spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
     val results = names.map { name =>
+      shuffleW.set(0); shuffleR.set(0); spilled.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { drain(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -72,13 +97,14 @@ object Bench {
       // outlier on a mid-suite query. Nudge the cleaner OUTSIDE the timed
       // window so each query starts from a clean session.
       System.gc()
-      (name, sec, ok)
+      (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get)
     }
-    println(Bench.renderLine(results, sfDir))
+    println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
-    val detail = results.map { case (k, v, ok) =>
-      s""""$k":{"sec":$v,"ok":$ok}"""
+    val detail = results.map { case (k, v, ok, sw, sr, sp) =>
+      s""""$k":{"sec":$v,"ok":$ok,"shuffle_w_mb":${sw / 1048576},""" +
+        s""""shuffle_r_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}"""
     }.mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("target", "bench-full.json")
