@@ -68,6 +68,168 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Segment-level dedup — the CCNet/RefinedWeb "line dedup" stage,
+    * operating BELOW document granularity: split each document into
+    * consecutive non-overlapping `k`-token segments, keep only the
+    * corpus-wide FIRST occurrence of each distinct segment text (first =
+    * lowest (doc, position) in document order), and reassemble the
+    * surviving segments in their original order. Boilerplate that
+    * repeats across documents (headers, navigation, license blocks)
+    * disappears from every copy but the first, while each document's
+    * unique content survives — the standard middle ground between
+    * exact-doc dedup (p05) and span surgery (p45). NULL/empty documents
+    * are dropped up front (same contract as the n-gram family).
+    *
+    * Per input document emits: `n_segs`, `n_kept`, `new_n_tokens` (token
+    * count over kept segments — the tail segment may be shorter than
+    * `k`), and `new_text` (kept segments rejoined in order; empty string
+    * when every segment was seen earlier).
+    *
+    * Shape at 100 TB: segmentation is pure map-side (one split + slice
+    * fan-out); first-occurrence is ONE segment-keyed aggregation with
+    * map-side partial `min` — a boilerplate segment shared by 10^9
+    * documents reduces to per-partition partial minima, never a
+    * single-task posting list and never a window; the join-back carries
+    * one 8-byte key per distinct segment (AQE skew-split covers hot
+    * segments); reassembly groups by document, so its partitions are
+    * bounded by document length. The order key packs (doc, position)
+    * into one long — portable arithmetic both engines replay exactly.
+    */
+  def segmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      maxSegsPerDoc: Int = 100000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ts = split(col(textCol), " ")
+    val segs = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), ts.as("__ts"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("__ts")), lit(k)),
+          start => struct(
+            array_join(slice(col("__ts"), start, lit(k)), " ").as("seg"),
+            size(slice(col("__ts"), start, lit(k))).as("segn"))))
+          .as(Seq("__seg_idx", "__seg")))
+      .select(col(idCol), col("__seg_idx").cast("long").as("seg_idx"),
+        col("__seg.seg").as("__segtext"), col("__seg.segn").as("__segn"))
+    // One long orders (doc, position) lexicographically for the global
+    // keep-first; maxSegsPerDoc bounds the position stride so the packing
+    // is collision-free (documents above the bound would need a wider key)
+    val orderKey = col(idCol).cast("long") * maxSegsPerDoc + col("seg_idx")
+    val firstSeen = segs
+      .groupBy(col("__segtext"))
+      .agg(min(orderKey).as("__first_key"))
+    segs.join(firstSeen, "__segtext")
+      .withColumn("__keep", orderKey === col("__first_key"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("__keep"), col("__segn").cast("long"))), lit(0L))
+          .as("new_n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("seg_idx"), col("__segtext"))))),
+          s => s.getField("__segtext")), " ").as("new_text"))
+  }
+
+  /** Winnowed document fingerprints — local fingerprinting a la MOSS
+    * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): hash every positional
+    * `k`-token gram, then in each sliding window of `w` consecutive gram
+    * positions select the minimal hash (rightmost on ties). The selected
+    * (position, hash) set is the document's fingerprint sketch — size
+    * ~2/(w+1) of the gram stream — with winnowing's guarantee: any
+    * shared token run of length >= w + k - 1 yields at least one shared
+    * selected hash, which MinHash (per-document global sketch) cannot
+    * promise for short local overlaps. Documents shorter than `k` tokens
+    * are below the match floor and emit nothing (same contract as
+    * [[ngramJaccardPairs]]).
+    *
+    * The selection key is `md5(gram) || lpad(10^9 - pos)` — string min
+    * picks the smallest hash and, among equal hashes, the largest
+    * position (rightmost), and the same expression replays verbatim in
+    * SQL engines, so the whole selection is hash-oracle-able. Position
+    * packing supports docs up to 10^9 grams (4+ GB of text).
+    *
+    * Shape at 100 TB: gram hashing is map-side; the only non-map step is
+    * the selection window PARTITIONED BY document — bounded by document
+    * length, never corpus size (the p45 span-merge class, not a
+    * corpus-keyed funnel).
+    *
+    * Returns (id, sel_pos, fp) — one row per selected window position,
+    * deduplicated: consecutive windows usually re-select the same gram.
+    */
+  def winnowedFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val ts = split(col(textCol), " ")
+    val grams = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), ts.as("__ts"))
+      .filter(size(col("__ts")) >= k)
+      .select(col(idCol), (size(col("__ts")) - (k - 1)).as("__ngrams"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__ts")) - (k - 1)),
+          i => md5(array_join(slice(col("__ts"), i, lit(k)), " "))))
+          .as(Seq("__p0", "__gh")))
+      .select(col(idCol), col("__ngrams"),
+        (col("__p0") + 1).as("__pos"),
+        concat(col("__gh"),
+          lpad((lit(1000000000) - col("__p0") - 1).cast("string"), 9, "0"))
+          .as("__skey"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__sel", min(col("__skey")).over(win))
+      // only positions that START a full window select; the final
+      // (possibly truncated) start is ngrams - w + 1, floored at 1 so a
+      // doc with fewer than w grams still selects its global min
+      .filter(col("__pos") <= greatest(lit(1), col("__ngrams") - (w - 1)))
+      .select(col(idCol),
+        (lit(1000000000) - substring(col("__sel"), 33, 9).cast("long"))
+          .as("sel_pos"),
+        substring(col("__sel"), 1, 32).as("fp"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from shared winnowed fingerprints: the
+    * MOSS match step. Fingerprints with document frequency outside
+    * [2, maxFpDf] are dropped (singletons cannot pair; ubiquitous
+    * boilerplate fingerprints are the stop-list/skew guard — same
+    * discipline as [[ngramJaccardPairs]]'s DF cap), then an ids-only
+    * self-join on the 32-char fingerprint key counts DISTINCT shared
+    * fingerprints per pair. Output: (id_a, id_b, n_shared) with
+    * n_shared >= minShared.
+    */
+  def winnowedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      maxFpDf: Int = 1000,
+      minShared: Int = 2): DataFrame = {
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, maxFpDf))
+        .select("fp"),
+      Seq("fp"))
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Bloom-prefiltered decontamination — the scale path when the eval
     * set's shingle inventory is too large to broadcast as an exact hash
     * relation (at 1e9 shingles a 1%-fpp Bloom is ~1.2 GB vs 30+ GB of

@@ -1262,7 +1262,88 @@ object Pipeline2 {
       (s, dir) =>
         Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id",
           "embedding", queryId = 0, k = 8),
-      Some(mmrOracleSql(k = 8)))
+      Some(mmrOracleSql(k = 8))),
+
+    QueryDef(
+      // segment-level dedup (the CCNet line-dedup stage): corpus-wide
+      // keep-first over non-overlapping 8-token segments, reassembled
+      // per document. One segment-keyed min aggregation + a one-key
+      // join-back — no window, no posting lists. The oracle replays the
+      // identical packed (doc, position) order key.
+      "p60_segment_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |g AS (
+             |  SELECT doc_id, ts,
+             |    unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i
+             |  FROM d),
+             |s AS (
+             |  SELECT doc_id, i AS seg_idx,
+             |    array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS seg,
+             |    len(ts[(i*8+1):(i*8+8)]) AS segn
+             |  FROM g),
+             |f AS (
+             |  SELECT seg, MIN(doc_id*100000 + seg_idx) AS first_key
+             |  FROM s GROUP BY seg),
+             |k AS (
+             |  SELECT s.*, (doc_id*100000 + seg_idx) = f.first_key AS keep
+             |  FROM s JOIN f USING (seg))
+             |SELECT doc_id, COUNT(*) AS n_segs,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(COALESCE(SUM(segn) FILTER (keep), 0) AS BIGINT)
+             |    AS new_n_tokens,
+             |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (keep), '')
+             |    AS new_text
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // winnowed fingerprint pairs (MOSS local fingerprinting): every
+      // shared run of >= w+k-1 = 7 tokens is guaranteed a shared
+      // selected hash — a locality guarantee MinHash's global sketch
+      // cannot give. The rightmost-min selection replays verbatim in
+      // DuckDB via the md5||lpad(10^9-pos) string key.
+      "p61_winnow_pairs",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, w = 4, minShared = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |g0 AS (
+             |  SELECT doc_id, len(ts) - 3 AS ngrams, ts,
+             |    unnest(range(1, len(ts) - 3 + 1)) AS p
+             |  FROM d WHERE len(ts) >= 4),
+             |sk AS (
+             |  SELECT doc_id, ngrams, p,
+             |    md5(array_to_string(ts[p:p+3], ' '))
+             |      || lpad(CAST(1000000000 - p AS VARCHAR), 9, '0') AS skey
+             |  FROM g0),
+             |sel AS (
+             |  SELECT doc_id, ngrams, p,
+             |    MIN(skey) OVER (PARTITION BY doc_id ORDER BY p
+             |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             |      AS s
+             |  FROM sk),
+             |fp0 AS (
+             |  SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+             |  FROM sel WHERE p <= GREATEST(1, ngrams - 3)),
+             |keep AS (
+             |  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  COUNT(*) AS n_shared
+             |FROM fp0 a JOIN keep USING (fp) JOIN fp0 b USING (fp)
+             |WHERE a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

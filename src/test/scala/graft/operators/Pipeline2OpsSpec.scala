@@ -533,4 +533,75 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (1L, 3L, 611111110L),
       (2L, 1L, 666666666L)))
   }
+
+  test("segmentDedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    // doc 1 owns both full segments and the short tail; doc 2 repeats
+    // doc 1's first segment (cross-doc dup); doc 3 is entirely built
+    // from doc 1's first segment (drops to empty, within-doc dup too);
+    // doc 10 repeats its own first segment (within-doc keep-first);
+    // empty and NULL docs are dropped up front.
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c x y z"),
+      (3L, "a b c a b c"),
+      (10L, "p q r p q r"),
+      (11L, ""),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 7L, "a b c d e f g"),
+      (2L, 2L, 1L, 3L, "x y z"),
+      (3L, 2L, 0L, 0L, ""),
+      (10L, 2L, 1L, 3L, "p q r")))
+  }
+
+  test("winnowing guarantees a shared fingerprint for runs >= w+k-1") {
+    import spark.implicits._
+    // k=4, w=4: any shared run of >= 7 tokens must yield at least one
+    // shared selected hash (Schleimer et al. theorem 1), regardless of
+    // the surrounding context. The shared run here is exactly 7 tokens,
+    // embedded at different positions in otherwise-disjoint documents.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red green blue cyan magenta $shared yellow")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(df, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "a 7-token shared run must select at least one common fingerprint")
+    // selection positions are valid gram positions and the sketch is
+    // smaller than the gram stream (winnowing's density is ~2/(w+1))
+    val rows = fps.collect()
+    assert(rows.forall { r =>
+      val pos = r.getLong(1); pos >= 1 && pos <= 1000000000L
+    })
+    val nGramsDoc1 = 14 - 3 // 14 tokens
+    assert(byDoc(1L).size < nGramsDoc1)
+  }
+
+  test("winnowedPairs finds heavy overlap and respects minShared") {
+    import spark.implicits._
+    // docs 1/2 share a long run (many shared fingerprints); doc 3 is
+    // disjoint; docs 4/5 share only a 4-token gram (at most one shared
+    // fingerprint, filtered by minShared=2)
+    val longRun = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"aa bb cc $longRun dd ee"),
+      (2L, s"ff gg $longRun hh ii jj"),
+      (3L, "completely different words entirely here now"),
+      (4L, "pp qq rr ss unique tail one"),
+      (5L, "zz yy pp qq rr ss other end")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(df, "doc_id", "text",
+      k = 4, w = 4, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 1L && pairs.head._2 == 2L && pairs.head._3 >= 2L)
+  }
 }
