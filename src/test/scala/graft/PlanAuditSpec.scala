@@ -315,4 +315,35 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"temporal validity must ride the custkey equi-join as a filter:\n$p")
   }
+
+  test("p60 segment dedup: keep-first by aggregation, never a window") {
+    val p = plan("p60_segment_dedup")
+    // first-occurrence must come from a segment-keyed min AGGREGATION
+    // (map-side partial min) + join-back — a window partitioned by
+    // segment text would funnel a boilerplate segment's full posting
+    // list into one task at 100 TB
+    assert(!p.contains("Window"),
+      s"keep-first must not ride a segment-partitioned window:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-key min must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the join-back must stay an equi-join:\n$p")
+  }
+
+  test("p61 winnowing: selection window is doc-keyed; pair join equi") {
+    val p = plan("p61_winnow_pairs")
+    // the rightmost-min selection may window — but ONLY partitioned by
+    // the document id (bounded by doc length); the fingerprint DF cap
+    // and pair count must be aggregations
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, s"selection must use a frame window:\n$p")
+    assert(winSpecs.forall(l => l.contains("doc_id") && !l.contains("fp")),
+      s"selection windows must partition by doc_id, never fingerprint:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange may appear:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the fingerprint self-join must stay an equi-join:\n$p")
+  }
 }
