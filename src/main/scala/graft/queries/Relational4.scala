@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.ZOrder
+import graft.operators.{Intervals, ZOrder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1108,6 +1108,79 @@ object Relational4 {
              |    AS cents_per_order
              |FROM per GROUP BY o_custkey
              |HAVING COUNT(*) >= 3
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      // gaps-and-islands: longest consecutive-day activity streak per
+      // user (the date-minus-rank island trick). The only window is
+      // user-partitioned — bounded by one user's distinct active days,
+      // never corpus size — and everything after it is partial-agg
+      // aggregation. Top-25 with a deterministic tie order.
+      "q62_activity_streaks",
+      (s, dir) => {
+        import s.implicits._
+        val days = t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"d")
+        val islands = days
+          .withColumn("__rn", row_number().over(w))
+          .select($"user_id",
+            (datediff($"d", lit("2024-01-01")) - $"__rn").as("__grp"))
+        islands.groupBy($"user_id", $"__grp")
+          .agg(count(lit(1)).as("__len"))
+          .groupBy($"user_id")
+          .agg(max($"__len").as("longest_streak"),
+            sum($"__len").as("n_active_days"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy($"longest_streak".desc, $"user_id")
+          .limit(25)
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |r AS (
+             |  SELECT user_id, d,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+             |  FROM days),
+             |i AS (
+             |  SELECT user_id,
+             |    datediff('day', DATE '2024-01-01', d) - rn AS grp
+             |  FROM r),
+             |s AS (
+             |  SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+             |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+             |FROM s GROUP BY user_id
+             |ORDER BY longest_streak DESC, user_id
+             |LIMIT 25""".stripMargin)),
+
+    QueryDef(
+      // interval sweep-line: peak concurrent 10-minute sessions per
+      // day. The classic one-global-window formulation is a
+      // single-task funnel; Intervals.peakConcurrencyByDay runs it as
+      // hour-chunk partial totals + a dictionary-sized offset window +
+      // hour-bounded running sums. The oracle IS the naive global
+      // window — proving the two-level decomposition exact.
+      "q63_peak_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        Intervals.peakConcurrencyByDay(t(s, dir, "events"), "ts",
+            durMinutes = 10)
+          .orderBy($"day")
+      },
+      Some("""WITH pts AS (
+             |  SELECT ts AS t, 1 AS delta FROM events
+             |  UNION ALL
+             |  SELECT ts + INTERVAL 10 MINUTE, -1 FROM events),
+             |run AS (
+             |  SELECT t, delta,
+             |    SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+             |      AS conc
+             |  FROM pts)
+             |SELECT CAST(t AS DATE) AS day,
+             |  CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+             |  CAST(COUNT(*) AS BIGINT) AS n_starts
+             |FROM run WHERE delta = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
