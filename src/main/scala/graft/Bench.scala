@@ -134,12 +134,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.filter(!_._3).map(r => "\"" + short(r._1) + "\"")
-    // list at most 20 failed keys: the COUNT is the driver's signal, the
-    // full list is in target/bench-full.json, and an everything-failed
-    // run must still fit the tail window
+    // name failed keys only when few: the COUNT is the driver's signal,
+    // the full list is in target/bench-full.json, and an everything-
+    // failed run must still fit the tail window (the 20-name cap
+    // crossed 1800 chars at 137 queries)
     val failedPart =
       if (failed.isEmpty) "\"failed\":0"
-      else s""""failed":${failed.size},"failed_queries":[${failed.take(20).mkString(",")}]"""
+      else if (failed.size > 10) s""""failed":${failed.size}"""
+      else s""""failed":${failed.size},"failed_queries":[${failed.mkString(",")}]"""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$failedPart,"sf":"$sfDir"}"""
   }
 }

@@ -597,6 +597,67 @@ object TextAnalysis {
         expr("__sp DIV n_bigrams").as("lm_score"))
   }
 
+  /** Pairwise source drift matrix — corpus-composition monitoring: the
+    * squared L2 distance between every two sources' token probability
+    * distributions, INTEGER-EXACT so the hash gate applies. Per source,
+    * each token's probability is the scaled floor quotient
+    * `p_s(t) = (c_s(t) * scale) DIV n_s`; the pair distance uses the
+    * sum-of-squares identity
+    *   ||p_a - p_b||^2 = SUM p_a^2 + SUM p_b^2 - 2 * SUM_shared p_a*p_b
+    * so tokens present in only ONE source are priced by the per-source
+    * square totals and the only join is an INNER join on SHARED tokens —
+    * no outer join, no union-dictionary materialization. Everything
+    * stays in Long ([[dsirScore]] discipline). Overflow contract: the
+    * per-source sum of squared scaled probabilities is bounded by
+    * scale^2 * (distinct tokens), so the default scale 1e6 is safe to
+    * ~9e6 distinct tokens per source; at web-corpus vocabularies lower
+    * `scale` (1e3 covers ~9e12 distinct tokens).
+    *
+    * A pipeline watches this matrix across snapshots: a source whose
+    * distance to its own previous snapshot jumps has drifted (crawler
+    * change, spam influx); two sources collapsing toward zero distance
+    * signal duplicated ingestion.
+    *
+    * Scale shape: token-count frames are dictionary-vs-corpus
+    * aggregations (map-side partial agg); per-source square totals are
+    * dictionary-sized rollups; the shared-token join is token-keyed
+    * (AQE splits hot stopwords) and immediately collapses to one row
+    * per source pair. No window, no driver-side data.
+    *
+    * Output: (source_a, source_b, n_shared_tokens, l2_drift) for every
+    * source pair sharing >= 1 token, l2_drift = ||p_a - p_b||^2 DIV scale.
+    */
+  def sourceDriftMatrix(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      sourceCol: String,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+    val counts = toks.groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = toks.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val probs = counts.join(totals, Seq("__s"))
+      .select(col("__s"), col("__t"),
+        expr(s"(__c * ${scale}L) DIV __n").as("__p"))
+    val sq = probs.groupBy(col("__s"))
+      .agg(sum(col("__p") * col("__p")).as("__sq"))
+    val cross = probs.select(col("__s").as("__sa"), col("__t"), col("__p").as("__pa"))
+      .join(probs.select(col("__s").as("__sb"), col("__t"), col("__p").as("__pb")),
+        Seq("__t"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(col("__pa") * col("__pb")).as("__x"))
+    cross
+      .join(sq.select(col("__s").as("__sa"), col("__sq").as("__sqa")), Seq("__sa"))
+      .join(sq.select(col("__s").as("__sb"), col("__sq").as("__sqb")), Seq("__sb"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("n_shared_tokens"),
+        expr(s"(__sqa + __sqb - 2L * __x) DIV ${scale}L").as("l2_drift"))
+  }
+
   /** DSIR-style importance score — data selection by distribution
     * matching (Xie et al., "Data Selection for Language Models via
     * Importance Resampling"): score each raw-corpus document by how

@@ -1343,7 +1343,92 @@ object Pipeline2 {
              |FROM fp0 a JOIN keep USING (fp) JOIN fp0 b USING (fp)
              |WHERE a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // pairwise source drift matrix: integer-exact squared L2 between
+      // per-source token distributions via the sum-of-squares identity
+      // (single-source tokens priced by the square totals; the only
+      // join is on SHARED tokens). Corpus-composition monitoring.
+      "p62_source_drift",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.sourceDriftMatrix(t(s, dir, "documents"),
+            "text", "source")
+          .orderBy($"source_a", $"source_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source AS s, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |c AS (SELECT s, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |n AS (SELECT s, COUNT(*) AS n FROM toks GROUP BY 1),
+             |p AS (SELECT s, t, (c * 1000000) // n AS p
+             |      FROM c JOIN n USING (s)),
+             |sq AS (SELECT s, SUM(p*p) AS sq FROM p GROUP BY s),
+             |x AS (
+             |  SELECT a.s AS sa, b.s AS sb, COUNT(*) AS n_shared_tokens,
+             |    SUM(a.p * b.p) AS x
+             |  FROM p a JOIN p b USING (t) WHERE a.s < b.s
+             |  GROUP BY 1, 2)
+             |SELECT sa AS source_a, sb AS source_b,
+             |  CAST(n_shared_tokens AS BIGINT) AS n_shared_tokens,
+             |  CAST((qa.sq + qb.sq - 2*x.x) // 1000000 AS BIGINT)
+             |    AS l2_drift
+             |FROM x JOIN sq qa ON qa.s = x.sa JOIN sq qb ON qb.s = x.sb
+             |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // per-source quality calibration: map raw quality scores to
+      // within-source percentiles (exact integer ratios from the
+      // scale-safe rank), so ONE global threshold cuts every source at
+      // the same quantile even when their raw score distributions
+      // differ. Emits the per-source decile table. The rank comes from
+      // RankOps.rankWithinKey (range partition + offsets) — no
+      // per-source window funnel; the DuckDB replay uses the plain
+      // window, proving the decomposition exact.
+      "p63_quality_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source", $"doc_id",
+            TextAnalysis.qualityScore($"text").as("q"))
+        val ranked = RankOps.rankWithinKey(docs, "source",
+          Seq($"q", $"doc_id"), rankCol = "__rk")
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("__n"))
+        ranked.join(counts, Seq("source"))
+          .withColumn("__pct", when($"__n" > 1,
+            expr("((__rk - 1) * 1000000L) DIV (__n - 1)")).otherwise(lit(0L)))
+          .withColumn("decile", least(expr("__pct DIV 100000"), lit(9L)))
+          .groupBy($"source", $"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"q").as("min_quality"), max($"q").as("max_quality"))
+          .orderBy($"source", $"decile")
+      },
+      Some("""WITH q AS (
+             |  SELECT source, doc_id,
+             |    least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+             |    + (CASE WHEN (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |                  / len(string_split(text,' '))) BETWEEN 3.0 AND 8.0
+             |            THEN 1.0 ELSE 0.5 END) * 0.4
+             |    + (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |                    / length(text)) * 10.0, 1.0)) * 0.2 AS q
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |r AS (
+             |  SELECT source, doc_id, q,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id)
+             |      AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM q),
+             |p AS (
+             |  SELECT source, q,
+             |    CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+             |         ELSE 0 END AS pct
+             |  FROM r)
+             |SELECT source, CAST(LEAST(pct // 100000, 9) AS BIGINT) AS decile,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(q) AS min_quality, MAX(q) AS max_quality
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

@@ -19,12 +19,17 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("rendered line fits the driver's tail window with headroom") {
-    // Worst case: every query failed (adds the failed_queries list) and
-    // every timing needs 3 integer digits.
+    // Worst case: every query failed (count only, no name list past 10
+    // failures) and every timing needs 3 integer digits.
     val results = names.map(n => (n, 999.99, false))
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1800, s"bench line ${line.length} chars; must stay < 1800")
     assert(!line.contains("\n"))
+    // the few-failures shape (named list) must also fit
+    val few = names.zipWithIndex.map { case (n, i) => (n, 999.99, i >= 10) }
+    val line2 = Bench.renderLine(few, "/root/testdata/sf0.1")
+    assert(line2.length < 1800, s"bench line ${line2.length} chars; must stay < 1800")
+    assert(line2.contains("failed_queries"))
   }
 
   test("line is well-formed for the driver's parser") {

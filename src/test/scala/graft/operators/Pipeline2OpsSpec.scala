@@ -604,4 +604,17 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert(pairs.head._1 == 1L && pairs.head._2 == 2L && pairs.head._3 >= 2L)
   }
+
+  test("sourceDriftMatrix matches the hand-computed integer identity") {
+    import spark.implicits._
+    // A: "a a b" -> p(a)=2e6//3=666666, p(b)=333333
+    // B: "a c"   -> p(a)=500000, p(c)=500000; shared = {a}
+    // l2 = (666666-500000)^2 + 333333^2 + 500000^2 = 388888444445
+    //    -> DIV 1e6 = 388888; identity: sqA + sqB - 2*x with
+    //    sqA=555554444445, sqB=500000000000, x=333333000000
+    val df = Seq(("A", "a a b"), ("B", "a c")).toDF("source", "text")
+    val got = TextAnalysis.sourceDriftMatrix(df, "text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("A", "B", 1L, 388888L)))
+  }
 }
