@@ -209,6 +209,73 @@ object EventStreams {
           .parquet(outDir)
       }
 
+  /** Static token baseline for [[tokenDriftStream]]: scaled floor-quotient
+    * probabilities `p(t) = count(t) * scale DIV total` over a reference
+    * corpus — the [[graft.operators.TextAnalysis.sourceDriftMatrix]]
+    * integer discipline, as a (token, p) dictionary frame.
+    */
+  def tokenBaseline(
+      docs: DataFrame,
+      textCol: String = "text",
+      scale: Long = 1000000L): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(explode(split(col(textCol), " ")).as("token"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("__n"))))
+      .select(col("token"), expr(s"(__c * ${scale}L) DIV __n").as("p"))
+  }
+
+  /** Streaming corpus-quality monitor — per (event-time window, source),
+    * two integer-exact drift signals against a static baseline
+    * dictionary:
+    *   - `oov_ppm`: mass (parts-per-`scale`) of tokens absent from the
+    *     baseline vocabulary — THE crawler-drift/spam canary;
+    *   - `baseline_mass`: mean baseline probability of the observed
+    *     tokens — drops when the stream's distribution shifts even
+    *     inside the known vocabulary.
+    * Both are sums of per-row terms with one final floor division, so a
+    * batch replay of the same expressions is bit-identical
+    * (spec-pinned).
+    *
+    * Plan shape — CHAINED STATEFUL AGGREGATIONS (Spark 3.5+): stateful
+    * agg #1 counts (window, source, token); a stateless broadcast join
+    * attaches baseline probabilities (no join state, dimension re-reads
+    * per micro-batch); stateful agg #2 re-windows via `window_time` and
+    * collapses to one row per (window, source). State is bounded by
+    * (windows in watermark) x vocabulary, and the output emits once the
+    * watermark closes the window — the monitoring dashboard shape. At
+    * 100 TB/day the token stream shuffles once for the count and the
+    * rollup moves dictionary-sized rows only.
+    */
+  def tokenDriftStream(
+      docs: DataFrame,
+      baseline: DataFrame,
+      scale: Long = 1000000L,
+      windowDur: String = "10 minutes",
+      watermark: String = "15 minutes"): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("source"),
+        explode(split(col("text"), " ")).as("__t"))
+    val counts = toks
+      .groupBy(window(col("ts"), windowDur), col("source"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .join(broadcast(baseline.select(col("token").as("__t"),
+        col("p").as("__pb"))), Seq("__t"), "left")
+      .groupBy(window(window_time(col("window")), windowDur), col("source"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(when(col("__pb").isNull, col("__c")).otherwise(lit(0L)))
+          .as("__oov"),
+        sum(col("__c") * coalesce(col("__pb"), lit(0L))).as("__mass"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("source"), col("n_tokens"),
+        expr(s"(__oov * ${scale}L) DIV n_tokens").as("oov_ppm"),
+        expr("__mass DIV n_tokens").as("baseline_mass"))
+  }
+
   /** Run a streaming query over a parquet directory and collect the final
     * result via the memory sink (synchronous, for tests/demos).
     */

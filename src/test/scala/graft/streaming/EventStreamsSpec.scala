@@ -307,4 +307,55 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_events") >= 1)
     }
   }
+
+  test("token drift signals match the hand-computed integer arithmetic") {
+    import spark.implicits._
+    // baseline: p(a)=600000, p(b)=400000 (scale 1e6)
+    // window [00:00,00:10) s1 "a a c": n=3, oov mass 1 -> 1e6 DIV 3 =
+    //   333333; mass = 2*600000 DIV 3 = 400000
+    // window [00:10,00:20) s1 "b b b b": n=4, oov 0, mass = 400000
+    val baseline = Seq(("a", 600000L), ("b", 400000L)).toDF("token", "p")
+    val docs = Seq(
+      ("2024-01-01 00:01:00", "s1", "a a c"),
+      ("2024-01-01 00:12:00", "s1", "b b b b"))
+      .toDF("s", "source", "text")
+      .select(to_timestamp($"s").as("ts"), $"source", $"text")
+    // batch replay of the same expressions (withWatermark is a no-op)
+    val got = EventStreams.tokenDriftStream(docs, baseline)
+      .orderBy($"w_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "s1", 3L, 333333L, 400000L),
+      ("2024-01-01 00:10:00.0", "s1", 4L, 0L, 400000L)))
+  }
+
+  test("streaming token drift (chained stateful aggs) equals the batch replay") {
+    import spark.implicits._
+    // documents over several windows and two sources, baseline from the
+    // first source's early slice — drift emerges in later windows
+    val rows = (0 until 120).map { i =>
+      val src = if (i % 2 == 0) "s1" else "s2"
+      val tok = if (i < 60) s"w${i % 7}" else s"new${i % 11}"
+      (f"2024-01-01 ${i / 30}%02d:${(i * 2) % 60}%02d:00", src,
+        s"$tok w0 w${i % 5}")
+    }
+    val docsDir = Files.createTempDirectory("drift-docs").toString
+    rows.toDF("s", "source", "text")
+      .select(to_timestamp($"s").as("ts"), $"source", $"text")
+      .write.mode("overwrite").parquet(docsDir)
+    val baseline = EventStreams.tokenBaseline(
+      spark.read.parquet(docsDir).filter($"ts" < "2024-01-01 01:00:00"))
+    val streamed = EventStreams.runToMemory(spark, docsDir, "tok_drift",
+      df => EventStreams.tokenDriftStream(df, baseline,
+        windowDur = "30 minutes", watermark = "1 minute"))
+    val batch = EventStreams.tokenDriftStream(
+      spark.read.parquet(docsDir), baseline, windowDur = "30 minutes")
+    assert(streamed.count() > 0,
+      "watermark-closed windows must emit through the chained aggregations")
+    val bSet = batch.collect().map(_.toString).toSet
+    val s = streamed.collect()
+    assert(s.forall(r => bSet(r.toString)),
+      "every streamed row must equal its batch twin")
+  }
 }
