@@ -61,9 +61,8 @@ object Multimodal {
     *  - PPM: binary "P6", whitespace/comment-tolerant header, maxval 255.
     */
   private[operators] def decodeImage(
-      bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
-
-    def lumaThumb(w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int)): Array[Float] = {
+      bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+    decodeRgb(bytes).map { case (fmt, w, h, rgbAt) =>
       val sums = new Array[Double](16)
       val counts = new Array[Long](16)
       var y = 0
@@ -80,9 +79,17 @@ object Multimodal {
         }
         y += 1
       }
-      Array.tabulate(16)(i =>
+      val thumb = Array.tabulate(16)(i =>
         if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+      (fmt, w, h, thumb)
     }
+
+  /** Header-parse a BMP/PPM payload to (format, width, height, random-
+    * access RGB accessor). The shared decode front of the thumbnail and
+    * resize paths; all bounds/hostile-header guards live here.
+    */
+  private[operators] def decodeRgb(
+      bytes: Array[Byte]): Option[(String, Int, Int, (Int, Int) => (Int, Int, Int))] = {
 
     def u16le(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
@@ -107,13 +114,12 @@ object Multimodal {
       if (dataOff < 54 || dataOff.toLong + rowStrideL * h > bytes.length)
         return None
       val rowStride = rowStrideL.toInt
-      val thumb = lumaThumb(w, h, (x, y) => {
+      Some(("bmp", w, h, (x: Int, y: Int) => {
         // BMP stores rows bottom-up unless height is negative; pixels BGR
         val srcRow = if (topDown) y else h - 1 - y
         val o = dataOff + srcRow * rowStride + x * 3
         ((bytes(o + 2) & 0xff), (bytes(o + 1) & 0xff), (bytes(o) & 0xff))
-      })
-      Some(("bmp", w, h, thumb))
+      }))
     } else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
       // header: "P6" ws width ws height ws maxval single-ws, then binary RGB
       var p = 2
@@ -145,12 +151,150 @@ object Multimodal {
       p += 1 // exactly one whitespace byte separates header and raster
       val dataOff = p
       if (dataOff.toLong + 3L * w * h > bytes.length) return None
-      val thumb = lumaThumb(w, h, (x, y) => {
+      Some(("ppm", w, h, (x: Int, y: Int) => {
         val o = dataOff + (y * w + x) * 3
         ((bytes(o) & 0xff), (bytes(o + 1) & 0xff), (bytes(o + 2) & 0xff))
-      })
-      Some(("ppm", w, h, thumb))
+      }))
     } else None
+  }
+
+  /** Encode a raster as a standard bottom-up 24bpp BI_RGB BMP (the
+    * mirror of the [[decodeRgb]] BMP arm, 4-byte row padding).
+    */
+  private[operators] def encodeBmp(
+      w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowStride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowStride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1 // bottom-up rows
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = rgbAt(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowStride - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Area-average box resample to (outW, outH): output pixel (gx, gy)
+    * averages the input box `[gx*w/outW, (gx+1)*w/outW)` (floor
+    * division per channel — deterministic integer arithmetic, no
+    * float accumulation). Upsampling degenerates each box to one pixel
+    * (nearest). Returns the materialized output raster as an accessor.
+    */
+  private[operators] def resizeBox(
+      w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int),
+      outW: Int, outH: Int): (Int, Int) => (Int, Int, Int) = {
+    val out = new Array[Int](outW * outH * 3)
+    var gy = 0
+    while (gy < outH) {
+      val y0 = (gy.toLong * h / outH).toInt
+      val y1 = math.max(((gy + 1).toLong * h / outH).toInt, y0 + 1)
+      var gx = 0
+      while (gx < outW) {
+        val x0 = (gx.toLong * w / outW).toInt
+        val x1 = math.max(((gx + 1).toLong * w / outW).toInt, x0 + 1)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val (r, g, b) = rgbAt(x, y)
+            sr += r; sg += g; sb += b
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        val o = (gy * outW + gx) * 3
+        out(o) = (sr / n).toInt
+        out(o + 1) = (sg / n).toInt
+        out(o + 2) = (sb / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    (x: Int, y: Int) => {
+      val o = (y * outW + x) * 3
+      (out(o), out(o + 1), out(o + 2))
+    }
+  }
+
+  private val resizeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("format",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("in_w",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("in_h",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_w",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_h",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_out_bytes",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_r",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_g",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_b",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_payload",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  /** Image resize stage: decode every recognized image payload
+    * (BMP/PPM), area-average resample to (outW, outH), re-encode as
+    * BMP, and report geometry plus the floor-mean output RGB (exact
+    * integer arithmetic — oracle-able). Non-image and malformed
+    * payloads are dropped: resize is an image stage, and the decode
+    * guards in [[decodeRgb]] decide membership. Pure `mapPartitions`
+    * over opaque bytes — embarrassingly map-side at any scale, the
+    * same batch shape a codec-library resize would use.
+    */
+  def resizeImages(
+      withPayloadDf: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims must be >= 1")
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val decoded =
+          try decodeRgb(bytes)
+          catch { case _: Exception => None }
+        decoded.map { case (fmt, w, h, rgbAt) =>
+          val resized = resizeBox(w, h, rgbAt, outW, outH)
+          val payload = encodeBmp(outW, outH, resized)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              val (rr, gg, bb) = resized(x, y)
+              sr += rr; sg += gg; sb += bb
+              x += 1
+            }
+            y += 1
+          }
+          val n = outW.toLong * outH
+          Row(id, fmt, w, h, outW, outH, payload.length,
+            (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, payload)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
   }
 
   /** Decode a PCM WAV payload to (sampleRate, nSamples, 16-window RMS

@@ -762,6 +762,39 @@ object Pipeline {
              |  ROUND(CAST(CAST(feat AS REAL) AS DOUBLE), 6) AS feat_first,
              |  ROUND(CAST(CAST(feat AS REAL) AS DOUBLE), 6) AS feat_last
              |FROM g
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // image resize stage: decode BMP/PPM, area-average resample to
+      // 2x2 (integer floor arithmetic), re-encode as BMP. The corpus
+      // payloads are constant-gray, so every resized mean is the
+      // closed-form source gray v — the oracle prices format
+      // dispatch, geometry, and the exact integer mean; real
+      // resampling math is spec-gated on gradient images.
+      "p64_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
+          .toDF("doc_id", "payload")
+        Multimodal.resizeImages(payloads, 2, 2)
+          .select($"doc_id", $"format", $"in_w", $"in_h",
+            $"out_w", $"out_h", $"n_out_bytes",
+            $"mean_r", $"mean_g", $"mean_b")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+             |  CAST(4 AS INT) AS in_w, CAST(4 AS INT) AS in_h,
+             |  CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+             |  CAST(70 AS INT) AS n_out_bytes,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 256
+             |       ELSE (doc_id * 31) % 256 END AS INT) AS mean_r,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 256
+             |       ELSE (doc_id * 31) % 256 END AS INT) AS mean_g,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 256
+             |       ELSE (doc_id * 31) % 256 END AS INT) AS mean_b
+             |FROM documents WHERE doc_id % 3 < 2
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -291,4 +291,54 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(wav._3.forall(_ == expRms), wav._3.toSeq)
     assert(Multimodal.syntheticPayload(2L).length == 76)
   }
+
+  test("resizeBox area-averages gradients with exact floor arithmetic") {
+    // 2x2 gradient -> 1x1: means are floor((10+50+90+130)/4)=70, 80, 90
+    val px2 = Array(
+      (10, 20, 30), (50, 60, 70),
+      (90, 100, 110), (130, 140, 150))
+    val one = Multimodal.resizeBox(2, 2, (x, y) => px2(y * 2 + x), 1, 1)
+    assert(one(0, 0) == ((70, 80, 90)))
+    // 4x4 with a distinct value per pixel -> 2x2 quadrant means; r value
+    // at (x,y) is y*40+x*10 so quadrant means are exact: floor of
+    // (0+10+40+50)/4=25, (20+30+60+70)/4=45, (80+90+120+130)/4=105, 125
+    val quad = Multimodal.resizeBox(4, 4,
+      (x, y) => (y * 40 + x * 10, 0, 0), 2, 2)
+    assert(quad(0, 0)._1 == 25 && quad(1, 0)._1 == 45)
+    assert(quad(0, 1)._1 == 105 && quad(1, 1)._1 == 125)
+    // upsample 1x1 -> 2x2 is nearest: every output pixel is the source
+    val up = Multimodal.resizeBox(1, 1, (_, _) => (7, 8, 9), 2, 2)
+    assert((0 until 2).forall(y => (0 until 2).forall(x => up(x, y) == ((7, 8, 9)))))
+  }
+
+  test("encodeBmp round-trips through decodeRgb pixel-for-pixel") {
+    val px = Array(
+      (10, 20, 30), (50, 60, 70),
+      (90, 100, 110), (130, 140, 150))
+    val bytes = Multimodal.encodeBmp(2, 2, (x, y) => px(y * 2 + x))
+    val (fmt, w, h, rgbAt) = Multimodal.decodeRgb(bytes).get
+    assert(fmt == "bmp" && w == 2 && h == 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(rgbAt(x, y) == px(y * 2 + x), s"pixel ($x,$y)")
+    assert(bytes.length == 70) // 54 header + 2 rows of stride 8
+  }
+
+  test("resizeImages end-to-end: images resized, non-images dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val payloads = Seq(0L, 1L, 2L, 3L).toDF("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(payloads, 2, 2)
+      .orderBy("doc_id").collect()
+    // doc 2 is WAV: dropped; constant-gray sources keep their gray mean
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getString(1) == "bmp" && byId(3L).getInt(7) == 3)
+    assert(byId(1L).getString(1) == "ppm" && byId(1L).getInt(7) == 31)
+    // the resized payload itself decodes back as a 2x2 BMP
+    val rt = Multimodal.decodeRgb(byId(3L).getAs[Array[Byte]](10)).get
+    assert(rt._1 == "bmp" && rt._2 == 2 && rt._3 == 2)
+    assert(rt._4(0, 0) == ((3, 3, 3)))
+  }
 }
