@@ -303,7 +303,30 @@ object Multimodal {
     * bytes, no audio libraries. Returns None for anything else.
     */
   private[operators] def decodeAudio(
-      bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodePcm(bytes).map { case (sampleRate, nFrames, sampleAt) =>
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      var f = 0
+      while (f < nFrames) {
+        val w = (f.toLong * 16 / nFrames).toInt
+        val v = sampleAt(f) / 32768.0
+        sums(w) += v * v
+        counts(w) += 1
+        f += 1
+      }
+      val env = Array.tabulate(16)(i =>
+        if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat)
+      (sampleRate, nFrames, env)
+    }
+
+  /** Header-parse a PCM WAV payload to (sampleRate, nFrames, random-
+    * access first-channel sample accessor). The shared decode front of
+    * the envelope and resample paths; all bounds/hostile-header guards
+    * live here.
+    */
+  private[operators] def decodePcm(
+      bytes: Array[Byte]): Option[(Int, Int, Int => Short)] = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def i32(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
@@ -339,21 +362,87 @@ object Multimodal {
     val frameBytes = 2 * channels
     val nFrames = dataLen / frameBytes
     if (nFrames == 0) return None
-    val sums = new Array[Double](16)
-    val counts = new Array[Long](16)
-    var f = 0
-    while (f < nFrames) {
-      val o = dataOff + f * frameBytes // first channel only
-      val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
-      val w = (f.toLong * 16 / nFrames).toInt
-      val v = s / 32768.0
-      sums(w) += v * v
-      counts(w) += 1
-      f += 1
+    val off = dataOff
+    val fb = frameBytes
+    Some((sampleRate, nFrames, (f: Int) => {
+      val o = off + f * fb // first channel only
+      ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+    }))
+  }
+
+  /** Encode mono 16-bit PCM samples as a standard 44-byte-header WAV
+    * (the mirror of the [[decodePcm]] guards).
+    */
+  private[operators] def encodeWav(
+      rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
+  private val resampleSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("in_rate",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_rate",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("in_samples",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_samples",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_abs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("out_payload",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  /** Audio resample stage: decode every recognized PCM WAV payload,
+    * decimate by block-averaging `factor` consecutive samples (integer
+    * arithmetic, truncation toward zero — the JVM's semantics,
+    * spec-pinned), re-encode as mono 16-bit WAV at `rate / factor`. A
+    * shorter final block averages its own length (the tail is data).
+    * Non-audio payloads are dropped. Pure `mapPartitions` — the audio
+    * twin of [[resizeImages]].
+    */
+  def resampleAudio(
+      withPayloadDf: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = withPayloadDf.sparkSession
+    val rdd = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val decoded =
+          try decodePcm(bytes)
+          catch { case _: Exception => None }
+        decoded.map { case (rate, n, sampleAt) =>
+          val outN = (n + factor - 1) / factor
+          val out = new Array[Short](outN)
+          var i = 0
+          while (i < outN) {
+            val s0 = i * factor
+            val s1 = math.min(s0 + factor, n)
+            var sum = 0L
+            var s = s0
+            while (s < s1) { sum += sampleAt(s); s += 1 }
+            out(i) = (sum / (s1 - s0)).toShort
+            i += 1
+          }
+          var absSum = 0L
+          out.foreach(s => absSum += math.abs(s.toLong))
+          Row(id, rate, rate / factor, n, outN, absSum / outN,
+            encodeWav(rate / factor, out))
+        }
+      }
     }
-    val env = Array.tabulate(16)(i =>
-      if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat)
-    Some((sampleRate, nFrames, env))
+    spark.createDataFrame(rdd, resampleSchema)
   }
 
   val frameSchema: StructType = StructType(Seq(

@@ -795,6 +795,32 @@ object Pipeline {
              |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 256
              |       ELSE (doc_id * 31) % 256 END AS INT) AS mean_b
              |FROM documents WHERE doc_id % 3 < 2
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // audio resample stage: decode PCM WAV, decimate 4x by block
+      // averaging (exact integer arithmetic), re-encode. Constant-
+      // amplitude corpus payloads make every block average the
+      // closed-form source amplitude, so rate/geometry/mean are
+      // oracled; ramp/tail/truncation semantics are spec-gated.
+      "p65_audio_resample",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
+          .toDF("doc_id", "payload")
+        Multimodal.resampleAudio(payloads, factor = 4)
+          .select($"doc_id", $"in_rate", $"out_rate",
+            $"in_samples", $"out_samples", $"mean_abs")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS in_rate,
+             |  CAST((8000 + (doc_id % 8) * 1000) // 4 AS INT) AS out_rate,
+             |  CAST(16 AS INT) AS in_samples,
+             |  CAST(4 AS INT) AS out_samples,
+             |  CAST(abs(((doc_id % 200) - 100) * 327) AS BIGINT) AS mean_abs
+             |FROM documents WHERE doc_id % 3 = 2
              |ORDER BY doc_id""".stripMargin))
   )
 }

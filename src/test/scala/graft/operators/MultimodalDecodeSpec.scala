@@ -323,6 +323,35 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(bytes.length == 70) // 54 header + 2 rows of stride 8
   }
 
+  test("resampleAudio block-averages ramps with pinned truncation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ramp 0,10,...,150 at factor 4: block means 15, 55, 95, 135;
+    // mean_abs = (15+55+95+135)/4 = 75
+    val ramp = Multimodal.encodeWav(8000,
+      Array.tabulate(16)(i => (i * 10).toShort))
+    // negative ramp -1..-4: one block, sum -10 / 4 = -2 (JVM truncation
+    // toward zero, NOT floor(-2.5)=-3) — and a 6-sample input at factor
+    // 4 averages its 2-sample tail separately
+    val neg = Multimodal.encodeWav(4000,
+      Array[Short](-1, -2, -3, -4, 10, 20))
+    val df = Seq((1L, ramp), (2L, neg), (3L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resampleAudio(df, 4).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val r1 = out(0)
+    assert(r1.getInt(1) == 8000 && r1.getInt(2) == 2000)
+    assert(r1.getInt(3) == 16 && r1.getInt(4) == 4 && r1.getLong(5) == 75L)
+    val (rate1, n1, at1) = Multimodal.decodePcm(r1.getAs[Array[Byte]](6)).get
+    assert(rate1 == 2000 && n1 == 4)
+    assert((0 until 4).map(at1(_).toInt) == Seq(15, 55, 95, 135))
+    val r2 = out(1)
+    assert(r2.getInt(4) == 2)
+    val (_, n2, at2) = Multimodal.decodePcm(r2.getAs[Array[Byte]](6)).get
+    assert(n2 == 2 && at2(0) == -2 && at2(1) == 15,
+      s"truncation toward zero and tail averaging: ${at2(0)}, ${at2(1)}")
+  }
+
   test("resizeImages end-to-end: images resized, non-images dropped") {
     val spark2 = spark
     import spark2.implicits._
