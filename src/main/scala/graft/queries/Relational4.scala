@@ -1181,6 +1181,45 @@ object Relational4 {
              |SELECT CAST(t AS DATE) AS day,
              |  CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
              |  CAST(COUNT(*) AS BIGINT) AS n_starts
-             |FROM run WHERE delta = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM run WHERE delta = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      // try_-family error-safe expressions — the data-cleaning surface
+      // under ANSI mode: try_divide nulls the k=50 zero-divisor rows
+      // instead of failing the job, try_cast nulls unparsable numerics,
+      // and the per-type rollup QUANTIFIES each hazard (the accounting
+      // a production cleaner alerts on). Ratio sums ride DECIMAL
+      // (money-aggregate determinism discipline).
+      "q64_try_functions",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type",
+            expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
+            expr("try_cast(event_type AS INT)").as("bad"))
+          .withColumn("ratio",
+            expr("try_divide(CAST(k AS DOUBLE), CAST(k - 50 AS DOUBLE))"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            count($"k").as("n_k"),
+            count($"bad").as("n_bad_cast"),
+            sum(when($"ratio".isNull && $"k".isNotNull, 1L).otherwise(0L))
+              .as("n_div_by_zero"),
+            sum(expr("CAST(round(ratio, 6) AS DECIMAL(28,6))")).as("__sr"))
+          .select($"event_type", $"n", $"n_k", $"n_bad_cast",
+            $"n_div_by_zero", $"__sr".cast("double").as("sum_ratio"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+             |  COUNT(TRY_CAST(event_type AS INT)) AS n_bad_cast,
+             |  CAST(SUM(CASE WHEN k = 50 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_div_by_zero,
+             |  CAST(SUM(CAST(round(
+             |      CAST(k AS DOUBLE) / NULLIF(CAST(k - 50 AS DOUBLE), 0.0), 6)
+             |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_ratio
+             |FROM (SELECT event_type,
+             |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

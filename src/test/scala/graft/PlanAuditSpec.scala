@@ -331,6 +331,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the join-back must stay an equi-join:\n$p")
   }
 
+  test("q63 sweep: event-stream windows are hour-keyed; only the hour dictionary is global") {
+    val p = plan("q63_peak_concurrency")
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    // the running sum over EVENTS must partition by the hour chunk; the
+    // only unpartitioned window is the cumulative offset over the hour
+    // DICTIONARY (one row per timeline hour — metadata-sized by design)
+    val eventWins = winSpecs.filter(_.contains("__t"))
+    assert(eventWins.nonEmpty && eventWins.forall(_.contains("__h")),
+      s"the endpoint running sum must be hour-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the offset join-back must stay an equi-join:\n$p")
+  }
+
   test("p61 winnowing: selection window is doc-keyed; pair join equi") {
     val p = plan("p61_winnow_pairs")
     // the rightmost-min selection may window — but ONLY partitioned by
