@@ -1220,6 +1220,86 @@ object Relational4 {
              |FROM (SELECT event_type,
              |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
              |      FROM events)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      // sequence-pattern detection — MATCH_RECOGNIZE semantics Spark
+      // lacks natively, composed Spark-first: each user's event
+      // journey becomes a deterministically-ordered initial string
+      // (one agg, bounded by per-user activity), and patterns are
+      // regexes over it: adjacent view->click->purchase runs, longest
+      // consecutive error burst, signup-before-any-purchase. The
+      // oracle replays with string_agg ORDER BY + the same regexes.
+      "q65_event_pattern_match",
+      (s, dir) => {
+        import s.implicits._
+        val j = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(array_join(transform(array_sort(collect_list(struct(
+            $"ts", $"event_id", substring($"event_type", 1, 1).as("i")))),
+            x => x.getField("i")), "").as("journey"))
+        j.select($"user_id",
+            length($"journey").cast("long").as("journey_len"),
+            expr("regexp_count(journey, 'vcp')").cast("long").as("n_vcp"),
+            coalesce(array_max(transform(
+              expr("regexp_extract_all(journey, 'e+', 0)"), x => length(x))),
+              lit(0)).cast("long").as("longest_error_run"),
+            $"journey".rlike("^[^p]*s.*p").as("signup_then_purchase"))
+          .orderBy($"n_vcp".desc, $"user_id").limit(25)
+      },
+      Some("""WITH j AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |               ORDER BY ts, event_id) AS journey
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT user_id, length(journey) AS journey_len,
+             |    len(regexp_extract_all(journey, 'vcp')) AS n_vcp,
+             |    COALESCE(list_max(list_transform(
+             |      regexp_extract_all(journey, 'e+'), x -> length(x))), 0)
+             |      AS longest_error_run,
+             |    regexp_matches(journey, '^[^p]*s.*p') AS signup_then_purchase
+             |  FROM j)
+             |SELECT user_id, CAST(journey_len AS BIGINT) AS journey_len,
+             |  CAST(n_vcp AS BIGINT) AS n_vcp,
+             |  CAST(longest_error_run AS BIGINT) AS longest_error_run,
+             |  signup_then_purchase
+             |FROM m ORDER BY n_vcp DESC, user_id LIMIT 25""".stripMargin)),
+
+    QueryDef(
+      // percent-of-total (RATIO_TO_REPORT) — contribution analysis:
+      // each nation's share of its year's revenue, in integer-exact
+      // parts-per-million (cents * 1e6 DIV year cents; no float
+      // ratios). The share window runs over the (year, nation)
+      // DICTIONARY (one row per pair), never the fact table — facts
+      // partial-aggregate to cents first.
+      "q66_revenue_share",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy(year($"o_orderdate").as("y"), $"n_name")
+          .agg(sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"y")
+        per.withColumn("__yc", sum($"cents").over(w))
+          .select($"y".cast("long").as("y"), $"n_name", $"cents",
+            expr("(cents * 1000000L) DIV __yc").as("share_ppm"))
+          .orderBy($"y", $"share_ppm".desc, $"n_name")
+      },
+      Some("""WITH per AS (
+             |  SELECT year(o_orderdate) AS y, n_name,
+             |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT y, n_name, cents,
+             |  CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY y)
+             |    AS BIGINT) AS share_ppm
+             |FROM per ORDER BY y, share_ppm DESC, n_name""".stripMargin))
   )
 }
