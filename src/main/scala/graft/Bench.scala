@@ -127,8 +127,14 @@ object Bench {
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query stdout values cap at 3 chars: one decimal under 10s,
+    // whole seconds to 999, clamped above (a 1000s query is a
+    // catastrophe where stdout precision is moot) — full precision is
+    // in target/bench-full.json. The suite crossed the tail window
+    // again at 144 queries with 4-char values.
     def fmt1(v: Double): String =
-      if (v >= 100) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      if (v >= 999) "999"
+      else if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
       else "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt1(v) }
       .mkString("{", ",", "}")

@@ -135,6 +135,40 @@ object Dedup {
           s => s.getField("__segtext")), " ").as("new_text"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus versions: per id, `added` (new only), `removed` (old only),
+    * `modified` (both, content hash differs) or `unchanged`. Content
+    * comparison is by md5 so only 128-bit keys ride the join, never
+    * payloads ([[exactGroups]] discipline); the join is a full outer
+    * equi-join on the id. A training-data platform runs this between
+    * crawl snapshots before promoting one — the per-source status
+    * matrix is the "what changed" gate.
+    *
+    * Returns one row per id in either snapshot:
+    * (id, carryCols from whichever side exists, status).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    def prep(df: DataFrame, tag: String) =
+      df.select(Seq(col(idCol).as(s"__id_$tag"),
+        md5(col(contentCol)).as(s"__h_$tag")) ++
+        carryCols.map(c => col(c).as(s"__c_${tag}_$c")): _*)
+    val joined = prep(oldDf, "o").join(prep(newDf, "n"),
+      col("__id_o") === col("__id_n"), "full_outer")
+    joined.select(
+      Seq(coalesce(col("__id_o"), col("__id_n")).as(idCol)) ++
+        carryCols.map(c =>
+          coalesce(col(s"__c_o_$c"), col(s"__c_n_$c")).as(c)) ++
+        Seq(when(col("__id_o").isNull, "added")
+          .when(col("__id_n").isNull, "removed")
+          .when(col("__h_o") =!= col("__h_n"), "modified")
+          .otherwise("unchanged").as("status")): _*)
+  }
+
   /** Winnowed document fingerprints — local fingerprinting a la MOSS
     * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
     * Document Fingerprinting", SIGMOD 2003): hash every positional

@@ -1428,7 +1428,47 @@ object Pipeline2 {
              |SELECT source, CAST(LEAST(pct // 100000, 9) AS BIGINT) AS decile,
              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  MIN(q) AS min_quality, MAX(q) AS max_quality
-             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // corpus snapshot diff: the dataset-versioning audit between two
+      // crawl versions (derived here from the same table so the oracle
+      // is pure SQL) - per (source, status) counts of added / removed /
+      // modified / unchanged documents. md5-only full outer join; no
+      // payload ever shuffles.
+      "p66_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+        val oldSnap = base.filter($"doc_id" % 9 =!= 3)
+          .select($"doc_id", $"source", $"text")
+        val newSnap = base.filter($"doc_id" % 9 =!= 7)
+          .select($"doc_id", $"source",
+            when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+              .otherwise($"text").as("text"))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+            carryCols = Seq("source"))
+          .groupBy($"source", $"status")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"source", $"status")
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  WHERE doc_id % 9 <> 3),
+             |new AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+             |      AS text
+             |  FROM documents WHERE doc_id % 9 <> 7),
+             |d AS (
+             |  SELECT COALESCE(o.source, n.source) AS source,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN n.doc_id IS NULL THEN 'removed'
+             |         WHEN md5(o.text) <> md5(n.text) THEN 'modified'
+             |         ELSE 'unchanged' END AS status
+             |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+             |SELECT source, status, COUNT(*) AS n
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

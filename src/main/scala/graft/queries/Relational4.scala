@@ -1300,6 +1300,44 @@ object Relational4 {
              |SELECT y, n_name, cents,
              |  CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY y)
              |    AS BIGINT) AS share_ppm
-             |FROM per ORDER BY y, share_ppm DESC, n_name""".stripMargin))
+             |FROM per ORDER BY y, share_ppm DESC, n_name""".stripMargin)),
+
+    QueryDef(
+      // schema-drift-tolerant federation: an old snapshot without the
+      // n_tokens column unions with a new one that has it via
+      // unionByName(allowMissingColumns) - missing columns NULL-fill
+      // by NAME, not position (a positional UNION would silently
+      // misalign). The rollup accounts coverage of the drifted column.
+      "q67_union_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val oldSnap = base.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"source", $"text")
+        val newSnap = base.filter($"doc_id" % 2 =!= 0)
+          .select($"doc_id", $"source", $"text",
+            graft.operators.TextAnalysis.tokenCount($"text")
+              .cast("long").as("n_tokens"))
+        oldSnap.unionByName(newSnap, allowMissingColumns = true)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_rows"),
+            count($"n_tokens").as("n_with_tokens"),
+            coalesce(sum($"n_tokens"), lit(0L)).as("sum_tokens"))
+          .orderBy($"source")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_tokens
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> '' AND doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> '' AND doc_id % 2 <> 0)
+             |SELECT source, COUNT(*) AS n_rows,
+             |  COUNT(n_tokens) AS n_with_tokens,
+             |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS sum_tokens
+             |FROM u GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -617,4 +617,19 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("A", "B", 1L, 388888L)))
   }
+
+  test("snapshotDiff labels all four statuses and carries columns from either side") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "s1", "same"), (2L, "s1", "before"),
+      (3L, "s2", "gone")).toDF("doc_id", "source", "text")
+    val newSnap = Seq((1L, "s1", "same"), (2L, "s1", "after"),
+      (4L, "s2", "fresh")).toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+        carryCols = Seq("source"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "s1", "unchanged"), (2L, "s1", "modified"),
+      (3L, "s2", "removed"), (4L, "s2", "added")))
+  }
 }
