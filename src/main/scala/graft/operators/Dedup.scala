@@ -117,8 +117,14 @@ object Dedup {
         col("__seg.seg").as("__segtext"), col("__seg.segn").as("__segn"))
     // One long orders (doc, position) lexicographically for the global
     // keep-first; maxSegsPerDoc bounds the position stride so the packing
-    // is collision-free (documents above the bound would need a wider key)
-    val orderKey = col(idCol).cast("long") * maxSegsPerDoc + col("seg_idx")
+    // is collision-free. The guard makes the contract fail LOUDLY: a
+    // document with more segments than the stride would silently corrupt
+    // the order without it (raise_error costs one codegen branch/row).
+    val guardedIdx = when(col("seg_idx") >= maxSegsPerDoc,
+      raise_error(concat(lit(s"segmentDedup: document "), col(idCol),
+        lit(s" exceeds maxSegsPerDoc=$maxSegsPerDoc segments"))))
+      .otherwise(col("seg_idx"))
+    val orderKey = col(idCol).cast("long") * maxSegsPerDoc + guardedIdx
     val firstSeen = segs
       .groupBy(col("__segtext"))
       .agg(min(orderKey).as("__first_key"))

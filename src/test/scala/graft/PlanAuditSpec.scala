@@ -331,6 +331,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the join-back must stay an equi-join:\n$p")
   }
 
+  test("p62 drift matrix: dictionary aggs + equi-joins, no window, no product") {
+    val p = plan("p62_source_drift")
+    assert(!p.contains("Window"),
+      s"drift sums must be aggregations, never windows:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the shared-token join must stay an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("p63 calibration rank range-partitions; no per-source window funnel") {
+    val p = plan("p63_quality_calibration")
+    assert(p.contains("rangepartitioning"),
+      s"rankWithinKey's range repartition missing:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange may appear:\n$p")
+  }
+
   test("q63 sweep: event-stream windows are hour-keyed; only the hour dictionary is global") {
     val p = plan("q63_peak_concurrency")
     val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

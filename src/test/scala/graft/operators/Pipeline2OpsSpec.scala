@@ -559,6 +559,19 @@ class Pipeline2OpsSpec extends AnyFunSuite {
       (10L, 2L, 1L, 3L, "p q r")))
   }
 
+  test("segmentDedup fails loudly when a doc exceeds the packing stride") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.segmentDedup(df, "doc_id", "text", k = 2, maxSegsPerDoc = 3)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("exceeds maxSegsPerDoc")), ex.getMessage)
+  }
+
   test("winnowing guarantees a shared fingerprint for runs >= w+k-1") {
     import spark.implicits._
     // k=4, w=4: any shared run of >= 7 tokens must yield at least one
