@@ -618,6 +618,87 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(pairs.head._1 == 1L && pairs.head._2 == 2L && pairs.head._3 >= 2L)
   }
 
+  test("property: segmentDedup matches the naive global keep-first") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // small vocab forces heavy cross-doc segment collisions
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 17)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def naive(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long, String)] = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      docs.sortBy(_._1).map { case (id, text) =>
+        val segs = text.split(" ").grouped(k).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(s => seen.add(s))
+        id -> (segs.size.toLong, kept.size.toLong,
+          kept.map(_.split(" ").length.toLong).sum, kept.mkString(" "))
+      }.toMap
+    }
+    val prop = forAll(genDocs) { docs =>
+      val got = Dedup.segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toMap
+      Prop(got == naive(docs, 3)).label(s"${docs.size} docs")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
+  test("property: winnowedFingerprints matches the naive selection") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = 3
+    val w = 3
+    def naive(text: String): Set[(Long, String)] = {
+      val toks = text.split(" ")
+      if (toks.length < k) Set.empty
+      else {
+        val grams = (0 to toks.length - k)
+          .map(i => md5hex(toks.slice(i, i + k).mkString(" ")))
+        val nGrams = grams.length
+        val lastStart = math.max(1, nGrams - w + 1)
+        (1 to lastStart).map { p =>
+          // min hash in window, rightmost on ties
+          val win = grams.slice(p - 1, math.min(p - 1 + w, nGrams))
+          val minH = win.min
+          val sel = (p - 1 + win.lastIndexOf(minH)) + 1
+          (sel.toLong, minH)
+        }.toSet
+      }
+    }
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 8)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 20)
+        toks <- Gen.listOfN(len, Gen.oneOf("x", "y", "z"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = forAll(genDocs) { docs =>
+      val got = Dedup.winnowedFingerprints(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = k, w = w)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+      val want = docs.map { case (id, t) => id -> naive(t) }
+        .filter(_._2.nonEmpty).toMap
+      Prop(got == want).label(s"${docs.size} docs")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("sourceDriftMatrix matches the hand-computed integer identity") {
     import spark.implicits._
     // A: "a a b" -> p(a)=2e6//3=666666, p(b)=333333
