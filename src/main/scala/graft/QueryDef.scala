@@ -22,14 +22,24 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
-      // rejects by default. Read it as raw long nanos and rebuild a micros
-      // timestamp with integer division (values are micro-precision, so the
-      // conversion is lossless; 1.7e18 ns > 2^53 rules out double division).
+      // Some driver generations store events.ts as TIMESTAMP(NANOS), which
+      // Spark's reader rejects by default; others store plain micros. Read
+      // with nanosAsLong on (harmless for micros), then only rebuild the
+      // timestamp when ts actually arrived as raw long nanos (the conversion
+      // is lossless at micro precision; 1.7e18 ns > 2^53 rules out doubles).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // normalize to the session-zone timestamp type every query was
+          // written against (sessions here pin UTC, so the instant is equal)
+          raw.withColumn("ts",
+            raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw // already the session-zone timestamp type
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so query bodies can use spark.sql. */
