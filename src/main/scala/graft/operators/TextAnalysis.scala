@@ -297,6 +297,62 @@ object TextAnalysis {
           col("n_tokens"), 6).as("dup_token_fraction"))
   }
 
+  /** Boilerplate STRIP — the removal pass [[dupSpans]] only reports:
+    * rebuild each document with every corpus-duplicated token span cut
+    * out (license headers, nav bars, repeated templates), keeping the
+    * surviving tokens in their original order. The covered-position
+    * rule is exactly [[dupSpans]]'s — a position is cut when some
+    * `k`-token window containing it occurs more than once in the corpus
+    * (across documents or repeated within one) — so `n_removed` here
+    * equals `dup_tokens` there and the two operators stay consistent as
+    * a report/apply pair. Documents shorter than `k` tokens pass
+    * through unchanged; NULL/empty documents are dropped up front (the
+    * p38 discipline — both engines must agree on the NULL edge).
+    *
+    * Scale shape: gram duplication is ONE gram-keyed partial
+    * aggregation whose join-back carries a single bit (never a posting
+    * list); flagged positions merge into maximal spans with a window
+    * partitioned by document (bounded by doc length, never corpus
+    * size); spans collapse to one array row per document (at most
+    * len/k spans), and the rebuild is a per-row codegen'd
+    * higher-order expression — token x span tests stay inside
+    * WholeStageCodegen with no further shuffle. A boilerplate gram
+    * shared by 10^9 documents costs partial counts plus one bit per
+    * holder, exactly like p38/p45.
+    */
+  def stripDupSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = tokenized(df, idCol, textCol)
+      .select(col(idCol), col("__ts"))
+    val pos = positionalGrams(base, idCol, k)
+    val gramDup = pos.groupBy(col("__gram"))
+      .agg((count(lit(1)) > 1).as("__dup"))
+    val dupPos = pos.join(gramDup, Seq("__gram"))
+      .filter(col("__dup")).select(col(idCol), col("__pos"))
+    // Maximal spans are disjoint by construction (mergeSpans splits
+    // islands on gaps > k, and consecutive starts <= k apart leave no
+    // uncovered hole), so per-token membership needs no dedup.
+    val spans = mergeSpans(dupPos, idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    val withSpans = base.join(spans, Seq(idCol), "left")
+    val kept = when(col("__spans").isNull, col("__ts"))
+      .otherwise(filter(
+        transform(col("__ts"), (t, i) =>
+          when(!exists(col("__spans"), sp =>
+            sp.getField("__s") <= i + 1 && i + 1 <= sp.getField("__e")),
+            t)),
+        x => x.isNotNull))
+    withSpans.select(col(idCol),
+      size(col("__ts")).cast("long").as("n_tokens"),
+      (size(col("__ts")) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Cross-source LEAK SPANS — contamination depth, the positional
     * refinement of the p39 leak matrix: per document, the LONGEST
     * contiguous token run whose `k`-gram windows all occur in at least

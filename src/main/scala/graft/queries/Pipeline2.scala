@@ -1468,7 +1468,53 @@ object Pipeline2 {
              |         ELSE 'unchanged' END AS status
              |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
              |SELECT source, status, COUNT(*) AS n
-             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // boilerplate STRIP: the apply pass of the p45 dup-span report -
+      // rebuild every document with corpus-duplicated 8-token spans cut
+      // out. The oracle replays the identical definition positionally
+      // (dup grams -> covered positions -> ordered string_agg of the
+      // survivors), and md5(clean_text) proves the reconstruction is
+      // byte-exact, not just the right length.
+      "p67_boilerplate_strip",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.stripDupSpans(
+            t(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"n_tokens", $"n_removed",
+            md5($"clean_text").as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |g AS (
+             |  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram
+             |  FROM t, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+             |cov AS (
+             |  SELECT DISTINCT g.doc_id, c.p
+             |  FROM g JOIN dup USING (gram),
+             |       UNNEST(generate_series(g.i, g.i + 7)) AS c(p)),
+             |tokpos AS (
+             |  SELECT doc_id, i AS p, ts[i] AS tok
+             |  FROM t, UNNEST(generate_series(1, len(ts))) AS u(i)),
+             |kept AS (
+             |  SELECT tp.doc_id, tp.p, tp.tok
+             |  FROM tokpos tp LEFT JOIN cov
+             |    ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+             |  WHERE cov.p IS NULL),
+             |cleanagg AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+             |  CAST(len(t.ts) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(clean_text, '')) AS clean_md5
+             |FROM t LEFT JOIN cleanagg USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

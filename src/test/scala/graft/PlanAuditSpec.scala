@@ -213,6 +213,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"span-merge windows must partition by doc_id, not gram:\n$p")
   }
 
+  test("p67 boilerplate strip: gram DF by aggregation; window is doc-keyed") {
+    val p = plan("p67_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join must stay an equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram duplication must partial-aggregate map-side:\n$p")
+    // identical discipline to p45: the only window is the span merge,
+    // partitioned by document id — never by gram
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.forall(l => l.contains("doc_id") && !l.contains("__gram")),
+      s"span-merge windows must partition by doc_id, not gram:\n$p")
+  }
+
   test("q51 profiler: two-level distinct aggregation, never an Expand") {
     val p = plan("q51_column_profile")
     // multiple count(DISTINCT) in one aggregate would plan an Expand

@@ -135,6 +135,39 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("stripDupSpans cuts exactly the reported spans and keeps order") {
+    import spark.implicits._
+    // same fixture as the dupSpans test: the strip must remove exactly
+    // the tokens the report counts (report/apply pair consistency)
+    val df = Seq(
+      (1L, "a b c d m1 m2 m3 m4 m5 w x y z"),
+      (2L, "a b c d n1 n2 n3 n4 n5 w x y z"),
+      (3L, "r r r r r r"),
+      (4L, "p q"),
+      (5L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripDupSpans(df, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 13L, 8L, "m1 m2 m3 m4 m5"),
+      (2L, 13L, 8L, "n1 n2 n3 n4 n5"),
+      (3L, 6L, 6L, ""),              // fully-duplicated doc strips to empty
+      (4L, 2L, 0L, "p q"),           // below the k floor: untouched
+      (5L, 6L, 0L, "u1 u2 u3 u4 u5 u6")))
+    // n_removed must equal dupSpans' dup_tokens on any frame
+    val report = TextAnalysis.dupSpans(df, "doc_id", "text", k = 4)
+      .select($"doc_id", $"dup_tokens").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, removed, _) =>
+      assert(removed == report(id), s"doc $id: strip/report disagree")
+    }
+    // NULL/empty text dropped up front, same contract as the report
+    val withNulls = TextAnalysis.stripDupSpans(
+      Seq((1L, "a b c d"), (2L, null), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 4).collect()
+    assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("crossSourceLeakSpans measures contamination depth, not breadth") {
     import spark.implicits._
     // k=4. docs 1 (train) and 2 (eval) share a DEEP 8-token run; docs 3
