@@ -1338,6 +1338,52 @@ object Relational4 {
              |SELECT source, COUNT(*) AS n_rows,
              |  COUNT(n_tokens) AS n_with_tokens,
              |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS sum_tokens
-             |FROM u GROUP BY source ORDER BY source""".stripMargin))
+             |FROM u GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // XML shredding via Spark 4's native from_xml — the q50 VARIANT
+      // pattern for the other semi-structured format a real ingest
+      // meets. Each row's XML is BUILT deterministically from customer
+      // columns (an attribute, a nested element, a repeated element
+      // parsed as an array, and a schema field absent from the XML
+      // that must surface as NULL), then parsed back by schema and
+      // shredded. The oracle computes the same values directly, so the
+      // check is that build -> parse -> extract preserves them exactly.
+      // Money rides DECIMAL through the XML text and the final sum.
+      "q68_xml_shred",
+      (s, dir) => {
+        import s.implicits._
+        val bal = $"c_acctbal".cast(D18)
+        val xml = concat(
+          lit("<cust id=\""), $"c_custkey", lit("\"><seg>"),
+          $"c_mktsegment", lit("</seg><b>"), bal, lit("</b><b>"),
+          (bal * 2).cast(D18), lit("</b></cust>"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("seg",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.ArrayType(D18)),
+          org.apache.spark.sql.types.StructField("missing",
+            org.apache.spark.sql.types.StringType)))
+        t(s, dir, "customer")
+          .withColumn("x", from_xml(xml, schema))
+          .select($"x._id".as("id"), $"x.seg".as("seg"),
+            element_at($"x.b", 2).as("b2"), $"x.missing".as("missing"))
+          .groupBy($"seg")
+          .agg(count(lit(1)).as("n"),
+            sum($"id").as("sum_id"),
+            sum($"b2").cast("double").as("sum_b2"),
+            count($"missing").as("n_missing"))
+          .orderBy($"seg")
+      },
+      Some("""SELECT c_mktsegment AS seg,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS sum_id,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 2) AS DOUBLE)
+             |    AS sum_b2,
+             |  CAST(0 AS BIGINT) AS n_missing
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
