@@ -168,6 +168,50 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(withNulls.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("property: stripDupSpans matches the naive positional reference") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // tiny vocab + short docs force heavy cross- and within-doc gram
+    // duplication, partial-window tails, and fully-stripped documents
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 15)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def naive(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val gramCount = scala.collection.mutable.Map.empty[String, Int]
+      toks.foreach { case (_, ts) =>
+        if (ts.size >= k) ts.sliding(k).foreach { g =>
+          val s = g.mkString(" ")
+          gramCount(s) = gramCount.getOrElse(s, 0) + 1
+        }
+      }
+      toks.map { case (id, ts) =>
+        val covered = scala.collection.mutable.Set.empty[Int]
+        if (ts.size >= k) ts.sliding(k).zipWithIndex.foreach { case (g, i0) =>
+          if (gramCount(g.mkString(" ")) > 1) (i0 until i0 + k).foreach(covered += _)
+        }
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        id -> (ts.size.toLong, covered.size.toLong, kept.mkString(" "))
+      }.toMap
+    }
+    val prop = forAll(genDocs) { docs =>
+      val got = TextAnalysis.stripDupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      Prop(got == naive(docs, 3)).label(s"${docs.size} docs")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("crossSourceLeakSpans measures contamination depth, not breadth") {
     import spark.implicits._
     // k=4. docs 1 (train) and 2 (eval) share a DEEP 8-token run; docs 3
