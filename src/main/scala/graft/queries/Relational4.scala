@@ -1384,6 +1384,53 @@ object Relational4 {
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 2) AS DOUBLE)
              |    AS sum_b2,
              |  CAST(0 AS BIGINT) AS n_missing
-             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      // native session_window in BATCH mode — the declarative twin of
+      // q33's window-composition sessionization (and of the streaming
+      // fMGWS path): Spark extends a session while the next event is
+      // within OR AT the gap boundary (a gap of EXACTLY 30min still
+      // merges — boundary pinned empirically in RelationalSpec), so
+      // the islands rule is q33's strict >. The oracle replays
+      // gaps-and-islands with that boundary and end = last event +
+      // gap. Epoch-micro outputs keep the compare timezone-proof;
+      // money rides DECIMAL.
+      "q69_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id",
+            session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(D18)).cast("double").as("session_value"))
+          .select($"user_id",
+            unix_micros($"sw.start").as("start_us"),
+            unix_micros($"sw.end").as("end_us"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"start_us")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+             |              > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM g)
+             |SELECT user_id,
+             |  MIN(epoch_us(ts)) AS start_us,
+             |  MAX(epoch_us(ts)) + 1800000000 AS end_us,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS session_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }

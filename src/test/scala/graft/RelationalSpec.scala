@@ -124,6 +124,35 @@ class RelationalSpec extends AnyFunSuite {
       "validity ranges must tile time: no order lost or double-matched")
   }
 
+  test("session_window gap boundary: a gap of exactly 30min MERGES") {
+    // session_window extends a session while the next event is within
+    // OR AT the gap boundary (inclusive — measured, not assumed; the
+    // q69 oracle's islands rule is therefore strict >, matching q33).
+    // The fixture has no exact-gap pair at micro precision, so pin the
+    // boundary with crafted timestamps: exactly 30m merges, one
+    // microsecond past splits, and the session end is last + gap.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gapUs = 30L * 60 * 1000000
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      (1L, t0), (1L, t0 + gapUs),                  // exactly 30m: merges
+      (2L, t0), (2L, t0 + gapUs + 1)               // 30m + 1us: splits
+    ).toDF("user_id", "us").withColumn("ts", timestamp_micros($"us"))
+    val got = ev.groupBy($"user_id",
+        session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_micros($"sw.start").as("s"),
+        unix_micros($"sw.end").as("e"), $"n")
+      .orderBy($"user_id", $"s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, t0, t0 + 2 * gapUs, 2L),
+      (2L, t0, t0 + gapUs, 1L),
+      (2L, t0 + gapUs + 1, t0 + 2 * gapUs + 1, 1L)))
+  }
+
   test("q09 running sum is monotone per user for positive values") {
     val rows = SparkEntry.queries("q09_running_user_spend")(spark, sf)
       .collect().groupBy(_.getAs[Long]("user_id"))
