@@ -1399,14 +1399,10 @@ object Relational4 {
       "q69_session_window",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "events")
-          .groupBy($"user_id",
-            session_window($"ts", "30 minutes").as("sw"))
-          .agg(count(lit(1)).as("n_events"),
-            sum($"value".cast(D18)).cast("double").as("session_value"))
+        graft.streaming.EventStreams.sessionWindowAgg(t(s, dir, "events"))
           .select($"user_id",
-            unix_micros($"sw.start").as("start_us"),
-            unix_micros($"sw.end").as("end_us"),
+            unix_micros($"session_start").as("start_us"),
+            unix_micros($"session_end").as("end_us"),
             $"n_events", $"session_value")
           .orderBy($"user_id", $"start_us")
       },

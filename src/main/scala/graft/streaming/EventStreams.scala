@@ -32,6 +32,34 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Native session_window aggregation — the DECLARATIVE sessionization
+    * (vs [[sessionize]]'s explicit fMGWS state), identical over a batch
+    * frame and a watermarked stream. The session extends while the next
+    * event is within OR AT the gap boundary (inclusive — pinned in
+    * RelationalSpec); q69 is the batch/oracle gate and the streaming
+    * spec pins stream-emitted rows == the batch computation. In
+    * streaming, state is one in-flight session per active user inside
+    * the watermark horizon — bounded by arrival rate x horizon, the
+    * same property that makes [[dedupStream]] viable at 100 TB/day; the
+    * built-in session store also merges cross-batch (late events land
+    * in their session without custom backwards-extension code).
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -33,6 +33,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.forall(r => bSet(r.toString)))
   }
 
+  test("streaming session_window equals the batch computation") {
+    val streamed = EventStreams.runToMemory(spark, srcDir, "sess_win",
+      df => EventStreams.sessionWindowAgg(df, gap = "10 minutes",
+        watermark = Some("15 minutes")))
+    val batch = EventStreams.sessionWindowAgg(
+      spark.read.parquet(srcDir), gap = "10 minutes")
+    // append mode emits only watermark-finalized sessions; every emitted
+    // row must match the batch result exactly (the built-in session
+    // store's cross-batch merge must converge on the batch answer)
+    val s = streamed.collect()
+    assert(s.nonEmpty)
+    val bSet = batch.collect().map(_.toString).toSet
+    assert(s.forall(r => bSet(r.toString)))
+  }
+
   test("streaming dedup keeps one event per content key") {
     val keys = Seq("user_id", "event_type")
     val deduped = EventStreams.runToMemory(spark, srcDir, "dedup_stream",
