@@ -76,4 +76,114 @@ object AsOfJoin {
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
   }
+
+  /** Directional as-of — the full pandas-`merge_asof` surface over the
+    * same one-shuffle union+window core as [[asOf]]:
+    *
+    *  - `"backward"`: latest right row with `right.ts <= left.ts` (what
+    *    [[asOf]] computes);
+    *  - `"forward"`: earliest right row with `right.ts >= left.ts`;
+    *  - `"nearest"`: whichever of the two is closer in time (tie →
+    *    backward, pandas' rule);
+    *  - `toleranceUs`: matches farther than this many microseconds from
+    *    the left timestamp are nulled out (applied per direction BEFORE
+    *    the nearest selection, so an out-of-tolerance backward match
+    *    never shadows an in-tolerance forward one).
+    *
+    * Both directions ride ONE hash shuffle on the key: the union is
+    * sorted twice within partitions (ts asc with right-before-left for
+    * the backward frame; ts asc with left-before-right for the forward
+    * frame, so an equal-timestamp right row is inclusive in BOTH
+    * directions) — two WindowExecs, one Exchange, never a range
+    * product. Ties among equal (ts, side) resolve to the greatest
+    * payload in both directions, same determinism rule as [[asOf]].
+    */
+  def asOfDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(!payload.contains(tsCol),
+      "the timestamp column is carried implicitly; list payloads only")
+    val leftCols = left.columns.toSeq
+    // carry the matched right timestamp alongside the payloads — the
+    // tolerance filter and the nearest selection both need it
+    val pls = payload :+ tsCol
+    def structType(p: String) =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", right.schema(p).dataType)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumns(pls.map(p =>
+        s"__p_$p" -> lit(null).cast(structType(p))).toMap)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((Seq(col(key), col(tsCol), col("__side")) ++
+        pls.map(p => struct(col(p).as("v")).as(s"__p_$p")) ++
+        leftCols.filterNot(c => c == key || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val outCols = leftCols ++ Seq("__side") ++ pls.map(p => s"__p_$p")
+    val unioned = l.select(outCols.map(col): _*)
+      .unionByName(r.select(outCols.map(col): _*))
+    def tieBreak(p: String): Column = {
+      val c = col(s"__p_$p")
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(right.schema(p).dataType)) c
+      else to_json(c)
+    }
+    // backward frame: right-at-equal-ts sorts BEFORE the left row (side
+    // 0 < 1) so inclusive <= holds; forward frame flips the side order
+    // so right-at-equal-ts lands AFTER the left row and inclusive >=
+    // holds. Payloads order desc in the forward frame because first()
+    // picks the head where last() picks the tail.
+    val wb = Window.partitionBy(col(key))
+      .orderBy((Seq(col(tsCol).asc, col("__side").asc) ++
+        payload.map(tieBreak(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy((Seq(col(tsCol).asc, col("__side").desc) ++
+        payload.map(tieBreak(_).desc)): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val needBack = direction != "forward"
+    val needFwd = direction != "backward"
+    val carried = pls.foldLeft(unioned) { (df, p) =>
+      val withB = if (needBack)
+        df.withColumn(s"__b_$p",
+          last(col(s"__p_$p"), ignoreNulls = true).over(wb).getField("v"))
+      else df
+      if (needFwd)
+        withB.withColumn(s"__f_$p",
+          first(col(s"__p_$p"), ignoreNulls = true).over(wf).getField("v"))
+      else withB
+    }
+    def us(c: Column): Column = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val onLeft = carried.filter(col("__side") === 1)
+    val backDist = us(col(tsCol)) - us(col(s"__b_$tsCol"))
+    val fwdDist = us(col(s"__f_$tsCol")) - us(col(tsCol))
+    val backOk = toleranceUs.fold(col(s"__b_$tsCol").isNotNull)(t =>
+      col(s"__b_$tsCol").isNotNull && backDist <= t)
+    val fwdOk = toleranceUs.fold(col(s"__f_$tsCol").isNotNull)(t =>
+      col(s"__f_$tsCol").isNotNull && fwdDist <= t)
+    val asofCols = payload.map { p =>
+      val out = direction match {
+        case "backward" => when(backOk, col(s"__b_$p"))
+        case "forward"  => when(fwdOk, col(s"__f_$p"))
+        case "nearest"  =>
+          when(backOk && (!fwdOk || backDist <= fwdDist), col(s"__b_$p"))
+            .otherwise(when(fwdOk, col(s"__f_$p")))
+      }
+      out.as(s"asof_$p")
+    }
+    onLeft.select((leftCols.map(col) ++ asofCols): _*)
+  }
 }

@@ -1427,6 +1427,69 @@ object Relational4 {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              |    AS session_value
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    QueryDef(
+      // directional as-of: the full merge_asof surface (q26 covers
+      // backward only) — per purchase, the latest prior click, the
+      // earliest later click, and the NEAREST click within a 1h
+      // tolerance (tie -> backward; out-of-tolerance matches null out
+      // per direction BEFORE the nearest pick). One key shuffle, two
+      // in-partition sorts. The oracle is an independent formulation:
+      // DuckDB LATERAL top-1 probes with the same tie-break
+      // (ts direction, then greatest value).
+      "q70_asof_directions",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"value")
+        val b = graft.operators.AsOfJoin.asOfDirectional(
+            purch, clicks, "user_id", "ts", Seq("value"), "backward")
+          .withColumnRenamed("asof_value", "back_val")
+        val f = graft.operators.AsOfJoin.asOfDirectional(
+            b, clicks, "user_id", "ts", Seq("value"), "forward")
+          .withColumnRenamed("asof_value", "fwd_val")
+        graft.operators.AsOfJoin.asOfDirectional(
+            f, clicks, "user_id", "ts", Seq("value"), "nearest",
+            toleranceUs = Some(3600L * 1000000))
+          .withColumnRenamed("asof_value", "near_val")
+          .select($"event_id", $"back_val", $"fwd_val", $"near_val")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, ts, value FROM events
+             |  WHERE event_type = 'click')
+             |SELECT p.event_id,
+             |  b.value AS back_val,
+             |  f.value AS fwd_val,
+             |  CASE WHEN bn.value IS NOT NULL
+             |         AND (fn.value IS NULL OR bn.d <= fn.d)
+             |       THEN bn.value ELSE fn.value END AS near_val
+             |FROM p
+             |LEFT JOIN LATERAL (
+             |  SELECT value FROM c
+             |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+             |  ORDER BY c.ts DESC, value DESC LIMIT 1) b ON true
+             |LEFT JOIN LATERAL (
+             |  SELECT value FROM c
+             |  WHERE c.user_id = p.user_id AND c.ts >= p.ts
+             |  ORDER BY c.ts ASC, value DESC LIMIT 1) f ON true
+             |LEFT JOIN LATERAL (
+             |  SELECT value, epoch_us(p.ts) - epoch_us(c.ts) AS d FROM c
+             |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+             |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |  ORDER BY c.ts DESC, value DESC LIMIT 1) bn ON true
+             |LEFT JOIN LATERAL (
+             |  SELECT value, epoch_us(c.ts) - epoch_us(p.ts) AS d FROM c
+             |  WHERE c.user_id = p.user_id AND c.ts >= p.ts
+             |    AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+             |  ORDER BY c.ts ASC, value DESC LIMIT 1) fn ON true
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

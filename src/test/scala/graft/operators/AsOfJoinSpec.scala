@@ -54,4 +54,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(1).getDouble(got(1).fieldIndex("asof_v")) == 42.0) // ts=5: inclusive
     assert(got(2).getDouble(got(2).fieldIndex("asof_v")) == 42.0) // ts=6
   }
+
+  test("directional: forward and nearest semantics, equal-ts inclusive both ways") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, 10L, 1.0), (1L, 20L, 2.0),
+      (2L, 10L, 1.0), (2L, 30L, 3.0)
+    ).toDF("k", "ts", "v")
+    // k=1 left at 20: equal-ts right must match inclusively in BOTH
+    // directions; k=2 left at 20: backward->10, forward->30, nearest is
+    // a 10-vs-10 distance TIE -> backward (pandas' rule); k=2 left at
+    // 25: nearest -> forward (5 < 15)
+    val left = Seq((1L, 20L), (2L, 20L), (2L, 25L)).toDF("k", "ts")
+    def run(dir: String, tol: Option[Long] = None) =
+      AsOfJoin.asOfDirectional(left, right, "k", "ts", Seq("v"), dir, tol)
+        .orderBy("k", "ts").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(run("backward") == Seq(Some(2.0), Some(1.0), Some(1.0)))
+    assert(run("forward") == Seq(Some(2.0), Some(3.0), Some(3.0)))
+    assert(run("nearest") == Seq(Some(2.0), Some(1.0), Some(3.0)))
+    // tolerance nulls a direction BEFORE the nearest pick: with tol=5,
+    // k=2@20 loses both (dist 10 both ways) while k=2@25 keeps only the
+    // forward match (5 <= 5 but backward is 15 away)
+    assert(run("nearest", Some(5L)) == Seq(Some(2.0), None, Some(3.0)))
+    assert(run("backward", Some(5L)) == Seq(Some(2.0), None, None))
+  }
+
+  test("directional: one Exchange, two doc-ordered windows (no range product)") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v")
+    val left = Seq((1L, 20L)).toDF("k", "ts")
+    val p = AsOfJoin.asOfDirectional(left, right, "k", "ts", Seq("v"),
+      "nearest").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"directional as-of must never plan a range product:\n$p")
+    // both direction frames must reuse ONE key shuffle: a second
+    // Exchange would mean the forward sort re-partitioned
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly one key Exchange, got $nEx:\n$p")
+  }
 }
