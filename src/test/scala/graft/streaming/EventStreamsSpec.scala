@@ -306,6 +306,38 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessions equal the flatMapGroupsWithState sessions") {
+    import spark.implicits._
+    // the two arbitrary-state APIs must never drift: same closed
+    // sessions, bit-identical tuples, over a multi-batch replay on the
+    // RocksDB provider (a TWS streaming constraint)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          f: org.apache.spark.sql.Dataset[EventStreams.Event] =>
+            org.apache.spark.sql.Dataset[EventStreams.UserSession]) = {
+        val schema = spark.read.parquet(srcDir).schema
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+          .as[EventStreams.Event]
+        val q = f(stream).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      }
+      val gap = 10 * 60 * 1000L
+      val tws = run("sess_tws", ds => EventStreams.sessionizeTws(ds, gap))
+      val fmgws = run("sess_fmgws", ds => EventStreams.sessionize(ds, gap))
+      assert(tws.nonEmpty, "closed sessions must emit")
+      assert(tws == fmgws, "TWS and fMGWS sessions must be identical")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionization over the real stream emits on timeout-free path") {
     import spark.implicits._
     val schema = spark.read.parquet(srcDir).schema
