@@ -1514,7 +1514,43 @@ object Pipeline2 {
              |  CAST(len(t.ts) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
              |  md5(COALESCE(clean_text, '')) AS clean_md5
              |FROM t LEFT JOIN cleanagg USING (doc_id)
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
+      // Unicode NFC canonicalization via the native codegen'd
+      // TextNormalize expression: the corpus is ASCII, so decomposed
+      // sequences (combining acute/diaeresis) are INJECTED
+      // deterministically per row and both engines normalize their own
+      // copy — Spark through java.text.Normalizer, DuckDB through
+      // nfc_normalize — and must agree on codepoint counts and the
+      // exact md5 of the composed bytes. (The Spark side embeds \u
+      // literals because Spark's chr() wraps at 256; DuckDB's chr()
+      // takes real codepoints.)
+      "p68_unicode_nfc",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.text_normalize
+        val raw = concat(lit("Cafe\u0301 nai\u0308ve "), $"source",
+          lit(" #"), $"doc_id" % 100)
+        t(s, dir, "documents")
+          .select($"doc_id",
+            length(raw).cast("long").as("len_raw"),
+            length(text_normalize(raw, "NFC")).cast("long").as("len_nfc"),
+            md5(text_normalize(raw, "NFC")).as("nfc_md5"),
+            (raw === text_normalize(raw, "NFC")).as("already_nfc"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    'Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+             |    source || ' #' || CAST(doc_id % 100 AS VARCHAR) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(raw) AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+             |  md5(nfc_normalize(raw)) AS nfc_md5,
+             |  raw = nfc_normalize(raw) AS already_nfc
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

@@ -124,4 +124,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val got = df.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
     assert(got.head.isNullAt(0))
   }
+
+  test("text_normalize: NFC composes, NFKC folds compatibility forms") {
+    import spark.implicits._
+    // decomposed accent (e + U+0301), the fi ligature (U+FB01), a
+    // superscript two (U+00B2), and a fullwidth A (U+FF21); NULL rides
+    // through. The non-foldable source keeps codegen honest (literals
+    // collapse at analysis), and p68 pins the NFC path against DuckDB.
+    val df = Seq(Some("Cafe\u0301 \ufb01n A\u00b2 \uff21"),
+      Option.empty[String]).toDF("s").repartition(2)
+    val got = df.select(
+      VectorFunctions.text_normalize($"s", "NFC").as("nfc"),
+      VectorFunctions.text_normalize($"s", "NFKC").as("nfkc")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(got == Set(
+      (Some("Caf\u00e9 \ufb01n A\u00b2 \uff21"), // NFC: compose only
+        Some("Caf\u00e9 fin A2 A")),             // NFKC: + compat folds
+      (None, None)))
+    // already-normalized ASCII survives the fast path byte-identical,
+    // and the plan stays inside WholeStageCodegen
+    val ascii = Seq("plain ascii").toDF("s").repartition(2)
+      .select(VectorFunctions.text_normalize($"s", "NFC").as("n"))
+    assert(ascii.collect().head.getString(0) == "plain ascii")
+    // `*(n)` is the WholeStageCodegen marker in the simple plan string
+    val plan = ascii.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [textnormalize"), plan)
+    // unknown form fails fast at construction
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.text_normalize($"s", "NFX")
+    }
+    assert(e.getMessage.contains("NFX"))
+  }
 }
