@@ -266,10 +266,12 @@ object StringShingles {
   * filesystems, compatibility ligatures/width forms from PDFs) that
   * Spark has no built-in for. Backed by the JDK's
   * `java.text.Normalizer` (Unicode-standard behavior, so results match
-  * DuckDB's `nfc_normalize` — p68's oracle). The common case — already
-  * normalized ASCII — takes an `isNormalized` fast path that returns
-  * the input buffer untouched, so at 100 TB the per-row cost on clean
-  * text is one scan, zero allocation.
+  * DuckDB's `nfc_normalize` — p68's oracle). The common case — clean
+  * ASCII — is detected by a byte/char-count compare on the UTF8String
+  * (no decode, no allocation) and returns the input buffer untouched;
+  * non-ASCII text that is already normalized pays one String decode but
+  * no rebuild. The `Normalizer.Form` resolves once (per expression
+  * interpreted, as a class literal under codegen), never per row.
   */
 case class TextNormalize(child: Expression, form: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -288,13 +290,17 @@ case class TextNormalize(child: Expression, form: String)
           s"text_normalize expects a string, got ${t.simpleString}")
     }
 
+  @transient private lazy val resolvedForm = TextNormalize.forms(form)
+
   override def nullSafeEval(input: Any): Any =
     TextNormalize.compute(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.TextNormalize$$.MODULE$$.compute($c, "$form")""")
+      s"graft.functions.TextNormalize$$.MODULE$$.compute(" +
+        s"$c, java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -309,12 +315,15 @@ object TextNormalize {
     "NFKC" -> java.text.Normalizer.Form.NFKC,
     "NFKD" -> java.text.Normalizer.Form.NFKD)
 
-  def compute(s: UTF8String, form: String): UTF8String = {
-    val f = forms(form)
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, f)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
-  }
+  def compute(s: UTF8String, form: java.text.Normalizer.Form): UTF8String =
+    // all-ASCII is normalized under every form; numBytes == numChars
+    // detects it with one byte scan and no allocation
+    if (s.numBytes == s.numChars) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, form)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+    }
 }
 
 /** Column DSL + SQL registration for the native vector functions. */

@@ -27,55 +27,8 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       tsCol: String,
-      payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    // Each payload is carried inside a single-field STRUCT: the struct is
-    // non-null for every right row even when the payload VALUE is null,
-    // so ignoreNulls skips only the left rows' filler — a matched right
-    // row with a genuinely-NULL payload yields NULL (DuckDB ASOF
-    // semantics), not a stale older row's value.
-    def structType(p: String) =
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("v", right.schema(p).dataType)))
-    val l = left
-      .withColumn("__side", lit(1))
-      .withColumns(payload.map(p =>
-        s"__p_$p" -> lit(null).cast(structType(p))).toMap)
-    val r = right
-      .withColumn("__side", lit(0))
-      .select((Seq(col(key), col(tsCol), col("__side")) ++
-        payload.map(p => struct(col(p).as("v")).as(s"__p_$p")) ++
-        leftCols.filterNot(c => c == key || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val unioned = l.select((leftCols ++ Seq("__side") ++ payload.map(p => s"__p_$p"))
-        .map(col): _*)
-      .unionByName(r.select((leftCols ++ Seq("__side") ++ payload.map(p => s"__p_$p"))
-        .map(col): _*))
-    // the payload structs join the ORDER BY as a deterministic tie-break:
-    // duplicate right rows at the same (key, ts) would otherwise make
-    // "last" partition-order dependent (flaky across runs); with the tie
-    // ordered by payload value, the greatest payload wins, always. A
-    // payload of a NON-ORDERABLE type (MapType, variant) cannot sort
-    // directly, so it tie-breaks on an orderable surrogate instead —
-    // its JSON rendering — keeping the determinism without narrowing
-    // the accepted payload types.
-    def tieBreak(p: String): Column = {
-      val c = col(s"__p_$p")
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .isOrderable(right.schema(p).dataType)) c
-      else to_json(c)
-    }
-    val w = Window.partitionBy(col(key))
-      .orderBy((Seq(col(tsCol), col("__side")) ++
-        payload.map(tieBreak)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p",
-        last(col(s"__p_$p"), ignoreNulls = true).over(w).getField("v"))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
-  }
+      payload: Seq[String]): DataFrame =
+    asOfDirectional(left, right, key, tsCol, payload, "backward", None)
 
   /** Directional as-of — the full pandas-`merge_asof` surface over the
     * same one-shuffle union+window core as [[asOf]]:
@@ -96,7 +49,22 @@ object AsOfJoin {
     * frame, so an equal-timestamp right row is inclusive in BOTH
     * directions) — two WindowExecs, one Exchange, never a range
     * product. Ties among equal (ts, side) resolve to the greatest
-    * payload in both directions, same determinism rule as [[asOf]].
+    * payload in both directions ("last" would otherwise be
+    * partition-order dependent — flaky across runs); a NON-ORDERABLE
+    * payload type (MapType, variant) tie-breaks on its JSON rendering
+    * instead of failing analysis.
+    *
+    * Each payload is carried inside a single-field STRUCT: the struct
+    * is non-null for every right row even when the payload VALUE is
+    * null, so ignoreNulls skips only the left rows' filler — a matched
+    * right row with a genuinely-NULL payload yields NULL (DuckDB ASOF
+    * semantics), not a stale older row's value.
+    *
+    * NULL timestamps match nothing: right rows with a NULL `tsCol` are
+    * dropped (they are not "earliest", they are unordered), and a left
+    * row with a NULL `tsCol` gets NULL payloads in every direction —
+    * the three-valued-logic answer of the SQL comparisons a range
+    * formulation would run.
     */
   def asOfDirectional(
       left: DataFrame,
@@ -122,6 +90,7 @@ object AsOfJoin {
       .withColumns(pls.map(p =>
         s"__p_$p" -> lit(null).cast(structType(p))).toMap)
     val r = right
+      .filter(col(tsCol).isNotNull) // unordered rows can never match
       .withColumn("__side", lit(0))
       .select((Seq(col(key), col(tsCol), col("__side")) ++
         pls.map(p => struct(col(p).as("v")).as(s"__p_$p")) ++
@@ -170,10 +139,15 @@ object AsOfJoin {
     val onLeft = carried.filter(col("__side") === 1)
     val backDist = us(col(tsCol)) - us(col(s"__b_$tsCol"))
     val fwdDist = us(col(s"__f_$tsCol")) - us(col(tsCol))
-    val backOk = toleranceUs.fold(col(s"__b_$tsCol").isNotNull)(t =>
-      col(s"__b_$tsCol").isNotNull && backDist <= t)
-    val fwdOk = toleranceUs.fold(col(s"__f_$tsCol").isNotNull)(t =>
-      col(s"__f_$tsCol").isNotNull && fwdDist <= t)
+    // a NULL left timestamp matches nothing in EITHER direction (with
+    // nulls-first ordering its forward frame would otherwise contain
+    // the whole partition)
+    val backOk = col(tsCol).isNotNull && toleranceUs
+      .fold(col(s"__b_$tsCol").isNotNull)(t =>
+        col(s"__b_$tsCol").isNotNull && backDist <= t)
+    val fwdOk = col(tsCol).isNotNull && toleranceUs
+      .fold(col(s"__f_$tsCol").isNotNull)(t =>
+        col(s"__f_$tsCol").isNotNull && fwdDist <= t)
     val asofCols = payload.map { p =>
       val out = direction match {
         case "backward" => when(backOk, col(s"__b_$p"))

@@ -272,11 +272,16 @@ object TextAnalysis {
       .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"))
   }
 
-  def dupSpans(
+  /** Shared front of the report/apply pair ([[dupSpans]] /
+    * [[stripDupSpans]]): (base tokens, corpus-duplicated window start
+    * positions). Single-sourced so the two can never disagree on what
+    * counts as duplicated.
+    */
+  private def dupPositions(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): org.apache.spark.sql.DataFrame = {
+      k: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val base = tokenized(df, idCol, textCol)
       .select(col(idCol), col("__ts"))
@@ -285,6 +290,15 @@ object TextAnalysis {
       .agg((count(lit(1)) > 1).as("__dup"))
     val dupPos = pos.join(gramDup, Seq("__gram"))
       .filter(col("__dup")).select(col(idCol), col("__pos"))
+    (base, dupPos)
+  }
+
+  def dupSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val (base, dupPos) = dupPositions(df, idCol, textCol, k)
     val perDoc = mergeSpans(dupPos, idCol, k).groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("__e") - col("__s") + 1).as("dup_tokens"))
@@ -325,14 +339,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       k: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val base = tokenized(df, idCol, textCol)
-      .select(col(idCol), col("__ts"))
-    val pos = positionalGrams(base, idCol, k)
-    val gramDup = pos.groupBy(col("__gram"))
-      .agg((count(lit(1)) > 1).as("__dup"))
-    val dupPos = pos.join(gramDup, Seq("__gram"))
-      .filter(col("__dup")).select(col(idCol), col("__pos"))
+    val (base, dupPos) = dupPositions(df, idCol, textCol, k)
     // Maximal spans are disjoint by construction (mergeSpans splits
     // islands on gaps > k, and consecutive starts <= k apart leave no
     // uncovered hole), so per-token membership needs no dedup.

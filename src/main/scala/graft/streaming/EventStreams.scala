@@ -98,35 +98,48 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = List.newBuilder[UserSession]
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // a LATE cross-batch event (t before the carried state)
-                  // extends the session backwards, never rewinds `last` —
-                  // rewinding would make the next in-order event see a
-                  // false gap and wrongly split the session (and emit
-                  // session_end < session_start)
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  closed += UserSession(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) =
+              sessionFold(userId, state.getOption, rows, gapMs)
             cur.foreach(state.update)
             if (timeoutConf != GroupStateTimeout.NoTimeout())
               state.setTimeoutDuration(gapMs)
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** Pure per-batch session fold shared by [[sessionize]] (fMGWS) and
+    * [[SessionizeProcessor]] (TWS) — single-sourced so the two state
+    * APIs cannot drift on merge/close rules. A LATE cross-batch event
+    * (t before the carried state) extends the session backwards, never
+    * rewinds `last` — rewinding would make the next in-order event see
+    * a false gap and wrongly split the session (and emit session_end <
+    * session_start).
+    */
+  private[streaming] def sessionFold(
+      userId: Long,
+      prior: Option[SessionState],
+      rows: Iterator[Event],
+      gapMs: Long): (List[UserSession], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var cur = prior
+    val closed = List.newBuilder[UserSession]
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1,
+            total = s.total + e.value))
+        case Some(s) =>
+          closed += UserSession(userId, new Timestamp(s.start),
+            new Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.result(), cur)
   }
 
   /** [[sessionize]] on Spark 4's `transformWithState` — the
@@ -152,28 +165,10 @@ object EventStreams {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[UserSession] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var cur = if (state.exists()) Option(state.get()) else None
-      val closed = List.newBuilder[UserSession]
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            // late cross-batch event: extend backwards, never rewind
-            // `last` (same rule as the fMGWS path)
-            cur = Some(s.copy(start = math.min(s.start, t),
-              last = math.max(s.last, t), n = s.n + 1,
-              total = s.total + e.value))
-          case Some(s) =>
-            closed += UserSession(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
+      val prior = if (state.exists()) Option(state.get()) else None
+      val (closed, cur) = sessionFold(userId, prior, rows, gapMs)
       cur.foreach(state.update)
-      closed.result().iterator
+      closed.iterator
     }
   }
 

@@ -80,6 +80,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run("backward", Some(5L)) == Seq(Some(2.0), None, None))
   }
 
+  test("NULL timestamps match nothing: left gets NULL, right rows are dropped") {
+    import spark.implicits._
+    // a NULL-ts left row would otherwise see the WHOLE partition in its
+    // forward frame (nulls sort first), and a NULL-ts right row would
+    // pose as the "earliest" backward match for everyone
+    val right = Seq((1L, Option(10L), 1.0), (1L, Option.empty[Long], 9.0))
+      .toDF("k", "ts", "v")
+    val left = Seq((1L, Option(5L)), (1L, Option.empty[Long]))
+      .toDF("k", "ts")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.asOfDirectional(left, right, "k", "ts", Seq("v"), d)
+        .orderBy($"ts".asc_nulls_last).collect()
+      val expect5 = if (d == "backward") None else Some(1.0)
+      assert((if (got(0).isNullAt(2)) None else Some(got(0).getDouble(2)))
+        == expect5, s"$d: left ts=5 must see only the real ts=10 row")
+      assert(got(1).isNullAt(2), s"$d: NULL-ts left row must match nothing")
+    }
+  }
+
   test("directional: one Exchange, two doc-ordered windows (no range product)") {
     import spark.implicits._
     val right = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v")
