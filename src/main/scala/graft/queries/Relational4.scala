@@ -1490,6 +1490,47 @@ object Relational4 {
              |  WHERE c.user_id = p.user_id AND c.ts >= p.ts
              |    AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
              |  ORDER BY c.ts ASC, value DESC LIMIT 1) fn ON true
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    QueryDef(
+      // trailing-window DISTINCT count — COUNT(DISTINCT) OVER RANGE,
+      // which Spark (and SQL generally) cannot window natively. The
+      // scalable decomposition: dedup to (day, user) once, fan each
+      // activity day out to the <=7 target days it contributes to
+      // (map-side explode of a 7-element sequence), dedup (target day,
+      // user) with a partial-agg groupBy, and count — dictionary-sized
+      // shuffles throughout, never a per-day rescan of the fact table
+      // and never a giant collect_set window state. The oracle is the
+      // naive correlated formulation.
+      "q71_trailing_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val du = t(s, dir, "events")
+          .select(to_date($"ts").as("day"), $"user_id").distinct()
+        val days = du.select($"day").distinct()
+        val contrib = du.select(
+            explode(sequence($"day", date_add($"day", 6))).as("day"),
+            $"user_id")
+          .join(broadcast(days), Seq("day")) // clip the fan-out tail
+          .distinct()
+        val trailing = contrib.groupBy($"day")
+          .agg(count(lit(1)).as("trailing_7d_users"))
+        val daily = du.groupBy($"day")
+          .agg(count(lit(1)).as("daily_users"))
+        trailing.join(daily, Seq("day"))
+          .select($"day", $"trailing_7d_users", $"daily_users")
+          .orderBy($"day")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT day FROM du)
+             |SELECT d.day,
+             |  (SELECT COUNT(DISTINCT u.user_id) FROM du u
+             |    WHERE u.day BETWEEN d.day - 6 AND d.day)
+             |    AS trailing_7d_users,
+             |  (SELECT COUNT(DISTINCT u2.user_id) FROM du u2
+             |    WHERE u2.day = d.day) AS daily_users
+             |FROM days d ORDER BY d.day""".stripMargin))
   )
 }

@@ -227,6 +227,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"span-merge windows must partition by doc_id, not gram:\n$p")
   }
 
+  test("q71 trailing distinct: map-side fan-out, broadcast clip, partial aggs") {
+    val p = plan("q71_trailing_distinct")
+    // the 7-day fan-out must explode map-side against a BROADCAST day
+    // dictionary — a shuffled join here would move the fact table twice
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"(day,user) dedup must partial-aggregate map-side:\n$p")
+    // COUNT(DISTINCT) OVER RANGE must never become a window at all
+    assert(!p.contains("Window"),
+      s"the trailing distinct is a fan-out aggregation, not a window:\n$p")
+  }
+
   test("q51 profiler: two-level distinct aggregation, never an Expand") {
     val p = plan("q51_column_profile")
     // multiple count(DISTINCT) in one aggregate would plan an Expand
