@@ -152,7 +152,7 @@ object EventStreams {
     * TWS constraint — and the provider a 100 TB/day deployment sets
     * anyway).
     */
-  final class SessionizeProcessor(gapMs: Long)
+  final class SessionizeProcessor(gapMs: Long, useTimers: Boolean = false)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, UserSession] {
     @transient private var state:
@@ -167,19 +167,54 @@ object EventStreams {
         : Iterator[UserSession] = {
       val prior = if (state.exists()) Option(state.get()) else None
       val (closed, cur) = sessionFold(userId, prior, rows, gapMs)
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        if (useTimers) {
+          // one live timer per key: re-arm at the new gap horizon
+          prior.filter(_.last != s.last)
+            .foreach(p => getHandle.deleteTimer(p.last + gapMs))
+          getHandle.registerTimer(s.last + gapMs)
+        }
+      }
       closed.iterator
     }
+    // event-time timer: the watermark passed last+gap with no new rows
+    // for this key — the open tail can never extend again; flush it
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSession] =
+      if (state.exists() &&
+          state.get().last + gapMs == expiredTimerInfo.getExpiryTimeInMs) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(UserSession(userId, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, s.total))
+      } else Iterator.empty // stale timer from a superseded session
   }
 
+  /** @param tailWatermark when set, the input is watermarked on `ts`
+    *   and an EVENT-TIME TIMER per key flushes the open tail session
+    *   once the watermark passes its gap horizon — the piece fMGWS
+    *   could only approximate with processing-time timeouts (which
+    *   never fire on a synchronous drain and are wall-clock dependent);
+    *   TWS timers are event-time deterministic: same data, same flushed
+    *   tails, on any machine at any speed.
+    */
   def sessionizeTws(
       events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      tailWatermark: Option[String] = None): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    events
+    val src = tailWatermark.fold(events)(w =>
+      events.withWatermark("ts", w).as[Event])
+    src
       .groupByKey(_.user_id)
-      .transformWithState(new SessionizeProcessor(gapMs),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(
+        new SessionizeProcessor(gapMs, useTimers = tailWatermark.isDefined),
+        if (tailWatermark.isDefined)
+          org.apache.spark.sql.streaming.TimeMode.EventTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 

@@ -338,6 +338,63 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("TWS event-time timers flush tail sessions deterministically") {
+    import spark.implicits._
+    // with a 0s watermark delay, the final watermark W = max(ts); every
+    // open tail whose gap horizon (last + gap) lies strictly before W
+    // MUST flush via its event-time timer, horizons past W must stay
+    // open, and a horizon exactly AT W may land either way (boundary
+    // band, not a flake)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 10 * 60 * 1000L
+      val all = spark.read.parquet(srcDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = all.map(_.ts.getTime).max
+      def sessKey(u: Long, startMs: Long, lastMs: Long, n: Int) =
+        (u, startMs, lastMs, n)
+      val (closed, tails) = all.groupBy(_.user_id).toSeq.map {
+        case (u, evs) =>
+          val (c, tail) = EventStreams.sessionFold(
+            u, None, evs.sortBy(_.ts.getTime).iterator, gap)
+          (c.map(s => sessKey(u, s.session_start.getTime,
+            s.session_end.getTime, s.n_events)),
+            tail.map(s => sessKey(u, s.start, s.last, s.n)))
+      }.unzip
+      val mustFlush = tails.flatten.filter { case (_, _, last, _) =>
+        last + gap < maxTs }
+      val mayFlush = tails.flatten.filter { case (_, _, last, _) =>
+        last + gap == maxTs }
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.Event]
+      val q = EventStreams.sessionizeTws(stream, gap,
+          tailWatermark = Some("0 seconds"))
+        .writeStream.format("memory").queryName("sess_tws_timers")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val emitted = spark.table("sess_tws_timers").collect().map(r =>
+        sessKey(r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[java.sql.Timestamp]("session_end").getTime,
+          r.getAs[Int]("n_events"))).toSet
+      val floor = closed.flatten.toSet ++ mustFlush
+      val ceiling = floor ++ mayFlush
+      assert(mustFlush.nonEmpty, "fixture must have flushable tails")
+      assert(floor.subsetOf(emitted),
+        s"missing ${(floor -- emitted).take(3)} of ${floor.size} expected")
+      assert(emitted.subsetOf(ceiling),
+        s"unexpected ${(emitted -- ceiling).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionization over the real stream emits on timeout-free path") {
     import spark.implicits._
     val schema = spark.read.parquet(srcDir).schema
