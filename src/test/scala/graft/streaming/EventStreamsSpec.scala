@@ -395,6 +395,56 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("TWS timer re-arm: an extended session flushes at its NEW horizon only") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 60 * 1000L
+      def ev(id: Long, u: Long, tMs: Long) =
+        EventStreams.Event(id, new java.sql.Timestamp(tMs), u, "t", 1.0)
+      // batch 1: user 1 @100s -> timer armed at 160s. batch 2: user 1
+      // @150s extends the session (re-arm: delete 160s, register 210s)
+      // and user 2 @400s pushes the watermark past 210s -> user 1's
+      // tail [100s,150s] must flush exactly once with n=2 (a stale
+      // 160s timer would emit n=1 or a duplicate; a missing re-arm
+      // would emit nothing), while user 2's horizon (460s) stays open.
+      val dir = java.nio.file.Files.createTempDirectory("tws-rearm").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-rck").toString
+      val schema =
+        implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema
+      def writeBatch(events: Seq[EventStreams.Event]): Unit =
+        events.toDF().coalesce(1).write.mode("append").parquet(dir)
+      writeBatch(Seq(ev(1, 1L, 100000L)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .as[EventStreams.Event]
+      val q = EventStreams.sessionizeTws(stream, gapMs,
+          tailWatermark = Some("0 seconds"))
+        .writeStream.format("memory").queryName("tws_rearm")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        writeBatch(Seq(ev(2, 1L, 150000L), ev(3, 2L, 400000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_rearm").collect().map(r =>
+        (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[java.sql.Timestamp]("session_end").getTime,
+          r.getAs[Int]("n_events"))).toSeq
+      assert(got == Seq((1L, 100000L, 150000L, 2)),
+        s"expected one re-armed flush of user 1's extended tail, got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionization over the real stream emits on timeout-free path") {
     import spark.implicits._
     val schema = spark.read.parquet(srcDir).schema
