@@ -1507,7 +1507,12 @@ object Relational4 {
         import s.implicits._
         val du = t(s, dir, "events")
           .select(to_date($"ts").as("day"), $"user_id").distinct()
-        val days = du.select($"day").distinct()
+        val daily = du.groupBy($"day")
+          .agg(count(lit(1)).as("daily_users"))
+        // the day dictionary falls out of the daily rollup — deriving
+        // it from du directly would cost a third full scan + dedup of
+        // the fact table
+        val days = daily.select($"day")
         val contrib = du.select(
             explode(sequence($"day", date_add($"day", 6))).as("day"),
             $"user_id")
@@ -1515,8 +1520,6 @@ object Relational4 {
           .distinct()
         val trailing = contrib.groupBy($"day")
           .agg(count(lit(1)).as("trailing_7d_users"))
-        val daily = du.groupBy($"day")
-          .agg(count(lit(1)).as("daily_users"))
         trailing.join(daily, Seq("day"))
           .select($"day", $"trailing_7d_users", $"daily_users")
           .orderBy($"day")

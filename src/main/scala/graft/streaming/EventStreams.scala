@@ -199,15 +199,19 @@ object EventStreams {
     *   could only approximate with processing-time timeouts (which
     *   never fire on a synchronous drain and are wall-clock dependent);
     *   TWS timers are event-time deterministic: same data, same flushed
-    *   tails, on any machine at any speed.
+    *   tails, on any machine at any speed. The watermark is also a
+    *   LATENESS BOUND: events arriving more than this delay behind the
+    *   stream's max timestamp are dropped BEFORE the processor (the
+    *   standard EventTime contract), so the unbounded backwards
+    *   extension the unwatermarked path performs only applies within
+    *   the delay — pick it as the out-of-orderness you must absorb.
     */
   def sessionizeTws(
       events: Dataset[Event],
       gapMs: Long = 30 * 60 * 1000L,
       tailWatermark: Option[String] = None): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    val src = tailWatermark.fold(events)(w =>
-      events.withWatermark("ts", w).as[Event])
+    val src = tailWatermark.fold(events)(events.withWatermark("ts", _))
     src
       .groupByKey(_.user_id)
       .transformWithState(

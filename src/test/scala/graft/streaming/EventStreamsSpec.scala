@@ -20,6 +20,22 @@ class EventStreamsSpec extends AnyFunSuite {
     dir
   }
 
+
+  /** Run `body` on the RocksDB state store provider (what a real
+    * deployment sets, and a hard requirement for transformWithState),
+    * restoring the previous provider afterwards.
+    */
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming windowed counts equal the batch computation") {
     val streamed = EventStreams.runToMemory(spark, srcDir, "win_counts",
       df => EventStreams.windowedCounts(df))
@@ -208,11 +224,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // real deployment sets. Same query, same results, different backend
     // — pinned here so the operators never grow a hidden dependency on
     // the default provider's semantics (e.g. its looser key ordering)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val streamed = EventStreams.runToMemory(spark, srcDir, "win_rocks",
         df => EventStreams.windowedCounts(df))
       val batch = EventStreams.windowedCounts(spark.read.parquet(srcDir))
@@ -221,9 +233,6 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(s.nonEmpty, "append-mode output must be non-empty")
       assert(s.forall(r => bSet(r.toString)),
         "RocksDB-backed results must equal the batch computation")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 
@@ -311,11 +320,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // the two arbitrary-state APIs must never drift: same closed
     // sessions, bit-identical tuples, over a multi-batch replay on the
     // RocksDB provider (a TWS streaming constraint)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       def run(name: String,
           f: org.apache.spark.sql.Dataset[EventStreams.Event] =>
             org.apache.spark.sql.Dataset[EventStreams.UserSession]) = {
@@ -332,9 +337,6 @@ class EventStreamsSpec extends AnyFunSuite {
       val fmgws = run("sess_fmgws", ds => EventStreams.sessionize(ds, gap))
       assert(tws.nonEmpty, "closed sessions must emit")
       assert(tws == fmgws, "TWS and fMGWS sessions must be identical")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 
@@ -345,11 +347,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // MUST flush via its event-time timer, horizons past W must stay
     // open, and a horizon exactly AT W may land either way (boundary
     // band, not a flake)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val gap = 10 * 60 * 1000L
       val all = spark.read.parquet(srcDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -389,28 +387,24 @@ class EventStreamsSpec extends AnyFunSuite {
         s"missing ${(floor -- emitted).take(3)} of ${floor.size} expected")
       assert(emitted.subsetOf(ceiling),
         s"unexpected ${(emitted -- ceiling).take(3)}")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 
   test("TWS timer re-arm: an extended session flushes at its NEW horizon only") {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val gapMs = 60 * 1000L
       def ev(id: Long, u: Long, tMs: Long) =
         EventStreams.Event(id, new java.sql.Timestamp(tMs), u, "t", 1.0)
       // batch 1: user 1 @100s -> timer armed at 160s. batch 2: user 1
       // @150s extends the session (re-arm: delete 160s, register 210s)
       // and user 2 @400s pushes the watermark past 210s -> user 1's
-      // tail [100s,150s] must flush exactly once with n=2 (a stale
-      // 160s timer would emit n=1 or a duplicate; a missing re-arm
-      // would emit nothing), while user 2's horizon (460s) stays open.
+      // tail [100s,150s] must flush exactly once with n=2, while user
+      // 2's horizon (460s) stays open. This pins the REGISTRATION half
+      // of the re-arm (a missing registerTimer emits nothing); a leaked
+      // 160s timer is invisible here by design — handleExpiredTimer's
+      // horizon guard absorbs stale timers, which is itself the
+      // correctness property (a stale fire must never emit n=1).
       val dir = java.nio.file.Files.createTempDirectory("tws-rearm").toString
       val ckpt = java.nio.file.Files.createTempDirectory("tws-rck").toString
       val schema =
@@ -439,9 +433,6 @@ class EventStreamsSpec extends AnyFunSuite {
           r.getAs[Int]("n_events"))).toSeq
       assert(got == Seq((1L, 100000L, 150000L, 2)),
         s"expected one re-armed flush of user 1's extended tail, got $got")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 
