@@ -592,6 +592,32 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** HTML/markup -> text extraction — the first step of every
+    * web-crawl corpus pipeline. Regex-grade (NOT an HTML parser):
+    * script/style blocks strip wholesale FIRST (their bodies legally
+    * contain naked `<`, which the tag pass would mangle), then tags,
+    * then the five predefined entities decode with `&amp;` LAST (else
+    * `&amp;lt;` double-decodes to `<` instead of the literal `&lt;` it
+    * encodes), then whitespace collapses. A quoted `>` inside an
+    * attribute value is out of scope for the tag regex — the honest
+    * limit of regex extraction, documented rather than half-handled.
+    * Every pattern is restricted to constructs with identical
+    * Java-regex/RE2 semantics (non-greedy dot under `(?is)`, no
+    * backreferences), so the DuckDB oracle replays byte-for-byte.
+    * Pure per-row codegen'd expressions: at 100 TB this is a map-only
+    * pass, no shuffle.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (e, v)) => replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** PII redaction: mask email addresses and URLs (the two scrubbing
     * passes every public-corpus pipeline runs first). Patterns are kept
     * to constructs with identical Java-regex/RE2 semantics so the

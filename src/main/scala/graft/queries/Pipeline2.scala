@@ -1550,7 +1550,56 @@ object Pipeline2 {
              |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
              |  md5(nfc_normalize(raw)) AS nfc_md5,
              |  raw = nfc_normalize(raw) AS already_nfc
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // HTML -> text extraction: each doc is wrapped in deterministic
+      // markup (script body with a naked '<', a style block, quoted
+      // attributes, encoded entities incl. the &amp;lt; double-decode
+      // trap) and both engines run the identical strip sequence -
+      // script/style first, tags, entities with &amp; last, whitespace
+      // collapse. md5 pins the extracted text byte-for-byte.
+      "p69_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>.m { color: red }</style></head>" +
+            "<body><h1 class=\"t\">"),
+          $"source", lit("</h1>\n<p>"), $"text",
+          lit(" &amp; more &lt;tokens&gt; &amp;lt;kept&amp;gt;</p>" +
+            "</body></html>"))
+        t(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id",
+            length(TextAnalysis.stripMarkup(html)).cast("long").as("n_chars"),
+            md5(TextAnalysis.stripMarkup(html)).as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><script type="text/javascript">var x = 1 < 2;'
+             |    || '</script><style>.m { color: red }</style></head>'
+             |    || '<body><h1 class="t">' || source || '</h1>' || chr(10)
+             |    || '<p>' || text
+             |    || ' &amp; more &lt;tokens&gt; &amp;lt;kept&amp;gt;</p>'
+             |    || '</body></html>' AS html
+             |  FROM documents WHERE text IS NOT NULL),
+             |s1 AS (SELECT doc_id, regexp_replace(html,
+             |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(t,
+             |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(t,
+             |  '<[^>]+>', ' ', 'g') AS t FROM s2),
+             |s4 AS (SELECT doc_id,
+             |  replace(replace(replace(replace(replace(t,
+             |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s3),
+             |f AS (SELECT doc_id,
+             |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s4)
+             |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             |  md5(t) AS text_md5
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

@@ -212,6 +212,25 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     assert(result.passed, result.toString)
   }
 
+  test("stripMarkup: script-first order, entity decode order, whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body with naked '<' must strip wholesale, not mangle
+      ("<script>if (a < b) { x() }</script>hi", "hi"),
+      ("<style>p > span { }</style>ok", "ok"),   // '>' inside style body
+      ("<p class=\"x\">a</p><br/>b", "a b"),
+      // &amp;lt; is the LITERAL text "&lt;" - must not double-decode
+      ("&amp;lt;kept&amp;gt; &lt;real&gt;", "&lt;kept&gt; <real>"),
+      ("&quot;q&quot; &#39;a&#39; x &amp; y", "\"q\" 'a' x & y"),
+      ("  a\n\n<b>  b  </b>\tc ", "a b c"),
+      ("plain", "plain"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripMarkup($"h")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: got '$g', want '$e'")
+    }
+  }
+
   test("crossSourceLeakSpans measures contamination depth, not breadth") {
     import spark.implicits._
     // k=4. docs 1 (train) and 2 (eval) share a DEEP 8-token run; docs 3
