@@ -618,6 +618,25 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Link density — the navigation/boilerplate-page signal (CCNet /
+    * RefinedWeb quality rule): the fraction of extracted text that sat
+    * inside anchor tags. A nav page or link farm scores near 1, prose
+    * near 0. Anchor bodies are captured BEFORE any stripping (group 1
+    * of an RE2-safe non-greedy pattern), then themselves markup/entity
+    * cleaned via [[stripMarkup]] so nested tags inside an anchor don't
+    * count as text. Integer char counts and one exact ratio — map-only,
+    * oracle-replayable.
+    */
+  def linkDensity(html: Column): Column = {
+    val anchorChars = aggregate(
+      transform(regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        a => length(stripMarkup(a))),
+      lit(0L), (acc, n) => acc + n)
+    val textChars = length(stripMarkup(html)).cast("long")
+    when(textChars > 0,
+      round(anchorChars.cast("double") / textChars, 6)).otherwise(lit(0.0))
+  }
+
   /** PII redaction: mask email addresses and URLs (the two scrubbing
     * passes every public-corpus pipeline runs first). Patterns are kept
     * to constructs with identical Java-regex/RE2 semantics so the

@@ -1599,7 +1599,33 @@ object Pipeline2 {
              |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s4)
              |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
              |  md5(t) AS text_md5
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // link density: the nav/boilerplate-page quality rule. Anchors
+      // wrap 'home' and the source name; the doc text sits outside, so
+      // the expected density is a closed-form ratio the oracle computes
+      // INDEPENDENTLY (no shared regex pipeline) - extraction machinery
+      // on one side, arithmetic on the other, agreement proves both.
+      "p70_link_density",
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<body><nav><a href=\"/\">home</a> <a href=\"/x\">"),
+          $"source", lit("</a></nav><p>"), $"text", lit("</p></body>"))
+        t(s, dir, "documents")
+          .filter($"text".isNotNull)
+          .select($"doc_id",
+            length(TextAnalysis.stripMarkup(html)).cast("long").as("n_chars"),
+            TextAnalysis.linkDensity(html).as("link_density"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(6 + length(source) + length(text) AS BIGINT) AS n_chars,
+             |  round(CAST(4 + length(source) AS DOUBLE)
+             |    / (6 + length(source) + length(text)), 6) AS link_density
+             |FROM documents WHERE text IS NOT NULL
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

@@ -231,6 +231,26 @@ class Pipeline2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linkDensity: nested anchor markup, all-anchor and no-text pages") {
+    import spark.implicits._
+    val cases = Seq(
+      // tags become spaces, so the anchor "a<b>b</b>" strips to "a b"
+      // (3 chars) over the full "a b cd" (6 chars)
+      ("<a href=x>a<b>b</b></a> cd", 0.5),
+      ("<a>only anchor</a>", 1.0),
+      // link farm: the collapsed separator space between the two
+      // anchors counts as page text ("x yz" = 4) but not anchor text
+      // ("x"+"yz" = 3) — char-based density tops out just under 1
+      ("<nav><a>x</a><a>yz</a></nav>", 0.75),
+      ("plain prose only", 0.0),
+      ("<script>var a;</script>", 0.0))        // strips to empty: 0, not NaN
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.linkDensity($"h")).collect().map(_.getDouble(0))
+    got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: got $g, want $e")
+    }
+  }
+
   test("crossSourceLeakSpans measures contamination depth, not breadth") {
     import spark.implicits._
     // k=4. docs 1 (train) and 2 (eval) share a DEEP 8-token run; docs 3
