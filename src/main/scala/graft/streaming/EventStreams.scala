@@ -284,12 +284,20 @@ object EventStreams {
     * not stream lifetime. Inner join in append mode — rows emit once
     * both sides' watermarks pass the match window.
     */
+  /** @param joinType "inner" emits matches as they arrive;
+    *   "left_outer" additionally emits each unmatched left row with
+    *   NULL right columns — but only once the watermark proves no
+    *   in-horizon right row can still arrive (state-clean null
+    *   emission, the semantics a 100 TB/day attribution pipeline
+    *   needs: "this view NEVER converted", not "hasn't yet").
+    */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       userCol: String = "user_id",
       horizon: String = "10 minutes",
-      watermark: String = "15 minutes"): DataFrame = {
+      watermark: String = "15 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(userCol).as("l_user"), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"))
@@ -299,7 +307,8 @@ object EventStreams {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("l_user").as("user_id"), col("l_event_id"),
         col("r_event_id"), col("l_ts"), col("r_ts"), col("r_value"))
   }

@@ -122,6 +122,52 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  test("left-outer interval join: matches equal batch; nulls only past the horizon") {
+    import spark.implicits._
+    val views = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "view")
+    val clicks = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "click")
+    val streamed = EventStreams.runToMemory(spark, srcDir, "loj_interval",
+      df => EventStreams.intervalJoin(views(df), clicks(df),
+        joinType = "left_outer")).collect()
+    val batchDf = spark.read.parquet(srcDir)
+    val batch = EventStreams.intervalJoin(views(batchDf), clicks(batchDf),
+      joinType = "left_outer").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("l_event_id"),
+        Option(r.getAs[Any]("r_event_id")).map(_.toString))
+    val s = streamed.map(key).toSet
+    val bMatched = batch.filter(!_.isNullAt(2)).map(key).toSet
+    val bNull = batch.filter(_.isNullAt(2))
+    // every batch MATCH must stream; streamed matches must equal them
+    assert(bMatched.subsetOf(s), s"missing ${(bMatched -- s).take(3)}")
+    // null rows may only exist for batch-unmatched left rows, and any
+    // unmatched left row whose join horizon lies strictly before the
+    // final watermark MUST have emitted its null (state-clean "never
+    // converted", not "hasn't yet")
+    val wmkMs = 15 * 60 * 1000L
+    val horizonMs = 10 * 60 * 1000L
+    // the GLOBAL watermark is the MIN across both sides' watermark
+    // nodes, and each node only sees its own filtered rows — the click
+    // stream ends hours before the view stream here, so the click-side
+    // max is the binding one (using the overall max ts would overclaim
+    // the eviction frontier by exactly that gap)
+    val maxSideTs = Seq("view", "click").map(t =>
+      batchDf.filter($"event_type" === t).agg(max($"ts")).collect()
+        .head.getTimestamp(0).getTime).min
+    val bNullKeys = bNull.map(key).toSet
+    val mustNull = bNull.filter(r =>
+      r.getAs[java.sql.Timestamp]("l_ts").getTime + horizonMs <
+        maxSideTs - wmkMs).map(key).toSet
+    val streamedNulls = streamed.filter(_.isNullAt(2)).map(key).toSet
+    assert(mustNull.nonEmpty, "fixture must have provably-unmatched views")
+    assert(mustNull.subsetOf(streamedNulls),
+      s"missing nulls ${(mustNull -- streamedNulls).take(3)}")
+    assert(streamedNulls.subsetOf(bNullKeys),
+      s"spurious nulls ${(streamedNulls -- bNullKeys).take(3)}")
+  }
+
   test("idempotent foreachBatch sink: commit-marker loss replays without dupes") {
     val out = Files.createTempDirectory("fb-out").toString
     val ckpt = Files.createTempDirectory("fb-ckpt").toString
