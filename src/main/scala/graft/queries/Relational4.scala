@@ -1534,6 +1534,44 @@ object Relational4 {
              |    AS trailing_7d_users,
              |  (SELECT COUNT(DISTINCT u2.user_id) FROM du u2
              |    WHERE u2.day = d.day) AS daily_users
-             |FROM days d ORDER BY d.day""".stripMargin))
+             |FROM days d ORDER BY d.day""".stripMargin)),
+
+    QueryDef(
+      // ordered-selection aggregate family: max_by/min_by (arg_max /
+      // arg_min), count_if, bool_and/bool_or — one partial-aggregable
+      // pass, no window, no self-join. max_by on a tied ordering value
+      // is NONDETERMINISTIC in both engines, so the ordering key is
+      // made unique by construction: exact cents (round-then-cast —
+      // DuckDB CAST truncates doubles where Spark rounds) scaled past
+      // the key range, plus the unique order key as tie-break.
+      "q72_ordered_selection_aggs",
+      (s, dir) => {
+        import s.implicits._
+        val ordKey = expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT) * 100000000" +
+            " + o_orderkey")
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            max_by($"o_orderkey", ordKey).as("top_order"),
+            min_by($"o_orderkey", ordKey).as("bottom_order"),
+            count_if($"o_totalprice" > 150000).as("n_big"),
+            bool_and($"o_totalprice" > 0).as("all_positive"),
+            bool_or($"o_orderstatus" === "F").as("any_finished"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) AS n_orders,
+             |  arg_max(o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+             |      + o_orderkey) AS top_order,
+             |  arg_min(o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+             |      + o_orderkey) AS bottom_order,
+             |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  bool_or(o_orderstatus = 'F') AS any_finished
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
