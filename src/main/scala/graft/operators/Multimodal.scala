@@ -587,6 +587,41 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  /** Scene-cut detection over video payloads: decode every frame's 4x4
+    * luma thumbnail ([[frameSamples]] stride=1), then flag frame f as a
+    * cut when the mean absolute per-cell luma change from frame f-1
+    * crosses `threshold` — the shot-boundary pass a video training
+    * pipeline runs before captioning/sampling per shot. The frame diff
+    * is a doc-keyed window (bounded by `maxFrames` per document, the
+    * p61 discipline — never a global funnel), and the per-document
+    * report is one partial-aggregable groupBy. The decode itself stays
+    * map-side: payloads never shuffle; only (doc_id, frame_idx, thumb)
+    * rows — 16 floats each — reach the window.
+    */
+  def sceneCutReport(
+      videos: DataFrame,
+      threshold: Double = 0.5,
+      maxFrames: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSamples(videos, stride = 1, maxFrames = maxFrames)
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val prev = lag(col("thumb"), 1).over(w)
+    val l1 = aggregate(
+      zip_with(col("thumb"), prev, (a, b) => abs(a - b).cast("double")),
+      lit(0.0d), (acc, v) => acc + v) / lit(16.0d)
+    val cut = prev.isNotNull && l1 >= lit(threshold)
+    frames
+      .select(col("doc_id"), col("frame_idx"), cut.as("is_cut"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut").cast("long")).as("n_cuts"),
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(when(col("is_cut"), col("frame_idx")))),
+            _.cast("string")))
+          .as("cut_frames"))
+  }
+
   /** Deterministic synthetic Y4M clip (8x8, C420, constant-luma frames):
     * frame f of doc d has every Y byte equal to (d*7 + f*13) mod 256.
     * Exists so frame-sampling can be ORACLE-checked end-to-end — the

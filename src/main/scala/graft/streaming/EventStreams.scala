@@ -289,7 +289,12 @@ object EventStreams {
     *   NULL right columns — but only once the watermark proves no
     *   in-horizon right row can still arrive (state-clean null
     *   emission, the semantics a 100 TB/day attribution pipeline
-    *   needs: "this view NEVER converted", not "hasn't yet").
+    *   needs: "this view NEVER converted", not "hasn't yet");
+    *   "full_outer" emits watermark-proven unmatched rows from BOTH
+    *   sides (views that never converted AND clicks with no
+    *   attributable view — the orphan-click audit), under the same
+    *   bounded-state discipline: both sides' state still expires at
+    *   (rate x (watermark + horizon)).
     */
   def intervalJoin(
       left: DataFrame,
@@ -309,7 +314,10 @@ object EventStreams {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
       joinType)
-      .select(col("l_user").as("user_id"), col("l_event_id"),
+      // full_outer rows unmatched on the left carry the user only in
+      // r_user; coalesce so user_id is total for every join type
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_event_id"),
         col("r_event_id"), col("l_ts"), col("r_ts"), col("r_value"))
   }
 
@@ -338,6 +346,84 @@ object EventStreams {
           .partitionBy("_batch_id")
           .parquet(outDir)
       }
+
+  /** Streaming INCREMENTAL ROLLUP MAINTENANCE via foreachBatch — the
+    * q74 mergeable-aggregate-state pattern run continuously: each
+    * micro-batch partial-aggregates (event_type -> count, cents total)
+    * and merges into a versioned state table, so the rollup is always
+    * current WITHOUT ever rescanning history — per batch the work is
+    * (batch partial + state-table merge), state-table-sized, not
+    * stream-lifetime-sized. Exactly-once without transactions, by
+    * high-water mark: state version v=N is a pure function of version
+    * N-1 plus batch N, written under its own `v=<batchId>` directory;
+    * a replayed batch (commit-marker loss re-delivers at-least-once)
+    * finds `v=N/_SUCCESS` already present and SKIPS the merge. Readers
+    * take the highest _SUCCESS-complete version, so a crash mid-write
+    * leaves the previous version intact and readable. Old versions are
+    * pruned past a small retention window. Values aggregate as integer
+    * cents — replay equality is exact, never float-sum-order luck.
+    */
+  def rollupMaintenanceSink(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      keepVersions: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val vDir = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
+        val done = new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")
+        if (!fs.exists(done)) {
+          val partial = batch
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          val merged = latestRollupState(spark, stateDir, batchId) match {
+            case Some(prev) => prev.unionByName(partial)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+            case None => partial
+          }
+          // state tables are dictionary-sized; one file keeps the
+          // version listing cheap
+          merged.coalesce(1).write.mode("overwrite").parquet(vDir.toString)
+          rollupVersions(fs, root).dropRight(keepVersions)
+            .foreach { case (_, p) => fs.delete(p, true) }
+        }
+      }
+
+  private def rollupVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { s =>
+        val id = s.getPath.getName.stripPrefix("v=").toLongOption
+        id.filter(_ => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_ -> s.getPath)
+      }
+      .sortBy(_._1)
+
+  /** The newest complete rollup state strictly before `beforeBatch`
+    * (None => all versions; Some(id) bounds recovery reads so a replay
+    * of batch N merges from N-1's state, never its own half-written
+    * output).
+    */
+  def latestRollupState(
+      spark: SparkSession,
+      stateDir: String,
+      beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    rollupVersions(fs, root).filter(_._1 < beforeBatch).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
+  }
 
   /** Static token baseline for [[tokenDriftStream]]: scaled floor-quotient
     * probabilities `p(t) = count(t) * scale DIV total` over a reference

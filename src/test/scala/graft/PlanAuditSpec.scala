@@ -408,4 +408,39 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the fingerprint self-join must stay an equi-join:\n$p")
   }
+
+  test("q73 spatial radius join is a cell equi-join, never a cartesian") {
+    val p = plan("q73_spatial_grid_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid bucketing must make the radius join an equi-join:\n$p")
+    // the distance filter rides the cell join, not a post-join pass of
+    // a wider product; the aggregate partial-aggregates map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q76 fact scan carries a runtime dynamicpruning partition filter") {
+    val p = plan("q76_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"the year-partitioned fact scan must be runtime-pruned by the " +
+        s"filtered dim, not fully read:\n$p")
+  }
+
+  test("q79 join hints produce all three physical join strategies") {
+    val p = plan("q79_join_strategy_hints")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin"),
+      s"the merge hint must force SMJ even on a broadcastable dim:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the shuffle_hash hint must force SHJ:\n$p")
+  }
+
+  test("q75 grouped OLS shuffles facts once, regression on monthly rows") {
+    val p = plan("q75_grouped_ols")
+    // nation dim must broadcast; the only SMJ/shuffle joins allowed are
+    // the order-customer equi-join feeding the first partial aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

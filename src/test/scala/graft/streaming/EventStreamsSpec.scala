@@ -168,6 +168,57 @@ class EventStreamsSpec extends AnyFunSuite {
       s"spurious nulls ${(streamedNulls -- bNullKeys).take(3)}")
   }
 
+  test("full-outer interval join: matches equal batch; nulls on BOTH sides") {
+    import spark.implicits._
+    val views = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "view")
+    val clicks = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "click")
+    val streamed = EventStreams.runToMemory(spark, srcDir, "foj_interval",
+      df => EventStreams.intervalJoin(views(df), clicks(df),
+        joinType = "full_outer")).collect()
+    val batchDf = spark.read.parquet(srcDir)
+    val batch = EventStreams.intervalJoin(views(batchDf), clicks(batchDf),
+      joinType = "full_outer").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getAs[Any]("l_event_id")).map(_.toString),
+        Option(r.getAs[Any]("r_event_id")).map(_.toString))
+    val s = streamed.map(key).toSet
+    val bMatched = batch.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(key).toSet
+    assert(bMatched.subsetOf(s), s"missing ${(bMatched -- s).take(3)}")
+    val wmkMs = 15 * 60 * 1000L
+    val horizonMs = 10 * 60 * 1000L
+    // the binding global watermark is the min across both sides
+    val maxSideTs = Seq("view", "click").map(t =>
+      batchDf.filter($"event_type" === t).agg(max($"ts")).collect()
+        .head.getTimestamp(0).getTime).min
+    // LEFT nulls: unmatched views whose horizon closed before the
+    // final watermark MUST have emitted
+    val bLeftNull = batch.filter(_.isNullAt(2))
+    val mustLeftNull = bLeftNull.filter(r =>
+      r.getAs[java.sql.Timestamp]("l_ts").getTime + horizonMs <
+        maxSideTs - wmkMs).map(key).toSet
+    // RIGHT nulls: unmatched clicks; a click's candidate views lie in
+    // [r_ts - horizon, r_ts], so once the watermark passes r_ts no
+    // match can arrive — same margin, conservatively
+    val bRightNull = batch.filter(_.isNullAt(1))
+    val mustRightNull = bRightNull.filter(r =>
+      r.getAs[java.sql.Timestamp]("r_ts").getTime + horizonMs <
+        maxSideTs - wmkMs).map(key).toSet
+    val streamedNulls = streamed
+      .filter(r => r.isNullAt(1) || r.isNullAt(2)).map(key).toSet
+    val bNullKeys = (bLeftNull ++ bRightNull).map(key).toSet
+    assert(mustLeftNull.nonEmpty && mustRightNull.nonEmpty,
+      "fixture must have provably-unmatched rows on both sides")
+    assert(mustLeftNull.subsetOf(streamedNulls),
+      s"missing left nulls ${(mustLeftNull -- streamedNulls).take(3)}")
+    assert(mustRightNull.subsetOf(streamedNulls),
+      s"missing right nulls ${(mustRightNull -- streamedNulls).take(3)}")
+    assert(streamedNulls.subsetOf(bNullKeys),
+      s"spurious nulls ${(streamedNulls -- bNullKeys).take(3)}")
+  }
+
   test("idempotent foreachBatch sink: commit-marker loss replays without dupes") {
     val out = Files.createTempDirectory("fb-out").toString
     val ckpt = Files.createTempDirectory("fb-ckpt").toString
@@ -200,6 +251,52 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(replayed.toSeq == expected.toSeq,
       "replayed batch must overwrite its own partition, not append duplicates")
+  }
+
+  test("rollup maintenance sink: state == batch recompute; replay is a no-op") {
+    val stateDir = Files.createTempDirectory("rollup-state").toString
+    val ckpt = Files.createTempDirectory("rollup-ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      // one file per trigger => several micro-batches => several merges
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStreams.rollupMaintenanceSink(stream, stateDir, ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def stateRows() = EventStreams.latestRollupState(spark, stateDir)
+      .get.orderBy("event_type").collect().map(_.toString).toSeq
+    val expected = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    val got = stateRows()
+    // integer cents: merged incremental state must EQUAL the full
+    // recompute, not approximately
+    assert(got == expected, s"state $got != recompute $expected")
+    // several versions must have merged (multi-file source); retention
+    // keeps at most keepVersions complete versions around
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("v=")).map(_.getPath.getName)
+    assert(versions.length <= 3, versions.mkString(","))
+    // crash between state write and offset commit: drop the newest
+    // commit marker; the restart re-delivers that batch and must find
+    // its version already complete — a pure no-op
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val commits = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commitsDir, s".${commits.last.getName}.crc")
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+    java.nio.file.Files.delete(commits.last.toPath)
+    runOnce()
+    assert(stateRows() == expected,
+      "a replayed batch must not re-merge into the state table")
   }
 
   test("sessionization emits gap-separated sessions (batch-mode check)") {
