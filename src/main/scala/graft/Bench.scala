@@ -127,13 +127,13 @@ object Bench {
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query stdout values cap at 3 chars: one decimal under 10s,
-    // whole seconds to 999, clamped above (a 1000s query is a
+    // per-query stdout values cap at 2 chars: one decimal under 10s,
+    // whole seconds to 99, clamped above (a 100s query is a
     // catastrophe where stdout precision is moot) — full precision is
-    // in target/bench-full.json. The suite crossed the tail window
-    // again at 144 queries with 4-char values.
+    // in target/bench-full.json. The suite crossed the tail window at
+    // 144 queries with 4-char values and again at 169 with 3-char.
     def fmt1(v: Double): String =
-      if (v >= 999) "999"
+      if (v >= 99) "99"
       else if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
       else "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt1(v) }
@@ -148,6 +148,10 @@ object Bench {
       if (failed.isEmpty) "\"failed\":0"
       else if (failed.size > 10) s""""failed":${failed.size}"""
       else s""""failed":${failed.size},"failed_queries":[${failed.mkString(",")}]"""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$failedPart,"sf":"$sfDir"}"""
+    // sf renders as its basename: the driver identifies the scale
+    // factor, and the 15-char path prefix is pure tail-window waste
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$failedPart,"sf":"$sfShort"}"""
   }
 }

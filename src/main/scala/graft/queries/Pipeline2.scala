@@ -1625,7 +1625,70 @@ object Pipeline2 {
              |  round(CAST(4 + length(source) AS DOUBLE)
              |    / (6 + length(source) + length(text)), 6) AS link_density
              |FROM documents WHERE text IS NOT NULL
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // TRAIN/EVAL LEAK CERTIFICATE — the auditable guarantee the p51
+      // cluster-safe split exists to provide: no near-duplicate pair may
+      // straddle two folds. Every oracled Jaccard pair is joined to both
+      // endpoints' folds and counted by (fold_a, fold_b); because folds
+      // hash the CLUSTER representative, off-diagonal cells are
+      // structurally impossible, and the output proves it — each row
+      // carries a same_fold boolean the oracle asserts per-row. This is
+      // the proof obligation an LLM data pipeline files next to its
+      // split manifest: not "we used cluster-safe splitting" but "here
+      // is the pair-level audit showing zero crossings". All frames are
+      // the shared memoized stages (pairs, clusters) + dictionary joins.
+      "p74_split_leak_certificate",
+      (s, dir) => {
+        import s.implicits._
+        val labels = dupClusters(s, dir)
+          .select($"id".as("doc_id"), $"cluster_id")
+        val h = substring(md5($"rep".cast("string")), 1, 1)
+        val folded = t(s, dir, "documents").select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("fold",
+            when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+          .select($"doc_id", $"fold")
+        Pipeline.jaccardPairs(s, dir)
+          .join(folded.select($"doc_id".as("id_a"), $"fold".as("fold_a")),
+            Seq("id_a"))
+          .join(folded.select($"doc_id".as("id_b"), $"fold".as("fold_b")),
+            Seq("id_b"))
+          .groupBy($"fold_a", $"fold_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("same_fold", $"fold_a" === $"fold_b")
+          .orderBy($"fold_a", $"fold_b")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id),
+             |labels AS (SELECT id, MIN(lbl) AS cluster_id
+             |           FROM reach GROUP BY id),
+             |f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN substring(md5(CAST(
+             |             COALESCE(l.cluster_id, doc_id) AS VARCHAR)), 1, 1)
+             |           < 'c' THEN 'train'
+             |         WHEN substring(md5(CAST(
+             |             COALESCE(l.cluster_id, doc_id) AS VARCHAR)), 1, 1)
+             |           < 'e' THEN 'val'
+             |         ELSE 'test' END AS fold
+             |  FROM documents LEFT JOIN labels l ON l.id = doc_id)
+             |SELECT fa.fold AS fold_a, fb.fold AS fold_b,
+             |  COUNT(*) AS n_pairs,
+             |  fa.fold = fb.fold AS same_fold
+             |FROM pairs p
+             |JOIN f fa ON fa.doc_id = p.id_a
+             |JOIN f fb ON fb.doc_id = p.id_b
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

@@ -429,6 +429,112 @@ object Relational5 {
              |CROSS JOIN (SELECT unnest(['broadcast', 'merge',
              |  'shuffle_hash']) AS strategy) s
              |GROUP BY 1, 2
-             |ORDER BY strategy, c_mktsegment""".stripMargin))
+             |ORDER BY strategy, c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      // COHORT RETENTION MATRIX — users grouped by first-activity week,
+      // tracked across subsequent weeks: the product-analytics staple.
+      // Scale shape: one distinct pass collapses events to (user, week)
+      // — the only fact-table shuffle — then cohorts are a user-keyed
+      // min aggregate and the matrix a partial-aggregable count over
+      // (cohort_week, offset). No window, no self-join over events;
+      // everything after the first distinct is user-dictionary-sized.
+      "q80_cohort_retention",
+      (s, dir) => {
+        import s.implicits._
+        val uw = t(s, dir, "events")
+          .select(trunc(to_date($"ts"), "week").as("week"), $"user_id")
+          .distinct()
+        val cohort = uw.groupBy($"user_id")
+          .agg(min($"week").as("cohort_week"))
+        uw.join(cohort, Seq("user_id"))
+          .groupBy($"cohort_week",
+            expr("datediff(week, cohort_week) DIV 7").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+             |      AS week, user_id
+             |  FROM events),
+             |cohort AS (
+             |  SELECT user_id, MIN(week) AS cohort_week
+             |  FROM du GROUP BY user_id)
+             |SELECT cohort_week,
+             |  CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+             |  COUNT(*) AS n_users
+             |FROM du JOIN cohort USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // EXCHANGE REUSE — when one query references the same aggregate
+      // twice (here: per-priority counts, and the max over them),
+      // Spark must NOT scan and shuffle the fact table twice: the
+      // identical shuffle subtree is planned once and the second
+      // consumer reads a ReusedExchange. At 100 TB the difference is a
+      // second full fact-table scan+shuffle vs a free pointer — worth
+      // pinning so a refactor that breaks subtree identity (and thus
+      // silently doubles the IO) fails CI. Plan-pinned in
+      // PlanAuditSpec: `ReusedExchange` present.
+      "q81_exchange_reuse",
+      (s, dir) => {
+        import s.implicits._
+        val agg = t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+        val top = agg.agg(max($"n_orders").as("max_n"))
+        agg.crossJoin(broadcast(top))
+          .select($"o_orderpriority", $"n_orders", $"max_n",
+            ($"n_orders" === $"max_n").as("is_top"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority, COUNT(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT MAX(n_orders) AS max_n FROM a)
+             |SELECT o_orderpriority, n_orders, max_n,
+             |  n_orders = max_n AS is_top
+             |FROM a CROSS JOIN m
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      // NULL-SAFE JOIN (<=>) — NULL keys MATCH each other instead of
+      // silently dropping, the semantics a dimension join needs when
+      // "unknown" is itself a category. EqualNullSafe is still an
+      // equi-key for the planner, so this hashes/shuffles like any
+      // equi-join (pinned: no nested loop) — the trap implementation
+      // is coalesce-to-sentinel, which corrupts real sentinel values.
+      // Rows whose key nulls out (1-URGENT here) must land in the
+      // NULL dim bucket, proven by the oracle's IS NOT DISTINCT FROM.
+      "q82_null_safe_join",
+      (s, dir) => {
+        import s.implicits._
+        val facts = t(s, dir, "orders")
+          .select(nullif($"o_orderpriority", lit("1-URGENT")).as("nk"),
+            round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val dim = t(s, dir, "orders")
+          .select(nullif($"o_orderpriority", lit("1-URGENT")).as("nk"))
+          .distinct()
+          .select($"nk", coalesce($"nk", lit("UNKNOWN")).as("bucket"))
+        facts.join(dim, facts("nk") <=> dim("nk"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"cents").as("revenue_cents"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH facts AS (
+             |  SELECT nullif(o_orderpriority, '1-URGENT') AS nk,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |dim AS (
+             |  SELECT nk, COALESCE(nk, 'UNKNOWN') AS bucket
+             |  FROM (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT')
+             |          AS nk FROM orders))
+             |SELECT bucket, COUNT(*) AS n_orders,
+             |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+             |FROM facts JOIN dim ON facts.nk IS NOT DISTINCT FROM dim.nk
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
 }

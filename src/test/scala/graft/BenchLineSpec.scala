@@ -20,7 +20,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("rendered line fits the driver's tail window with headroom") {
     // Worst case: every query failed (count only, no name list past 10
-    // failures) and every timing needs 3 integer digits.
+    // failures) and every timing hits the 2-char display clamp.
     val results = names.map(n => (n, 999.99, false))
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1800, s"bench line ${line.length} chars; must stay < 1800")
@@ -38,6 +38,7 @@ class BenchLineSpec extends AnyFunSuite {
     // total keeps 2 decimals; per-query values carry 1 (the 2-decimal
     // form crossed the 1800-char window at 115 queries)
     assert(line.startsWith("""{"metric":"total","value":1.73,"unit":"sec","queries":{"q01":1.2,"p08":0.5},"""))
-    assert(line.endsWith(""""failed":1,"failed_queries":["p08"],"sf":"/tmp/sf"}"""))
+    // sf carries only the basename — the path prefix wastes tail window
+    assert(line.endsWith(""""failed":1,"failed_queries":["p08"],"sf":"sf"}"""))
   }
 }

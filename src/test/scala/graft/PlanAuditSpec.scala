@@ -435,6 +435,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the shuffle_hash hint must force SHJ:\n$p")
   }
 
+  test("q81 twice-referenced aggregate reuses its exchange, not the scan") {
+    // exchange reuse is finalized by AQE at runtime — audit the
+    // post-execution plan, not the initial one
+    val df = SparkEntry.queries("q81_exchange_reuse")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the second consumer of the aggregate must read a ReusedExchange, " +
+        s"not rescan+reshuffle the fact table:\n$p")
+  }
+
+  test("q82 null-safe join plans as a hash equi-join, not a nested loop") {
+    val p = plan("q82_null_safe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"EqualNullSafe is an equi-key; it must hash-join:\n$p")
+  }
+
   test("q75 grouped OLS shuffles facts once, regression on monthly rows") {
     val p = plan("q75_grouped_ols")
     // nation dim must broadcast; the only SMJ/shuffle joins allowed are
