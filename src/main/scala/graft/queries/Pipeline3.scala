@@ -74,18 +74,38 @@ object Pipeline3 {
         import graft.functions.VectorFunctions.vec_dot
         val emb = t(s, dir, "embeddings")
         val anchors = emb.filter($"vec_id" < 20)
+          // a zero-norm anchor has no defined similarity to anything
+          .filter(vec_dot($"embedding", $"embedding") > 0)
           .select($"vec_id".as("a_id"), $"embedding".as("a_vec"),
             $"label".as("a_label"))
-        val scored = emb.join(broadcast(anchors), $"label" =!= $"a_label")
-          .select($"a_id", $"a_label", $"vec_id", $"embedding", $"a_vec",
+        // slim float-scored frame, persisted so the heavy corpus x
+        // anchor scan runs ONCE (it feeds both the per-anchor max and
+        // the margin prune — unpersisted, Spark evaluates the subtree
+        // twice inside the same action). Embeddings are dropped before
+        // the persist: candidates re-fetch them by key, so the cached
+        // frame is 4 narrow columns, not the vector corpus x 20. The
+        // zero-vector guard matters: 0/0 = NaN, which Spark's max
+        // treats as LARGEST (DuckDB yields NULL) — without it a single
+        // zero vector becomes every anchor's "hardest negative".
+        val scored = emb
+          .filter(vec_dot($"embedding", $"embedding") > 0)
+          .join(broadcast(anchors), $"label" =!= $"a_label")
+          .select($"a_id", $"a_label", $"vec_id",
             (vec_dot($"embedding", $"a_vec") /
               (sqrt(vec_dot($"embedding", $"embedding")) *
                 sqrt(vec_dot($"a_vec", $"a_vec")))).as("fsim"))
-          .filter($"fsim".isNotNull)
+          .filter($"fsim".isNotNull && !isnan($"fsim"))
+          .persist()
         val fmax = scored.groupBy($"a_id".as("m_id"))
           .agg(max($"fsim").as("fmax"))
-        scored.join(broadcast(fmax), $"a_id" === $"m_id")
+        val cands = scored.join(broadcast(fmax), $"a_id" === $"m_id")
           .filter($"fsim" >= $"fmax" - lit(1e-3))
+          .select($"a_id", $"a_label", $"vec_id")
+        // tiny candidate set -> broadcast; the vector fetch is one
+        // map-side pass over the corpus + the 20-row anchor table
+        cands
+          .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+          .join(broadcast(anchors.select($"a_id", $"a_vec")), Seq("a_id"))
           .select($"a_id", $"a_label", $"vec_id",
             round(Similarity.cosine($"embedding", $"a_vec"), 6).as("sim"))
           .groupBy($"a_id", $"a_label")
@@ -109,7 +129,8 @@ object Pipeline3 {
              |    CAST(SUM(x*y) AS DOUBLE) AS dot,
              |    CAST(SUM(x*x) AS DOUBLE) AS nx,
              |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM el GROUP BY a_id, a_label, vec_id),
+             |  FROM el GROUP BY a_id, a_label, vec_id
+             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
              |r AS (
              |  SELECT a_id, a_label, vec_id,
              |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,

@@ -302,13 +302,13 @@ object Relational5 {
           .groupBy($"c_nationkey")
           .agg(count(lit(1)).as("n_customers"),
             min($"med2").as("median_x2_cents"),
-            min($"mad2").as("mad_x2_cents"),
+            min($"mad2").as("mad_x4_cents"),
             sum(when($"d2" * 2 > $"mad2" * 3, 1L).otherwise(0L))
               .as("n_outliers"))
           .join(broadcast(t(s, dir, "nation")),
             $"c_nationkey" === $"n_nationkey")
           .select($"n_name", $"n_customers", $"median_x2_cents",
-            $"mad_x2_cents", $"n_outliers")
+            $"mad_x4_cents", $"n_outliers")
           .orderBy($"n_name")
       },
       Some("""WITH c AS (
@@ -342,7 +342,7 @@ object Relational5 {
              |SELECT n_name,
              |  CAST(COUNT(*) AS BIGINT) AS n_customers,
              |  CAST(MIN(d.med2) AS BIGINT) AS median_x2_cents,
-             |  CAST(MIN(mad.mad2) AS BIGINT) AS mad_x2_cents,
+             |  CAST(MIN(mad.mad2) AS BIGINT) AS mad_x4_cents,
              |  CAST(SUM(CASE WHEN 2*d.d2 > 3*mad.mad2
              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM d JOIN mad USING (c_nationkey)

@@ -357,11 +357,22 @@ object EventStreams {
     * high-water mark: state version v=N is a pure function of version
     * N-1 plus batch N, written under its own `v=<batchId>` directory;
     * a replayed batch (commit-marker loss re-delivers at-least-once)
-    * finds `v=N/_SUCCESS` already present and SKIPS the merge. Readers
-    * take the highest _SUCCESS-complete version, so a crash mid-write
-    * leaves the previous version intact and readable. Old versions are
-    * pruned past a small retention window. Values aggregate as integer
-    * cents — replay equality is exact, never float-sum-order luck.
+    * finds its version already committed and SKIPS the merge. The
+    * commit marker is the sink's OWN `_GRAFT_COMMIT` file written
+    * after the parquet job returns — never the committer's optional
+    * _SUCCESS, which marksuccessfuljobs=false (standard on object
+    * stores) silently disables, and with it the whole idempotence
+    * story. Readers take the highest committed version, so a crash
+    * mid-write leaves the previous version intact and readable. Old
+    * versions are pruned past a small retention window. Values
+    * aggregate as integer cents — replay equality is exact, never
+    * float-sum-order luck.
+    *
+    * Version ids are the CHECKPOINT's batch ids: a stateDir carrying
+    * versions newer than the current batch means the checkpoint was
+    * reset against a kept state table — merging would silently pin
+    * readers to the stale lineage (and retention would delete the new
+    * writes), so the sink fails fast instead.
     */
   def rollupMaintenanceSink(
       events: DataFrame,
@@ -376,8 +387,14 @@ object EventStreams {
         val fs = root.getFileSystem(
           spark.sessionState.newHadoopConf())
         val vDir = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
-        val done = new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")
+        val done = new org.apache.hadoop.fs.Path(vDir, commitMarker)
         if (!fs.exists(done)) {
+          val stale = rollupVersions(fs, root).filter(_._1 > batchId)
+          require(stale.isEmpty,
+            s"rollup stateDir $stateDir holds versions " +
+              s"${stale.map(_._1).mkString(",")} newer than batch $batchId " +
+              "— it belongs to a different checkpoint lineage. Point the " +
+              "sink at a fresh stateDir or restore the matching checkpoint.")
           val partial = batch
             .groupBy(col("event_type"))
             .agg(count(lit(1)).as("n"),
@@ -391,10 +408,13 @@ object EventStreams {
           // state tables are dictionary-sized; one file keeps the
           // version listing cheap
           merged.coalesce(1).write.mode("overwrite").parquet(vDir.toString)
+          fs.create(done, true).close() // commit AFTER the data is down
           rollupVersions(fs, root).dropRight(keepVersions)
             .foreach { case (_, p) => fs.delete(p, true) }
         }
       }
+
+  private val commitMarker = "_GRAFT_COMMIT"
 
   private def rollupVersions(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -405,7 +425,7 @@ object EventStreams {
       .flatMap { s =>
         val id = s.getPath.getName.stripPrefix("v=").toLongOption
         id.filter(_ => fs.exists(
-          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          new org.apache.hadoop.fs.Path(s.getPath, commitMarker)))
           .map(_ -> s.getPath)
       }
       .sortBy(_._1)

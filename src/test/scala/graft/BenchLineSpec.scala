@@ -19,17 +19,24 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("rendered line fits the driver's tail window with headroom") {
-    // Worst case: every query failed (count only, no name list past 10
-    // failures) and every timing hits the 2-char display clamp.
-    val results = names.map(n => (n, 999.99, false))
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"bench line ${line.length} chars; must stay < 1800")
-    assert(!line.contains("\n"))
-    // the few-failures shape (named list) must also fit
-    val few = names.zipWithIndex.map { case (n, i) => (n, 999.99, i >= 10) }
-    val line2 = Bench.renderLine(few, "/root/testdata/sf0.1")
-    assert(line2.length < 1800, s"bench line ${line2.length} chars; must stay < 1800")
-    assert(line2.contains("failed_queries"))
+    // The WIDEST per-query rendering is the 3-char sub-10s form
+    // ("9.9"), not the clamped "99" — and renderLine self-degrades to
+    // whole seconds past 1850, so the guarantee is: whatever the
+    // timings, the line fits the tail window.
+    for (v <- Seq(9.94, 999.99)) {
+      val results = names.map(n => (n, v, false))
+      val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+      assert(line.length < 1850, s"bench line ${line.length} chars ($v); must stay < 1850")
+      assert(!line.contains("\n"))
+      // the few-failures shape (named list) must also fit
+      val few = names.zipWithIndex.map { case (n, i) => (n, v, i >= 10) }
+      val line2 = Bench.renderLine(few, "/root/testdata/sf0.1")
+      assert(line2.length < 1850, s"bench line ${line2.length} chars ($v); must stay < 1850")
+      assert(line2.contains("failed_queries"))
+    }
+    // the 10s boundary must not emit a 4-char "10.0"
+    val b = Bench.renderLine(Seq(("q01_x", 9.96, true)), "/tmp/sf0.1")
+    assert(b.contains("\"q01\":10}"), b)
   }
 
   test("line is well-formed for the driver's parser") {

@@ -256,19 +256,23 @@ class EventStreamsSpec extends AnyFunSuite {
   test("rollup maintenance sink: state == batch recompute; replay is a no-op") {
     val stateDir = Files.createTempDirectory("rollup-state").toString
     val ckpt = Files.createTempDirectory("rollup-ckpt").toString
-    val schema = spark.read.parquet(srcDir).schema
-    def runOnce(): Unit = {
-      // one file per trigger => several micro-batches => several merges
+    // stage a 4-file copy: one file per trigger => four micro-batches
+    // => three real cross-batch merges + retention pruning of v=0
+    val src4 = Files.createTempDirectory("rollup-src").toString
+    spark.read.parquet(srcDir).repartition(4)
+      .write.mode("overwrite").parquet(src4)
+    val schema = spark.read.parquet(src4).schema
+    def runOnce(ckptDir: String): Unit = {
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      val q = EventStreams.rollupMaintenanceSink(stream, stateDir, ckpt)
+        .option("maxFilesPerTrigger", 1).parquet(src4)
+      val q = EventStreams.rollupMaintenanceSink(stream, stateDir, ckptDir)
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    runOnce()
+    runOnce(ckpt)
     def stateRows() = EventStreams.latestRollupState(spark, stateDir)
       .get.orderBy("event_type").collect().map(_.toString).toSeq
-    val expected = spark.read.parquet(srcDir)
+    val expected = spark.read.parquet(src4)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("cents"))
@@ -294,9 +298,27 @@ class EventStreamsSpec extends AnyFunSuite {
     val crc = new java.io.File(commitsDir, s".${commits.last.getName}.crc")
     if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
     java.nio.file.Files.delete(commits.last.toPath)
-    runOnce()
+    runOnce(ckpt)
     assert(stateRows() == expected,
       "a replayed batch must not re-merge into the state table")
+    // checkpoint reset against a KEPT state table: batch ids restart at
+    // 0 below the existing versions — merging would pin readers to the
+    // stale lineage and retention would delete the fresh writes, so the
+    // sink must fail fast instead of going silently stale
+    val ckpt2 = Files.createTempDirectory("rollup-ckpt2").toString
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src4)
+    val q2 = EventStreams.rollupMaintenanceSink(stream2, stateDir, ckpt2)
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("different checkpoint lineage"))),
+      s"expected the lineage guard, got: $err")
+    assert(stateRows() == expected, "the stale-lineage run must not touch state")
   }
 
   test("sessionization emits gap-separated sessions (batch-mode check)") {
