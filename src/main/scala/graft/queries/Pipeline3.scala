@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Third pipeline batch: video scene-cut detection and contrastive
@@ -181,6 +181,133 @@ object Pipeline3 {
              |HAVING SUM(CASE WHEN a.source = b.source
              |    THEN a.c * (a.c - 1) // 2
              |    ELSE a.c * b.c END) > 0
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    QueryDef(
+      // EPOCH-AWARE UPSAMPLING — the mixture knob p44 turns DOWN, this
+      // turns UP: every source is replicated toward the token count of
+      // the LARGEST source, with fractional epochs (e.g. 1.19x) made
+      // deterministic — every doc repeats floor(E) times and the
+      // hash-selected frac(E) of docs get one more, so two runs (or two
+      // engines) produce byte-identical corpora, no RNG state. Epochs
+      // are integer ppm; the fractional threshold is compared in hex
+      // space (first 5 md5 chars vs a 5-hex-digit literal), so
+      // selection is exact integer arithmetic on both engines. The
+      // replica frame is materialized through a sequence() explode —
+      // map-side fan-out bounded by the epoch clamp (<=4x) — and then
+      // re-aggregated, proving the corpus, not just the math. Per-source
+      // stats are dictionary-sized; the only fact-table passes are the
+      // token count and the explode.
+      "p75_epoch_upsample",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents").select($"source", $"doc_id",
+          substring(md5($"doc_id".cast("string")), 1, 5).as("h5"),
+          TextAnalysis.tokenCount($"text").as("nt"))
+        val st = tok.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"nt").as("toks"))
+        val tgt = st.agg(max($"toks").as("t"))
+        val e = st.crossJoin(broadcast(tgt))
+          .select($"source", $"n_docs",
+            least(lit(4000000L), greatest(lit(1000000L),
+              expr("t * 1000000 DIV toks"))).as("e_ppm"))
+        val planned = tok.join(broadcast(e), Seq("source"))
+          .withColumn("thr", lpad(lower(hex(
+            expr("(e_ppm % 1000000) * 1048576 DIV 1000000"))), 5, "0"))
+          .withColumn("n_copies",
+            expr("e_ppm DIV 1000000") +
+              when($"h5" < $"thr", 1L).otherwise(0L))
+        planned
+          .select($"source", $"n_docs", $"e_ppm", $"nt",
+            explode(sequence(lit(1L), $"n_copies")).as("copy"))
+          .groupBy($"source", $"n_docs", $"e_ppm")
+          .agg(count(lit(1)).as("docs_out"), sum($"nt").as("tokens_out"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS h5,
+             |    len(string_split(text, ' ')) AS nt
+             |  FROM documents),
+             |st AS (SELECT source, COUNT(*) AS n_docs, SUM(nt) AS toks
+             |       FROM tok GROUP BY 1),
+             |tgt AS (SELECT MAX(toks) AS t FROM st),
+             |e AS (SELECT source, n_docs,
+             |    LEAST(4000000, GREATEST(1000000, t * 1000000 // toks))
+             |      AS e_ppm
+             |  FROM st CROSS JOIN tgt),
+             |planned AS (
+             |  SELECT tok.source, e.n_docs, e.e_ppm, tok.nt,
+             |    (e.e_ppm // 1000000) + CASE WHEN tok.h5 <
+             |        lpad(lower(hex(
+             |          (e.e_ppm % 1000000) * 1048576 // 1000000)), 5, '0')
+             |      THEN 1 ELSE 0 END AS n_copies
+             |  FROM tok JOIN e USING (source))
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(e_ppm AS BIGINT) AS e_ppm,
+             |  COUNT(*) AS docs_out,
+             |  CAST(SUM(nt) AS BIGINT) AS tokens_out
+             |FROM planned,
+             |  unnest(generate_series(1, CAST(n_copies AS BIGINT)))
+             |    AS g(copy)
+             |GROUP BY source, n_docs, e_ppm
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // DATASET CARD — the per-source corpus report a training run
+      // files next to its data manifest: volume (docs, tokens, mean
+      // doc length), language mix, exact-duplicate exposure (docs
+      // whose text also exists elsewhere in the CORPUS, not just the
+      // source — cross-source copies count), and a short-doc rate.
+      // All ratios are integer ppm (floor quotients), so the report is
+      // bit-stable across engines and runs. One token pass over the
+      // fact table + one md5-keyed duplicate-flag join-back; every
+      // aggregate is partial-aggregable, no window.
+      "p76_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"source", $"lang",
+          md5($"text").as("h"), TextAnalysis.tokenCount($"text").as("nt"))
+        val dupHashes = docs.groupBy($"h")
+          .agg(count(lit(1)).as("n_copies"))
+          .filter($"n_copies" > 1)
+          .select($"h", lit(1L).as("is_dup"))
+        docs.join(dupHashes, Seq("h"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nt").as("total_tokens"),
+            sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_docs"),
+            sum(coalesce($"is_dup", lit(0L))).as("dup_docs"),
+            sum(when($"nt" < 50, 1L).otherwise(0L)).as("short_docs"))
+          .select($"source", $"n_docs", $"total_tokens",
+            expr("total_tokens DIV n_docs").as("mean_tokens"),
+            expr("en_docs * 1000000 DIV n_docs").as("en_ppm"),
+            expr("dup_docs * 1000000 DIV n_docs").as("dup_ppm"),
+            expr("short_docs * 1000000 DIV n_docs").as("short_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH docs AS (
+             |  SELECT source, lang, md5(text) AS h,
+             |    len(string_split(text, ' ')) AS nt
+             |  FROM documents),
+             |dup AS (
+             |  SELECT h, 1 AS is_dup FROM docs
+             |  GROUP BY h HAVING COUNT(*) > 1),
+             |agg AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    SUM(nt) AS total_tokens,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs,
+             |    SUM(COALESCE(is_dup, 0)) AS dup_docs,
+             |    SUM(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS short_docs
+             |  FROM docs LEFT JOIN dup USING (h)
+             |  GROUP BY source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST(total_tokens // n_docs AS BIGINT) AS mean_tokens,
+             |  CAST(en_docs * 1000000 // n_docs AS BIGINT) AS en_ppm,
+             |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+             |  CAST(short_docs * 1000000 // n_docs AS BIGINT) AS short_ppm
+             |FROM agg
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -44,6 +44,17 @@ class CacheHygieneSpec extends AnyFunSuite {
       "repeated p08 must hit the pairs memo, not accumulate")
   }
 
+  test("p72's scored-frame persist is dropped by the per-query clear") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("p72_hard_negatives")(spark, sf).count()
+    spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    assert(leaked.isEmpty,
+      s"p72 left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+  }
+
   test("p07/p24/p28 share BOUNDED stage memos (no accumulation)") {
     // p07 computes the shared pair stage; the memoized checkpoint is the
     // one allowed persistent entry (the shingle index used to build it
