@@ -308,6 +308,74 @@ object Pipeline3 {
              |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
              |  CAST(short_docs * 1000000 // n_docs AS BIGINT) AS short_ppm
              |FROM agg
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // SELECTION PIPELINE END-TO-END — the composed pass a targeted
+      // data-selection run executes: score every raw doc against the
+      // target distribution (p54's integer-exact DSIR ratios, target =
+      // src0), keep each source's most-target-like HALF (per-source
+      // quota via the p57 rank machinery — exact ranks with NO
+      // per-source window funnel), and report the per-source kept
+      // volume and score cutoff. Everything is integer arithmetic over
+      // dictionary-keyed joins; the oracle replays scoring, ranking
+      // and the quota in SQL. This is composition-as-proof: the same
+      // staged operators a production selection pipeline chains,
+      // verified as one unit.
+      "p77_selection_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.RankOps
+        val docs = t(s, dir, "documents")
+        val scored = TextAnalysis
+          .dsirScore(docs, "doc_id", "text", $"source" === "src0")
+          .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        val ranked = RankOps.rankWithinKey(scored, "source",
+          Seq($"dsir_score".desc, $"doc_id"), "r")
+        val quota = scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("keep_n", expr("(n_docs + 1) DIV 2"))
+        ranked.join(broadcast(quota), Seq("source"))
+          .filter($"r" <= $"keep_n")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"),
+            min($"n_docs").as("n_docs"),
+            sum($"n_tokens").as("tokens_kept"),
+            min($"dsir_score").as("cutoff_score"))
+          .select($"source", $"n_docs", $"n_kept", $"tokens_kept",
+            $"cutoff_score")
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source = 'src0' AS tgt,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tct AS (SELECT t, COUNT(*) AS tc_t FROM toks WHERE tgt
+             |        GROUP BY t),
+             |tcr AS (SELECT t, COUNT(*) AS tc_r FROM toks WHERE NOT tgt
+             |        GROUP BY t),
+             |r AS (
+             |  SELECT doc_id,
+             |    ((COALESCE(tc_t, 0) + 1) * 1000000) // (tc_r + 1) AS r
+             |  FROM toks LEFT JOIN tct USING (t) JOIN tcr USING (t)
+             |  WHERE NOT tgt),
+             |sc AS (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(r) // COUNT(*) AS BIGINT) AS dsir_score
+             |  FROM r GROUP BY doc_id),
+             |j AS (
+             |  SELECT sc.*, d.source,
+             |    row_number() OVER (PARTITION BY d.source
+             |      ORDER BY sc.dsir_score DESC, sc.doc_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY d.source) AS n_docs
+             |  FROM sc JOIN documents d USING (doc_id))
+             |SELECT source,
+             |  CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_kept,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+             |  CAST(MIN(dsir_score) AS BIGINT) AS cutoff_score
+             |FROM j WHERE rk <= (n_docs + 1) // 2
+             |GROUP BY source
              |ORDER BY source""".stripMargin))
   )
 }

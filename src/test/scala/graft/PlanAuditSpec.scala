@@ -461,4 +461,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("round-6 batch: partial aggregation everywhere, no nested loops") {
+    // the remaining new entries share one scale contract: every
+    // aggregate partial-aggregates map-side (HashAggregate pairs) and
+    // no join degrades to a nested loop / cartesian. p75's only
+    // crossJoin is against the broadcast one-row token target — allow
+    // broadcast NLJ with a ONE-ROW build side there by pinning just
+    // the cartesian ban.
+    for (name <- Seq("q74_incremental_rollup", "q77_mad_outliers",
+      "q78_sketch_grain_rollup", "q80_cohort_retention",
+      "p73_dup_provenance", "p76_dataset_card",
+      "p77_selection_pipeline")) {
+      val p = plan(name)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+    val p75 = plan("p75_epoch_upsample")
+    assert("HashAggregate".r.findAllIn(p75).size >= 2, p75)
+    assert(!p75.contains("CartesianProduct"), p75)
+  }
 }
