@@ -44,4 +44,40 @@ object Aggregators {
     override def bufferEncoder: Encoder[MinMaxBuf] = Encoders.product[MinMaxBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  final case class TopKItem(ord: String, id: Long)
+  final case class TopKBuf(items: Seq[TopKItem])
+
+  /** Bounded per-key top-k: keeps the k input rows with the SMALLEST
+    * `ord` string (ties broken by smaller `id`), returning their ids in
+    * that order. This is the scale answer to "sample/keep k rows per
+    * key": aggregation state is k rows per partition per key — map-side
+    * partial aggregation applies, so a key holding 10^9 rows ships only
+    * k rows per upstream partition through the shuffle, where a
+    * rank-then-filter pays a full sort and a collect_list pays unbounded
+    * state. Deterministic under any partition order (merge is a k-way
+    * selection of an associative, commutative set union).
+    */
+  class TopKByOrd(k: Int)
+      extends Aggregator[TopKItem, TopKBuf, Seq[Long]] {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    private def trim(items: Seq[TopKItem]): Seq[TopKItem] =
+      items.sortBy(i => (i.ord, i.id)).take(k)
+    override def zero: TopKBuf = TopKBuf(Nil)
+    override def reduce(b: TopKBuf, x: TopKItem): TopKBuf =
+      // keep the buffer sorted so reduce stays O(k) per row in the
+      // common case (new row past the current k-th smallest)
+      if (b.items.size >= k) {
+        val last = b.items.last
+        val c = x.ord.compareTo(last.ord)
+        if (c > 0 || (c == 0 && x.id >= last.id)) b
+        else TopKBuf(trim(b.items :+ x))
+      } else TopKBuf(trim(b.items :+ x))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(trim(a.items ++ b.items))
+    override def finish(b: TopKBuf): Seq[Long] = b.items.map(_.id)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

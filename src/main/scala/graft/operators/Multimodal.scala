@@ -692,6 +692,69 @@ object Multimodal {
   private[operators] def syntheticPpm(v: Int): Array[Byte] =
     "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(3 * 16)(v.toByte)
 
+  /** Deterministic patterned 9x8 grey BMP: pixel (x, y) — row-major
+    * from the top-left — has grey level (seed*31 + x*7 + y*13) mod 256.
+    * Exists so perceptual-hash image dedup can be oracle-checked
+    * end-to-end: the dHash of an analytically-known raster is itself
+    * closed-form, so a SQL engine with no image decoder replays the
+    * full byte-parse -> grid -> hash path.
+    */
+  def syntheticBmpPattern(seed: Long): Array[Byte] =
+    encodeBmp(9, 8, (x, y) => {
+      val v = math.floorMod(seed * 31 + x * 7 + y * 13, 256).toInt
+      (v, v, v)
+    })
+
+  private val dHashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash", StringType, nullable = false)))
+
+  /** Perceptual difference hash (dHash) per image: decode (BMP/PPM),
+    * area-average to a 9x8 grid ([[resizeBox]] — floor-division integer
+    * arithmetic), integer luma per cell (299r + 587g + 114b; a positive
+    * scale, so comparisons are division-free and exact), and bit
+    * (y, x) = 1 iff cell (x, y) is strictly brighter than its right
+    * neighbor. Emitted row-major as a 64-char bit string — portable
+    * across engines with no sign/overflow concerns, and groupable like
+    * any key. Undecodable payloads are dropped ([[decodeRgb]] decides
+    * membership). Pure `mapPartitions` over opaque bytes: map-side at
+    * any scale; the downstream dedup is one hash-keyed aggregation.
+    */
+  def dHash(withPayloadDf: DataFrame): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    val rows = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val decoded =
+          try decodeRgb(bytes)
+          catch { case _: Exception => None }
+        decoded.map { case (fmt, w, h, rgbAt) =>
+          val grid = resizeBox(w, h, rgbAt, 9, 8)
+          def luma(x: Int, y: Int): Int = {
+            val (r0, g0, b0) = grid(x, y)
+            299 * r0 + 587 * g0 + 114 * b0
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              sb.append(if (luma(x, y) > luma(x + 1, y)) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, fmt, w, h, sb.toString)
+        }
+      }
+    }
+    spark.createDataFrame(rows, dHashSchema)
+  }
+
   /** Mono 16-bit PCM WAV: `n` samples of constant amplitude `s`. */
   private[operators] def syntheticWav(rate: Int, s: Short, n: Int): Array[Byte] = {
     val dataLen = 2 * n

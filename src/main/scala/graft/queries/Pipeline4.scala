@@ -1,0 +1,435 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fourth pipeline batch: bounded per-key reservoir sampling, corpus
+  * n-gram novelty, per-dimension feature standardization, degree-ordered
+  * triangle counting, and asymmetric n-gram containment decontamination.
+  */
+object Pipeline4 {
+  import graft.Tables.t
+
+  /** Word n-gram column: the p39 convention — documents shorter than n
+    * contribute their whole text as one gram; NULL/empty text is
+    * filtered by callers before this. */
+  private def wordGrams(tk: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, n: Int) =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array(text))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // PER-KEY RESERVOIR SAMPLE via a BOUNDED typed Aggregator — the
+      // scale answer to "keep k example docs per source for a manifest":
+      // TopKByOrd holds at most k (hash, id) rows per partition per key,
+      // so map-side partial aggregation ships k rows per upstream
+      // partition through the shuffle where rank-then-filter pays a full
+      // per-key sort and collect_list pays unbounded state. Selection is
+      // by md5(doc_id) order — deterministic across runs, engines and
+      // partitionings (no RNG state), and uniform in expectation because
+      // the hash is key-equidistributed. The oracle replays it as a
+      // row_number over the same hash order.
+      "p78_reservoir_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.Aggregators.TopKByOrd(5))
+        t(s, dir, "documents")
+          .select($"source",
+            md5($"doc_id".cast("string")).as("h"), $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            topk($"h", $"doc_id").as("ids"))
+          .select($"source", $"n_docs",
+            concat_ws(",", $"ids".cast("array<string>")).as("sample_ids"))
+          .orderBy($"source")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY h, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n_docs
+             |  FROM h)
+             |SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+             |    AS sample_ids
+             |FROM r WHERE rn <= 5
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // N-GRAM NOVELTY PER SOURCE — how much of each crawl snapshot is
+      // genuinely new text: the fraction of a source's distinct 3-gram
+      // types it is the FIRST holder of (sources ordered by name, the
+      // snapshot order). The dedupe-adjacent signal mixture planners use
+      // to decide whether another snapshot of a domain is worth
+      // ingesting. Shapes: one DISTINCT (source, gram) aggregation, one
+      // gram-keyed min(source) aggregation (both map-side partial), one
+      // gram-keyed join back — never a window, never a posting list in
+      // one task; integer-ppm output is bit-stable across engines.
+      "p79_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source", split($"text", " ").as("tk"), $"text")
+        val grams = toks
+          .select($"source",
+            explode(wordGrams($"tk", $"text", 3)).as("gram"))
+          .distinct()
+        val first = grams.groupBy($"gram")
+          .agg(min($"source").as("first_src"))
+        grams.join(first, Seq("gram"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"first_src" === $"source", 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novel_ppm", expr("n_novel * 1000000 DIV n_grams"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, text, string_split(text, ' ') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
+             |g AS (
+             |  SELECT DISTINCT source,
+             |    unnest(CASE WHEN len(tk) >= 3
+             |      THEN list_transform(generate_series(1, len(tk) - 2),
+             |        i -> array_to_string(tk[i:i+2], ' '))
+             |      ELSE [text] END) AS gram
+             |  FROM toks),
+             |f AS (SELECT gram, MIN(source) AS first_src
+             |      FROM g GROUP BY gram)
+             |SELECT source, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END)
+             |    * 1000000 // COUNT(*) AS BIGINT) AS novel_ppm
+             |FROM g JOIN f USING (gram)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // PER-DIMENSION FEATURE STANDARDIZATION STATS — the (mean,
+      // variance) table a feature store computes once and every
+      // training job joins back to z-score its embeddings. Sums run in
+      // DECIMAL (order-independent, so partial aggregation across any
+      // partitioning is exact); the variance finishes in double with
+      // ONE fixed expression both engines evaluate identically. One
+      // posexplode pass; output is dims-sized (a dictionary), and the
+      // per-dim aggregation partial-combines map-side — no vector ever
+      // funnels anywhere.
+      "p80_dim_standardize",
+      (s, dir) => {
+        import s.implicits._
+        val el = t(s, dir, "embeddings")
+          .select(posexplode($"embedding").as(Seq("dim", "xf")))
+          .select($"dim", $"xf".cast(DecimalType(18, 9)).as("x"))
+        el.groupBy($"dim")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"),
+            sum($"x" * $"x").as("sxx"))
+          .select($"dim", $"n",
+            round($"sx".cast("double") / $"n", 6).as("mean"),
+            round(($"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double") / $"n") / $"n",
+              6).as("variance"))
+          .orderBy($"dim")
+      },
+      Some("""WITH el AS (
+             |  SELECT i - 1 AS dim,
+             |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS g(i)),
+             |st AS (
+             |  SELECT dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+             |  FROM el GROUP BY dim)
+             |SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+             |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+             |  round((CAST(sxx AS DOUBLE) -
+             |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 6)
+             |    AS variance
+             |FROM st
+             |ORDER BY dim""".stripMargin)),
+
+    QueryDef(
+      // TRIANGLE COUNTING, degree-ordered — the graph-locality statistic
+      // (clustering coefficient numerator) over a deterministic synthetic
+      // graph derived from order keys by public congruential arithmetic,
+      // so both engines build the identical edge set with no float or
+      // hash portability concerns. The Spark plan is the scalable shape:
+      // orient every edge from its lower-(degree, id) endpoint, so each
+      // node's out-degree is O(sqrt(m)) and the wedge self-join fan-out
+      // is bounded by it — never deg^2 of a hub — then close wedges with
+      // one equi-join against the oriented edge set. The oracle counts
+      // the same triangles with the naive a<b<c three-way join (fine at
+      // oracle scale, quadratic on hubs at ours — which is the point of
+      // the orientation).
+      "p81_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = t(s, dir, "orders")
+          .select(($"o_orderkey" % 997).as("u"),
+            (($"o_orderkey" * 31 + 7) % 997).as("v"))
+          .filter($"u" =!= $"v")
+          .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+          .distinct()
+        val deg = e0.select(explode(array($"a", $"b")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("d"))
+        // degree table is <= |nodes| rows — broadcast both lookups
+        val withDeg = e0
+          .join(broadcast(deg.select($"node".as("a"), $"d".as("da"))),
+            Seq("a"))
+          .join(broadcast(deg.select($"node".as("b"), $"d".as("db"))),
+            Seq("b"))
+        val oriented = withDeg.select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("s"), $"b".as("t"), $"db".as("dt")))
+            .otherwise(struct($"b".as("s"), $"a".as("t"), $"da".as("dt")))
+            .as("e"))
+          .select($"e.s".as("s"), $"e.t".as("t"), $"e.dt".as("dt"))
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
+            (col("e1.dt") < col("e2.dt") ||
+              (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+          .select(col("e1.t").as("y"), col("e2.t").as("z"))
+        val tri = wedges
+          .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+        val edges = e0.agg(count(lit(1)).as("n_edges"))
+        nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT
+             |    least(o_orderkey % 997, (o_orderkey * 31 + 7) % 997)
+             |      AS a,
+             |    greatest(o_orderkey % 997, (o_orderkey * 31 + 7) % 997)
+             |      AS b
+             |  FROM orders
+             |  WHERE (o_orderkey % 997) <> ((o_orderkey * 31 + 7) % 997))
+             |SELECT
+             |  (SELECT COUNT(*) FROM
+             |    (SELECT a AS n FROM e0 UNION SELECT b FROM e0)) AS n_nodes,
+             |  (SELECT COUNT(*) FROM e0) AS n_edges,
+             |  (SELECT COUNT(*) FROM e0 xy
+             |    JOIN e0 xz ON xy.a = xz.a AND xy.b < xz.b
+             |    JOIN e0 yz ON yz.a = xy.b AND yz.b = xz.b) AS n_triangles
+             |""".stripMargin)),
+
+    QueryDef(
+      // ASYMMETRIC CONTAINMENT DECONTAMINATION — the eval-in-train
+      // detector Jaccard misses: a short benchmark doc pasted into a
+      // long web page has low Jaccard but containment ~1
+      // (|grams(eval) ∩ grams(train)| / |grams(eval)|). For every
+      // src0 (benchmark) doc, the best-containing train doc at >= 20%
+      // containment. Scale shapes: distinct (doc, gram) frames, a
+      // train-side document-frequency cap (grams in > 50 train docs are
+      // boilerplate, excluded from matching — mirrored EXACTLY in the
+      // oracle so the cap is part of the contract, not an
+      // approximation), a gram-keyed equi-join carrying ids only, and a
+      // partial-aggregable max(struct) argmax — no window, no pair
+      // blow-up beyond the capped posting lists. Integer-ppm scoring.
+      "p82_containment_decon",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"doc_id", $"source", split($"text", " ").as("tk"),
+            $"text")
+        val grams = docs
+          .select($"doc_id", $"source",
+            explode(wordGrams($"tk", $"text", 3)).as("gram"))
+          .distinct()
+        val eval = grams.filter($"source" === "src0")
+          .select($"doc_id".as("e_id"), $"gram")
+        val train = grams.filter($"source" =!= "src0")
+          .select($"doc_id".as("t_id"), $"gram")
+        val okGrams = train.groupBy($"gram")
+          .agg(count(lit(1)).as("df")).filter($"df" <= 50)
+          .select($"gram")
+        val matches = eval
+          .join(train.join(okGrams, Seq("gram")), Seq("gram"))
+          .groupBy($"e_id", $"t_id").agg(count(lit(1)).as("n_match"))
+        val evalSize = eval.groupBy($"e_id")
+          .agg(count(lit(1)).as("n_grams"))
+        matches.join(evalSize, Seq("e_id"))
+          .withColumn("ppm", expr("n_match * 1000000 DIV n_grams"))
+          .filter($"ppm" >= 200000)
+          .groupBy($"e_id", $"n_grams")
+          .agg(max(struct($"ppm", (-$"t_id").as("nt"))).as("b"))
+          .select($"e_id".as("eval_doc"), $"n_grams",
+            (-$"b.nt").as("train_doc"), $"b.ppm".as("containment_ppm"))
+          .orderBy($"eval_doc")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text, string_split(text, ' ') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
+             |g AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    unnest(CASE WHEN len(tk) >= 3
+             |      THEN list_transform(generate_series(1, len(tk) - 2),
+             |        i -> array_to_string(tk[i:i+2], ' '))
+             |      ELSE [text] END) AS gram
+             |  FROM toks),
+             |ev AS (SELECT doc_id AS e_id, gram FROM g
+             |       WHERE source = 'src0'),
+             |tr AS (SELECT doc_id AS t_id, gram FROM g
+             |       WHERE source <> 'src0'),
+             |ok AS (SELECT gram FROM tr GROUP BY gram
+             |       HAVING COUNT(*) <= 50),
+             |m AS (
+             |  SELECT e_id, t_id, COUNT(*) AS n_match
+             |  FROM ev JOIN (SELECT tr.* FROM tr JOIN ok USING (gram)) tc
+             |    USING (gram)
+             |  GROUP BY e_id, t_id),
+             |es AS (SELECT e_id, COUNT(*) AS n_grams FROM ev GROUP BY e_id),
+             |sc AS (
+             |  SELECT m.e_id, es.n_grams, m.t_id,
+             |    m.n_match * 1000000 // es.n_grams AS ppm
+             |  FROM m JOIN es USING (e_id)
+             |  WHERE m.n_match * 1000000 // es.n_grams >= 200000),
+             |r AS (
+             |  SELECT e_id, n_grams, t_id, ppm,
+             |    row_number() OVER (PARTITION BY e_id
+             |      ORDER BY ppm DESC, t_id) AS rn
+             |  FROM sc)
+             |SELECT e_id AS eval_doc, CAST(n_grams AS BIGINT) AS n_grams,
+             |  t_id AS train_doc, CAST(ppm AS BIGINT) AS containment_ppm
+             |FROM r WHERE rn = 1
+             |ORDER BY eval_doc""".stripMargin)),
+
+    QueryDef(
+      // TWO-SAMPLE KS DISTRIBUTION DRIFT — for every source, the exact
+      // Kolmogorov-Smirnov statistic between its doc-length (token
+      // count) distribution and the REST of the corpus: the
+      // distribution-level drift alarm p62's token-frequency L2 cannot
+      // raise (a source can keep every token frequency and still shift
+      // its length profile). Exact integer arithmetic throughout: with
+      // cum_rest = cum_all - cum_src the KS numerator is
+      // max |cum_src*n_all - cum_all*n_src| over the merged value
+      // domain, reported with an integer-ppm normalization — no float
+      // ECDFs, no epsilon. Shapes: the corpus folds into a
+      // (source, length) histogram first (partial-aggregable,
+      // dictionary x dictionary rows); the evaluation grid is that
+      // dictionary cross the value dictionary (both bounded aggregates
+      // — the ONLY fact-sized pass is the token count); the cumsum
+      // window partitions by source over the value domain, never rows.
+      "p83_ks_drift",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val nt = t(s, dir, "documents")
+          .select($"source",
+            graft.operators.TextAnalysis.tokenCount($"text").as("v"))
+        val hist = nt.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+        val vals = nt.groupBy($"v").agg(count(lit(1)).as("ct"))
+        val ns = nt.groupBy($"source").agg(count(lit(1)).as("n_src"))
+        val nAll = nt.agg(count(lit(1)).as("n_all"))
+        val grid = ns.select($"source", $"n_src")
+          .crossJoin(broadcast(vals)) // dictionary x dictionary, bounded
+          .join(hist, Seq("source", "v"), "left")
+          .na.fill(0L, Seq("c"))
+        val w = Window.partitionBy($"source").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cum_src", sum($"c").over(w))
+          .withColumn("cum_all", sum($"ct").over(w))
+          .crossJoin(broadcast(nAll))
+          .groupBy($"source", $"n_src", $"n_all")
+          .agg(max(abs($"cum_src" * $"n_all" - $"cum_all" * $"n_src"))
+            .as("ks_num"))
+          .select($"source", $"n_src", ($"n_all" - $"n_src").as("n_rest"),
+            $"ks_num",
+            expr("ks_num * 1000000 DIV (n_src * (n_all - n_src))")
+              .as("ks_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH nt AS (
+             |  SELECT source, len(string_split(text, ' ')) AS v
+             |  FROM documents),
+             |hist AS (SELECT source, v, COUNT(*) AS c
+             |         FROM nt GROUP BY 1, 2),
+             |vals AS (SELECT v, COUNT(*) AS ct FROM nt GROUP BY 1),
+             |ns AS (SELECT source, COUNT(*) AS n_src FROM nt GROUP BY 1),
+             |na AS (SELECT COUNT(*) AS n_all FROM nt),
+             |grid AS (
+             |  SELECT ns.source, ns.n_src, vals.v, vals.ct,
+             |    COALESCE(hist.c, 0) AS c
+             |  FROM ns CROSS JOIN vals
+             |  LEFT JOIN hist ON hist.source = ns.source
+             |    AND hist.v = vals.v),
+             |cum AS (
+             |  SELECT source, n_src, v,
+             |    SUM(c) OVER (PARTITION BY source ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_src,
+             |    SUM(ct) OVER (PARTITION BY source ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_all
+             |  FROM grid)
+             |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+             |  CAST(n_all - n_src AS BIGINT) AS n_rest,
+             |  CAST(MAX(ABS(cum_src * n_all - cum_all * n_src)) AS BIGINT)
+             |    AS ks_num,
+             |  CAST(MAX(ABS(cum_src * n_all - cum_all * n_src)) * 1000000
+             |    // (n_src * (n_all - n_src)) AS BIGINT) AS ks_ppm
+             |FROM cum CROSS JOIN na
+             |GROUP BY source, n_src, n_all
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // PERCEPTUAL IMAGE DEDUP via dHash, oracle-checked through a REAL
+      // BMP decode: payloads are deterministic 9x8 patterned rasters
+      // (pixel (x,y) of seed s has grey (s*31 + x*7 + y*13) mod 256,
+      // seed = doc_id mod 50, so every seed group is a byte-identical
+      // image family). The engine parses the actual BMP bytes, grids,
+      // and hashes; DuckDB replays the closed-form pixel arithmetic and
+      // must land on the SAME 64-char hash strings and the same dedup
+      // groups. The hash is emitted as a bit string (engine-portable,
+      // no sign/overflow), the grouping is one hash-keyed aggregation,
+      // and payloads never shuffle — image dedup at 100 TB is exactly
+      // this: map-side hash, dictionary-sized hash groups.
+      "p84_image_dhash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.syntheticBmpPattern(id % 50))))
+          .toDF("doc_id", "payload")
+        Multimodal.dHash(imgs)
+          .groupBy($"dhash")
+          .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("rep_id"))
+          .filter($"n_copies" > 1)
+          .orderBy($"dhash")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 AS seed
+             |          FROM documents),
+             |seeds AS (SELECT DISTINCT seed FROM d),
+             |bits AS (
+             |  SELECT seed, y, x,
+             |    CASE WHEN (seed*31 + x*7 + y*13) % 256 >
+             |              (seed*31 + (x+1)*7 + y*13) % 256
+             |      THEN '1' ELSE '0' END AS bit
+             |  FROM seeds,
+             |    unnest(generate_series(0, 7)) AS gy(y),
+             |    unnest(generate_series(0, 7)) AS gx(x)),
+             |h AS (SELECT seed, string_agg(bit, '' ORDER BY y, x)
+             |        AS dhash
+             |      FROM bits GROUP BY seed),
+             |g AS (SELECT d.doc_id, h.dhash FROM d JOIN h USING (seed))
+             |SELECT dhash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
+             |FROM g GROUP BY dhash HAVING COUNT(*) > 1
+             |ORDER BY dhash""".stripMargin))
+  )
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Sixth relational batch: grouped statistical mode, equi-width
+  * histogramming, weighted median over pre-aggregated weight mass, and a
+  * referential-integrity audit.
+  */
+object Relational6 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // GROUPED MODE with deterministic tie-break — the most frequent
+      // event_type per day-of-week, plus its frequency and integer-ppm
+      // share. The scale shape is counts -> per-group max -> join-back
+      // -> min over ties: every step is a partial-aggregable hash
+      // aggregate over (group, value) pairs, so a group with 10^9 rows
+      // contributes one count row per distinct value — no window, no
+      // per-group funnel, and the tie-break (smallest value string) is
+      // engine-independent.
+      "q83_mode_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(dayofweek($"ts").as("dow"), $"event_type")
+        val counts = ev.groupBy($"dow", $"event_type")
+          .agg(count(lit(1)).as("c"))
+        val tops = counts.groupBy($"dow")
+          .agg(max($"c").as("mc"), sum($"c").as("total"))
+        counts.join(broadcast(tops), Seq("dow"))
+          .filter($"c" === $"mc")
+          .groupBy($"dow", $"mc", $"total")
+          .agg(min($"event_type").as("mode_event"))
+          .select($"dow", $"mode_event", $"mc".as("mode_count"),
+            expr("mc * 1000000 DIV total").as("share_ppm"))
+          .orderBy($"dow")
+      },
+      Some("""WITH ev AS (
+             |  SELECT dayofweek(ts) + 1 AS dow, event_type
+             |  FROM events),
+             |c AS (
+             |  SELECT dow, event_type, COUNT(*) AS c
+             |  FROM ev GROUP BY 1, 2),
+             |tp AS (
+             |  SELECT dow, MAX(c) AS mc, SUM(c) AS total
+             |  FROM c GROUP BY 1)
+             |SELECT c.dow, MIN(c.event_type) AS mode_event,
+             |  CAST(tp.mc AS BIGINT) AS mode_count,
+             |  CAST(tp.mc * 1000000 // tp.total AS BIGINT) AS share_ppm
+             |FROM c JOIN tp USING (dow)
+             |WHERE c.c = tp.mc
+             |GROUP BY c.dow, tp.mc, tp.total
+             |ORDER BY c.dow""".stripMargin)),
+
+    QueryDef(
+      // EQUI-WIDTH HISTOGRAM of order value in integer cents: 10 buckets
+      // between the global min and max. The bounds come from ONE scalar
+      // aggregate broadcast to the bucketing pass (two scans total —
+      // the unavoidable minimum for data-dependent bounds); bucket
+      // assignment is pure integer arithmetic replayed by the oracle,
+      // and the bucket aggregation partial-combines map-side. Empty
+      // buckets are absent by construction in both engines.
+      "q84_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val cents = t(s, dir, "orders")
+          .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val bounds = cents.agg(min($"cents").as("mn"), max($"cents").as("mx"))
+        cents.crossJoin(broadcast(bounds))
+          .select(least(lit(9L),
+            expr("(cents - mn) * 10 DIV (mx - mn + 1)")).as("bucket"),
+            $"mn", $"mx")
+          .groupBy($"bucket", $"mn", $"mx")
+          .agg(count(lit(1)).as("n"))
+          .select($"bucket",
+            ($"mn" + $"bucket" * expr("(mx - mn + 1) DIV 10")).as("lo_cents"),
+            $"n")
+          .orderBy($"bucket")
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM cents),
+             |h AS (
+             |  SELECT LEAST(9, (cents - mn) * 10 // (mx - mn + 1))
+             |      AS bucket, mn, mx
+             |  FROM cents CROSS JOIN b)
+             |SELECT bucket,
+             |  CAST(mn + bucket * ((mx - mn + 1) // 10) AS BIGINT)
+             |    AS lo_cents,
+             |  COUNT(*) AS n
+             |FROM h GROUP BY bucket, mn, mx
+             |ORDER BY bucket""".stripMargin)),
+
+    QueryDef(
+      // WEIGHTED MEDIAN — the revenue-weighted median order quantity per
+      // return flag: the quantity q where half the price mass sits at or
+      // below q. The scale discipline: ALL the mass folds into a
+      // (flag, quantity) pre-aggregate first — integer cents, partial
+      // aggregation, at most |flags| x |quantities| rows (a dictionary)
+      // — and only that tiny frame rides the cumulative-sum window. A
+      // window over raw lineitem would funnel a flag's 10^9 rows into
+      // one task; this one never sees more than the value domain.
+      "q85_weighted_median",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wa = t(s, dir, "lineitem")
+          .select($"l_returnflag".as("flag"),
+            $"l_quantity".cast("long").as("qty"),
+            round($"l_extendedprice" * 100, 0).cast("long").as("cents"))
+          .groupBy($"flag", $"qty")
+          .agg(sum($"cents").as("w"))
+        val cum = wa.withColumn("cw",
+          sum($"w").over(Window.partitionBy($"flag").orderBy($"qty")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = wa.groupBy($"flag").agg(sum($"w").as("total"))
+        cum.join(broadcast(tot), Seq("flag"))
+          .filter($"cw" * 2 >= $"total")
+          .groupBy($"flag")
+          .agg(min($"qty").as("wmedian_qty"), min($"total").as("total_cents"))
+          .orderBy($"flag")
+      },
+      Some("""WITH wa AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT flag, qty, w,
+             |    SUM(w) OVER (PARTITION BY flag ORDER BY qty
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    SUM(w) OVER (PARTITION BY flag) AS total
+             |  FROM wa)
+             |SELECT flag, CAST(MIN(qty) AS BIGINT) AS wmedian_qty,
+             |  CAST(MIN(total) AS BIGINT) AS total_cents
+             |FROM cum WHERE cw * 2 >= total
+             |GROUP BY flag
+             |ORDER BY flag""".stripMargin)),
+
+    QueryDef(
+      // REFERENTIAL-INTEGRITY AUDIT — the ingest gate a 100 TB lakehouse
+      // runs before publishing a snapshot: for every FK edge of the star
+      // schema, child volume, orphan rows (child keys with no parent)
+      // and distinct orphan keys. Each edge is one anti-join; dimension
+      // parents broadcast, the fact-fact edge (lineitem->orders) shuffles
+      // on its join key like any hash join. NULL FKs are excluded on
+      // both engines (a NULL key is unknown, not an orphan). The seven
+      // one-row frames union into the report.
+      "q86_fk_integrity",
+      (s, dir) => {
+        import s.implicits._
+        def edge(fk: String, parent: String,
+            child: org.apache.spark.sql.DataFrame, childKey: String,
+            par: org.apache.spark.sql.DataFrame, parKey: String) = {
+          val c = child.select(col(childKey).as("k")).filter($"k".isNotNull)
+          val orphans = c.join(par.select(col(parKey).as("k")), Seq("k"),
+            "left_anti")
+          c.agg(count(lit(1)).as("child_rows"))
+            .crossJoin(broadcast(orphans.agg(
+              count(lit(1)).as("orphan_rows"),
+              countDistinct($"k").as("orphan_keys"))))
+            .select(lit(fk).as("fk"), lit(parent).as("parent"),
+              $"child_rows", $"orphan_rows", $"orphan_keys")
+        }
+        val li = t(s, dir, "lineitem"); val od = t(s, dir, "orders")
+        val cu = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+        val pa = t(s, dir, "part"); val na = t(s, dir, "nation")
+        val re = t(s, dir, "region")
+        edge("lineitem.l_orderkey", "orders", li, "l_orderkey", od,
+            "o_orderkey")
+          .unionAll(edge("lineitem.l_partkey", "part", li, "l_partkey", pa,
+            "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey", "supplier", li, "l_suppkey",
+            su, "s_suppkey"))
+          .unionAll(edge("orders.o_custkey", "customer", od, "o_custkey",
+            cu, "c_custkey"))
+          .unionAll(edge("customer.c_nationkey", "nation", cu,
+            "c_nationkey", na, "n_nationkey"))
+          .unionAll(edge("supplier.s_nationkey", "nation", su,
+            "s_nationkey", na, "n_nationkey"))
+          .unionAll(edge("nation.n_regionkey", "region", na, "n_regionkey",
+            re, "r_regionkey"))
+          .orderBy($"fk")
+      },
+      Some("""WITH edges AS (
+             |  SELECT 'lineitem.l_orderkey' AS fk, 'orders' AS parent,
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_orderkey IS NOT NULL) AS child_rows,
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM orders WHERE o_orderkey = l_orderkey))
+             |      AS orphan_rows,
+             |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+             |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM orders WHERE o_orderkey = l_orderkey))
+             |      AS orphan_keys
+             |  UNION ALL SELECT 'lineitem.l_partkey', 'part',
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_partkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM part WHERE p_partkey = l_partkey)),
+             |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+             |      WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM part WHERE p_partkey = l_partkey))
+             |  UNION ALL SELECT 'lineitem.l_suppkey', 'supplier',
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_suppkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM lineitem
+             |      WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM supplier WHERE s_suppkey = l_suppkey)),
+             |    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+             |      WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM supplier WHERE s_suppkey = l_suppkey))
+             |  UNION ALL SELECT 'orders.o_custkey', 'customer',
+             |    (SELECT COUNT(*) FROM orders
+             |      WHERE o_custkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM orders
+             |      WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM customer WHERE c_custkey = o_custkey)),
+             |    (SELECT COUNT(DISTINCT o_custkey) FROM orders
+             |      WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM customer WHERE c_custkey = o_custkey))
+             |  UNION ALL SELECT 'customer.c_nationkey', 'nation',
+             |    (SELECT COUNT(*) FROM customer
+             |      WHERE c_nationkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM customer
+             |      WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM nation WHERE n_nationkey = c_nationkey)),
+             |    (SELECT COUNT(DISTINCT c_nationkey) FROM customer
+             |      WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM nation WHERE n_nationkey = c_nationkey))
+             |  UNION ALL SELECT 'supplier.s_nationkey', 'nation',
+             |    (SELECT COUNT(*) FROM supplier
+             |      WHERE s_nationkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM supplier
+             |      WHERE s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM nation WHERE n_nationkey = s_nationkey)),
+             |    (SELECT COUNT(DISTINCT s_nationkey) FROM supplier
+             |      WHERE s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM nation WHERE n_nationkey = s_nationkey))
+             |  UNION ALL SELECT 'nation.n_regionkey', 'region',
+             |    (SELECT COUNT(*) FROM nation
+             |      WHERE n_regionkey IS NOT NULL),
+             |    (SELECT COUNT(*) FROM nation
+             |      WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM region WHERE r_regionkey = n_regionkey)),
+             |    (SELECT COUNT(DISTINCT n_regionkey) FROM nation
+             |      WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM region WHERE r_regionkey = n_regionkey)))
+             |SELECT fk, parent, child_rows, orphan_rows, orphan_keys
+             |FROM edges
+             |ORDER BY fk""".stripMargin)),
+
+    QueryDef(
+      // ORDER-INDEPENDENT TABLE FINGERPRINT — the snapshot-equality
+      // primitive for 100 TB replication checks: per table, a checksum
+      // that any engine computes from a canonical row serialization
+      // (integer cents for money, '|' field separator) via
+      // sum-of-md5-prefixes — commutative, so partial aggregation and
+      // any partitioning give the same value, and two snapshots compare
+      // by five numbers instead of a row diff. One map-side pass per
+      // table; no shuffle beyond the final one-row aggregates.
+      "q87_table_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        def fp(name: String, repr: org.apache.spark.sql.Column,
+            df: org.apache.spark.sql.DataFrame) =
+          df.select(conv(substring(md5(repr), 1, 8), 16, 10)
+            .cast("long").as("h"))
+            .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+            .select(lit(name).as("table_name"), $"n_rows", $"checksum")
+        fp("region",
+          concat_ws("|", $"r_regionkey", $"r_name"), t(s, dir, "region"))
+          .unionAll(fp("nation",
+            concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey"),
+            t(s, dir, "nation")))
+          .unionAll(fp("customer",
+            concat_ws("|", $"c_custkey", $"c_name", $"c_nationkey",
+              round($"c_acctbal" * 100, 0).cast("long"), $"c_mktsegment"),
+            t(s, dir, "customer")))
+          .unionAll(fp("supplier",
+            concat_ws("|", $"s_suppkey", $"s_name", $"s_nationkey",
+              round($"s_acctbal" * 100, 0).cast("long")),
+            t(s, dir, "supplier")))
+          .unionAll(fp("part",
+            concat_ws("|", $"p_partkey", $"p_name", $"p_brand", $"p_type",
+              $"p_size", round($"p_retailprice" * 100, 0).cast("long")),
+            t(s, dir, "part")))
+          .orderBy($"table_name")
+      },
+      Some("""WITH f AS (
+             |  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+             |    SUM(CAST(concat('0x', substr(md5(
+             |      concat_ws('|', r_regionkey, r_name)), 1, 8)) AS BIGINT))
+             |      AS checksum
+             |  FROM region
+             |  UNION ALL SELECT 'nation', COUNT(*),
+             |    SUM(CAST(concat('0x', substr(md5(
+             |      concat_ws('|', n_nationkey, n_name, n_regionkey)),
+             |      1, 8)) AS BIGINT))
+             |  FROM nation
+             |  UNION ALL SELECT 'customer', COUNT(*),
+             |    SUM(CAST(concat('0x', substr(md5(
+             |      concat_ws('|', c_custkey, c_name, c_nationkey,
+             |        CAST(round(c_acctbal * 100, 0) AS BIGINT),
+             |        c_mktsegment)), 1, 8)) AS BIGINT))
+             |  FROM customer
+             |  UNION ALL SELECT 'supplier', COUNT(*),
+             |    SUM(CAST(concat('0x', substr(md5(
+             |      concat_ws('|', s_suppkey, s_name, s_nationkey,
+             |        CAST(round(s_acctbal * 100, 0) AS BIGINT))),
+             |      1, 8)) AS BIGINT))
+             |  FROM supplier
+             |  UNION ALL SELECT 'part', COUNT(*),
+             |    SUM(CAST(concat('0x', substr(md5(
+             |      concat_ws('|', p_partkey, p_name, p_brand, p_type,
+             |        p_size, CAST(round(p_retailprice * 100, 0)
+             |          AS BIGINT))), 1, 8)) AS BIGINT))
+             |  FROM part)
+             |SELECT table_name, n_rows, CAST(checksum AS BIGINT)
+             |  AS checksum
+             |FROM f
+             |ORDER BY table_name""".stripMargin))
+  )
+}

@@ -482,4 +482,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p75).size >= 2, p75)
     assert(!p75.contains("CartesianProduct"), p75)
   }
+
+  test("p78 reservoir: bounded aggregator, never a per-key sort window") {
+    val p = plan("p78_reservoir_per_key")
+    assert(!p.contains("Window"), s"per-key sample must aggregate:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed TopK aggregator missing:\n$p")
+  }
+
+  test("p81 triangles: degree lookups broadcast, all joins equi") {
+    val p = plan("p81_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"degree table must broadcast:\n$p")
+  }
+
+  test("q85 weighted median: the window rides the value-domain aggregate") {
+    // the cumulative window must sit ABOVE the (flag, qty) hash
+    // aggregate — i.e. it sees the value dictionary, never raw lineitem
+    val p = plan("q85_weighted_median")
+    val w = p.indexOf("Window")
+    assert(w >= 0, p)
+    assert(p.indexOf("HashAggregate", w) >= 0,
+      s"window must consume the pre-aggregated frame:\n$p")
+  }
+
+  test("round-6 batch 4: partial aggregation, no cartesians, mode without window") {
+    for (name <- Seq("p79_ngram_novelty", "p80_dim_standardize",
+      "p82_containment_decon", "q83_mode_per_group", "q86_fk_integrity")) {
+      val p = plan(name)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      if (name == "q83_mode_per_group" || name == "p80_dim_standardize")
+        assert(!p.contains("Window"), s"$name must not window:\n$p")
+    }
+    // q84's only nested-loop is the broadcast one-row bounds frame
+    val q84 = plan("q84_histogram")
+    assert(!q84.contains("CartesianProduct"), q84)
+    assert(!q84.contains("Window"), q84)
+    // p83's cumsum window partitions by source over the value
+    // dictionary; the grid product is dictionary x dictionary (allowed
+    // broadcast NLJ), never a fact-sized product
+    val p83 = plan("p83_ks_drift")
+    assert(!p83.contains("CartesianProduct"), p83)
+    assert(p83.contains("Window"), p83)
+    assert("HashAggregate".r.findAllIn(p83).size >= 2, p83)
+    // p84 image dedup: one hash-keyed aggregation over the map-side
+    // dHash; q87 fingerprints: partial-aggregable sums, no window
+    for (name <- Seq("p84_image_dhash_dedup", "q87_table_fingerprint")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
 }
