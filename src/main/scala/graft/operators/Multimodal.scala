@@ -755,6 +755,86 @@ object Multimodal {
     spark.createDataFrame(rows, dHashSchema)
   }
 
+  /** Patterned mono 16-bit PCM WAV at 8 kHz: `nBlocks` constant-
+    * amplitude blocks of `blockLen` samples; block w of seed s has
+    * amplitude ((s*37 + w*11) mod 100) * 300. Exists so acoustic-
+    * fingerprint dedup can be oracle-checked end-to-end — the
+    * fingerprint of an analytically-known envelope is closed-form.
+    */
+  def syntheticWavPattern(seed: Long, nBlocks: Int = 17,
+      blockLen: Int = 64): Array[Byte] = {
+    val n = nBlocks * blockLen
+    val dataLen = 2 * n
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var w = 0
+    while (w < nBlocks) {
+      val amp = (math.floorMod(seed * 37 + w * 11, 100) * 300).toShort
+      var i = 0
+      while (i < blockLen) { b.putShort(amp); i += 1 }
+      w += 1
+    }
+    b.array()
+  }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("afp", StringType, nullable = false)))
+
+  /** Acoustic fingerprint: decode PCM ([[decodePcm]] — format guards
+    * decide membership), split the frame stream into `nWindows` equal
+    * slices `[w*n/W, (w+1)*n/W)`, sum |amplitude| per slice in Long,
+    * and emit bit w = 1 iff slice w is strictly louder than slice w+1
+    * — compared CROSS-MULTIPLIED (sum_w * len_{w+1} > sum_{w+1} *
+    * len_w), so unequal slice lengths stay integer-exact, no float
+    * means. The (nWindows-1)-char bit string is the loudness-contour
+    * analog of [[dHash]]: deterministic, engine-portable, groupable.
+    * Pure `mapPartitions`; downstream dedup is one hash-keyed
+    * aggregation.
+    */
+  def audioFingerprint(withPayloadDf: DataFrame,
+      nWindows: Int = 17): DataFrame = {
+    require(nWindows >= 2 && nWindows <= 256, "nWindows in [2, 256]")
+    val spark = withPayloadDf.sparkSession
+    val rows = withPayloadDf.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val decoded =
+          try decodePcm(bytes)
+          catch { case _: Exception => None }
+        decoded.map { case (rate, nFrames, sampleAt) =>
+          val sums = new Array[Long](nWindows)
+          val lens = new Array[Long](nWindows)
+          var f = 0
+          while (f < nFrames) {
+            val w = ((f.toLong * nWindows) / nFrames).toInt
+            sums(w) += math.abs(sampleAt(f).toLong)
+            lens(w) += 1
+            f += 1
+          }
+          val sb = new java.lang.StringBuilder(nWindows - 1)
+          var w = 0
+          while (w < nWindows - 1) {
+            val louder = lens(w) > 0 && lens(w + 1) > 0 &&
+              sums(w) * lens(w + 1) > sums(w + 1) * lens(w)
+            sb.append(if (louder) '1' else '0')
+            w += 1
+          }
+          Row(id, rate, nFrames, sb.toString)
+        }
+      }
+    }
+    spark.createDataFrame(rows, audioFpSchema)
+  }
+
   /** Mono 16-bit PCM WAV: `n` samples of constant amplitude `s`. */
   private[operators] def syntheticWav(rate: Int, s: Short, n: Int): Array[Byte] = {
     val dataLen = 2 * n

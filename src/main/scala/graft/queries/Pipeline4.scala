@@ -430,6 +430,47 @@ object Pipeline4 {
              |g AS (SELECT d.doc_id, h.dhash FROM d JOIN h USING (seed))
              |SELECT dhash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
              |FROM g GROUP BY dhash HAVING COUNT(*) > 1
-             |ORDER BY dhash""".stripMargin))
+             |ORDER BY dhash""".stripMargin)),
+
+    QueryDef(
+      // ACOUSTIC-FINGERPRINT AUDIO DEDUP, oracle-checked through a REAL
+      // PCM WAV decode — the audio leg of the perceptual-dedup trio
+      // (p84 images, p71 video): payloads are deterministic 17-block
+      // clips (block w of seed s has amplitude ((s*37 + w*11) mod 100)
+      // * 300, seed = doc_id mod 40), the engine parses actual RIFF
+      // bytes and hashes the loudness contour, and DuckDB replays the
+      // closed-form amplitude arithmetic to the SAME 16-char bit
+      // strings and dedup groups. Window slices align 1:1 with the
+      // blocks (17*64 frames), so the contour comparisons are exact
+      // integer; payloads never shuffle, the dedup is one hash-keyed
+      // aggregation.
+      "p85_audio_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val clips = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.syntheticWavPattern(id % 40))))
+          .toDF("doc_id", "payload")
+        Multimodal.audioFingerprint(clips, nWindows = 17)
+          .groupBy($"afp")
+          .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("rep_id"))
+          .filter($"n_copies" > 1)
+          .orderBy($"afp")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 40 AS seed
+             |          FROM documents),
+             |seeds AS (SELECT DISTINCT seed FROM d),
+             |bits AS (
+             |  SELECT seed, w,
+             |    CASE WHEN (seed*37 + w*11) % 100 >
+             |              (seed*37 + (w+1)*11) % 100
+             |      THEN '1' ELSE '0' END AS bit
+             |  FROM seeds, unnest(generate_series(0, 15)) AS g(w)),
+             |h AS (SELECT seed, string_agg(bit, '' ORDER BY w) AS afp
+             |      FROM bits GROUP BY seed),
+             |g2 AS (SELECT d.doc_id, h.afp FROM d JOIN h USING (seed))
+             |SELECT afp, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
+             |FROM g2 GROUP BY afp HAVING COUNT(*) > 1
+             |ORDER BY afp""".stripMargin))
   )
 }

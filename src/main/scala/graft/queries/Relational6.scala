@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
 object Relational6 {
   import graft.Tables.t
 
+  /** Per-process scratch root for q88's two schema snapshots (cleaned
+    * on JVM exit; pid-keyed so concurrent runs never collide). */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_r6_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getPath
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -325,6 +340,48 @@ object Relational6 {
              |SELECT table_name, n_rows, CAST(checksum AS BIGINT)
              |  AS checksum
              |FROM f
-             |ORDER BY table_name""".stripMargin))
+             |ORDER BY table_name""".stripMargin)),
+
+    QueryDef(
+      // SCHEMA-EVOLUTION READ — the lakehouse reality that a 100 TB
+      // table's early files predate its later columns: snapshot v1
+      // (orders before 1998: key, year, cents) and snapshot v2 (1998+:
+      // + priority) are written as real parquet and read back in ONE
+      // scan with mergeSchema — v1 rows surface the evolved column as
+      // NULL, and the per-year report proves both the union and the
+      // NULL semantics. The oracle replays from the source table. At
+      // scale this is a metadata-only merge (footer schemas), not a
+      // data rewrite — which is the point of the pattern.
+      "q88_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(scratchRoot, "schema_evo").getPath
+        val base = t(s, dir, "orders").select($"o_orderkey",
+          year($"o_orderdate").as("o_year"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+          $"o_orderpriority")
+        base.filter($"o_year" < 1998)
+          .select($"o_orderkey", $"o_year", $"cents")
+          .write.mode("overwrite").parquet(s"$root/v1")
+        base.filter($"o_year" >= 1998)
+          .write.mode("overwrite").parquet(s"$root/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/v1", s"$root/v2")
+          .groupBy($"o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"cents").as("total_cents"),
+            sum(when($"o_orderpriority".isNotNull, 1L).otherwise(0L))
+              .as("with_priority"))
+          .orderBy($"o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS total_cents,
+             |  CAST(SUM(CASE WHEN year(o_orderdate) >= 1998
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS with_priority
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY o_year""".stripMargin))
   )
 }

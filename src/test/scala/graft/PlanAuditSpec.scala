@@ -526,12 +526,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p83.contains("CartesianProduct"), p83)
     assert(p83.contains("Window"), p83)
     assert("HashAggregate".r.findAllIn(p83).size >= 2, p83)
-    // p84 image dedup: one hash-keyed aggregation over the map-side
-    // dHash; q87 fingerprints: partial-aggregable sums, no window
-    for (name <- Seq("p84_image_dhash_dedup", "q87_table_fingerprint")) {
+    // p84/p85 perceptual dedup: one hash-keyed aggregation over the
+    // map-side fingerprint; q87 fingerprints: partial-aggregable sums
+    for (name <- Seq("p84_image_dhash_dedup", "p85_audio_fingerprint_dedup",
+      "q87_table_fingerprint")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
+    // q88 merge-schema read: one union scan feeding a partial-agg pair
+    val q88 = plan("q88_schema_evolution")
+    assert("HashAggregate".r.findAllIn(q88).size >= 2, q88)
+    assert(!q88.contains("CartesianProduct"), q88)
   }
 }

@@ -125,4 +125,39 @@ class Pipeline4OpsSpec extends AnyFunSuite {
     assert(got(1L).contains('1'), "seed 4 must wrap inside the grid")
     assert(got(1L).length == 64 && got(1L).forall(c => c == '0' || c == '1'))
   }
+
+  test("audioFingerprint matches the closed-form contour, incl. uneven windows") {
+    import graft.operators.Multimodal
+    val clips = Seq((1L, Multimodal.syntheticWavPattern(5)),
+      (2L, Multimodal.syntheticWavPattern(9)))
+      .toDF("doc_id", "payload")
+    def amp(seed: Long, w: Int): Long =
+      math.floorMod(seed * 37 + w * 11, 100) * 300
+    // aligned windows (17 over 17 blocks): contour = amplitude compares
+    val got = Multimodal.audioFingerprint(clips, 17)
+      .select($"doc_id", $"afp").as[(Long, String)].collect().toMap
+    def fp(seed: Long): String = (0 until 16)
+      .map(w => if (amp(seed, w) > amp(seed, w + 1)) '1' else '0').mkString
+    assert(got(1L) == fp(5))
+    assert(got(2L) == fp(9))
+    // uneven windows (5 over 1088 frames -> 217/218-sample slices): the
+    // cross-multiplied compare must agree with an exact reference
+    def ref(seed: Long, bigW: Int): String = {
+      val n = 17 * 64
+      val sums = new Array[Long](bigW)
+      val lens = new Array[Long](bigW)
+      for (f <- 0 until n) {
+        val w = (f.toLong * bigW / n).toInt
+        sums(w) += amp(seed, f / 64)
+        lens(w) += 1
+      }
+      (0 until bigW - 1).map(w =>
+        if (sums(w) * lens(w + 1) > sums(w + 1) * lens(w)) '1' else '0')
+        .mkString
+    }
+    val g5 = Multimodal.audioFingerprint(clips, 5)
+      .select($"doc_id", $"afp").as[(Long, String)].collect().toMap
+    assert(g5(1L) == ref(5, 5))
+    assert(g5(2L) == ref(9, 5))
+  }
 }
