@@ -382,6 +382,89 @@ object Relational6 {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS with_priority
              |FROM orders
              |GROUP BY 1
-             |ORDER BY o_year""".stripMargin))
+             |ORDER BY o_year""".stripMargin)),
+
+    QueryDef(
+      // CACHED SHARED INTERMEDIATE — the explicit-materialization twin
+      // of q81's automatic exchange reuse: a monthly revenue rollup is
+      // computed ONCE, `.cache()`d, and two reports derive from it (the
+      // top-3 months and every month-over-month delta). The plan pin
+      // asserts BOTH consumers read `InMemoryTableScan` — without the
+      // cache each report re-scans and re-shuffles the fact table; with
+      // it the fact table is read once and the reports run over an
+      // 84-row columnar cache. Money stays in integer cents end-to-end;
+      // both derivations ride the dictionary-sized rollup (windows over
+      // <=84 rows), never the facts.
+      "q89_cached_two_pass",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val monthly = t(s, dir, "lineitem")
+          .select(year($"l_shipdate").as("y"), month($"l_shipdate").as("m"),
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+              .cast("long").as("cents"))
+          .groupBy($"y", $"m").agg(sum($"cents").as("cents"))
+          .cache()
+        val top3 = monthly
+          .orderBy($"cents".desc, $"y", $"m").limit(3)
+          .select(lit("top3").as("report"), $"y", $"m", $"cents",
+            lit(null).cast("long").as("delta"))
+        val mom = monthly
+          .withColumn("delta", $"cents" - lag($"cents", 1)
+            .over(Window.orderBy($"y", $"m")))
+          .select(lit("mom_delta").as("report"), $"y", $"m", $"cents",
+            $"delta")
+        top3.unionAll(mom).orderBy($"report", $"y", $"m")
+      },
+      Some("""WITH monthly AS (
+             |  SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+             |    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+             |      * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1, 2),
+             |top3 AS (
+             |  SELECT 'top3' AS report, y, m, cents,
+             |    CAST(NULL AS BIGINT) AS delta
+             |  FROM monthly ORDER BY cents DESC, y, m LIMIT 3),
+             |mom AS (
+             |  SELECT 'mom_delta' AS report, y, m, cents,
+             |    cents - lag(cents, 1) OVER (ORDER BY y, m) AS delta
+             |  FROM monthly)
+             |SELECT * FROM top3
+             |UNION ALL SELECT * FROM mom
+             |ORDER BY report, y, m""".stripMargin)),
+
+    QueryDef(
+      // PARAMETERIZED SQL — the injection-safe `spark.sql(text, args)`
+      // binding surface (named parameter markers, Spark 3.4+): the
+      // revenue cut and segment list arrive as PARAMETERS, not spliced
+      // strings. Semantically identical to the literal form the oracle
+      // runs; what this entry locks in is the API — a library user
+      // drives every graft view through bound parameters without
+      // string-escaping concerns.
+      "q90_parameterized_sql",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT c_mktsegment,
+            |  COUNT(*) AS n_customers,
+            |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+            |    AS BIGINT) AS balance_cents
+            |FROM customer
+            |WHERE c_acctbal >= :minBal
+            |  AND c_mktsegment IN (:seg1, :seg2)
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin,
+          Map("minBal" -> 1000.0, "seg1" -> "BUILDING",
+            "seg2" -> "MACHINERY"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  COUNT(*) AS n_customers,
+             |  CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS balance_cents
+             |FROM customer
+             |WHERE c_acctbal >= 1000.0
+             |  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

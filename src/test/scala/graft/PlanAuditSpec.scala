@@ -539,4 +539,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(q88).size >= 2, q88)
     assert(!q88.contains("CartesianProduct"), q88)
   }
+
+  test("q89 both report legs read the cached rollup, not the fact table") {
+    // the monthly rollup is cached; top3 AND mom_delta must consume
+    // InMemoryTableScan — losing the cache silently doubles the fact
+    // scan+shuffle. (The mom window is global but its input is the
+    // <=84-row month dictionary — the q63 bounded-global discipline.)
+    val p = plan("q89_cached_two_pass")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"expected two cached consumers:\n$p")
+    SparkTestSession.spark.catalog.clearCache()
+  }
 }
