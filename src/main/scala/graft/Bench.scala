@@ -145,29 +145,51 @@ object Bench {
     def qsWith(f: Double => String): String =
       results.map { case (k, v, _) => "\"" + short(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-    val qs = qsWith(fmt1)
     val total = results.map(_._2).sum
     val failed = results.filter(!_._3).map(r => "\"" + short(r._1) + "\"")
     // name failed keys only when few: the COUNT is the driver's signal,
     // the full list is in target/bench-full.json, and an everything-
     // failed run must still fit the tail window (the 20-name cap
     // crossed 1800 chars at 137 queries)
-    val failedPart =
+    val failedFull =
       if (failed.isEmpty) "\"failed\":0"
       else if (failed.size > 10) s""""failed":${failed.size}"""
       else s""""failed":${failed.size},"failed_queries":[${failed.mkString(",")}]"""
+    val failedCount = s""""failed":${failed.size}"""
     // sf renders as its basename: the driver identifies the scale
     // factor, and the 15-char path prefix is pure tail-window waste
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    def line(qsPart: String) =
+    def line(qsPart: String, failedPart: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$failedPart,"sf":"$sfShort"}"""
-    // the driver reads the LAST ~2000 chars of output; sbt appends a
-    // ~75-char [success] line after ours. 1850 leaves real margin, and
-    // if the suite ever outgrows it the line self-degrades to whole
-    // seconds (sub-second detail survives in bench-full.json) instead
-    // of silently arriving truncated as rounds 1-2 did
-    val full = line(qs)
-    if (full.length < 1850) full else line(qsWith(fmt0))
+    // The driver reads the LAST ~2000 chars of output; sbt appends a
+    // ~75-char [success] line after ours, so 1850 leaves real margin.
+    // The degrade ladder (each tier drops stdout detail that survives
+    // in bench-full.json, never truncates mid-JSON as rounds 1-2 did):
+    //   1. one-decimal values, failed names when few;
+    //   2. whole-second values;
+    //   3. whole-second values, failed COUNT only;
+    //   4. whole-second values for only the HEAVIEST queries that fit,
+    //      plus queries_omitted (the omitted tail is the fast one —
+    //      the slow entries are the ones a bench reader needs).
+    val ladder = Seq(
+      line(qsWith(fmt1), failedFull),
+      line(qsWith(fmt0), failedFull),
+      line(qsWith(fmt0), failedCount))
+    ladder.find(_.length < 1850).getOrElse {
+      val entries = results.sortBy(-_._2)
+        .map { case (k, v, _) => "\"" + short(k) + "\":" + fmt0(v) }
+      // budget for the query map: the fixed parts of the line plus the
+      // omitted marker, against the same 1850 guard
+      val fixed = line("{}", failedCount).length + 30
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 2
+      for (e <- entries if used + e.length + 1 + fixed < 1850) {
+        kept += e; used += e.length + 1
+      }
+      val omitted = entries.size - kept.size
+      line(kept.mkString("{", ",", "}"),
+        s""""queries_omitted":$omitted,$failedCount""")
+    }
   }
 }

@@ -700,8 +700,18 @@ object Multimodal {
     * full byte-parse -> grid -> hash path.
     */
   def syntheticBmpPattern(seed: Long): Array[Byte] =
+    syntheticBmpPattern(seed, -1, -1, 0)
+
+  /** [[syntheticBmpPattern]] with one cell (bumpX, bumpY) brightened by
+    * `bump` (mod 256) — the analytically-known near-duplicate: at most
+    * the two dHash comparisons touching that cell can flip, so the
+    * perturbed raster sits within hamming 2 of its base. */
+  def syntheticBmpPattern(seed: Long, bumpX: Int, bumpY: Int,
+      bump: Int): Array[Byte] =
     encodeBmp(9, 8, (x, y) => {
-      val v = math.floorMod(seed * 31 + x * 7 + y * 13, 256).toInt
+      val base = seed * 31 + x * 7 + y * 13
+      val v = math.floorMod(
+        if (x == bumpX && y == bumpY) base + bump else base, 256).toInt
       (v, v, v)
     })
 

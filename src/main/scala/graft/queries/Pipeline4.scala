@@ -471,6 +471,103 @@ object Pipeline4 {
              |g2 AS (SELECT d.doc_id, h.afp FROM d JOIN h USING (seed))
              |SELECT afp, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
              |FROM g2 GROUP BY afp HAVING COUNT(*) > 1
-             |ORDER BY afp""".stripMargin))
+             |ORDER BY afp""".stripMargin)),
+
+    QueryDef(
+      // IMAGE NEAR-DUP (hamming <= 2 over dHash) — p84 catches
+      // byte-identical images; this catches the retouched copy: docs
+      // with doc_id % 7 == 0 carry a one-cell-brightened variant of
+      // their base pattern (seed = doc_id % 30), which flips at most
+      // the two dHash comparisons touching that cell. Pairing runs at
+      // HASH granularity (the corpus first collapses to its distinct
+      // hash dictionary) with the SimHash pigeonhole: 4 chunks of 16
+      // bits — any two hashes within hamming 3 share >= 1 chunk, so
+      // the candidate join is chunk-keyed EQUI, never all-pairs; exact
+      // hamming then filters to <= 2. The oracle replays the perturbed
+      // pixel arithmetic and does the naive all-pairs hamming (fine at
+      // oracle scale — which is the point of the chunk index). Both
+      // engines must produce the identical pair set.
+      "p86_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = id % 30
+            val payload =
+              if (id % 7 == 0) Multimodal.syntheticBmpPattern(seed, 3, 4, 64)
+              else Multimodal.syntheticBmpPattern(seed)
+            (id, payload)
+          })
+          .toDF("doc_id", "payload")
+        val groups = Multimodal.dHash(imgs)
+          .groupBy($"dhash")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("rep"))
+        val chunks = groups.select($"dhash")
+          .select($"dhash", explode(sequence(lit(0), lit(3))).as("pos"))
+          .select($"dhash", $"pos",
+            expr("substring(dhash, pos * 16 + 1, 16)").as("chunk"))
+        val cand = chunks.as("a").join(chunks.as("b"),
+            col("a.pos") === col("b.pos") &&
+              col("a.chunk") === col("b.chunk") &&
+              col("a.dhash") < col("b.dhash"))
+          .select(col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+        val pairs = cand.withColumn("hamming", expr(
+          """aggregate(sequence(1, 64), 0, (acc, i) ->
+            |  acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"""
+            .stripMargin))
+          .filter($"hamming" <= 2)
+        pairs
+          .join(groups.select($"dhash".as("ha"), $"n".as("n_a"),
+            $"rep".as("rep_a")), Seq("ha"))
+          .join(groups.select($"dhash".as("hb"), $"n".as("n_b"),
+            $"rep".as("rep_b")), Seq("hb"))
+          .select($"rep_a", $"rep_b", $"hamming", $"n_a", $"n_b")
+          .orderBy($"rep_a", $"rep_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 30 AS seed,
+             |    doc_id % 7 = 0 AS pert
+             |  FROM documents),
+             |variants AS (SELECT DISTINCT seed, pert FROM d),
+             |px AS (
+             |  SELECT seed, pert, y, x,
+             |    CASE WHEN pert AND x = 3 AND y = 4
+             |      THEN (seed*31 + x*7 + y*13 + 64) % 256
+             |      ELSE (seed*31 + x*7 + y*13) % 256 END AS v
+             |  FROM variants,
+             |    unnest(generate_series(0, 7)) AS gy(y),
+             |    unnest(generate_series(0, 8)) AS gx(x)),
+             |bits AS (
+             |  SELECT a.seed, a.pert, a.y, a.x,
+             |    CASE WHEN a.v > c.v THEN '1' ELSE '0' END AS bit
+             |  FROM px a JOIN px c ON c.seed = a.seed AND c.pert = a.pert
+             |    AND c.y = a.y AND c.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT seed, pert, string_agg(bit, '' ORDER BY y, x)
+             |    AS dhash
+             |  FROM bits GROUP BY seed, pert),
+             |dh AS (
+             |  SELECT d.doc_id, h.dhash
+             |  FROM d JOIN h ON h.seed = d.seed AND h.pert = d.pert),
+             |groups AS (
+             |  SELECT dhash, COUNT(*) AS n, MIN(doc_id) AS rep
+             |  FROM dh GROUP BY dhash),
+             |ham AS (
+             |  SELECT a.dhash AS ha, b.dhash AS hb,
+             |    SUM(CASE WHEN substr(a.dhash, i, 1) <>
+             |      substr(b.dhash, i, 1) THEN 1 ELSE 0 END) AS hamming
+             |  FROM groups a JOIN groups b ON a.dhash < b.dhash,
+             |    unnest(generate_series(1, 64)) AS g(i)
+             |  GROUP BY 1, 2)
+             |SELECT ga.rep AS rep_a, gb.rep AS rep_b,
+             |  CAST(hamming AS INT) AS hamming,
+             |  ga.n AS n_a, gb.n AS n_b
+             |FROM ham
+             |  JOIN groups ga ON ga.dhash = ham.ha
+             |  JOIN groups gb ON gb.dhash = ham.hb
+             |WHERE hamming <= 2
+             |ORDER BY rep_a, rep_b""".stripMargin))
   )
 }

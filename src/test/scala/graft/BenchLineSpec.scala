@@ -20,20 +20,31 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("rendered line fits the driver's tail window with headroom") {
     // The WIDEST per-query rendering is the 3-char sub-10s form
-    // ("9.9"), not the clamped "99" — and renderLine self-degrades to
-    // whole seconds past 1850, so the guarantee is: whatever the
-    // timings, the line fits the tail window.
+    // ("9.9"), not the clamped "99" — and renderLine degrades through
+    // its ladder (whole seconds -> failed count only -> heaviest-subset
+    // map) past 1850, so the guarantee is: whatever the timings and
+    // however many queries, the line fits the tail window and always
+    // carries a failed count.
     for (v <- Seq(9.94, 999.99)) {
       val results = names.map(n => (n, v, false))
       val line = Bench.renderLine(results, "/root/testdata/sf0.1")
       assert(line.length < 1850, s"bench line ${line.length} chars ($v); must stay < 1850")
       assert(!line.contains("\n"))
-      // the few-failures shape (named list) must also fit
+      assert(line.contains(s""""failed":${names.size}"""), line.takeRight(80))
+      // the few-failures shape must also fit (named list survives only
+      // while tier 1 fits; the count always does)
       val few = names.zipWithIndex.map { case (n, i) => (n, v, i >= 10) }
       val line2 = Bench.renderLine(few, "/root/testdata/sf0.1")
       assert(line2.length < 1850, s"bench line ${line2.length} chars ($v); must stay < 1850")
-      assert(line2.contains("failed_queries"))
+      assert(line2.contains(""""failed":10"""), line2.takeRight(80))
     }
+    // a pathological future size must degrade to the heaviest-subset
+    // map, never overflow: 400 synthetic queries, slowest-first kept
+    val big = (1 to 400).map(i => (f"q$i%03d_x", i.toDouble / 10, true))
+    val line3 = Bench.renderLine(big, "/root/testdata/sf0.1")
+    assert(line3.length < 1850, s"${line3.length}")
+    assert(line3.contains("queries_omitted"), line3.takeRight(100))
+    assert(line3.contains("\"q400"), "heaviest query must survive the cut")
     // the 10s boundary must not emit a 4-char "10.0"
     val b = Bench.renderLine(Seq(("q01_x", 9.96, true)), "/tmp/sf0.1")
     assert(b.contains("\"q01\":10}"), b)

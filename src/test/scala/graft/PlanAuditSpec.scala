@@ -540,6 +540,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q88.contains("CartesianProduct"), q88)
   }
 
+  test("p86 near-dup pairing is chunk-keyed equi, never all-pairs") {
+    val p = plan("p86_image_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hash pairing must ride the chunk equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact

@@ -160,4 +160,20 @@ class Pipeline4OpsSpec extends AnyFunSuite {
     assert(g5(1L) == ref(5, 5))
     assert(g5(2L) == ref(9, 5))
   }
+
+  test("one-cell perturbation moves dHash by at most 2 bits (p86 premise)") {
+    import graft.operators.Multimodal
+    val rows = (0L until 30L).flatMap(seed => Seq(
+      (seed * 2, Multimodal.syntheticBmpPattern(seed)),
+      (seed * 2 + 1, Multimodal.syntheticBmpPattern(seed, 3, 4, 64))))
+    val got = Multimodal.dHash(rows.toDF("doc_id", "payload"))
+      .select($"doc_id", $"dhash").as[(Long, String)].collect().toMap
+    for (seed <- 0L until 30L) {
+      val (a, b) = (got(seed * 2), got(seed * 2 + 1))
+      val ham = a.zip(b).count { case (x, y) => x != y }
+      assert(ham <= 2, s"seed=$seed hamming=$ham")
+    }
+    // and the perturbation is visible somewhere (not a universal no-op)
+    assert((0L until 30L).exists(s => got(s * 2) != got(s * 2 + 1)))
+  }
 }
