@@ -66,8 +66,10 @@ object Aggregators {
     override def zero: TopKBuf = TopKBuf(Nil)
     override def reduce(b: TopKBuf, x: TopKItem): TopKBuf =
       // keep the buffer sorted so reduce stays O(k) per row in the
-      // common case (new row past the current k-th smallest)
-      if (b.items.size >= k) {
+      // common case (new row past the current k-th smallest); NULL
+      // sort keys are skipped like any SQL aggregate input
+      if (x.ord == null) b
+      else if (b.items.size >= k) {
         val last = b.items.last
         val c = x.ord.compareTo(last.ord)
         if (c > 0 || (c == 0 && x.id >= last.id)) b

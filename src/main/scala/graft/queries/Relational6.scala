@@ -199,9 +199,20 @@ object Relational6 {
             "s_nationkey", na, "n_nationkey"))
           .unionAll(edge("nation.n_regionkey", "region", na, "n_regionkey",
             re, "r_regionkey"))
+          // detection proof: a dirty staging frame with three fabricated
+          // rows (keys -1, -2, -2 — impossible as real order keys) must
+          // report orphan_rows=3 / orphan_keys=2; without it a clean
+          // dataset shows all-zero audits and the detector is untested
+          .unionAll(edge("staging.l_orderkey", "orders",
+            li.select($"l_orderkey")
+              .unionAll(Seq(-1L, -2L, -2L).toDF("l_orderkey")),
+            "l_orderkey", od, "o_orderkey"))
           .orderBy($"fk")
       },
-      Some("""WITH edges AS (
+      Some("""WITH staging AS (
+             |  SELECT l_orderkey AS k FROM lineitem
+             |  UNION ALL SELECT * FROM (VALUES (-1), (-2), (-2)) AS v(k)),
+             |edges AS (
              |  SELECT 'lineitem.l_orderkey' AS fk, 'orders' AS parent,
              |    (SELECT COUNT(*) FROM lineitem
              |      WHERE l_orderkey IS NOT NULL) AS child_rows,
@@ -266,7 +277,15 @@ object Relational6 {
              |        FROM region WHERE r_regionkey = n_regionkey)),
              |    (SELECT COUNT(DISTINCT n_regionkey) FROM nation
              |      WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1
-             |        FROM region WHERE r_regionkey = n_regionkey)))
+             |        FROM region WHERE r_regionkey = n_regionkey))
+             |  UNION ALL SELECT 'staging.l_orderkey', 'orders',
+             |    (SELECT COUNT(*) FROM staging WHERE k IS NOT NULL),
+             |    (SELECT COUNT(*) FROM staging
+             |      WHERE k IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM orders WHERE o_orderkey = k)),
+             |    (SELECT COUNT(DISTINCT k) FROM staging
+             |      WHERE k IS NOT NULL AND NOT EXISTS (SELECT 1
+             |        FROM orders WHERE o_orderkey = k)))
              |SELECT fk, parent, child_rows, orphan_rows, orphan_keys
              |FROM edges
              |ORDER BY fk""".stripMargin)),
