@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over plain edge frames (no GraphX — a
+  * DataFrame edge list joins, prunes and partial-aggregates like any
+  * relational input, which is exactly what Catalyst optimizes).
+  */
+object GraphOps {
+
+  /** Node degree frame for an undirected edge set (`a`, `b` columns,
+    * a < b, deduplicated): one row per node with its degree. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+
+  /** Exact triangle count over an undirected edge set (`a`, `b`
+    * columns with a < b, deduplicated), one row: `n_triangles`.
+    *
+    * Degree-ordered orientation — the scalable shape: every edge is
+    * oriented from its lower-(degree, id) endpoint, bounding each
+    * node's out-degree at O(sqrt(m)), so the wedge self-join fan-out
+    * is bounded by it (never deg^2 of a hub); wedges close with one
+    * equi-join against the oriented set. The degree lookups are plain
+    * equi-joins — the planner broadcasts them while the node
+    * dictionary is small and falls back to a shuffled join beyond
+    * that, which is the right call at either scale.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val withDeg = edges
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"),
+          col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
+        (col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("y"), col("e2.t").as("z"))
+    wedges
+      .join(oriented.select(col("s").as("y"), col("t").as("z")),
+        Seq("y", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -772,25 +772,9 @@ object Multimodal {
     * fingerprint of an analytically-known envelope is closed-form.
     */
   def syntheticWavPattern(seed: Long, nBlocks: Int = 17,
-      blockLen: Int = 64): Array[Byte] = {
-    val n = nBlocks * blockLen
-    val dataLen = 2 * n
-    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
-      .putInt(8000).putInt(16000).putShort(2).putShort(16)
-    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var w = 0
-    while (w < nBlocks) {
-      val amp = (math.floorMod(seed * 37 + w * 11, 100) * 300).toShort
-      var i = 0
-      while (i < blockLen) { b.putShort(amp); i += 1 }
-      w += 1
-    }
-    b.array()
-  }
+      blockLen: Int = 64): Array[Byte] =
+    encodeWav(8000, Array.tabulate(nBlocks * blockLen)(i =>
+      (math.floorMod(seed * 37 + (i / blockLen) * 11, 100) * 300).toShort))
 
   private val audioFpSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -833,8 +817,12 @@ object Multimodal {
           val sb = new java.lang.StringBuilder(nWindows - 1)
           var w = 0
           while (w < nWindows - 1) {
+            // arbitrary-precision cross-multiply: a |sum| can reach
+            // ~32767 * nFrames and a slice length nFrames, so the Long
+            // product overflows around hour-long clips — BigInt keeps
+            // the exactness claim true at any payload size
             val louder = lens(w) > 0 && lens(w + 1) > 0 &&
-              sums(w) * lens(w + 1) > sums(w + 1) * lens(w)
+              BigInt(sums(w)) * lens(w + 1) > BigInt(sums(w + 1)) * lens(w)
             sb.append(if (louder) '1' else '0')
             w += 1
           }

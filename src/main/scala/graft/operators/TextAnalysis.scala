@@ -15,6 +15,16 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word n-gram array over a pre-split token array — the ONE shared
+    * convention for every gram-keyed operator and oracle: documents
+    * shorter than n contribute their whole text as a single gram;
+    * callers filter NULL/empty text first. */
+  def wordGrams(toks: Column, text: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(text))
+
   /** Mean token length, exploiting single-space separation:
     * (chars - (n-1)) / n.
     */
@@ -188,10 +198,7 @@ object TextAnalysis {
     val grams = df
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol),
-        explode(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => array_join(slice(toks, i, lit(n)), " ")))
-          .otherwise(array(col(textCol)))).as("__gram"))
+        explode(wordGrams(toks, col(textCol), n)).as("__gram"))
       .distinct()
     val gramDf = grams.groupBy(col("__gram"))
       .agg((count(lit(1)) > 1).as("__shared"))
@@ -456,10 +463,7 @@ object TextAnalysis {
     val docGrams = df
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol), col(srcCol).as("__src"),
-        explode(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => array_join(slice(toks, i, lit(n)), " ")))
-          .otherwise(array(col(textCol)))).as("__gram"))
+        explode(wordGrams(toks, col(textCol), n)).as("__gram"))
       .distinct()
     val perGram = docGrams.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__df"),

@@ -12,15 +12,7 @@ import org.apache.spark.sql.types.DecimalType
 object Pipeline4 {
   import graft.Tables.t
 
-  /** Word n-gram column: the p39 convention — documents shorter than n
-    * contribute their whole text as one gram; NULL/empty text is
-    * filtered by callers before this. */
-  private def wordGrams(tk: org.apache.spark.sql.Column,
-      text: org.apache.spark.sql.Column, n: Int) =
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
-      .otherwise(array(text))
+  import graft.operators.TextAnalysis.wordGrams
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -177,37 +169,17 @@ object Pipeline4 {
       "p81_triangle_count",
       (s, dir) => {
         import s.implicits._
+        import graft.operators.GraphOps
         val e0 = t(s, dir, "orders")
           .select(($"o_orderkey" % 997).as("u"),
             (($"o_orderkey" * 31 + 7) % 997).as("v"))
           .filter($"u" =!= $"v")
           .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
           .distinct()
-        val deg = e0.select(explode(array($"a", $"b")).as("node"))
-          .groupBy($"node").agg(count(lit(1)).as("d"))
-        // degree table is <= |nodes| rows — broadcast both lookups
-        val withDeg = e0
-          .join(broadcast(deg.select($"node".as("a"), $"d".as("da"))),
-            Seq("a"))
-          .join(broadcast(deg.select($"node".as("b"), $"d".as("db"))),
-            Seq("b"))
-        val oriented = withDeg.select(
-          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
-            struct($"a".as("s"), $"b".as("t"), $"db".as("dt")))
-            .otherwise(struct($"b".as("s"), $"a".as("t"), $"da".as("dt")))
-            .as("e"))
-          .select($"e.s".as("s"), $"e.t".as("t"), $"e.dt".as("dt"))
-        val wedges = oriented.as("e1")
-          .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
-            (col("e1.dt") < col("e2.dt") ||
-              (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-          .select(col("e1.t").as("y"), col("e2.t").as("z"))
-        val tri = wedges
-          .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+        val nodes = GraphOps.degrees(e0).agg(count(lit(1)).as("n_nodes"))
         val edges = e0.agg(count(lit(1)).as("n_edges"))
-        nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        nodes.crossJoin(broadcast(edges))
+          .crossJoin(broadcast(GraphOps.triangleCount(e0)))
       },
       Some("""WITH e0 AS (
              |  SELECT DISTINCT
@@ -330,6 +302,7 @@ object Pipeline4 {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val nt = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
           .select($"source",
             graft.operators.TextAnalysis.tokenCount($"text").as("v"))
         val hist = nt.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
@@ -357,7 +330,8 @@ object Pipeline4 {
       },
       Some("""WITH nt AS (
              |  SELECT source, len(string_split(text, ' ')) AS v
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
              |hist AS (SELECT source, v, COUNT(*) AS c
              |         FROM nt GROUP BY 1, 2),
              |vals AS (SELECT v, COUNT(*) AS ct FROM nt GROUP BY 1),

@@ -171,13 +171,18 @@ object Relational6 {
         def edge(fk: String, parent: String,
             child: org.apache.spark.sql.DataFrame, childKey: String,
             par: org.apache.spark.sql.DataFrame, parKey: String) = {
+          // ONE child scan per edge: a left-outer probe against the
+          // deduplicated parent keys yields volume, orphan rows and
+          // orphan keys in the same aggregate (the anti-join + count
+          // formulation scanned every child twice)
           val c = child.select(col(childKey).as("k")).filter($"k".isNotNull)
-          val orphans = c.join(par.select(col(parKey).as("k")), Seq("k"),
-            "left_anti")
-          c.agg(count(lit(1)).as("child_rows"))
-            .crossJoin(broadcast(orphans.agg(
-              count(lit(1)).as("orphan_rows"),
-              countDistinct($"k").as("orphan_keys"))))
+          val p = par.select(col(parKey).as("k")).filter($"k".isNotNull)
+            .distinct().withColumn("__hit", lit(1))
+          c.join(p, Seq("k"), "left_outer")
+            .agg(count(lit(1)).as("child_rows"),
+              sum(when($"__hit".isNull, 1L).otherwise(0L))
+                .as("orphan_rows"),
+              countDistinct(when($"__hit".isNull, $"k")).as("orphan_keys"))
             .select(lit(fk).as("fk"), lit(parent).as("parent"),
               $"child_rows", $"orphan_rows", $"orphan_keys")
         }

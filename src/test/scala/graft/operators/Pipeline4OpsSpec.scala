@@ -63,27 +63,10 @@ class Pipeline4OpsSpec extends AnyFunSuite {
       k <- j + 1 until nodes.size
       if eset((nodes(i), nodes(k))) && eset((nodes(j), nodes(k)))
     } naive += 1
-    // same plan shape as p81, over an in-memory edge frame
-    val e0 = edges.toDF("a", "b")
-    val deg = e0.select(explode(array($"a", $"b")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("d"))
-    val withDeg = e0
-      .join(broadcast(deg.select($"node".as("a"), $"d".as("da"))), Seq("a"))
-      .join(broadcast(deg.select($"node".as("b"), $"d".as("db"))), Seq("b"))
-    val oriented = withDeg.select(
-      when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
-        struct($"a".as("s"), $"b".as("t"), $"db".as("dt")))
-        .otherwise(struct($"b".as("s"), $"a".as("t"), $"da".as("dt")))
-        .as("e"))
-      .select($"e.s".as("s"), $"e.t".as("t"), $"e.dt".as("dt"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
-        (col("e1.dt") < col("e2.dt") ||
-          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("y"), col("e2.t").as("z"))
-    val got = wedges
-      .join(oriented.select($"s".as("y"), $"t".as("z")), Seq("y", "z"))
-      .count()
+    // the SAME operator p81 calls — editing the orientation or wedge
+    // ordering in GraphOps is caught here, not just by the oracle
+    val got = graft.operators.GraphOps.triangleCount(edges.toDF("a", "b"))
+      .head().getLong(0)
     assert(got == naive, s"oriented=$got naive=$naive")
   }
 
