@@ -542,6 +542,65 @@ object Pipeline4 {
              |  JOIN groups ga ON ga.dhash = ham.ha
              |  JOIN groups gb ON gb.dhash = ham.hb
              |WHERE hamming <= 2
-             |ORDER BY rep_a, rep_b""".stripMargin))
+             |ORDER BY rep_a, rep_b""".stripMargin)),
+
+    QueryDef(
+      // DETERMINISTIC MASK AUGMENTATION — the (input, target) pair
+      // factory for masked-LM pretraining, with NO RNG state: token i
+      // of a doc is masked iff the first hex char of
+      // md5(doc_id || '_' || i) is '0' or '1' (a 12.5% rate decided by
+      // key-equidistributed hashing), so two runs — or two engines —
+      // produce byte-identical corpora. The proof compares md5 digests
+      // of the rebuilt input (masked tokens replaced by <mask>) and
+      // target (the masked tokens, in order): DuckDB must reconstruct
+      // the exact same strings from the same arithmetic. Pure per-row
+      // work — tokens never shuffle (the only aggregation is per-doc,
+      // bounded by document length), augmentation at 100 TB is
+      // embarrassingly map-side.
+      "p87_mask_augmentation",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"doc_id",
+            posexplode(split($"text", " ")).as(Seq("i", "tok")))
+          .withColumn("m",
+            substring(md5(concat_ws("_", $"doc_id", $"i")), 1, 1)
+              .isin("0", "1"))
+        toks.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"m", 1L).otherwise(0L)).as("n_masked"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct($"i",
+                when($"m", lit("<mask>")).otherwise($"tok").as("v")))),
+              x => x.getField("v")), " ")).as("input_hash"),
+            md5(array_join(transform(
+              array_sort(collect_list(when($"m",
+                struct($"i", $"tok".as("v"))))),
+              x => x.getField("v")), " ")).as("target_hash"))
+          .withColumn("mask_ppm", expr("n_masked * 1000000 DIV n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
+             |tok AS (
+             |  SELECT doc_id, i - 1 AS i, ts[i] AS t,
+             |    substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+             |      CAST(i - 1 AS VARCHAR)), 1, 1) IN ('0', '1') AS m
+             |  FROM d, unnest(generate_series(1, len(ts))) AS g(i))
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_masked,
+             |  md5(string_agg(CASE WHEN m THEN '<mask>' ELSE t END,
+             |    ' ' ORDER BY i)) AS input_hash,
+             |  md5(COALESCE(string_agg(CASE WHEN m THEN t END,
+             |    ' ' ORDER BY i), '')) AS target_hash,
+             |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) * 1000000
+             |    // COUNT(*) AS BIGINT) AS mask_ppm
+             |FROM tok
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

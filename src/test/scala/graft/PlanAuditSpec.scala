@@ -548,6 +548,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("p87 augmentation is map-side: per-doc agg only, no window, no join") {
+    val p = plan("p87_mask_augmentation")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("Aggregate".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact
