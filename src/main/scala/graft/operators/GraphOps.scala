@@ -27,8 +27,13 @@ object GraphOps {
     * dictionary is small and falls back to a shuffled join beyond
     * that, which is the right call at either scale.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+  def triangleCount(edges: DataFrame,
+      precomputedDegrees: Option[DataFrame] = None): DataFrame = {
+    // callers that also report degree stats pass their frame in, so
+    // the edge list is degree-aggregated once (exchange reuse would
+    // usually dedupe the identical subtrees, but that is an optimizer
+    // heuristic, not a contract)
+    val deg = precomputedDegrees.getOrElse(degrees(edges))
     val withDeg = edges
       .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))

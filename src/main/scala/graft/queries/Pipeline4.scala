@@ -176,10 +176,11 @@ object Pipeline4 {
           .filter($"u" =!= $"v")
           .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
           .distinct()
-        val nodes = GraphOps.degrees(e0).agg(count(lit(1)).as("n_nodes"))
+        val deg = GraphOps.degrees(e0)
+        val nodes = deg.agg(count(lit(1)).as("n_nodes"))
         val edges = e0.agg(count(lit(1)).as("n_edges"))
         nodes.crossJoin(broadcast(edges))
-          .crossJoin(broadcast(GraphOps.triangleCount(e0)))
+          .crossJoin(broadcast(GraphOps.triangleCount(e0, Some(deg))))
       },
       Some("""WITH e0 AS (
              |  SELECT DISTINCT

@@ -160,11 +160,12 @@ object Relational6 {
       // REFERENTIAL-INTEGRITY AUDIT — the ingest gate a 100 TB lakehouse
       // runs before publishing a snapshot: for every FK edge of the star
       // schema, child volume, orphan rows (child keys with no parent)
-      // and distinct orphan keys. Each edge is one anti-join; dimension
-      // parents broadcast, the fact-fact edge (lineitem->orders) shuffles
-      // on its join key like any hash join. NULL FKs are excluded on
-      // both engines (a NULL key is unknown, not an orphan). The seven
-      // one-row frames union into the report.
+      // and distinct orphan keys, all from ONE left-outer probe per
+      // edge against the deduplicated parent keys (dimension parents
+      // broadcast; the fact-fact edge shuffles on its join key like any
+      // hash join). NULL FKs are excluded on both engines (a NULL key
+      // is unknown, not an orphan). The one-row frames union into the
+      // report.
       "q86_fk_integrity",
       (s, dir) => {
         import s.implicits._
@@ -178,10 +179,12 @@ object Relational6 {
           val c = child.select(col(childKey).as("k")).filter($"k".isNotNull)
           val p = par.select(col(parKey).as("k")).filter($"k".isNotNull)
             .distinct().withColumn("__hit", lit(1))
+          // count(when(...)), not sum(when().otherwise(0)): over an
+          // EMPTY child frame sum yields NULL where the oracle's
+          // COUNT(*) yields 0
           c.join(p, Seq("k"), "left_outer")
             .agg(count(lit(1)).as("child_rows"),
-              sum(when($"__hit".isNull, 1L).otherwise(0L))
-                .as("orphan_rows"),
+              count(when($"__hit".isNull, lit(1))).as("orphan_rows"),
               countDistinct(when($"__hit".isNull, $"k")).as("orphan_keys"))
             .select(lit(fk).as("fk"), lit(parent).as("parent"),
               $"child_rows", $"orphan_rows", $"orphan_keys")
