@@ -45,6 +45,15 @@ class Pipeline4OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new Aggregators.TopKByOrd(2000))
   }
 
+  test("TopKByOrd skips NULL sort keys like a SQL aggregate") {
+    val topk = udaf(new Aggregators.TopKByOrd(3))
+    val got = Seq(("a", "b", 1L), ("a", null, 2L), ("a", "a", 3L))
+      .toDF("key", "ord", "id")
+      .groupBy($"key").agg(topk($"ord", $"id").as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == Map("a" -> Seq(3L, 1L)), got.toString)
+  }
+
   test("degree-oriented triangle count equals the naive enumeration") {
     val rnd = new scala.util.Random(7)
     // random graph incl. a deliberate hub (node 0 connects widely) to
