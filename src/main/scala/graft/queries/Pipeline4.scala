@@ -323,6 +323,10 @@ object Pipeline4 {
           .groupBy($"source", $"n_src", $"n_all")
           .agg(max(abs($"cum_src" * $"n_all" - $"cum_all" * $"n_src"))
             .as("ks_num"))
+          // a source holding the entire corpus has no "rest" to drift
+          // from — excluded on BOTH engines (Spark DIV 0 yields NULL
+          // where DuckDB's integer division errors)
+          .filter($"n_all" > $"n_src")
           .select($"source", $"n_src", ($"n_all" - $"n_src").as("n_rest"),
             $"ks_num",
             expr("ks_num * 1000000 DIV (n_src * (n_all - n_src))")
@@ -360,6 +364,7 @@ object Pipeline4 {
              |  CAST(MAX(ABS(cum_src * n_all - cum_all * n_src)) * 1000000
              |    // (n_src * (n_all - n_src)) AS BIGINT) AS ks_ppm
              |FROM cum CROSS JOIN na
+             |WHERE n_all > n_src
              |GROUP BY source, n_src, n_all
              |ORDER BY source""".stripMargin)),
 
