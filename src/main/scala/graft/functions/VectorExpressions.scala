@@ -326,6 +326,73 @@ object TextNormalize {
     }
 }
 
+/** Native codegen'd Hamming distance between two strings (byte-wise):
+  * the number of positions where the byte differs, plus the length
+  * difference (a missing position counts as different). For the
+  * equal-length bit-string hashes the dedup family emits (dHash,
+  * SimHash chunks, audio contours) this is the exact bit Hamming
+  * distance. The declarative form —
+  * `aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(a, i,
+  * 1) = substring(b, i, 1), 0, 1))` — allocates a 64-element array and
+  * interprets a lambda per position (HigherOrderFunction is
+  * CodegenFallback); this expression is one primitive byte loop under
+  * WholeStageCodegen, which matters when the candidate-pair frame is
+  * billions of rows.
+  */
+case class StringHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType == org.apache.spark.sql.types.StringType &&
+      right.dataType == org.apache.spark.sql.types.StringType
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bits_hamming expects (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val nx = x.numBytes()
+    val ny = y.numBytes()
+    val n = math.min(nx, ny)
+    var acc = math.abs(nx - ny)
+    var i = 0
+    while (i < n) {
+      if (x.getByte(i) != y.getByte(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+         |int $acc = java.lang.Math.abs($a.numBytes() - $b.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column DSL + SQL registration for the native vector functions. */
 object VectorFunctions {
 
@@ -346,6 +413,10 @@ object VectorFunctions {
 
   def text_normalize(text: Column, form: String = "NFC"): Column =
     ColumnBridge.column(TextNormalize(ColumnBridge.expression(text), form))
+
+  def bits_hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      StringHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Cosine from the native dot (double path — for ranking/prefilter). */
   def vec_cosine(a: Column, b: Column): Column = {

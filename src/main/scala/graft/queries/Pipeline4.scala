@@ -492,10 +492,11 @@ object Pipeline4 {
               col("a.dhash") < col("b.dhash"))
           .select(col("a.dhash").as("ha"), col("b.dhash").as("hb"))
           .distinct()
-        val pairs = cand.withColumn("hamming", expr(
-          """aggregate(sequence(1, 64), 0, (acc, i) ->
-            |  acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"""
-            .stripMargin))
+        // native codegen'd byte loop (StringHamming) — the HOF
+        // aggregate over 64 positions is CodegenFallback, which counts
+        // when the candidate frame is billions of pairs
+        val pairs = cand.withColumn("hamming",
+          graft.functions.VectorFunctions.bits_hamming($"ha", $"hb"))
           .filter($"hamming" <= 2)
         pairs
           .join(groups.select($"dhash".as("ha"), $"n".as("n_a"),

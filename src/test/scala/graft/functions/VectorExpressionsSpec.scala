@@ -155,4 +155,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NFX"))
   }
+
+  test("bits_hamming matches the HOF position count and stays codegen'd") {
+    import spark.implicits._
+    val rows = Seq(
+      ("0101", "0101", 0), ("0101", "1101", 1), ("0000", "1111", 4),
+      ("0101", "01", 2),   // length difference counts as different
+      ("", "", 0))
+      .toDF("a", "b", "want")
+    val got = rows.select($"want",
+      VectorFunctions.bits_hamming($"a", $"b").as("h")).collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(0), r.toString))
+    // NULL propagates like any binary expression
+    val n = Seq((Some("01"), Option.empty[String])).toDF("a", "b")
+      .select(VectorFunctions.bits_hamming($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+    // equal-length random bit strings agree with the declarative HOF
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 50).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(2)).mkString, Seq.fill(64)(rnd.nextInt(2)).mkString)
+    }.toDF("a", "b").repartition(3)
+    val both = pairs.select(
+      VectorFunctions.bits_hamming($"a", $"b").as("native"),
+      expr("""aggregate(sequence(1, 64), 0, (acc, i) ->
+             |  acc + IF(substring(a, i, 1) = substring(b, i, 1), 0, 1))"""
+        .stripMargin).as("hof")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // and the native form runs inside WholeStageCodegen
+    val plan = pairs.select(VectorFunctions.bits_hamming($"a", $"b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [stringhamming") ||
+      plan.contains("Project [stringhamming"), plan)
+  }
 }
