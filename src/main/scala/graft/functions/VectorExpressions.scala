@@ -447,10 +447,21 @@ object VectorFunctions {
   /** SparkSessionExtensions hook for new sessions:
     * `SparkSession.builder().withExtensions(new GraftExtensions)`.
     */
+  private val bitsHammingEntry = (
+    FunctionIdentifier("bits_hamming"),
+    new ExpressionInfo(classOf[StringHamming].getName, "bits_hamming"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"bits_hamming expects 2 arguments (string, string), " +
+          s"got ${children.length}")
+      StringHamming(children(0), children(1)): Expression
+    })
+
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
     override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction(vecDotEntry)
       e.injectFunction(vecMatchCountEntry)
+      e.injectFunction(bitsHammingEntry)
     }
   }
 
@@ -462,5 +473,7 @@ object VectorFunctions {
       vecDotEntry._1, vecDotEntry._2, vecDotEntry._3)
     spark.sessionState.functionRegistry.registerFunction(
       vecMatchCountEntry._1, vecMatchCountEntry._2, vecMatchCountEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bitsHammingEntry._1, bitsHammingEntry._2, bitsHammingEntry._3)
   }
 }

@@ -46,6 +46,9 @@ class VectorExpressionsSpec extends AnyFunSuite {
     try {
       val got = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()
       assert(got.head.getDouble(0) == 11.0)
+      // the full function surface registers, not just vec_dot
+      val h = spark.sql("SELECT bits_hamming('0101', '1101') AS h").collect()
+      assert(h.head.getInt(0) == 1)
     } finally spark.catalog.dropTempView("vecs")
   }
 
