@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Fifth pipeline batch: int8 embedding quantization with a
+  * reconstruction-error audit, and temperature-weighted source mixing —
+  * the two storage/mixture levers a 100-TB training pipeline pulls after
+  * dedup and selection.
+  */
+object Pipeline5 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // INT8 AFFINE EMBEDDING QUANTIZATION + reconstruction-error audit —
+      // the 4x storage cut (float32 -> uint8 + per-dim scale/offset)
+      // every embedding store takes before ANN indexing, with the audit
+      // that proves the codec honest: per dimension, the max absolute
+      // reconstruction error must sit within half a quantization step.
+      // Scale shape: one posexplode pass; per-dim min/max are partial
+      // aggregables over a dims-sized key space; the quantize/dequant/
+      // error arithmetic rides a dims-sized broadcast join back onto the
+      // exploded stream; the final report is one row per dimension. No
+      // window, no driver-side data. Cross-engine exactness: every
+      // number is either an integer, a float-derived double (bit-equal
+      // casts), or the same left-to-right IEEE double expression both
+      // engines evaluate; the ppm figure integer-floors, and max() is
+      // order-independent.
+      "p88_int8_quant",
+      (s, dir) => {
+        import s.implicits._
+        val el = t(s, dir, "embeddings")
+          .select(posexplode($"embedding").as(Seq("dim", "xf")))
+          .select($"dim", $"xf".cast("double").as("v"))
+        val rng = el.groupBy($"dim")
+          .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+        val step = ($"hi" - $"lo") / lit(255.0)
+        el.join(broadcast(rng), Seq("dim"))
+          .withColumn("q", when($"hi" === $"lo", lit(0L)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              floor(($"v" - $"lo") * lit(255.0) / ($"hi" - $"lo") + lit(0.5))
+                .cast("long")))))
+          .withColumn("deq",
+            $"lo" + $"q".cast("double") * ($"hi" - $"lo") / lit(255.0))
+          .withColumn("err", abs($"v" - $"deq"))
+          .groupBy($"dim", $"n", $"lo", $"hi")
+          .agg(max($"err").as("max_err"))
+          .select($"dim", $"n", $"lo", $"hi",
+            when($"hi" === $"lo", lit(0L)).otherwise(
+              floor($"max_err" * lit(255.0) * lit(1000000.0) /
+                ($"hi" - $"lo")).cast("long")).as("max_err_ppm_of_step"),
+            ($"max_err" <= step / lit(2.0) + lit(1e-12))
+              .as("within_half_step"))
+          .orderBy($"dim")
+      },
+      Some("""WITH el AS (
+             |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS g(i)),
+             |rng AS (
+             |  SELECT dim, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+             |  FROM el GROUP BY dim),
+             |qe AS (
+             |  SELECT el.dim, n, lo, hi,
+             |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             |      ELSE LEAST(255, GREATEST(0,
+             |        CAST(floor((v - lo) * 255.0 / (hi - lo) + 0.5)
+             |          AS BIGINT))) END AS q,
+             |    v
+             |  FROM el JOIN rng ON el.dim = rng.dim),
+             |er AS (
+             |  SELECT dim, n, lo, hi,
+             |    MAX(abs(v - (lo + CAST(q AS DOUBLE) * (hi - lo) / 255.0)))
+             |      AS max_err
+             |  FROM qe GROUP BY dim, n, lo, hi)
+             |SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+             |  lo, hi,
+             |  CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(floor(max_err * 255.0 * 1000000.0 / (hi - lo))
+             |      AS BIGINT) END AS max_err_ppm_of_step,
+             |  max_err <= (hi - lo) / 255.0 / 2.0 + 1e-12
+             |    AS within_half_step
+             |FROM er
+             |ORDER BY dim""".stripMargin)),
+
+    QueryDef(
+      // TEMPERATURE-WEIGHTED SOURCE MIXING — the multilingual/multi-
+      // source rebalance rule (sample share proportional to token-mass ^
+      // alpha, alpha = 1/2): big sources are down-weighted, small ones
+      // up-weighted, toward a half-total-token budget. Selection is a
+      // deterministic per-document Bernoulli: keep iff the first six hex
+      // digits of md5(doc_id) fall below a per-source threshold — no RNG
+      // state, stable across runs, engines and partitionings. EVERYTHING
+      // is integer arithmetic: sqrt(token-mass) is an exact integer
+      // square root (floor(sqrt) double seed + a +-1 fixup, identical in
+      // both engines), thresholds come from 128-bit integer division
+      // (DECIMAL(38,0) here, HUGEINT in the oracle), and the hex
+      // comparison is a same-length lowercase string compare — so the
+      // hash gate is bit-identical cross-engine with no float anywhere.
+      // Scale shape: per-source token mass is one partial-aggregable
+      // pass; weights/thresholds live on a sources-sized dictionary
+      // (broadcast); the keep decision is per-row map-side work.
+      "p89_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"source", $"doc_id",
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+        val bySrc = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"))
+        // exact integer sqrt of toks * 10^8 (= 10^4 * sqrt(toks)),
+        // engine-portable by construction (MathColsSpec pins exactness)
+        val seeded = bySrc
+          .withColumn("x", $"toks" * lit(100000000L))
+          .withColumn("ws", graft.functions.MathCols.isqrt($"x"))
+        val totals = seeded.agg(
+          sum($"ws").as("total_ws"), sum($"toks").as("total_toks"))
+        val thr = seeded.crossJoin(broadcast(totals))
+          .withColumn("budget", expr("total_toks DIV 2"))
+          .withColumn("thr", expr(
+            """least(16777216L,
+              |  CAST(16777216 AS DECIMAL(38,0)) * budget * ws
+              |    div (toks * total_ws))""".stripMargin))
+          .select($"source", $"n_docs", $"toks", $"ws", $"thr")
+        val kept = docs
+          .join(broadcast(thr.select($"source", $"thr")), Seq("source"))
+          .filter($"thr" >= lit(16777216L) ||
+            substring(md5($"doc_id".cast("string")), 1, 6) <
+              lower(lpad(hex($"thr"), 6, "0")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("kept_toks"))
+        thr.join(kept, Seq("source"), "left")
+          .select($"source", $"n_docs", $"toks", $"ws", $"thr",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            coalesce($"kept_toks", lit(0L)).as("kept_toks"))
+          .orderBy($"source")
+      },
+      Some("""WITH docs AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |by_src AS (
+             |  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS toks
+             |  FROM docs GROUP BY source),
+             |seeded AS (
+             |  SELECT *, toks * 100000000 AS x,
+             |    CAST(floor(sqrt(CAST(toks * 100000000 AS DOUBLE)))
+             |      AS BIGINT) AS s0
+             |  FROM by_src),
+             |fix1 AS (
+             |  SELECT *, s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS w0
+             |  FROM seeded),
+             |ws AS (
+             |  SELECT source, n_docs, toks,
+             |    w0 + CASE WHEN (w0 + 1) * (w0 + 1) <= x THEN 1 ELSE 0 END
+             |      AS ws
+             |  FROM fix1),
+             |thr AS (
+             |  SELECT source, n_docs, toks, ws,
+             |    LEAST(16777216, CAST(
+             |      (16777216::HUGEINT * ((SELECT SUM(toks) FROM ws) // 2)
+             |        * ws)
+             |      // (toks::HUGEINT * (SELECT SUM(ws) FROM ws))
+             |      AS BIGINT)) AS thr
+             |  FROM ws),
+             |kept AS (
+             |  SELECT d.source, COUNT(*) AS n_kept,
+             |    SUM(d.n_tokens) AS kept_toks
+             |  FROM docs d JOIN thr t ON d.source = t.source
+             |  WHERE t.thr >= 16777216
+             |     OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+             |        < printf('%06x', t.thr)
+             |  GROUP BY d.source)
+             |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+             |  CAST(t.toks AS BIGINT) AS toks, CAST(t.ws AS BIGINT) AS ws,
+             |  CAST(t.thr AS BIGINT) AS thr,
+             |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(COALESCE(k.kept_toks, 0) AS BIGINT) AS kept_toks
+             |FROM thr t LEFT JOIN kept k ON t.source = k.source
+             |ORDER BY t.source""".stripMargin))
+  )
+}

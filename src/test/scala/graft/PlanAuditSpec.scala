@@ -554,6 +554,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Aggregate".r.findAllIn(p).size >= 1, p)
   }
 
+  test("p88 quantization audit: dims-sized broadcast back-join, no window") {
+    // the per-dim range table must ride a broadcast join onto the exploded
+    // stream (it is dims-sized), and the error report must be plain
+    // partial-aggregable hash aggregation — a sort-merge join or window
+    // here would shuffle the full (rows x dims) stream twice at 100 TB.
+    val p = plan("p88_int8_quant")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("p89 temperature mix: keep decision rides a sources-sized broadcast") {
+    // thresholds live on the per-source dictionary; the per-document
+    // Bernoulli gate must consume it via broadcast, never a shuffle of
+    // the corpus on source — and no window anywhere.
+    val p = plan("p89_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact
