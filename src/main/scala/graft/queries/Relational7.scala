@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seventh relational batch: runtime bloom-filter join pruning and
+  * dynamic partition overwrite — two of the scan/write-side levers that
+  * matter most at 100 TB (pre-shuffle row pruning; partition-scoped
+  * idempotent rewrites).
+  */
+object Relational7 {
+  import graft.Tables.t
+
+  /** Set session confs for the duration of `body`, restoring the prior
+    * value (or unsetting) afterwards — conf toggles inside a query fn
+    * must never leak into the next query's planning.
+    */
+  private def withConfs[A](s: SparkSession, kv: (String, String)*)(
+      body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The lazy join q91 measures, exposed for the plan pin: lineitem
+    * (application side) x a selectively-filtered orders slice (creation
+    * side). Under the runtime-bloom confs Spark builds a bloom filter
+    * from the filtered orderkeys and applies `bloom_filter_might_contain`
+    * on lineitem BEFORE its shuffle — at 100 TB that turns a full
+    * fact-table shuffle into a ~1%-of-rows shuffle, which is the entire
+    * point of the feature.
+    */
+  private[graft] def bloomJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent97 = t(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        year($"o_orderdate") === 1997)
+      .select($"o_orderkey", month($"o_orderdate").as("o_month"))
+    t(s, dir, "lineitem")
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+          .cast("long").as("cents"))
+      .join(urgent97, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_month")
+      .agg(count(lit(1)).as("n_items"), sum($"cents").as("revenue_cents"))
+      .orderBy($"o_month")
+  }
+
+  private[graft] val bloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // the default 10GB application-side floor assumes a warehouse-sized
+    // fact scan; at fixture scale it must come down for the rule to see
+    // the same shape it would at 100 TB
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      -> "1KB",
+    // force the shuffle join the filter exists to prune (broadcast would
+    // make the bloom redundant, and the rule correctly skips it)
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // RUNTIME BLOOM-FILTER JOIN PRUNING — Spark's InjectRuntimeFilter:
+      // a selective dimension-side filter becomes a bloom filter over the
+      // join keys, applied to the fact side BEFORE its shuffle. The fn
+      // executes the join eagerly under the confs (so Verify and Bench
+      // both time the bloom-pruned plan) and returns the <=12-row result
+      // as a local frame — bounded metadata, the q89-style eager pattern.
+      // The plan pin (Relational7Spec) asserts bloom_filter_might_contain
+      // actually fires; the oracle replays the plain join, proving the
+      // filter is a pure no-false-negative optimization.
+      "q91_runtime_bloom_filter",
+      (s, dir) => {
+        val rows = withConfs(s, bloomConfs: _*) {
+          bloomJoinFrame(s, dir).collect()
+        }
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          bloomJoinFrame(s, dir).schema)
+      },
+      Some("""SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+             |  COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(round(
+             |    l_extendedprice * (1.0 - l_discount) * 100, 0)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |  AND year(o_orderdate) = 1997
+             |GROUP BY 1
+             |ORDER BY o_month""".stripMargin)),
+
+    QueryDef(
+      // DYNAMIC PARTITION OVERWRITE — the lakehouse rewrite contract: a
+      // second overwrite-mode write touching only SOME partitions must
+      // replace exactly those and leave every other partition intact
+      // (static mode would truncate the whole table). Here the full
+      // orders table lands partitioned by priority, then a dynamic
+      // overwrite rewrites just the URGENT and HIGH partitions down to
+      // their 1997+ slice; the read-back report proves 3-MEDIUM..5-LOW
+      // survived untouched. At 100 TB this is the daily idempotent
+      // backfill primitive: rewrite the partitions a late upstream
+      // touched, never the table. The oracle replays the expected final
+      // state from the source table.
+      "q92_dynamic_partition_overwrite",
+      (s, dir) => {
+        import s.implicits._
+        val root = new java.io.File(scratchRoot, "dpo").getPath
+        val base = t(s, dir, "orders").select($"o_orderkey",
+          year($"o_orderdate").as("o_year"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"),
+          $"o_orderpriority")
+        base.write.partitionBy("o_orderpriority")
+          .mode("overwrite").parquet(root)
+        withConfs(s,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          base.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+              $"o_year" >= 1997)
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite").parquet(root)
+        }
+        s.read.parquet(root)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"cents").as("total_cents"),
+            min($"o_year").as("min_year"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS total_cents,
+             |  CAST(MIN(year(o_orderdate)) AS INT) AS min_year
+             |FROM orders
+             |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |   OR year(o_orderdate) >= 1997
+             |GROUP BY 1
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+
+  /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_r7_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getPath
+  }
+}
