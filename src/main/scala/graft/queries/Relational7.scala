@@ -139,7 +139,77 @@ object Relational7 {
              |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
              |   OR year(o_orderdate) >= 1997
              |GROUP BY 1
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      // SQL SCRIPTING (Spark 4 BEGIN..END, SQL/PSM): a DECLARE + WHILE
+      // bisection finds the smallest whole-dollar threshold whose
+      // at-or-above order count fits a 10%-of-table budget — the
+      // parameter-search shape (alert thresholds, retention cutoffs)
+      // that otherwise leaves SQL for a driver-side loop. Scale
+      // discipline inside the script: the fact table folds ONCE into a
+      // (dollars, cnt) value dictionary temp view; every loop iteration
+      // aggregates the dictionary, never the facts: ~20 bisection probes
+      // cost ~20 single-partition cached-dictionary scans (the entry's
+      // wall time is per-statement Catalyst latency — invariant in data
+      // size). The oracle computes the same threshold analytically (the
+      // (target+1)-th largest value + 1), proving the iterative search
+      // lands on the closed-form answer.
+      "q93_sql_scripting",
+      (s, dir) => {
+        graft.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        withConfs(s, "spark.sql.scripting.enabled" -> "true") {
+          s.sql(
+            """BEGIN
+              |  DECLARE total BIGINT;
+              |  DECLARE target BIGINT;
+              |  DECLARE lo BIGINT DEFAULT 0;
+              |  DECLARE hi BIGINT;
+              |  DECLARE mid BIGINT;
+              |  DECLARE n_ge BIGINT;
+              |  CREATE OR REPLACE TEMPORARY VIEW dollar_dict AS
+              |    SELECT /*+ COALESCE(1) */
+              |           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              |             DIV 100 AS dollars,
+              |           COUNT(*) AS cnt
+              |    FROM orders GROUP BY 1;
+              |  CACHE TABLE dollar_dict;
+              |  SET total = (SELECT SUM(cnt) FROM dollar_dict);
+              |  SET target = total DIV 10;
+              |  SET hi = (SELECT MAX(dollars) + 1 FROM dollar_dict);
+              |  WHILE hi - lo > 1 DO
+              |    SET mid = (lo + hi) DIV 2;
+              |    SET n_ge = (SELECT COALESCE(SUM(cnt), 0) FROM dollar_dict
+              |                WHERE dollars >= mid);
+              |    IF n_ge > target THEN
+              |      SET lo = mid;
+              |    ELSE
+              |      SET hi = mid;
+              |    END IF;
+              |  END WHILE;
+              |  SELECT total, target, hi AS threshold_dollars,
+              |    (SELECT COALESCE(SUM(cnt), 0) FROM dollar_dict
+              |     WHERE dollars >= hi) AS n_above;
+              |END""".stripMargin)
+        }
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100
+             |    AS c
+             |  FROM orders),
+             |t AS (
+             |  SELECT COUNT(*) AS total, COUNT(*) // 10 AS target
+             |  FROM cents),
+             |kth AS (
+             |  SELECT c AS boundary FROM (
+             |    SELECT c, row_number() OVER (ORDER BY c DESC) AS rn
+             |    FROM cents)
+             |  WHERE rn = (SELECT target + 1 FROM t))
+             |SELECT t.total, t.target,
+             |  kth.boundary + 1 AS threshold_dollars,
+             |  (SELECT COUNT(*) FROM cents
+             |   WHERE c >= kth.boundary + 1) AS n_above
+             |FROM t, kth""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
