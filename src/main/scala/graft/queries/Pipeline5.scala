@@ -180,6 +180,81 @@ object Pipeline5 {
              |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
              |  CAST(COALESCE(k.kept_toks, 0) AS BIGINT) AS kept_toks
              |FROM thr t LEFT JOIN kept k ON t.source = k.source
-             |ORDER BY t.source""".stripMargin))
+             |ORDER BY t.source""".stripMargin)),
+
+    QueryDef(
+      // RAW-FILE CORPUS INGEST via the binaryFile source — the pattern a
+      // 100-TB image corpus actually arrives in: one opaque file per
+      // asset on the object store, loaded with spark.read.format(
+      // "binaryFile") (+ pathGlobFilter), identity recovered from the
+      // path, bytes decoded in-executor. The entry materializes one REAL
+      // .bmp file per document (distributed foreachPartition write),
+      // ingests them back through binaryFile, runs the same real BMP
+      // decode -> 9x8 grid -> dHash path as p84, and must land on the
+      // IDENTICAL dedup report — proving the file round-trip (write,
+      // listing, glob filter, path parse, content read) is lossless
+      // against the in-frame path. Scale shape: the scan distributes by
+      // files (maxPartitionBytes batching), payloads never shuffle (hash
+      // extracted map-side), and the report is a hash-keyed aggregation.
+      "p90_binaryfile_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val root = new java.io.File(scratchRoot,
+          "binimg_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        root.mkdirs()
+        t(s, dir, "documents").select($"doc_id").as[Long]
+          .foreachPartition { it: Iterator[Long] =>
+            it.foreach { id =>
+              val f = new java.io.File(root, f"img_$id%08d.bmp")
+              val out = new java.io.FileOutputStream(f)
+              try out.write(Multimodal.syntheticBmpPattern(id % 50))
+              finally out.close()
+            }
+          }
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bmp").load(root.getPath)
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+              .cast("long").as("doc_id"),
+            col("content").as("payload"))
+        Multimodal.dHash(files)
+          .groupBy($"dhash")
+          .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("rep_id"))
+          .filter($"n_copies" > 1)
+          .orderBy($"dhash")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 50 AS seed
+             |          FROM documents),
+             |seeds AS (SELECT DISTINCT seed FROM d),
+             |bits AS (
+             |  SELECT seed, y, x,
+             |    CASE WHEN (seed*31 + x*7 + y*13) % 256 >
+             |              (seed*31 + (x+1)*7 + y*13) % 256
+             |      THEN '1' ELSE '0' END AS bit
+             |  FROM seeds,
+             |    unnest(generate_series(0, 7)) AS gy(y),
+             |    unnest(generate_series(0, 7)) AS gx(x)),
+             |h AS (SELECT seed, string_agg(bit, '' ORDER BY y, x)
+             |        AS dhash
+             |      FROM bits GROUP BY seed),
+             |g AS (SELECT d.doc_id, h.dhash FROM d JOIN h USING (seed))
+             |SELECT dhash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
+             |FROM g GROUP BY dhash HAVING COUNT(*) > 1
+             |ORDER BY dhash""".stripMargin))
   )
+
+  /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_p5_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getPath
+  }
 }
