@@ -123,7 +123,7 @@ object Pipeline5 {
           .withColumn("thr", expr(
             """least(16777216L,
               |  CAST(16777216 AS DECIMAL(38,0)) * budget * ws
-              |    div (toks * total_ws))""".stripMargin))
+              |    div (CAST(toks AS DECIMAL(38,0)) * total_ws))""".stripMargin))
           .select($"source", $"n_docs", $"toks", $"ws", $"thr")
         val kept = docs
           .join(broadcast(thr.select($"source", $"thr")), Seq("source"))
