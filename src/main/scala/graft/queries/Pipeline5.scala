@@ -241,7 +241,74 @@ object Pipeline5 {
              |g AS (SELECT d.doc_id, h.dhash FROM d JOIN h USING (seed))
              |SELECT dhash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
              |FROM g GROUP BY dhash HAVING COUNT(*) > 1
-             |ORDER BY dhash""".stripMargin))
+             |ORDER BY dhash""".stripMargin)),
+
+    QueryDef(
+      // FUZZY ENTITY MATCHING (record linkage) — link a DIRTY registry
+      // (every 4th customer name with one deterministically-deleted
+      // character) back to the canonical customer table: trigram
+      // inverted-index blocking with a DF cap (grams shared by too many
+      // canonical rows are non-discriminative and would hot-key the
+      // index), ids-only candidates, exact codegen'd levenshtein
+      // confirm, composite-integer-key min_by for the unique best match.
+      // The oracle replays gramming, cap, candidates and distance in
+      // SQL (DuckDB's levenshtein is the same unit-cost metric), so
+      // blocking-recall behavior is hash-pinned too — a candidate the
+      // index misses is missed identically by both engines, and the
+      // measured recall itself is gated in EntityMatchSpec.
+      "p91_fuzzy_entity_match",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.EntityMatch
+        val canon = t(s, dir, "customer").select($"c_custkey", $"c_name")
+        val dirty = canon.filter($"c_custkey" % 4 === 0)
+          .withColumn("pos",
+            ($"c_custkey" % (length($"c_name") - 2) + 2).cast("int"))
+          .select($"c_custkey".as("dirty_id"),
+            concat(expr("substring(c_name, 1, pos - 1)"),
+              expr("substring(c_name, pos + 1, 1000)")).as("dirty_name"))
+        EntityMatch.bestMatches(dirty, "dirty_id", "dirty_name",
+            canon, "c_custkey", "c_name", maxDist = 2, maxGramDf = 50)
+          .orderBy($"dirty_id")
+      },
+      Some("""WITH canon AS (
+             |  SELECT c_custkey, c_name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey AS dirty_id,
+             |    substring(c_name, 1, CAST(c_custkey % (len(c_name) - 2)
+             |        + 2 AS INT) - 1) ||
+             |    substring(c_name, CAST(c_custkey % (len(c_name) - 2)
+             |        + 2 AS INT) + 1, 1000) AS dirty_name
+             |  FROM canon WHERE c_custkey % 4 = 0),
+             |cg AS (
+             |  SELECT DISTINCT c_custkey AS cid,
+             |    substring(c_name, i, 3) AS g
+             |  FROM canon,
+             |    unnest(generate_series(1, len(c_name) - 2)) AS s(i)),
+             |kept AS (
+             |  SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50),
+             |idx AS (SELECT cg.g, cg.cid FROM cg JOIN kept USING (g)),
+             |dg AS (
+             |  SELECT DISTINCT dirty_id AS did,
+             |    substring(dirty_name, i, 3) AS g
+             |  FROM dirty,
+             |    unnest(generate_series(1, len(dirty_name) - 2)) AS s(i)),
+             |cand AS (
+             |  SELECT DISTINCT did, cid FROM dg JOIN idx USING (g)),
+             |conf AS (
+             |  SELECT did, cid,
+             |    levenshtein(d.dirty_name, c.c_name) AS dist
+             |  FROM cand
+             |  JOIN dirty d ON d.dirty_id = did
+             |  JOIN canon c ON c.c_custkey = cid
+             |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2)
+             |SELECT did AS dirty_id,
+             |  arg_min(cid, dist * 1000000000 + cid) AS matched_id,
+             |  CAST(arg_min(dist, dist * 1000000000 + cid) AS INT)
+             |    AS dist
+             |FROM conf
+             |GROUP BY did
+             |ORDER BY dirty_id""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */

@@ -574,6 +574,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("p91 entity match: gram-keyed equi blocking, never a cross product") {
+    // the dirty x canon cross product is exactly what the trigram index
+    // exists to avoid; the confirm must ride equi-joins end to end, and
+    // the best-match argmin must be an aggregation, not a window
+    val p = plan("p91_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** EntityMatch blocking recall + confirm exactness on the deterministic
+  * single-deletion corpus (the p91 shape): a deletion leaves the true
+  * counterpart at distance 1, so the gated properties are (a) nearly
+  * every dirty row finds SOME match at distance <= 1, and (b) the match
+  * is the true source row unless another canonical row is genuinely
+  * also at distance 1 (dense numeric keyspaces make that legal —
+  * deleting a digit of #000000120 can land one insertion from
+  * #000000012's neighborhood), in which case the reported distance must
+  * still be 1 and the tie broken by the smallest canonical id.
+  */
+class EntityMatchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  test("single-deletion corpus: high recall, distance-1 matches, exact ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val canon = (0L until 400L).map(i => (i, f"Customer#$i%09d"))
+      .toDF("cid", "name")
+    val dirty = canon.filter($"cid" % 4 === 0)
+      .withColumn("pos", ($"cid" %
+        (org.apache.spark.sql.functions.length($"name") - 2) + 2).cast("int"))
+      .select($"cid".as("did"),
+        concat(expr("substring(name, 1, pos - 1)"),
+          expr("substring(name, pos + 1, 1000)")).as("dname"))
+    val m = EntityMatch.bestMatches(dirty, "did", "dname",
+      canon, "cid", "name", maxDist = 2, maxGramDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    val nDirty = dirty.count()
+    assert(m.size >= (nDirty * 9) / 10,
+      s"blocking recall too low: ${m.size}/$nDirty")
+    // a deletion is distance 1 from its source, so the best match can
+    // never be worse than 1
+    m.foreach { case (did, _, dist) =>
+      withClue(s"did=$did") { dist shouldBe 1 }
+    }
+    // and the overwhelming majority must link back to the true source
+    val self = m.count { case (did, mid, _) => did == mid }
+    assert(self >= (m.size * 8) / 10,
+      s"too few true-source links: $self/${m.size}")
+  }
+
+  test("no candidate within maxDist means the dirty row is absent") {
+    import spark.implicits._
+    val canon = Seq((1L, "alpha-beta-gamma")).toDF("cid", "name")
+    val dirty = Seq((9L, "zzzzzzzzzzzzzzz")).toDF("did", "dname")
+    val m = EntityMatch.bestMatches(dirty, "did", "dname",
+      canon, "cid", "name", maxDist = 2, maxGramDf = 50)
+    assert(m.count() == 0)
+  }
+}
