@@ -308,7 +308,67 @@ object Pipeline5 {
              |    AS dist
              |FROM conf
              |GROUP BY did
-             |ORDER BY dirty_id""".stripMargin))
+             |ORDER BY dirty_id""".stripMargin)),
+
+    QueryDef(
+      // WILSON LOWER-BOUND QUALITY RANKING — rank sources by their
+      // quality-pass rate with small-sample shrinkage (the z=2 Wilson
+      // score interval's lower bound), so a source with 4/5 passing
+      // never outranks one with 700/1000: the mixture-planning decision
+      // rule naive pass-rate sorting gets wrong. EXACT integer pipeline
+      // end to end: a = (k(n-k)+n) div n, s = isqrt(a * 10^6) via the
+      // spec-pinned MathCols.isqrt fixup (good to per-source n ~ 3.6e10
+      // under the 2^53 contract), lb_ppm = ((k+2)*10^6 - 2000*s) div
+      // (n+4) clamped at 0 — every step replayed verbatim by the
+      // oracle, so no engine's sqrt/floor corner can drift the ranking.
+      // One partial-aggregable pass over the corpus; the ranking frame
+      // is sources-sized.
+      "p92_wilson_quality_rank",
+      (s, dir) => {
+        import s.implicits._
+        val stats = t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"n_chars" >= 400, 1L).otherwise(0L)).as("k"))
+        stats
+          .withColumn("a", expr("(k * (n - k) + n) DIV n"))
+          .withColumn("sq",
+            graft.functions.MathCols.isqrt($"a" * lit(1000000L)))
+          .select($"source", $"n", $"k",
+            expr("k * 1000000 DIV n").as("pass_ppm"),
+            greatest(lit(0L),
+              expr("((k + 2) * 1000000 - 2000 * sq) DIV (n + 4)"))
+              .as("wilson_lb_ppm"))
+          .orderBy($"wilson_lb_ppm".desc, $"source")
+      },
+      Some("""WITH st AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS k
+             |  FROM documents GROUP BY source),
+             |aa AS (
+             |  SELECT source, n, k,
+             |    ((k * (n - k) + n) // n) * 1000000 AS x
+             |  FROM st),
+             |seed AS (
+             |  SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)
+             |    AS s0
+             |  FROM aa),
+             |fix1 AS (
+             |  SELECT *, s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END
+             |    AS w0
+             |  FROM seed),
+             |sq AS (
+             |  SELECT source, n, k,
+             |    w0 + CASE WHEN (w0 + 1) * (w0 + 1) <= x THEN 1 ELSE 0
+             |      END AS s
+             |  FROM fix1)
+             |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT)
+             |    AS k,
+             |  CAST(k * 1000000 // n AS BIGINT) AS pass_ppm,
+             |  CAST(GREATEST(0, ((k + 2) * 1000000 - 2000 * s) // (n + 4))
+             |    AS BIGINT) AS wilson_lb_ppm
+             |FROM sq
+             |ORDER BY wilson_lb_ppm DESC, source""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
