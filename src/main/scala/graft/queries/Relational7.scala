@@ -209,7 +209,118 @@ object Relational7 {
              |  kth.boundary + 1 AS threshold_dollars,
              |  (SELECT COUNT(*) FROM cents
              |   WHERE c >= kth.boundary + 1) AS n_above
-             |FROM t, kth""".stripMargin))
+             |FROM t, kth""".stripMargin)),
+
+    QueryDef(
+      // BEHAVIORAL-TWIN SEARCH (trajectory similarity, cf. REPOSE/ICDE'21
+      // in PAPERS.md): each user's event stream folds to a 7-dim weekday
+      // spending profile in integer ppm; the nearest neighbor under
+      // exact integer L2 is found WITHIN the user's quantized profile
+      // cell — the trie/reference-point discipline: candidates come from
+      // an equi-join on the coarse cell signature, never an all-pairs
+      // scan, and cells above a population cap are excluded by
+      // AGGREGATION (the p08 bucket-cap shape) so no hot cell can funnel
+      // a task. Everything is integer (ppm shares, squared distances),
+      // the argmin is the counts->min->join-back->min-tie-break ladder
+      // (q83's shape, no window), and the oracle replays cell blocking,
+      // cap and distances verbatim — including which neighbors blocking
+      // cannot see.
+      "q94_behavior_twins",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"user_id", dayofweek($"ts").as("dow"),
+            round($"value" * 100, 0).cast("long").as("cents"))
+        val aggs = sum($"cents").as("tot") +:
+          (1 to 7).map(d =>
+            sum(when($"dow" === d, $"cents").otherwise(0L)).as(s"c$d"))
+        val prof = ev.groupBy($"user_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .filter($"tot" > 0)
+          .select($"user_id" +:
+            (1 to 7).map(d => expr(s"c$d * 1000000 DIV tot").as(s"p$d")): _*)
+        val cell = concat_ws(",",
+          (1 to 7).map(d => expr(s"p$d DIV 100000")): _*)
+        // users-sized profile dictionary feeds three consumers (cell
+        // census, pair build x2, argmin join-back): cache it so the
+        // 600k-row fact aggregation runs once, not per consumer — the
+        // q89 explicit-materialization discipline (Bench/Verify clear
+        // the cache after every query)
+        val sig = prof.withColumn("cell", cell).cache()
+        val keptCells = sig.groupBy($"cell")
+          .agg(count(lit(1)).as("m"))
+          .filter($"m" >= 2 && $"m" <= 100)
+          .select($"cell")
+        val kept = sig.join(keptCells, Seq("cell"))
+        val a = kept.select($"cell" +: $"user_id".as("ua") +:
+          (1 to 7).map(d => col(s"p$d").as(s"a$d")): _*)
+        val b = kept.select($"cell" +: $"user_id".as("ub") +:
+          (1 to 7).map(d => col(s"p$d").as(s"b$d")): _*)
+        val dist2 = (1 to 7).map(d =>
+          (col(s"a$d") - col(s"b$d")) * (col(s"a$d") - col(s"b$d")))
+          .reduce(_ + _)
+        val pairs = a.join(b, Seq("cell"))
+          .filter($"ua" =!= $"ub")
+          .select($"ua", $"ub", dist2.as("d2"))
+        val best = pairs.groupBy($"ua").agg(min($"d2").as("best_d2"))
+        pairs.join(best, Seq("ua"))
+          .filter($"d2" === $"best_d2")
+          .groupBy($"ua".as("user_id"), $"best_d2".as("dist2"))
+          .agg(min($"ub").as("twin_id"))
+          .select($"user_id", $"twin_id", $"dist2")
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, dayofweek(ts) + 1 AS dow,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |prof AS (
+             |  SELECT user_id, SUM(cents) AS tot,
+             |    SUM(CASE WHEN dow = 1 THEN cents ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN dow = 2 THEN cents ELSE 0 END) AS c2,
+             |    SUM(CASE WHEN dow = 3 THEN cents ELSE 0 END) AS c3,
+             |    SUM(CASE WHEN dow = 4 THEN cents ELSE 0 END) AS c4,
+             |    SUM(CASE WHEN dow = 5 THEN cents ELSE 0 END) AS c5,
+             |    SUM(CASE WHEN dow = 6 THEN cents ELSE 0 END) AS c6,
+             |    SUM(CASE WHEN dow = 7 THEN cents ELSE 0 END) AS c7
+             |  FROM ev GROUP BY user_id HAVING SUM(cents) > 0),
+             |pp AS (
+             |  SELECT user_id,
+             |    c1 * 1000000 // tot AS p1, c2 * 1000000 // tot AS p2,
+             |    c3 * 1000000 // tot AS p3, c4 * 1000000 // tot AS p4,
+             |    c5 * 1000000 // tot AS p5, c6 * 1000000 // tot AS p6,
+             |    c7 * 1000000 // tot AS p7
+             |  FROM prof),
+             |sig AS (
+             |  SELECT *,
+             |    CAST(p1 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p2 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p3 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p4 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p5 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p6 // 100000 AS VARCHAR) || ',' ||
+             |    CAST(p7 // 100000 AS VARCHAR) AS cell
+             |  FROM pp),
+             |kept AS (
+             |  SELECT s.* FROM sig s JOIN (
+             |    SELECT cell FROM sig GROUP BY cell
+             |    HAVING COUNT(*) BETWEEN 2 AND 100) kc USING (cell)),
+             |pairs AS (
+             |  SELECT a.user_id AS ua, b.user_id AS ub,
+             |    (a.p1-b.p1)*(a.p1-b.p1) + (a.p2-b.p2)*(a.p2-b.p2) +
+             |    (a.p3-b.p3)*(a.p3-b.p3) + (a.p4-b.p4)*(a.p4-b.p4) +
+             |    (a.p5-b.p5)*(a.p5-b.p5) + (a.p6-b.p6)*(a.p6-b.p6) +
+             |    (a.p7-b.p7)*(a.p7-b.p7) AS d2
+             |  FROM kept a JOIN kept b USING (cell)
+             |  WHERE a.user_id <> b.user_id),
+             |best AS (
+             |  SELECT ua, MIN(d2) AS best_d2 FROM pairs GROUP BY ua)
+             |SELECT p.ua AS user_id, MIN(p.ub) AS twin_id,
+             |  CAST(p.d2 AS BIGINT) AS dist2
+             |FROM pairs p JOIN best ON p.ua = best.ua
+             |  AND p.d2 = best.best_d2
+             |GROUP BY p.ua, p.d2
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */

@@ -585,6 +585,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q94 twin search: cell equi-join pairing, no cross product, no window") {
+    val p = plan("q94_behavior_twins")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the profile dictionary must come from the explicit cache
+    assert(p.contains("InMemoryTableScan"), p)
+    SparkTestSession.spark.catalog.clearCache()
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact
