@@ -309,6 +309,53 @@ object OsmQueries {
             .toDF("mode", "value", "partitions", "ms", "agree")
         } finally s.conf.set(key, prev)
       },
+      None),
+
+    QueryDef(
+      // WRITE ROUND TRIP, self-proving: the fixture is decoded, re-
+      // encoded through df.write.format("osmpbf") (PbfEncoder: dense
+      // delta/zigzag packing, per-block stringtables, zlib frames) and
+      // decoded again; the result frame carries BOTH sides' per-type
+      // counts and order-independent id/coordinate checksums with
+      // literal equality booleans — a decoder alone cannot vouch for an
+      // encoder, but a decoder whose goldens pin the reference's own
+      // bytes can, transitively, when the re-encoded file replays
+      // identically. (No DuckDB oracle — it cannot read PBF; the
+      // booleans make the rows-only check self-checking, and
+      // OsmPbfWriteSpec pins full row identity.)
+      "osm13_write_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("osm13").toString
+        def stats(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"type").agg(
+            count(lit(1)).as("n"),
+            sum($"id").as("id_sum"),
+            sum(abs(coalesce(
+              round($"lat" * 10000000, 0).cast("long"), lit(0L))) +
+              abs(coalesce(
+                round($"lon" * 10000000, 0).cast("long"), lit(0L))))
+              .as("coord_sum"))
+        val src = s.read.format("osmpbf")
+          .option("withInfo", "false").load(fixturePath)
+        src.write.format("osmpbf").option("withInfo", "false")
+          .mode("overwrite").save(dir)
+        val back = s.read.format("osmpbf")
+          .option("withInfo", "false").load(dir)
+        stats(src).withColumnRenamed("n", "n_src")
+          .withColumnRenamed("id_sum", "id_sum_src")
+          .withColumnRenamed("coord_sum", "coord_sum_src")
+          .join(stats(back).withColumnRenamed("n", "n_back")
+            .withColumnRenamed("id_sum", "id_sum_back")
+            .withColumnRenamed("coord_sum", "coord_sum_back"),
+            Seq("type"), "full")
+          .select($"type", $"n_src", $"n_back", $"id_sum_src",
+            $"id_sum_back",
+            ($"n_src" === $"n_back").as("counts_equal"),
+            ($"id_sum_src" === $"id_sum_back" &&
+              $"coord_sum_src" === $"coord_sum_back").as("sums_equal"))
+          .orderBy($"type")
+      },
       None)
   )
 }

@@ -126,7 +126,9 @@ object OsmPbfMetadataColumns {
 }
 
 class OsmPbfTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsMetadataColumns {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SupportsMetadataColumns {
 
   override def name(): String =
     s"osmpbf(${options.getOrDefault("path", "")})"
@@ -137,7 +139,16 @@ class OsmPbfTable(schema: StructType, options: CaseInsensitiveStringMap)
     OsmPbfMetadataColumns.columns
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ info.options().asScala).asJava)
+    new OsmPbfWriteBuilder(info, merged)
+  }
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(

@@ -1,0 +1,168 @@
+package graft.sources.osmpbf
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pbf._
+
+/** `df.write.format("osmpbf").save(path)` — the write side of the
+  * source: each input partition streams its rows through
+  * [[graft.pbf.PbfEncoder]] into its own `part-*.osm.pbf` file under
+  * `path` (the layout every distributed file sink uses — no shuffle, no
+  * driver funnel; a 1000-executor write produces 1000 independent
+  * framed-block files the splittable scan reads back in parallel).
+  *
+  * Accepted schemas are the reader's own (`all`, `node`, `way`,
+  * `relation` — detected by column names), so scan -> transform -> write
+  * round-trips without adapters. `mode("overwrite")` truncates existing
+  * `*.osm.pbf` part files; task abort deletes the task's file.
+  */
+final class OsmPbfWriteBuilder(
+    info: LogicalWriteInfo,
+    options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new OsmPbfBatchWrite(info.schema(),
+        Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+          "osmpbf write requires a path")),
+        doTruncate,
+        options.getInt("entitiesPerBlock", PbfEncoder.DefaultEntitiesPerBlock))
+  }
+}
+
+final class OsmPbfBatchWrite(
+    schema: StructType, path: String, truncate: Boolean, perBlock: Int)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    dir.mkdirs()
+    if (truncate) Option(dir.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.endsWith(".osm.pbf")) { f.delete(): Unit }
+    })
+    new OsmPbfWriterFactory(schema, path, perBlock)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case OsmPbfCommit(file) => new File(file).delete(): Unit
+      case _ => ()
+    }
+}
+
+final case class OsmPbfCommit(file: String) extends WriterCommitMessage
+
+final class OsmPbfWriterFactory(schema: StructType, path: String, perBlock: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new OsmPbfDataWriter(schema, path, partitionId, taskId, perBlock)
+}
+
+/** Per-task writer: rows -> OsmEntity -> framed blocks. Buffers at most
+  * one block of entities (`perBlock`) in memory.
+  */
+final class OsmPbfDataWriter(
+    schema: StructType, path: String, partitionId: Int, taskId: Long,
+    perBlock: Int)
+    extends DataWriter[InternalRow] {
+
+  private val file = new File(path,
+    f"part-$partitionId%05d-$taskId.osm.pbf")
+  private val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+  PbfEncoder.writeFrame(out, "OSMHeader", PbfEncoder.headerPayload)
+
+  private val buf = new scala.collection.mutable.ArrayBuffer[OsmEntity](perBlock)
+
+  // schema layout detection (the reader's own shapes)
+  private val names = schema.fieldNames
+  private def idxOf(n: String): Int = names.indexOf(n)
+  private val iType = idxOf("type")
+  private val iId = idxOf("id")
+  private val iLat = idxOf("lat")
+  private val iLon = idxOf("lon")
+  private val iNodes = idxOf("nodes")
+  private val iMembers = idxOf("members")
+  private val iTags = idxOf("tags")
+  require(iId >= 0, s"osmpbf write: schema must carry an id column, got " +
+    schema.simpleString)
+
+  private def tagsOf(row: InternalRow): Map[String, String] =
+    if (iTags < 0 || row.isNullAt(iTags)) Map.empty
+    else {
+      val m = row.getMap(iTags)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      (0 until m.numElements()).map(i =>
+        ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+    }
+
+  private def wayOf(row: InternalRow): OsmWay = {
+    val arr = row.getArray(iNodes)
+    // (pos, nodeId) structs, already in geometry order by contract
+    val refs = (0 until arr.numElements()).map { i =>
+      arr.getStruct(i, 2).getLong(1)
+    }.toArray
+    OsmWay(row.getLong(iId), refs, tagsOf(row), None)
+  }
+
+  private def relOf(row: InternalRow): OsmRelation = {
+    val arr = row.getArray(iMembers)
+    val members = (0 until arr.numElements()).map { i =>
+      val s = arr.getStruct(i, 3)
+      OsmMember(s.getUTF8String(0).toString, s.getLong(1),
+        s.getUTF8String(2).toString)
+    }.toArray
+    OsmRelation(row.getLong(iId), members, tagsOf(row), None)
+  }
+
+  private def entityOf(row: InternalRow): OsmEntity =
+    if (iType >= 0) {
+      row.getUTF8String(iType).toString match {
+        case "node" => OsmNode(row.getLong(iId), row.getDouble(iLat),
+          row.getDouble(iLon), tagsOf(row), None)
+        case "way" => wayOf(row)
+        case "relation" => relOf(row)
+        case other => throw new IllegalArgumentException(
+          s"osmpbf write: unknown entity type '$other'")
+      }
+    } else if (iLat >= 0) OsmNode(row.getLong(iId), row.getDouble(iLat),
+      row.getDouble(iLon), tagsOf(row), None)
+    else if (iNodes >= 0) wayOf(row)
+    else if (iMembers >= 0) relOf(row)
+    else throw new IllegalArgumentException(
+      s"osmpbf write: unrecognized schema ${schema.simpleString}")
+
+  override def write(row: InternalRow): Unit = {
+    buf += entityOf(row)
+    if (buf.size >= perBlock) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    PbfEncoder.writeFrame(out, "OSMData", PbfEncoder.blockPayload(buf.toSeq))
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush(); out.close()
+    OsmPbfCommit(file.getPath)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    file.delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}
