@@ -320,7 +320,95 @@ object Relational7 {
              |FROM pairs p JOIN best ON p.ua = best.ua
              |  AND p.d2 = best.best_d2
              |GROUP BY p.ua, p.d2
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
+      // RANGE-SHARDED TOTAL-ORDER LAYOUT — the third physical-layout
+      // primitive next to hash buckets (q38) and Z-order (q52): shard
+      // the fact table into B contiguous, near-equal value ranges whose
+      // boundaries are EXACT quantiles (no sampled RangePartitioner —
+      // sampling is nondeterministic and un-oracle-able), sort within
+      // each shard, land it as real partitioned parquet, and emit the
+      // manifest (per-shard count/min/max + a contiguity proof) a
+      // range-pruned reader needs. Scale shape: boundaries come from the
+      // value DICTIONARY (cumulative window over distinct values only —
+      // the q85/p83 bounded-window discipline), the shard id is a pure
+      // expression on the dictionary joined back on the value key, and
+      // the manifest window runs over B rows. The oracle replays
+      // boundary arithmetic, shard assignment and the manifest verbatim.
+      "q95_range_sharded_layout",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val B = 8
+        val root = new java.io.File(scratchRoot, "rangeshard").getPath
+        val o = t(s, dir, "orders").select($"o_orderkey",
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        val dict = o.groupBy($"cents").agg(count(lit(1)).as("c"))
+        // cumulative count over the VALUE DOMAIN (dictionary-sized
+        // global window, the q85 shape — never over facts)
+        val cum = dict.withColumn("cum",
+          sum($"c").over(Window.orderBy($"cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = dict.agg(sum($"c").as("n"))
+        // shard(v) = #boundaries at or below v; boundary k is the
+        // smallest value whose cumulative count reaches ceil(n*k/B),
+        // so the membership test needs only cum(v)
+        val shardOf = (1 until B).map(k =>
+          when($"cum" >= expr(s"(n * $k + ${B - 1}) DIV $B"), 1)
+            .otherwise(0)).reduce(_ + _)
+        val shardMap = cum.crossJoin(broadcast(tot))
+          .select($"cents", shardOf.as("shard"))
+        o.join(shardMap, Seq("cents"))
+          .repartition($"shard")
+          .sortWithinPartitions($"shard", $"cents", $"o_orderkey")
+          .write.partitionBy("shard").mode("overwrite").parquet(root)
+        val manifest = s.read.parquet(root)
+          .groupBy($"shard".cast("int").as("shard"))
+          .agg(count(lit(1)).as("n_rows"),
+            min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+        manifest
+          .withColumn("prev_max", lag($"max_cents", 1)
+            .over(Window.orderBy($"shard"))) // B-row manifest window
+          .select($"shard", $"n_rows", $"min_cents", $"max_cents",
+            coalesce($"min_cents" >= $"prev_max", lit(true))
+              .as("contiguous"))
+          .orderBy($"shard")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |dict AS (
+             |  SELECT cents, COUNT(*) AS c FROM o GROUP BY cents),
+             |cum AS (
+             |  SELECT cents, c,
+             |    SUM(c) OVER (ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM dict),
+             |tot AS (SELECT SUM(c) AS n FROM dict),
+             |sm AS (
+             |  SELECT cents,
+             |    (CASE WHEN cum >= (n * 1 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 2 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 3 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 4 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 5 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 6 + 7) // 8 THEN 1 ELSE 0 END +
+             |     CASE WHEN cum >= (n * 7 + 7) // 8 THEN 1 ELSE 0 END)
+             |      AS shard
+             |  FROM cum, tot),
+             |sharded AS (
+             |  SELECT o.cents, sm.shard FROM o JOIN sm USING (cents)),
+             |mf AS (
+             |  SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
+             |    MIN(cents) AS min_cents, MAX(cents) AS max_cents
+             |  FROM sharded GROUP BY shard)
+             |SELECT shard, n_rows, min_cents, max_cents,
+             |  COALESCE(min_cents >= lag(max_cents)
+             |    OVER (ORDER BY shard), TRUE) AS contiguous
+             |FROM mf
+             |ORDER BY shard""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
