@@ -30,14 +30,48 @@ final class OsmPbfWriteBuilder(
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  private def path: String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "osmpbf write requires a path"))
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new OsmPbfBatchWrite(info.schema(),
-        Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
-          "osmpbf write requires a path")),
-        doTruncate,
+      new OsmPbfBatchWrite(info.schema(), path, doTruncate,
+        options.getInt("entitiesPerBlock", PbfEncoder.DefaultEntitiesPerBlock))
+
+    /** `writeStream.format("osmpbf")` — exactly-once by construction:
+      * the epoch id is part of the file name, so a replayed micro-batch
+      * (commit-marker loss, task retry) OVERWRITES its own previous
+      * output instead of duplicating it — the same idempotence contract
+      * the parquet streaming sink gets from its manifest, with no
+      * manifest needed because (epoch, partition) fully names the unit
+      * of work.
+      */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new OsmPbfStreamingWrite(info.schema(), path,
         options.getInt("entitiesPerBlock", PbfEncoder.DefaultEntitiesPerBlock))
   }
+}
+
+final class OsmPbfStreamingWrite(
+    schema: StructType, path: String, perBlock: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    OsmPbfStreamingWriterFactory(schema, path, perBlock)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case OsmPbfCommit(file) => new File(file).delete(): Unit
+      case _ => ()
+    }
 }
 
 final class OsmPbfBatchWrite(
@@ -65,6 +99,15 @@ final class OsmPbfBatchWrite(
 
 final case class OsmPbfCommit(file: String) extends WriterCommitMessage
 
+final case class OsmPbfStreamingWriterFactory(
+    schema: StructType, path: String, perBlock: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new OsmPbfDataWriter(schema, path, partitionId, taskId, perBlock,
+      fileName = Some(f"part-e$epochId%06d-p$partitionId%05d.osm.pbf"))
+}
+
 final class OsmPbfWriterFactory(schema: StructType, path: String, perBlock: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -76,11 +119,11 @@ final class OsmPbfWriterFactory(schema: StructType, path: String, perBlock: Int)
   */
 final class OsmPbfDataWriter(
     schema: StructType, path: String, partitionId: Int, taskId: Long,
-    perBlock: Int)
+    perBlock: Int, fileName: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val file = new File(path,
-    f"part-$partitionId%05d-$taskId.osm.pbf")
+    fileName.getOrElse(f"part-$partitionId%05d-$taskId.osm.pbf"))
   private val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
   PbfEncoder.writeFrame(out, "OSMHeader", PbfEncoder.headerPayload)
 
