@@ -652,6 +652,24 @@ object TextAnalysis {
     regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
   }
 
+  /** [[redactPii]] plus the phone / IPv4 / card-number classes a
+    * production scrub also carries (p93 oracles the full chain). Order
+    * matters: URLs and emails go first so their digit runs cannot be
+    * re-matched as phone numbers; the card pattern (13-16 digits with
+    * optional separators) runs before the phone pattern, which would
+    * otherwise claim its prefix.
+    */
+  def redactPiiExtended(text: Column): Column = {
+    val base = redactPii(text)
+    val noCard = regexp_replace(base,
+      "\\b(?:\\d[ -]?){13,16}\\b", "<CARD>")
+    val noPhone = regexp_replace(noCard,
+      "\\+?\\d{1,3}[ -]\\(?\\d{2,4}\\)?[ -]\\d{3}[ -]?\\d{2,4}\\b",
+      "<PHONE>")
+    regexp_replace(noPhone,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+  }
+
   /** Bigram language-model quality score — the perplexity-family signal
     * (docs whose token transitions are common in the corpus score high,
     * gibberish scores low), made INTEGER-EXACT with the PageRank

@@ -117,8 +117,11 @@ object PbfEncoder {
     }
 
     def tagFields(out: OutputStream, tags: Map[String, String]): Unit = {
-      packedVarints(out, 2, tags.keysIterator.map(st.id(_).toLong).toSeq)
-      packedVarints(out, 3, tags.valuesIterator.map(st.id(_).toLong).toSeq)
+      // materialize pairs once: keys and vals must stay index-aligned,
+      // so never iterate the map twice
+      val kv = tags.toSeq
+      packedVarints(out, 2, kv.map(p => st.id(p._1).toLong))
+      packedVarints(out, 3, kv.map(p => st.id(p._2).toLong))
     }
 
     if (ways.nonEmpty) {

@@ -368,7 +368,56 @@ object Pipeline5 {
              |  CAST(GREATEST(0, ((k + 2) * 1000000 - 2000 * s) // (n + 4))
              |    AS BIGINT) AS wilson_lb_ppm
              |FROM sq
-             |ORDER BY wilson_lb_ppm DESC, source""".stripMargin))
+             |ORDER BY wilson_lb_ppm DESC, source""".stripMargin)),
+
+    QueryDef(
+      // EXTENDED PII SCRUB — p20's email/URL pass plus the phone / IPv4 /
+      // card-number classes a production redaction carries, with class
+      // order pinned (cards before phones so the longer digit run wins;
+      // emails/URLs first so their digits are already gone). Synthetic
+      // PII of every class is appended per row from doc_id so each
+      // pattern provably fires, and the oracle replays the whole regex
+      // chain byte-for-byte (all patterns are RE2-safe: no lookaround,
+      // no backreferences — portable across engines). Per-row codegen'd
+      // work, zero shuffle beyond the final sort.
+      "p93_pii_extended",
+      (s, dir) => {
+        import s.implicits._
+        val aug = concat($"text",
+          lit(" mail u"), $"doc_id", lit("@ex.com via https://ex.com/d/"),
+          $"doc_id",
+          lit(" Call +1 ("), lit(100) + $"doc_id" % 900,
+          lit(") 555-01"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+          lit(" from 10."), $"doc_id" % 256,
+          lit(".0.1 pay 4111 1111 1111 1111"))
+        t(s, dir, "documents")
+          .select($"doc_id",
+            graft.operators.TextAnalysis.redactPiiExtended(aug).as("clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+             |              '@ex.com via https://ex.com/d/' ||
+             |              CAST(doc_id AS VARCHAR) || ' Call +1 (' ||
+             |              CAST(100 + doc_id % 900 AS VARCHAR) ||
+             |              ') 555-01' ||
+             |              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             |              ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             |              '.0.1 pay 4111 1111 1111 1111',
+             |            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+             |            '<EMAIL>', 'g'),
+             |          'https?://[^ ]+', '<URL>', 'g'),
+             |        '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+             |      '\+?\d{1,3}[ -]\(?\d{2,4}\)?[ -]\d{3}[ -]?\d{2,4}\b',
+             |      '<PHONE>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
