@@ -408,7 +408,43 @@ object Relational7 {
              |  COALESCE(min_cents >= lag(max_cents)
              |    OVER (ORDER BY shard), TRUE) AS contiguous
              |FROM mf
-             |ORDER BY shard""".stripMargin))
+             |ORDER BY shard""".stripMargin)),
+
+    QueryDef(
+      // SESSION VARIABLES + DYNAMIC SQL (Spark 4 DECLARE / SET VAR /
+      // EXECUTE IMMEDIATE ... USING): a data-derived threshold lands in
+      // a typed session variable (exact integer mean — SUM DIV COUNT,
+      // no float), and a parameterized report template executes against
+      // it — the governed-SQL shape (audited templates + bound
+      // parameters, injection-safe by construction) that q90's literal
+      // binding started. The oracle replays the threshold as a scalar
+      // subquery, proving the variable indirection changes nothing.
+      "q96_session_vars_dynamic_sql",
+      (s, dir) => {
+        graft.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("DECLARE OR REPLACE graft_thr_cents BIGINT")
+        s.sql("""SET VAR graft_thr_cents =
+                |  (SELECT SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                |     DIV COUNT(*) FROM orders)""".stripMargin)
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT o_orderpriority,
+                |     COUNT(*) AS n_above,
+                |     CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+                |   FROM orders
+                |   WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > ?
+                |   GROUP BY o_orderpriority
+                |   ORDER BY o_orderpriority'
+                |  USING graft_thr_cents""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) AS n_above,
+             |  CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+             |FROM orders
+             |WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >
+             |  (SELECT SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |     // COUNT(*) FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
