@@ -417,7 +417,70 @@ object Pipeline5 {
              |      '<PHONE>', 'g'),
              |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      // DEDUP THRESHOLD OPERATING CURVE — how many pairs and how many
+      // documents a near-dup pass would touch at each Jaccard cutoff
+      // from 0.35 to 0.95: the tuning table an operator reads before
+      // committing a threshold to a 100-TB dedup run (too low deletes
+      // real content, too high leaves boilerplate). Rides the SAME
+      // memoized capped-Jaccard pair stage as p07/p24/p28 — the sweep
+      // costs one broadcast cross of the pair frame with a 13-row
+      // threshold dictionary, not thirteen recomputations. Thresholds
+      // are k/20.0 (bit-identical doubles in both engines, like p07's
+      // own gate); counts are integers.
+      "p94_dedup_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Pipeline.jaccardPairs(s, dir)
+          .select($"id_a", $"id_b", $"jaccard")
+        val tf = (7 to 19).map(k => (k * 5, k / 20.0))
+          .toDF("thr_pct", "thr")
+        val hits = pairs.crossJoin(broadcast(tf))
+          .filter($"jaccard" >= $"thr")
+        val nP = hits.groupBy($"thr_pct")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nD = hits
+          .select($"thr_pct", explode(array($"id_a", $"id_b")).as("id"))
+          .distinct()
+          .groupBy($"thr_pct").agg(count(lit(1)).as("n_docs"))
+        tf.select($"thr_pct")
+          .join(nP, Seq("thr_pct"), "left")
+          .join(nD, Seq("thr_pct"), "left")
+          .select($"thr_pct",
+            coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            coalesce($"n_docs", lit(0L)).as("n_docs"))
+          .orderBy($"thr_pct")
+      },
+      Some(s"""WITH ${Pipeline.jaccardCommonCtes},
+             |j AS (
+             |  SELECT id_a, id_b,
+             |    CAST(n_common AS DOUBLE)
+             |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jac
+             |  FROM common
+             |  JOIN nsh na ON na.id = id_a
+             |  JOIN nsh nb ON nb.id = id_b),
+             |tf AS (
+             |  SELECT k * 5 AS thr_pct, k / 20.0 AS thr
+             |  FROM unnest(generate_series(7, 19)) AS g(k)),
+             |hits AS (
+             |  SELECT thr_pct, id_a, id_b FROM j, tf WHERE jac >= thr),
+             |np AS (
+             |  SELECT thr_pct, COUNT(*) AS n_pairs FROM hits
+             |  GROUP BY thr_pct),
+             |nd AS (
+             |  SELECT thr_pct, COUNT(*) AS n_docs FROM (
+             |    SELECT DISTINCT thr_pct, id FROM (
+             |      SELECT thr_pct, unnest([id_a, id_b]) AS id FROM hits))
+             |  GROUP BY thr_pct)
+             |SELECT CAST(tf.thr_pct AS INT) AS thr_pct,
+             |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+             |FROM tf
+             |LEFT JOIN np ON np.thr_pct = tf.thr_pct
+             |LEFT JOIN nd ON nd.thr_pct = tf.thr_pct
+             |ORDER BY thr_pct""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
