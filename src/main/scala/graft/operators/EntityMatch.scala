@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Cross-table fuzzy entity matching (record linkage): link each row of
@@ -67,8 +67,11 @@ object EntityMatch {
       .withColumn("__dist", levenshtein(col("__dt"), col("__ct")))
       .filter(col("__dist") <= maxDist)
     // composite integer ordering key makes the per-dirty argmin unique
-    // and engine-portable: (dist, canonical id) lexicographically
-    val key = col("__dist").cast("long") * lit(1000000000L) + col("__cid")
+    // and engine-portable: (dist, canonical id) lexicographically.
+    // CONTRACT: canonical ids < 10^15 (the distance stride) — a larger
+    // id would bleed into the next distance level and corrupt the order
+    val key = col("__dist").cast("long") * lit(1000000000000000L) +
+      col("__cid")
     confirmed.groupBy(col("__did").as(dirtyId))
       .agg(min_by(col("__cid"), key).as("matched_id"),
         min_by(col("__dist"), key).as("dist"))

@@ -303,8 +303,8 @@ object Pipeline5 {
              |  JOIN canon c ON c.c_custkey = cid
              |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2)
              |SELECT did AS dirty_id,
-             |  arg_min(cid, dist * 1000000000 + cid) AS matched_id,
-             |  CAST(arg_min(dist, dist * 1000000000 + cid) AS INT)
+             |  arg_min(cid, dist * 1000000000000000 + cid) AS matched_id,
+             |  CAST(arg_min(dist, dist * 1000000000000000 + cid) AS INT)
              |    AS dist
              |FROM conf
              |GROUP BY did
