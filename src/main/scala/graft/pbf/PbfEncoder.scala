@@ -73,11 +73,30 @@ object PbfEncoder {
 
   /** Per-block string dictionary; index 0 is the reserved blank. */
   private final class StringTable {
-    private val idx = mutable.LinkedHashMap[String, Int]("" -> 0)
-    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    private val entries = mutable.ArrayBuffer[String]("")
+    private val idx = mutable.HashMap[String, Int]("" -> 0)
+    private var emptyAlias = -1
+    def id(s: String): Int = idx.getOrElseUpdate(s, {
+      entries += s; entries.size - 1
+    })
+    /** id for use inside DenseNodes `keys_vals`, where index 0 is the
+      * NODE DELIMITER: the empty string must never encode as 0 there
+      * (it would truncate the node's tag list and shift every following
+      * node's tags — PbfEncoderFuzzSpec pins this), so it gets its own
+      * non-zero duplicate entry. Duplicate table entries are format-
+      * legal; only index 0 carries delimiter semantics.
+      */
+    def denseId(s: String): Int = {
+      val i = id(s)
+      if (i != 0) i
+      else {
+        if (emptyAlias < 0) { emptyAlias = entries.size; entries += "" }
+        emptyAlias
+      }
+    }
     def payload: Array[Byte] = {
       val b = new ByteArrayOutputStream()
-      idx.keysIterator.foreach(writeStr(b, 1, _))
+      entries.foreach(writeStr(b, 1, _))
       b.toByteArray
     }
   }
@@ -105,7 +124,7 @@ object PbfEncoder {
         val kv = mutable.ArrayBuffer[Long]()
         nodes.foreach { n =>
           n.tags.foreach { case (k, v) =>
-            kv += st.id(k).toLong; kv += st.id(v).toLong
+            kv += st.denseId(k).toLong; kv += st.denseId(v).toLong
           }
           kv += 0L
         }
