@@ -444,7 +444,59 @@ object Relational7 {
              |  (SELECT SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
              |     // COUNT(*) FROM orders)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      // CATALOG STATISTICS / CBO FEEDSTOCK — ANALYZE TABLE ... COMPUTE
+      // STATISTICS (table row count) FOR COLUMNS (ndv / nulls / min /
+      // max): the numbers the cost-based optimizer reorders joins and
+      // sizes broadcasts with at 100 TB, here read back from the catalog
+      // and HASH-CHECKED against the data they claim to describe — a
+      // stats pipeline that lies to the optimizer is worse than none.
+      // (The ndv is HLL-estimated; at this cardinality — 5 priorities —
+      // the sketch is exact, and the oracle asserts the true count.)
+      // Bounded metadata only: the result is one catalog row.
+      "q97_catalog_stats",
+      (s, dir) => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS graft_stats_orders")
+        // a previous JVM's warehouse directory survives the in-memory
+        // catalog; clear it or saveAsTable refuses the location
+        locally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+            "graft_stats_orders"))
+        }
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+          .write.mode("overwrite").saveAsTable("graft_stats_orders")
+        s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS")
+        s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS " +
+          "FOR COLUMNS o_orderpriority, o_custkey")
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_stats_orders"))
+        val st = meta.stats.get
+        val prio = st.colStats("o_orderpriority")
+        val cust = st.colStats("o_custkey")
+        Seq((st.rowCount.get.toLong,
+          prio.distinctCount.get.toLong,
+          prio.nullCount.get.toLong,
+          cust.min.get.toString.toLong,
+          cust.max.get.toString.toLong))
+          .toDF("n_rows", "ndv_priority", "null_priority",
+            "min_custkey", "max_custkey")
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+             |  CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT)
+             |    AS null_priority,
+             |  MIN(o_custkey) AS min_custkey,
+             |  MAX(o_custkey) AS max_custkey
+             |FROM orders""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
