@@ -480,7 +480,160 @@ object Pipeline5 {
              |FROM tf
              |LEFT JOIN np ON np.thr_pct = tf.thr_pct
              |LEFT JOIN nd ON nd.thr_pct = tf.thr_pct
-             |ORDER BY thr_pct""".stripMargin))
+             |ORDER BY thr_pct""".stripMargin)),
+
+    QueryDef(
+      // KMV BOTTOM-K SKETCH + PAIRWISE SET OVERLAP — the mergeable
+      // sketch family HLL cannot provide: per-source bottom-256 sets of
+      // 48-bit gram hashes support UNION and INTERSECTION estimates
+      // (here: pairwise gram-Jaccard between crawl sources, the "same
+      // content, different domain" mixture signal), and every estimate
+      // is audited in-frame against the EXACT Jaccard so the sketch
+      // error is visible, not trusted. Scale shape: the sketch build is
+      // the bounded TopKByOrd aggregator (k rows per partition per key,
+      // map-side partial — never a per-source window over the gram
+      // dictionary); pair evaluation runs on the sources^2 x 2k SKETCH
+      // dictionary (the whole point of sketching), where a bounded
+      // window is legal; the exact audit is one gram-keyed aggregation
+      // (p39's shape). Deterministic cross-engine: md5 order is
+      // engine-portable, 12 hex chars -> BIGINT in both, integer-ppm
+      // everywhere.
+      "p95_kmv_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis.wordGrams
+        val K = 256
+        // four consumers (sketch build, per-source sizes, both sides of
+        // the exact-audit self-join): cache the distinct gram frame so
+        // the corpus explode+distinct runs once
+        val grams = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source",
+            explode(wordGrams(split($"text", " "), $"text", 3)).as("gram"))
+          .distinct()
+          .cache()
+        val hashed = grams.select($"source",
+          substring(md5($"gram"), 1, 12).as("hs"),
+          expr("CAST(conv(substring(md5(gram), 1, 12), 16, 10) AS BIGINT)")
+            .as("h"))
+        val bySrc = grams.groupBy($"source").agg(count(lit(1)).as("ng"))
+        // threshold-prune before the bottom-k build: hashes are uniform
+        // in [0, 2^48), so a cutoff at ~4x the expected 256th order
+        // statistic ((2^48 DIV ng) * 4K) passes ~4K rows per source to
+        // the aggregator instead of the full gram dictionary — and the
+        // oracle applies the SAME cutoff, so even the (astronomically
+        // unlikely) under-fill would be identical on both engines
+        val topk = udaf(new graft.functions.Aggregators.TopKByOrd(K))
+        val kmv = hashed
+          .join(broadcast(bySrc), Seq("source"))
+          .filter($"h" <= expr(s"(281474976710656L DIV ng) * ${4 * K}"))
+          .groupBy($"source")
+          .agg(topk($"hs", $"h").as("kmv"))
+          .cache() // sources-sized sketch dictionary, read three times
+        val srcs = kmv.select($"source")
+        val pairsKeys = srcs.as("x").crossJoin(srcs.as("y"))
+          .filter(col("x.source") < col("y.source"))
+          .select(col("x.source").as("sa"), col("y.source").as("sb"))
+        val ex = kmv.select($"source", explode($"kmv").as("h"))
+        val tagged = broadcast(pairsKeys).join(ex, $"source" === $"sa")
+          .select($"sa", $"sb", $"h", lit(1).as("ina"), lit(0).as("inb"))
+          .unionAll(broadcast(pairsKeys).join(ex, $"source" === $"sb")
+            .select($"sa", $"sb", $"h", lit(0).as("ina"), lit(1).as("inb")))
+        // union the two sketches, keep THEIR k smallest — a window over
+        // <= 2k rows per (sa, sb) pair key: sketch-dictionary bounded
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"sa", $"sb").orderBy($"h")
+        val est = tagged.groupBy($"sa", $"sb", $"h")
+          .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= K)
+          .groupBy($"sa", $"sb")
+          .agg(count(lit(1)).as("ku"),
+            sum($"ina" * $"inb").as("shared"))
+          .select($"sa", $"sb",
+            expr("shared * 1000000 DIV ku").as("est_ppm"))
+        val common = grams.select($"gram", $"source")
+          .join(grams.select($"gram", $"source".as("sb0")), Seq("gram"))
+          .filter($"source" < $"sb0")
+          .groupBy($"source".as("sa"), $"sb0".as("sb"))
+          .agg(count(lit(1)).as("ncommon"))
+        val exact = pairsKeys
+          .join(common, Seq("sa", "sb"), "left")
+          .join(bySrc.select($"source".as("sa"), $"ng".as("na")), Seq("sa"))
+          .join(bySrc.select($"source".as("sb"), $"ng".as("nb")), Seq("sb"))
+          .select($"sa", $"sb",
+            expr("coalesce(ncommon, 0) * 1000000 DIV (na + nb - coalesce(ncommon, 0))")
+              .as("exact_ppm"))
+        est.join(exact, Seq("sa", "sb"))
+          .select($"sa".as("source_a"), $"sb".as("source_b"),
+            $"est_ppm", $"exact_ppm",
+            abs($"est_ppm" - $"exact_ppm").as("err_ppm"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT source,
+             |    unnest(CASE WHEN len(toks) >= 3
+             |      THEN list_transform(generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             |      ELSE [text] END) AS gram
+             |  FROM (SELECT source, text, string_split(text, ' ') AS toks
+             |        FROM documents WHERE text IS NOT NULL AND text <> '')),
+             |hashed AS (
+             |  SELECT source,
+             |    ('0x' || substring(md5(gram), 1, 12))::BIGINT AS h
+             |  FROM grams),
+             |bysrc0 AS (
+             |  SELECT source, COUNT(*) AS ng FROM grams GROUP BY source),
+             |kmv AS (
+             |  SELECT source, h FROM (
+             |    SELECT hashed.source, h,
+             |      row_number() OVER (PARTITION BY hashed.source
+             |        ORDER BY h) AS rk
+             |    FROM hashed JOIN bysrc0 USING (source)
+             |    WHERE h <= (281474976710656 // ng) * 1024)
+             |  WHERE rk <= 256),
+             |pk AS (
+             |  SELECT x.source AS sa, y.source AS sb
+             |  FROM (SELECT DISTINCT source FROM grams) x,
+             |       (SELECT DISTINCT source FROM grams) y
+             |  WHERE x.source < y.source),
+             |tagged AS (
+             |  SELECT pk.sa, pk.sb, k.h,
+             |    MAX(CASE WHEN k.source = pk.sa THEN 1 ELSE 0 END) AS ina,
+             |    MAX(CASE WHEN k.source = pk.sb THEN 1 ELSE 0 END) AS inb
+             |  FROM pk JOIN kmv k ON k.source = pk.sa OR k.source = pk.sb
+             |  GROUP BY pk.sa, pk.sb, k.h),
+             |est AS (
+             |  SELECT sa, sb, COUNT(*) AS ku,
+             |    SUM(ina * inb) AS shared
+             |  FROM (
+             |    SELECT *, row_number()
+             |      OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+             |    FROM tagged) u
+             |  WHERE rk <= 256
+             |  GROUP BY sa, sb),
+             |bysrc AS (
+             |  SELECT source, COUNT(*) AS ng FROM grams GROUP BY source),
+             |common AS (
+             |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ncommon
+             |  FROM grams a JOIN grams b USING (gram)
+             |  WHERE a.source < b.source
+             |  GROUP BY a.source, b.source)
+             |SELECT pk.sa AS source_a, pk.sb AS source_b,
+             |  CAST(est.shared * 1000000 // est.ku AS BIGINT) AS est_ppm,
+             |  CAST(COALESCE(c.ncommon, 0) * 1000000
+             |    // (na.ng + nb.ng - COALESCE(c.ncommon, 0)) AS BIGINT)
+             |    AS exact_ppm,
+             |  CAST(abs(est.shared * 1000000 // est.ku
+             |    - COALESCE(c.ncommon, 0) * 1000000
+             |      // (na.ng + nb.ng - COALESCE(c.ncommon, 0))) AS BIGINT)
+             |    AS err_ppm
+             |FROM pk
+             |JOIN est ON est.sa = pk.sa AND est.sb = pk.sb
+             |LEFT JOIN common c ON c.sa = pk.sa AND c.sb = pk.sb
+             |JOIN bysrc na ON na.source = pk.sa
+             |JOIN bysrc nb ON nb.source = pk.sb
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
