@@ -1688,7 +1688,61 @@ object Pipeline2 {
              |JOIN f fa ON fa.doc_id = p.id_a
              |JOIN f fb ON fb.doc_id = p.id_b
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // DUP-CLUSTER SIZE DISTRIBUTION — the shape-of-duplication report
+      // an operator reads before choosing a survivor policy: how much of
+      // the corpus sits in pairs vs. in large boilerplate families
+      // (one 10^6-doc cluster and a million pairs both say "50% dups"
+      // but need opposite treatments). Rides the SAME memoized
+      // pairs->clusters stage as p24/p28 (zero extra CC rounds); the
+      // histogram is two dictionary-sized aggregations, singletons are
+      // one corpus count minus the labeled count. The oracle replays the
+      // recursive-CTE clusters over the same oracled edge set.
+      "p96_dup_cluster_sizes",
+      (s, dir) => {
+        import s.implicits._
+        val cl = dupClusters(s, dir)
+        val sizes = cl.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+        val hist = sizes.groupBy($"sz".as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum($"sz").as("n_docs"))
+        val totals = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
+          .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_in"))))
+          .select(lit(1L).as("cluster_size"),
+            ($"n_all" - $"n_in").as("n_clusters"),
+            ($"n_all" - $"n_in").as("n_docs"))
+        hist.unionAll(totals).orderBy($"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.dst AS id, r.lbl AS lbl
+             |  FROM reach r JOIN edges e ON e.src = r.id)
+             |, labels AS (
+             |  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+             |sizes AS (
+             |  SELECT cluster_id, COUNT(*) AS sz FROM labels
+             |  GROUP BY cluster_id),
+             |hist AS (
+             |  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+             |    SUM(sz) AS n_docs
+             |  FROM sizes GROUP BY sz),
+             |singles AS (
+             |  SELECT 1 AS cluster_size,
+             |    (SELECT COUNT(*) FROM documents)
+             |      - (SELECT COUNT(*) FROM labels) AS n_clusters,
+             |    (SELECT COUNT(*) FROM documents)
+             |      - (SELECT COUNT(*) FROM labels) AS n_docs)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |  CAST(n_clusters AS BIGINT) AS n_clusters,
+             |  CAST(n_docs AS BIGINT) AS n_docs
+             |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+             |ORDER BY cluster_size""".stripMargin))
   )
 
   /** p59's oracle: the IDENTICAL +-1 matrix Spark projects with,

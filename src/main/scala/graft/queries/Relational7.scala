@@ -496,7 +496,31 @@ object Relational7 {
              |    AS null_priority,
              |  MIN(o_custkey) AS min_custkey,
              |  MAX(o_custkey) AS max_custkey
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    QueryDef(
+      // IDENTIFIER-PARAMETERIZED SQL — q90 bound VALUES, q96 bound them
+      // through variables; IDENTIFIER(:p) binds NAMES (table, grouping
+      // column) without string interpolation, closing the last SQL-
+      // injection surface a templated report has. The oracle replays the
+      // resolved literal query.
+      "q98_identifier_binding",
+      (s, dir) => {
+        graft.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT IDENTIFIER(:grp) AS grp, COUNT(*) AS n,
+            |  CAST(MIN(IDENTIFIER(:key)) AS BIGINT) AS min_key
+            |FROM IDENTIFIER(:tbl)
+            |GROUP BY IDENTIFIER(:grp)
+            |ORDER BY grp""".stripMargin,
+          Map("grp" -> "o_orderpriority", "key" -> "o_orderkey",
+            "tbl" -> "orders"))
+      },
+      Some("""SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             |  MIN(o_orderkey) AS min_key
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY grp""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
