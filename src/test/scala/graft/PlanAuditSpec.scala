@@ -595,6 +595,18 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkTestSession.spark.catalog.clearCache()
   }
 
+  test("p95 sketch build is the bounded aggregator, never an all-pairs join") {
+    // the KMV build must be the TopKByOrd ObjectHashAggregate over the
+    // threshold-pruned hash stream (the deliberate sources x sources
+    // pair enumeration is a 20-row dictionary cross and is allowed);
+    // losing the aggregator to a rank-then-filter window would put the
+    // per-source gram dictionary through one task at 100 TB
+    val p = plan("p95_kmv_source_overlap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded top-k aggregator missing from the sketch build:\n$p")
+    SparkTestSession.spark.catalog.clearCache()
+  }
+
   test("q89 both report legs read the cached rollup, not the fact table") {
     // the monthly rollup is cached; top3 AND mom_delta must consume
     // InMemoryTableScan — losing the cache silently doubles the fact

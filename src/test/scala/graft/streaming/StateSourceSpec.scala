@@ -53,6 +53,40 @@ class StateSourceSpec extends AnyFunSuite {
     assert(parts.forall(_ > 0))
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    import spark.implicits._
+    // the operational batch-drain contract: process EVERYTHING present
+    // at start across as many micro-batches as admission control needs,
+    // then STOP — no manual processAllAvailable/stop choreography. The
+    // mode a nightly catch-up job runs a streaming pipeline in.
+    val dir = java.nio.file.Files.createTempDirectory("an-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("an-ck").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, 3.0), (3L, 4.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query must terminate by itself")
+    // admission control still applied: two input files -> two batches
+    val committed = new java.io.File(ckpt, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(committed == 2, s"expected 2 committed batches, got $committed")
+  }
+
   test("statestore rows equal the batch recompute of the same input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ss2-src").toString
