@@ -595,6 +595,19 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkTestSession.spark.catalog.clearCache()
   }
 
+  test("rank-filter top-k queries get WindowGroupLimit pre-shuffle pruning") {
+    // Spark's WindowGroupLimit rewrites rank()<=k filters into a
+    // per-map-task top-k prune BEFORE the window's shuffle — each
+    // upstream task ships k rows per group instead of the whole group.
+    // Losing it (e.g. by breaking the filter's shape) silently turns
+    // the per-nation top-3 into a full-group sort at 100 TB.
+    for (n <- Seq("q08_top_customers_per_nation", "q40_lateral_topn")) {
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit"),
+        s"$n lost the pre-shuffle group-limit prune:\n$p")
+    }
+  }
+
   test("p95 sketch build is the bounded aggregator, never an all-pairs join") {
     // the KMV build must be the TopKByOrd ObjectHashAggregate over the
     // threshold-pruned hash stream (the deliberate sources x sources
