@@ -633,7 +633,81 @@ object Pipeline5 {
              |LEFT JOIN common c ON c.sa = pk.sa AND c.sb = pk.sb
              |JOIN bysrc na ON na.source = pk.sa
              |JOIN bysrc nb ON nb.source = pk.sb
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    QueryDef(
+      // PADDING-WASTE OPERATING CURVE for length-bucketed batching — the
+      // training-economics table behind "how many sequence-length
+      // buckets do we need": padding every sequence to the batch max
+      // burns compute proportional to (bucket_max - len); more buckets
+      // cut the waste but fragment batches. For B in {1,2,4,8}
+      // equal-count buckets (EXACT quantile boundaries via the q95
+      // cumulative-dictionary shape — no sampled partitioner), report
+      // total padding tokens and waste ppm of the padded volume. All
+      // integer; the per-B branch rides ONE cached (length, count)
+      // dictionary, so four curves cost four dictionary passes, not four
+      // corpus scans.
+      "p97_padding_waste_curve",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val lens = t(s, dir, "documents")
+          .select(TextAnalysis.tokenCount($"text").as("len"))
+        val dict = lens.groupBy($"len").agg(count(lit(1)).as("c")).cache()
+        val cum = dict.withColumn("cum",
+          sum($"c").over(Window.orderBy($"len")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = dict.agg(sum($"c").as("n"),
+          sum($"len" * $"c").as("tok"))
+        val curves = Seq(1, 2, 4, 8).map { b =>
+          val shardOf = (1 until b).map(k =>
+            when($"cum" >= expr(s"(n * $k + ${b - 1}) DIV $b"), 1)
+              .otherwise(0)).foldLeft(lit(0))(_ + _)
+          cum.crossJoin(broadcast(tot))
+            .select($"len", $"c", $"tok", shardOf.as("shard"))
+            .groupBy($"shard", $"tok")
+            .agg(max($"len").as("mx"), sum($"c").as("nrows"),
+              sum($"len" * $"c").as("stok"))
+            .groupBy($"tok")
+            .agg(sum($"mx" * $"nrows" - $"stok").as("padding"))
+            .select(lit(b).as("n_buckets"), $"padding",
+              expr("padding * 1000000 DIV (padding + tok)")
+                .as("waste_ppm"))
+        }
+        curves.reduce(_ unionAll _).orderBy($"n_buckets")
+      },
+      Some {
+        val branches = Seq(1, 2, 4, 8).map { b =>
+          val shard = if (b == 1) "0"
+          else (1 until b).map(k =>
+            s"CASE WHEN cum >= (n * $k + ${b - 1}) // $b THEN 1 ELSE 0 END")
+            .mkString(" + ")
+          s"""SELECT $b AS n_buckets, padding,
+             |  CAST(padding * 1000000 // (padding + tok) AS BIGINT)
+             |    AS waste_ppm
+             |FROM (
+             |  SELECT tok, SUM(mx * nrows - stok) AS padding FROM (
+             |    SELECT shard, tok, MAX(len) AS mx, SUM(c) AS nrows,
+             |      SUM(len * c) AS stok
+             |    FROM (SELECT len, c, tok, $shard AS shard
+             |          FROM cum, tot)
+             |    GROUP BY shard, tok)
+             |  GROUP BY tok)""".stripMargin
+        }
+        s"""WITH lens AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+           |  FROM documents),
+           |dict AS (SELECT len, COUNT(*) AS c FROM lens GROUP BY len),
+           |cum AS (
+           |  SELECT len, c, SUM(c) OVER (ORDER BY len
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM dict),
+           |tot AS (SELECT SUM(c) AS n, SUM(len * c) AS tok FROM dict)
+           |SELECT CAST(n_buckets AS INT) AS n_buckets,
+           |  CAST(padding AS BIGINT) AS padding, waste_ppm
+           |FROM (${branches.mkString("\nUNION ALL\n")})
+           |ORDER BY n_buckets""".stripMargin
+      })
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
