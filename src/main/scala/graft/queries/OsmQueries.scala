@@ -356,6 +356,48 @@ object OsmQueries {
               $"coord_sum_src" === $"coord_sum_back").as("sums_equal"))
           .orderBy($"type")
       },
+      None),
+
+    QueryDef(
+      // THE BRIDGE ENTRY — the reference's domain feeding the library's
+      // training-data half in one plan: OSM tag VALUES (street names,
+      // operator names, descriptions) are a text corpus, and a user who
+      // switched from the reference gets language-ID, token statistics
+      // and dedup pressure on them with the same operators the documents
+      // table gets. Per tag key: value volume, distinct ratio (dup
+      // pressure), token mass, and the dominant langId vote. Rows-only
+      // check (PBF input); the text operators themselves are oracled on
+      // the documents corpus (p01/p02) and the decode path is
+      // golden-gated — this entry pins the composition.
+      "osm14_tag_text_stats",
+      (s, _) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis
+        val tagVals = s.read.format("osmpbf").load(fixturePath)
+          .select(explode($"tags").as(Seq("k", "v")))
+          .filter(length($"v") > 0)
+        val base = tagVals
+          .select($"k", $"v",
+            TextAnalysis.tokenCount($"v").as("toks"),
+            TextAnalysis.langId($"v").as("lang"))
+        val stats = base.groupBy($"k")
+          .agg(count(lit(1)).as("n_values"),
+            countDistinct($"v").as("n_distinct"),
+            sum($"toks").cast("long").as("total_tokens"))
+        // dominant language via the q83 mode ladder (counts -> per-key
+        // max -> join-back -> min tie-break; no window)
+        val lc = base.groupBy($"k", $"lang").agg(count(lit(1)).as("c"))
+        val top = lc.groupBy($"k").agg(max($"c").as("mc"))
+        val dom = lc.join(broadcast(top), Seq("k"))
+          .filter($"c" === $"mc")
+          .groupBy($"k").agg(min($"lang").as("top_lang"))
+        stats.join(dom, Seq("k"))
+          .select($"k", $"n_values", $"n_distinct", $"total_tokens",
+            expr("n_distinct * 1000000 DIV n_values").as("distinct_ppm"),
+            $"top_lang")
+          .orderBy($"n_values".desc, $"k")
+          .limit(25)
+      },
       None)
   )
 }
