@@ -4,10 +4,15 @@ import graft.QueryDef
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 
-/** Fifth pipeline batch: int8 embedding quantization with a
-  * reconstruction-error audit, and temperature-weighted source mixing —
-  * the two storage/mixture levers a 100-TB training pipeline pulls after
-  * dedup and selection.
+/** Fifth pipeline batch — the storage/mixture/audit levers a 100-TB
+  * training pipeline pulls after dedup and selection: int8 embedding
+  * quantization with its reconstruction-error audit (p88),
+  * temperature-weighted source mixing on exact integer sqrt weights
+  * (p89), raw-file corpus ingest via binaryFile (p90), fuzzy entity
+  * matching (p91), Wilson lower-bound quality ranking (p92), extended
+  * PII scrub (p93), the dedup threshold operating curve (p94), KMV
+  * bottom-k sketch overlap with an in-frame exact audit (p95), and the
+  * padding-waste curve for length-bucketed batching (p97).
   */
 object Pipeline5 {
   import graft.Tables.t

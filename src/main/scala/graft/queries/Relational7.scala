@@ -4,10 +4,12 @@ import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Seventh relational batch: runtime bloom-filter join pruning and
-  * dynamic partition overwrite — two of the scan/write-side levers that
-  * matter most at 100 TB (pre-shuffle row pruning; partition-scoped
-  * idempotent rewrites).
+/** Seventh relational batch — scan/write/SQL-surface levers: runtime
+  * bloom-filter join pruning (q91), dynamic partition overwrite (q92),
+  * SQL-scripting bisection search (q93), behavioral-twin trajectory
+  * similarity (q94), range-sharded total-order layout (q95), session
+  * variables + EXECUTE IMMEDIATE (q96), the ANALYZE TABLE catalog-stats
+  * audit (q97), and IDENTIFIER-parameterized SQL (q98).
   */
 object Relational7 {
   import graft.Tables.t
