@@ -76,4 +76,65 @@ object EntityMatch {
       .agg(min_by(col("__cid"), key).as("matched_id"),
         min_by(col("__dist"), key).as("dist"))
   }
+
+  /** High-recall variant: SYMMETRIC-DELETE blocking (the SymSpell
+    * family, public algorithm). Both sides index every single-character
+    * deletion variant of each string (plus the string itself); two
+    * strings within edit distance 1 — substitution, insertion OR
+    * deletion — always share a variant, so blocking recall for
+    * single-typo matches is 100% BY CONSTRUCTION, where trigram
+    * blocking degrades on templated keyspaces (a substituted tail digit
+    * destroys every gram that covered it — EntityMatchSpec measures
+    * ~75% there). Cost: the index is (len+1) variants per row vs ~len
+    * trigrams — same order — and the variant strings are longer keys.
+    * Distances beyond 1 still confirm exactly (maxDist applies) but
+    * carry no recall guarantee without 2-deletion variants (len^2/2 per
+    * row — the documented trade-off). Same DF-cap discipline as the
+    * trigram path; candidates are ids-only; confirm and argmin
+    * identical.
+    */
+  def bestMatchesSymDelete(
+      dirty: DataFrame, dirtyId: String, dirtyText: String,
+      canon: DataFrame, canonId: String, canonText: String,
+      maxDist: Int = 2, maxKeyDf: Int = 50): DataFrame = {
+    require(maxDist >= 0 && maxKeyDf >= 1, "maxDist/maxKeyDf out of range")
+
+    // the string itself + every 1-deletion variant, distinct per id
+    def variants(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).as("__id"), col(text).as("__t"))
+        .filter(col("__t").isNotNull && length(col("__t")) >= 2)
+        .select(col("__id"),
+          explode(concat(array(col("__t")),
+            transform(sequence(lit(1), length(col("__t"))),
+              i => concat(
+                col("__t").substr(lit(1), i - 1),
+                col("__t").substr(i + 1, length(col("__t")))))))
+            .as("__k"))
+        .distinct()
+
+    val canonVars = variants(canon, canonId, canonText)
+    val keptKeys = canonVars.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxKeyDf)
+      .select(col("__k"))
+    val index = canonVars.join(keptKeys, Seq("__k"))
+      .select(col("__k"), col("__id").as("__cid"))
+    val cand = variants(dirty, dirtyId, dirtyText)
+      .select(col("__k"), col("__id").as("__did"))
+      .join(index, Seq("__k"))
+      .select(col("__did"), col("__cid")).distinct()
+
+    val confirmed = cand
+      .join(dirty.select(col(dirtyId).as("__did"),
+        col(dirtyText).as("__dt")), Seq("__did"))
+      .join(canon.select(col(canonId).as("__cid"),
+        col(canonText).as("__ct")), Seq("__cid"))
+      .withColumn("__dist", levenshtein(col("__dt"), col("__ct")))
+      .filter(col("__dist") <= maxDist)
+    val key = col("__dist").cast("long") * lit(1000000000000000L) +
+      col("__cid")
+    confirmed.groupBy(col("__did").as(dirtyId))
+      .agg(min_by(col("__cid"), key).as("matched_id"),
+        min_by(col("__dist"), key).as("dist"))
+  }
 }

@@ -93,6 +93,42 @@ class EntityMatchSpec extends AnyFunSuite with Matchers {
           expr("substring(name, 13, 1000)")).as("dname")), 2, 90)
   }
 
+  test("symmetric-delete blocking: 100% recall on every single-typo corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val canon = (0L until 400L).map(i => (i, f"Customer#$i%09d"))
+      .toDF("cid", "name")
+    val len = org.apache.spark.sql.functions.length($"name")
+    def gate(dirty: org.apache.spark.sql.DataFrame): Unit = {
+      val m = EntityMatch.bestMatchesSymDelete(dirty, "did", "dname",
+        canon, "cid", "name", maxDist = 2, maxKeyDf = 50)
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+      // by construction: strings within edit distance 1 share a
+      // 1-deletion variant, so EVERY dirty row must match at dist 1 —
+      // including the substitutions trigram blocking loses ~25% of
+      assert(m.length == dirty.count(),
+        s"symmetric-delete recall must be total: ${m.length}/${dirty.count()}")
+      m.foreach { case (did, dist) =>
+        assert(dist <= 1, s"did=$did dist=$dist")
+      }
+    }
+    gate(canon.filter($"cid" % 4 === 0) // deletion
+      .withColumn("pos", ($"cid" % (len - 2) + 2).cast("int"))
+      .select($"cid".as("did"),
+        concat(expr("substring(name, 1, pos - 1)"),
+          expr("substring(name, pos + 1, 1000)")).as("dname")))
+    gate(canon.filter($"cid" % 4 === 1) // substitution (the hard case)
+      .withColumn("pos", ($"cid" % (len - 2) + 2).cast("int"))
+      .select($"cid".as("did"),
+        concat(expr("substring(name, 1, pos - 1)"), lit("Z"),
+          expr("substring(name, pos + 1, 1000)")).as("dname")))
+    gate(canon.filter($"cid" % 4 === 2) // insertion
+      .withColumn("pos", ($"cid" % (len - 2) + 2).cast("int"))
+      .select($"cid".as("did"),
+        concat(expr("substring(name, 1, pos)"), lit("Q"),
+          expr("substring(name, pos + 1, 1000)")).as("dname")))
+  }
+
   test("no candidate within maxDist means the dirty row is absent") {
     import spark.implicits._
     val canon = Seq((1L, "alpha-beta-gamma")).toDF("cid", "name")
