@@ -522,7 +522,41 @@ object Relational7 {
              |  MIN(o_orderkey) AS min_key
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY grp""".stripMargin))
+             |ORDER BY grp""".stripMargin)),
+
+    QueryDef(
+      // SQL-STANDARD UNPIVOT — q23 melts wide->long with the stack()
+      // table function; this is the declarative clause form (column
+      // list -> (metric, value) rows, NULLs excluded per the standard),
+      // over a per-priority aggregate so the unpivot is dictionary-
+      // sized. DuckDB speaks the same clause, so the oracle is nearly
+      // the identical statement — the point: a user's standard-SQL
+      // UNPIVOT report ports verbatim.
+      "q99_sql_unpivot",
+      (s, dir) => {
+        graft.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority, metric, val
+            |FROM (
+            |  SELECT o_orderpriority,
+            |    COUNT(*) AS n_orders,
+            |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            |      AS BIGINT) AS total_cents,
+            |    CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+            |  FROM orders GROUP BY o_orderpriority)
+            |UNPIVOT (val FOR metric IN (n_orders, total_cents, first_key))
+            |ORDER BY o_orderpriority, metric""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, metric, val
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    COUNT(*) AS n_orders,
+             |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS total_cents,
+             |    CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+             |  FROM orders GROUP BY o_orderpriority)
+             |UNPIVOT (val FOR metric IN (n_orders, total_cents, first_key))
+             |ORDER BY o_orderpriority, metric""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
