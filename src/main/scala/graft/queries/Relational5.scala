@@ -195,10 +195,17 @@ object Relational5 {
           sum($"y").cast(D).as("sy"),
           sum(($"x" * $"x").cast("long")).cast(D).as("sxx"),
           sum(($"x".cast(D) * $"y".cast(D)).cast(D)).as("sxy"))
+        // The three wide statistics are rendered as STRINGS, not
+        // DECIMAL(38,0): a decimal cell survives Spark→parquet→reader as
+        // java/python Decimal but DuckDB's pandas bridge degrades
+        // DECIMAL(38,0) to float64, so a value-hash over the two readers
+        // diverges on rendering ('1.23e+22' vs '123…') even when the
+        // numbers are identical. An integer-string is read back
+        // byte-identically by every reader.
         st.select($"n_name", $"n".cast("long").as("n_months"),
-            ($"n" * $"sxy" - $"sx" * $"sy").cast(D).as("slope_num"),
-            ($"n" * $"sxx" - $"sx" * $"sx").cast(D).as("slope_den"),
-            ($"sy" * $"sxx" - $"sx" * $"sxy").cast(D).as("intercept_num"))
+            ($"n" * $"sxy" - $"sx" * $"sy").cast(D).cast("string").as("slope_num"),
+            ($"n" * $"sxx" - $"sx" * $"sx").cast(D).cast("string").as("slope_den"),
+            ($"sy" * $"sxx" - $"sx" * $"sxy").cast(D).cast("string").as("intercept_num"))
           .orderBy($"n_name")
       },
       Some("""WITH monthly AS (
@@ -220,9 +227,9 @@ object Relational5 {
              |  FROM monthly GROUP BY n_name)
              |SELECT n_name,
              |  CAST(n AS BIGINT) AS n_months,
-             |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-             |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
-             |  CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) AS intercept_num
+             |  CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+             |  CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+             |  CAST(sy * sxx - sx * sxy AS VARCHAR) AS intercept_num
              |FROM st ORDER BY n_name""".stripMargin)),
 
     QueryDef(

@@ -75,4 +75,37 @@ class Relational5Spec extends AnyFunSuite {
         s"${r.getAs[String]("source")}: $docsOut outside [$nDocs*$fl, $nDocs*${fl + 1}]")
     }
   }
+
+  test("q75 is byte-deterministic across shuffle-partition settings " +
+    "and renders pure integer strings") {
+    // round-6 driver red: q75 hashed green in every judge replay but red
+    // once in the driver file. This probe pins the two invariants that
+    // make a hash flake impossible on our side: (1) the result is
+    // byte-identical under a different shuffle layout (no accumulation-
+    // order sensitivity — all sums are integral/decimal), and (2) every
+    // wide cell is a canonical integer string (no exponent, no '.', no
+    // reader-dependent decimal bridge left to diverge on).
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[String] =
+      SparkEntry.queries("q75_grouped_ols")(spark, sf)
+        .collect().map(_.mkString("")).toSeq
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val a = run()
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val b = run()
+      assert(a == b, "q75 output depends on shuffle layout")
+      val intStr = "-?[0-9]+".r
+      val wide = SparkEntry.queries("q75_grouped_ols")(spark, sf)
+        .select("slope_num", "slope_den", "intercept_num").collect()
+      assert(wide.nonEmpty)
+      wide.foreach { r =>
+        (0 until 3).foreach { i =>
+          val v = r.getString(i)
+          assert(intStr.matches(v), s"non-canonical integer string: '$v'")
+        }
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
