@@ -160,8 +160,14 @@ object Bench {
     // factor, and the 15-char path prefix is pure tail-window waste
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    def line(qsPart: String, failedPart: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$failedPart,"sf":"$sfShort"}"""
+    // Degraded tiers round per-query seconds to integers, which hides
+    // sub-second regressions (round 6's p11/p16 ambiguity) — so every
+    // degraded line carries an explicit pointer to the full-precision
+    // per-query JSON this same run wrote next to it. A reader of
+    // BENCH_r{N}.json follows the path; the stdout line stays a summary.
+    val fullPtr = ""","full":"target/bench-full.json""""
+    def line(qsPart: String, failedPart: String, ptr: String = "") =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$failedPart$ptr,"sf":"$sfShort"}"""
     // The driver reads the LAST ~2000 chars of output; sbt appends a
     // ~75-char [success] line after ours, so 1850 leaves real margin.
     // The degrade ladder (each tier drops stdout detail that survives
@@ -174,14 +180,14 @@ object Bench {
     //      the slow entries are the ones a bench reader needs).
     val ladder = Seq(
       line(qsWith(fmt1), failedFull),
-      line(qsWith(fmt0), failedFull),
-      line(qsWith(fmt0), failedCount))
+      line(qsWith(fmt0), failedFull, fullPtr),
+      line(qsWith(fmt0), failedCount, fullPtr))
     ladder.find(_.length < 1850).getOrElse {
       val entries = results.sortBy(-_._2)
         .map { case (k, v, _) => "\"" + short(k) + "\":" + fmt0(v) }
       // budget for the query map: the fixed parts of the line plus the
       // omitted marker, against the same 1850 guard
-      val fixed = line("{}", failedCount).length + 30
+      val fixed = line("{}", failedCount, fullPtr).length + 30
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = 2
       var fits = true // stop at the FIRST non-fitting entry: admitting a
@@ -194,7 +200,7 @@ object Bench {
       }
       val omitted = entries.size - kept.size
       line(kept.mkString("{", ",", "}"),
-        s""""queries_omitted":$omitted,$failedCount""")
+        s""""queries_omitted":$omitted,$failedCount""", fullPtr)
     }
   }
 }

@@ -66,12 +66,12 @@ object EntityMatch {
         col(canonText).as("__ct")), Seq("__cid"))
       .withColumn("__dist", levenshtein(col("__dt"), col("__ct")))
       .filter(col("__dist") <= maxDist)
-    // composite integer ordering key makes the per-dirty argmin unique
-    // and engine-portable: (dist, canonical id) lexicographically.
-    // CONTRACT: canonical ids < 10^15 (the distance stride) — a larger
-    // id would bleed into the next distance level and corrupt the order
-    val key = col("__dist").cast("long") * lit(1000000000000000L) +
-      col("__cid")
+    // struct ordering key makes the per-dirty argmin unique and safe
+    // for ANY id range: Spark orders structs lexicographically, so
+    // (dist, canonical id) needs no arithmetic stride — the round-6
+    // form dist*10^15 + cid silently corrupted the order (and could
+    // overflow Long) once canonical ids reached the stride
+    val key = struct(col("__dist"), col("__cid"))
     confirmed.groupBy(col("__did").as(dirtyId))
       .agg(min_by(col("__cid"), key).as("matched_id"),
         min_by(col("__dist"), key).as("dist"))
@@ -131,8 +131,7 @@ object EntityMatch {
         col(canonText).as("__ct")), Seq("__cid"))
       .withColumn("__dist", levenshtein(col("__dt"), col("__ct")))
       .filter(col("__dist") <= maxDist)
-    val key = col("__dist").cast("long") * lit(1000000000000000L) +
-      col("__cid")
+    val key = struct(col("__dist"), col("__cid")) // same contract as bestMatches
     confirmed.groupBy(col("__did").as(dirtyId))
       .agg(min_by(col("__cid"), key).as("matched_id"),
         min_by(col("__dist"), key).as("dist"))

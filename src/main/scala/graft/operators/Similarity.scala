@@ -23,6 +23,12 @@ object Similarity {
   private val D = DecimalType(18, 9)
   private val DSum = DecimalType(38, 18)
 
+  /** Ceiling for [[nearDupPairsExact]]'s driver-collected corpus: 1M
+    * 64-dim float vectors is ~256 MB driver-side plus the broadcast —
+    * the practical edge of the exact companion's design envelope.
+    */
+  val ExactPairsMaxVectors: Long = 1000000L
+
   private def decVec(c: Column): Column = transform(c, x => x.cast(D))
 
   /** Exact decimal dot product of two equal-length decimal vectors.
@@ -480,6 +486,15 @@ object Similarity {
     // them — this operator must not be the crash point), and the
     // prefilter below guards ragged lengths instead of overrunning.
     val nonNull = emb.filter(col(vecCol).isNotNull)
+    val nVec = nonNull.count()
+    // the broadcast-corpus contract enforced, not just documented: past
+    // ~1M vectors the driver collect below is an OOM, and the caller
+    // wanted the banded path anyway
+    require(nVec <= ExactPairsMaxVectors,
+      s"nearDupPairsExact is the exact small-corpus companion and " +
+        s"broadcasts the whole corpus: $nVec vectors exceeds the " +
+        s"$ExactPairsMaxVectors cap — use nearDupPairsLsh (the banded " +
+        s"100 TB path) for corpora this size")
     val corpus: Array[(Long, Array[Float])] = nonNull
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()

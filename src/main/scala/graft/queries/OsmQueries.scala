@@ -326,7 +326,10 @@ object OsmQueries {
       "osm13_write_roundtrip",
       (s, _) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("osm13").toString
+        // pid-keyed scratch (Pipeline5/Relational7 discipline): bench
+        // iterations overwrite one directory instead of leaking a fresh
+        // temp dir per run, and the JVM-exit hook cleans it
+        val dir = new java.io.File(scratchRoot, "osm13").getPath
         def stats(df: org.apache.spark.sql.DataFrame) =
           df.groupBy($"type").agg(
             count(lit(1)).as("n"),
@@ -351,9 +354,15 @@ object OsmQueries {
             Seq("type"), "full")
           .select($"type", $"n_src", $"n_back", $"id_sum_src",
             $"id_sum_back",
-            ($"n_src" === $"n_back").as("counts_equal"),
-            ($"id_sum_src" === $"id_sum_back" &&
-              $"coord_sum_src" === $"coord_sum_back").as("sums_equal"))
+            // null-safe equality wrapped to FALSE: an entity type the
+            // encoder dropped entirely appears only on one side of the
+            // full outer join, and a bare === would render NULL — the
+            // self-check must go red there, not blank
+            coalesce($"n_src" <=> $"n_back", lit(false))
+              .as("counts_equal"),
+            coalesce($"id_sum_src" <=> $"id_sum_back" &&
+              ($"coord_sum_src" <=> $"coord_sum_back"), lit(false))
+              .as("sums_equal"))
           .orderBy($"type")
       },
       None),
@@ -400,4 +409,20 @@ object OsmQueries {
       },
       None)
   )
+
+  /** Per-process scratch root (pid-keyed, cleaned on JVM exit) — the
+    * Pipeline5/Relational7 discipline.
+    */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_osm_scratch_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getPath
+  }
 }

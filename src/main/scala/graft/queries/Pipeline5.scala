@@ -117,9 +117,18 @@ object Pipeline5 {
         val bySrc = docs.groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"))
         // exact integer sqrt of toks * 10^8 (= 10^4 * sqrt(toks)),
-        // engine-portable by construction (MathColsSpec pins exactness)
+        // engine-portable by construction (MathColsSpec pins exactness).
+        // The 2^53 exactness contract of MathCols.isqrt binds x, so it
+        // binds toks <= 2^53/10^8 ~ 9.0e7 per source — ENFORCED in-plan
+        // (the +-1 fixup cannot repair a seed off by more than 1, and
+        // the oracle replays the same double seed, so silent drift
+        // would be invisible to the hash gate)
         val seeded = bySrc
-          .withColumn("x", $"toks" * lit(100000000L))
+          .withColumn("x",
+            when($"toks" <= lit(90071992L), $"toks" * lit(100000000L))
+              .otherwise(expr("raise_error(concat('p89: per-source token " +
+                "mass ', toks, ' exceeds the isqrt 2^53 exactness bound " +
+                "(9.0e7) — reduce the fixed-point factor'))").cast("long")))
           .withColumn("ws", graft.functions.MathCols.isqrt($"x"))
         val totals = seeded.agg(
           sum($"ws").as("total_ws"), sum($"toks").as("total_toks"))
@@ -307,12 +316,13 @@ object Pipeline5 {
              |  JOIN dirty d ON d.dirty_id = did
              |  JOIN canon c ON c.c_custkey = cid
              |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2)
-             |SELECT did AS dirty_id,
-             |  arg_min(cid, dist * 1000000000000000 + cid) AS matched_id,
-             |  CAST(arg_min(dist, dist * 1000000000000000 + cid) AS INT)
-             |    AS dist
-             |FROM conf
-             |GROUP BY did
+             |SELECT dirty_id, matched_id, dist FROM (
+             |  SELECT did AS dirty_id, cid AS matched_id,
+             |    CAST(dist AS INT) AS dist,
+             |    row_number() OVER (PARTITION BY did
+             |      ORDER BY dist, cid) AS rk
+             |  FROM conf) r
+             |WHERE rk = 1
              |ORDER BY dirty_id""".stripMargin)),
 
     QueryDef(

@@ -367,7 +367,12 @@ class OsmPbfScan(
       val expanded =
         if (matched.isEmpty) Seq(fs.getFileStatus(hp))
         else matched.flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
-      expanded.filter(st => st.isFile && st.getLen > 0)
+      // skip hidden files (`.`/`_` prefixes — Spark's own file-index
+      // convention): the write side's in-flight `.<name>.inprogress`
+      // temps and checkpoint metadata must never reach the decoder
+      expanded.filter(st => st.isFile && st.getLen > 0 &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
         .map(st => (st.getPath.toString, st.getLen))
     }
   }

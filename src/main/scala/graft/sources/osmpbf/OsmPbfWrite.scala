@@ -19,7 +19,18 @@ import graft.pbf._
   * Accepted schemas are the reader's own (`all`, `node`, `way`,
   * `relation` — detected by column names), so scan -> transform -> write
   * round-trips without adapters. `mode("overwrite")` truncates existing
-  * `*.osm.pbf` part files; task abort deletes the task's file.
+  * `*.osm.pbf` part files.
+  *
+  * Commit protocol (the classic temp-file-plus-rename): every task
+  * attempt streams into a HIDDEN `.<final>.<taskId>.inprogress` file —
+  * invisible to the reader (and to any Spark file listing, which skips
+  * dot-files) — and only `DataWriter.commit()` renames it atomically to
+  * its final name. So a speculative or zombie duplicate attempt never
+  * interleaves bytes with the winner (each attempt owns its own temp;
+  * the commit coordinator admits one commit per partition), and a task
+  * that dies without `abort()` leaves only a hidden temp that the
+  * driver-side commit sweeps — never a partial `part-*.osm.pbf` the
+  * globbing reader would ingest.
   */
 final class OsmPbfWriteBuilder(
     info: LogicalWriteInfo,
@@ -65,13 +76,18 @@ final class OsmPbfStreamingWrite(
     OsmPbfStreamingWriterFactory(schema, path, perBlock)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // failed/zombie attempts of this epoch leave only hidden temps;
+    // sweep them so replays do not accumulate scratch files
+    OsmPbfWriteProtocol.sweepInProgress(path, f"part-e$epochId%06d")
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case OsmPbfCommit(file) => new File(file).delete(): Unit
       case _ => ()
     }
+    OsmPbfWriteProtocol.sweepInProgress(path, f"part-e$epochId%06d")
+  }
 }
 
 final class OsmPbfBatchWrite(
@@ -88,16 +104,40 @@ final class OsmPbfBatchWrite(
     new OsmPbfWriterFactory(schema, path, perBlock)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // attempts that died without abort() left hidden temps; committed
+    // files were renamed into place by their tasks
+    OsmPbfWriteProtocol.sweepInProgress(path, "part-")
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case OsmPbfCommit(file) => new File(file).delete(): Unit
       case _ => ()
     }
+    OsmPbfWriteProtocol.sweepInProgress(path, "part-")
+  }
 }
 
 final case class OsmPbfCommit(file: String) extends WriterCommitMessage
+
+/** Shared pieces of the temp-file-plus-rename protocol. */
+object OsmPbfWriteProtocol {
+  /** Hidden per-attempt temp name for a final part file: dot-prefixed
+    * (skipped by file listings) and attempt-unique via taskId.
+    */
+  def inProgressFile(dir: String, finalName: String, taskId: Long): File =
+    new File(dir, s".$finalName.$taskId.inprogress")
+
+  /** Delete leftover temps whose FINAL name starts with `prefix` —
+    * temp layout `.<finalName>.<taskId>.inprogress` means the hidden
+    * name starts with `.<prefix>`.
+    */
+  def sweepInProgress(dir: String, prefix: String): Unit =
+    Option(new File(dir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("." + prefix) &&
+        f.getName.endsWith(".inprogress")) { f.delete(): Unit }
+    })
+}
 
 final case class OsmPbfStreamingWriterFactory(
     schema: StructType, path: String, perBlock: Int)
@@ -124,7 +164,11 @@ final class OsmPbfDataWriter(
 
   private val file = new File(path,
     fileName.getOrElse(f"part-$partitionId%05d-$taskId.osm.pbf"))
-  private val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+  // every attempt writes its own hidden temp; only commit() renames it
+  // into place (atomic on the same directory), so concurrent duplicate
+  // attempts can never interleave bytes in a visible file
+  private val tmp = OsmPbfWriteProtocol.inProgressFile(path, file.getName, taskId)
+  private val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
   PbfEncoder.writeFrame(out, "OSMHeader", PbfEncoder.headerPayload)
 
   private val buf = new scala.collection.mutable.ArrayBuffer[OsmEntity](perBlock)
@@ -199,12 +243,18 @@ final class OsmPbfDataWriter(
 
   override def commit(): WriterCommitMessage = {
     flush(); out.close()
+    // REPLACE_EXISTING: a replayed streaming epoch legitimately
+    // overwrites its own previous (epoch, partition) output — the
+    // sink's idempotence contract
+    java.nio.file.Files.move(tmp.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     OsmPbfCommit(file.getPath)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => () }
-    file.delete(): Unit
+    tmp.delete(): Unit
   }
 
   override def close(): Unit = ()

@@ -50,6 +50,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(b.contains("\"q01\":10}"), b)
   }
 
+  test("degraded (integer-second) lines point at the full-precision file") {
+    // whole-second rounding hides sub-second regressions, so any tier
+    // past the one-decimal form must carry the bench-full.json pointer
+    // a BENCH_r{N}.json reader can follow
+    val many = (1 to 400).map(i => (f"q$i%03d_x", i.toDouble / 10, true))
+    val degraded = Bench.renderLine(many, "/tmp/sf0.1")
+    assert(degraded.contains(""""full":"target/bench-full.json""""), degraded.takeRight(120))
+    // ...and the full-detail tier 1 does NOT pay the pointer's chars
+    val small = Bench.renderLine(Seq(("q01_x", 1.23, true)), "/tmp/sf0.1")
+    assert(!small.contains("bench-full"), small)
+  }
+
   test("line is well-formed for the driver's parser") {
     val results = Seq(("q01_pricing_summary", 1.234567, true), ("p08_minhash_lsh", 0.5, false))
     val line = Bench.renderLine(results, "/tmp/sf")

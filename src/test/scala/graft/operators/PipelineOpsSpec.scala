@@ -121,6 +121,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairsExact refuses an over-cap corpus and names the LSH path") {
+    // the exact companion collects+broadcasts the whole corpus; past the
+    // cap that is a driver OOM, so the contract must fail loudly with a
+    // pointer to the scale path rather than crash. Probe via a shrunk
+    // cap proxy: the guard compares against ExactPairsMaxVectors, so
+    // assert the real corpus passes and the message text is wired by
+    // driving the count over a 0-cap view of the check
+    val emb = t(spark, sf, "embeddings")
+    assert(emb.count() <= Similarity.ExactPairsMaxVectors,
+      "fixture must sit under the cap for the happy path")
+    val ex = intercept[IllegalArgumentException] {
+      // exceed the cap without materializing 1M rows: replicate ids via
+      // a range cross-product so count() crosses the ceiling cheaply
+      val over = spark.range(Similarity.ExactPairsMaxVectors + 1)
+        .withColumn("embedding", array(lit(1.0f)))
+      Similarity.nearDupPairsExact(over, "id", "embedding", 0.9).count()
+    }
+    assert(ex.getMessage.contains("nearDupPairsLsh"),
+      s"guard must point at the banded path: ${ex.getMessage}")
+  }
+
   test("hashSampled(16) keeps every row; rates are monotone in sixteenths") {
     val docs = t(spark, sf, "documents")
     val total = docs.count()

@@ -45,6 +45,26 @@ class OsmPbfWriteSpec extends AnyFunSuite {
     assert(canon(readAll(dir)) == canon(readAll(fixture)))
   }
 
+  test("commit protocol: no in-progress temps survive, reader skips them") {
+    val dir = java.nio.file.Files.createTempDirectory("pbf-cp").toString
+    val src = readAll(fixture)
+    src.repartition(3).write.format("osmpbf")
+      .option("withInfo", "false").mode("overwrite").save(dir)
+    // every committed task renamed its hidden temp into place; the
+    // driver-side commit swept anything a dead attempt left behind
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // a partial file from a crashed attempt (simulated: hidden temp with
+    // garbage bytes) must be invisible to the reader — dot-prefixed
+    // names never reach the decoder, so the scan neither fails nor
+    // double-counts
+    val ghost = new java.io.File(dir, ".part-99999-7.osm.pbf.7.inprogress")
+    java.nio.file.Files.write(ghost.toPath, Array[Byte](1, 2, 3))
+    assert(readAll(dir).count() == src.count())
+    ghost.delete()
+  }
+
   test("overwrite truncates previous part files") {
     val dir = java.nio.file.Files.createTempDirectory("pbf-wo").toString
     val src = readAll(fixture)
