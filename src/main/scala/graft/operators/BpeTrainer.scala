@@ -33,9 +33,13 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *
   * Both modes produce IDENTICAL merge tables (BpeTrainerSpec pins it).
   *
-  * No DuckDB oracle is possible (the algorithm is inherently iterative
-  * — each round's counts depend on the previous merge), so the query
-  * entry is rows-only checked and the algorithm is golden-tested in
+  * The algorithm is inherently iterative — each round's counts depend
+  * on the previous merge — but that does NOT preclude a DuckDB oracle:
+  * [[oracleSql]] unrolls the rounds as chained MATERIALIZED CTEs (the
+  * KMeansOp.oracleSql discipline) and replays the greedy merge
+  * application itself as a `list_reduce` string fold that mirrors
+  * [[applyOne]] token for token, so the p42 entry is hash-gated, not
+  * just rows-only. The algorithm is additionally golden-tested in
   * ScalaTest against hand-computed merges (BpeTrainerSpec).
   */
 object BpeTrainer {
@@ -130,6 +134,58 @@ object BpeTrainer {
       }
     }
     merges.result().toDF("rank", "left", "right", "merged", "n")
+  }
+
+  /** DuckDB replay of [[learnMerges]] (full-recount semantics): one
+    * MATERIALIZED CTE triple per round — pair counts over the current
+    * dictionary, the (n DESC, l, r) argmax above the floor, and the
+    * merged dictionary. The greedy left-to-right merge application is a
+    * `list_reduce` over a sentinel-prefixed symbol list folding into a
+    * space-joined accumulator string: `ends_with(acc, ' ' || l)` tests
+    * "last symbol == l" exactly (symbols never contain the space
+    * delimiter — words were split on it), appending `r` to the
+    * accumulator IS the merge, and the fold order is the same
+    * sequential scan as [[applyOne]] — including the no-remerge
+    * property (a just-merged symbol no longer ends with ` l`).
+    * MATERIALIZED is load-bearing: each d_k is referenced twice
+    * (p_{k+1} and d_{k+1}), so inlining would re-expand the chain
+    * 2^rounds times. An exhausted corpus (best pair under the floor)
+    * yields an empty b_k, the LEFT JOIN freezes the dictionary, and
+    * every later round stays empty — exactly learnMerges' early stop.
+    */
+  def oracleSql(numMerges: Int, minPairCount: Long = 2L): String = {
+    def roundCtes(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT d.syms[i] AS l, d.syms[i+1] AS r, SUM(d.freq) AS n
+         |  FROM d${k - 1} d,
+         |    unnest(generate_series(1, len(d.syms) - 1)) s(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$k WHERE n >= $minPairCount
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |d$k AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN d.syms
+         |    ELSE string_split(substr(list_reduce(
+         |      list_prepend(chr(1), d.syms),
+         |      (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l) AND x = b.r
+         |                  THEN acc || b.r
+         |                  ELSE acc || ' ' || x END), 3), ' ')
+         |    END AS syms, d.freq AS freq
+         |  FROM d${k - 1} d LEFT JOIN b$k b ON TRUE)""".stripMargin
+    val rounds = (1 to numMerges).map(roundCtes).mkString(",\n")
+    val union = (1 to numMerges)
+      .map(k => s"SELECT ${k - 1} AS rk, l, r, n FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |d0 AS MATERIALIZED (
+       |  SELECT string_split(w, '') AS syms, COUNT(*) AS freq
+       |  FROM words WHERE len(w) > 0 GROUP BY w),
+       |$rounds
+       |SELECT CAST(rk AS INT) AS rank, l AS "left", r AS "right",
+       |  l || r AS merged, CAST(n AS BIGINT) AS n
+       |FROM ($union)
+       |ORDER BY rank""".stripMargin
   }
 
   /** Expression-tree merge-table ceiling for [[applyMerges]]: each merge

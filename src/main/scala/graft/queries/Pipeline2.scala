@@ -657,10 +657,12 @@ object Pipeline2 {
       // tokenizer TRAINING: the first 12 BPE merges learned over the
       // corpus (weighted by word frequency, deterministic tie-break).
       // Inherently iterative — each round's pair counts depend on the
-      // previous merge — so no SQL oracle exists; the algorithm is
-      // golden-tested in BpeTrainerSpec against hand-computed merges,
-      // and this entry carries the rows-only check. Per-round state is
-      // the word dictionary, never the corpus (see BpeTrainer).
+      // previous merge — and HASH-GATED anyway: the oracle unrolls the
+      // 12 rounds as chained materialized CTEs and replays the greedy
+      // merge application as a list_reduce fold (BpeTrainer.oracleSql),
+      // so DuckDB reproduces the identical merge table. Golden-tested
+      // besides in BpeTrainerSpec against hand-computed merges.
+      // Per-round state is the word dictionary, never the corpus.
       "p42_bpe_merges",
       (s, dir) => {
         import s.implicits._
@@ -668,7 +670,7 @@ object Pipeline2 {
             t(s, dir, "documents"), "text", numMerges = 12)
           .orderBy($"rank")
       },
-      None),
+      Some(graft.operators.BpeTrainer.oracleSql(numMerges = 12))),
 
     QueryDef(
       // CSV sink/source round-trip with ADVERSARIAL quoting: a derived
