@@ -65,4 +65,50 @@ object RankOps {
       .withColumn(rankCol, col("__off") + row_number().over(localW))
       .drop("__pid", "__off")
   }
+
+  /** Exact INCLUSIVE prefix sum of `value` over the global `order` —
+    * the bounded replacement for `sum(v).over(Window.orderBy(...))`,
+    * which moves ALL rows into one task. A cents or token-length
+    * dictionary is "dictionary-sized" only at fixture scale; at 100x it
+    * is 10^6-10^7 rows, survivable in one task but the wrong plan. This
+    * is the same three-level shape as [[rankWithinKey]] without a key:
+    *
+    *  1. range-repartition by `order` (bounded ~n/P rows per task);
+    *  2. per-partition value totals (P rows);
+    *  3. exclusive running offset per partition id — a triangular
+    *     self-join over the P-row totals (P^2 pairs, P = shuffle
+    *     parallelism), deliberately NOT a global window so the plan
+    *     carries no single-partition WindowExec at all;
+    *  4. broadcast offsets back; finish with a window INSIDE each
+    *     range partition.
+    *
+    * The sum is partitioning-independent (offsets come from actual
+    * totals), so the result is deterministic even though range bounds
+    * come from sampling — required for oracle-gated queries. `order`
+    * must be unique per row (a dictionary's value column is); `value`
+    * must be integral/decimal (float addition would be association-
+    * order dependent, breaking exactness across layouts).
+    */
+  def prefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val totals = ranged.groupBy(col("__pid")).agg(sum(value).as("__n"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + sum(value).over(localW))
+      .drop("__pid", "__off")
+  }
 }

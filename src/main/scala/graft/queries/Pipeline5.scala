@@ -712,9 +712,11 @@ object Pipeline5 {
         val lens = t(s, dir, "documents")
           .select(TextAnalysis.tokenCount($"text").as("len"))
         val dict = lens.groupBy($"len").agg(count(lit(1)).as("c")).cache()
-        val cum = dict.withColumn("cum",
-          sum($"c").over(Window.orderBy($"len")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // token-length dictionary cardinality grows with document size
+        // — cumsum via the range-partitioned prefix sum, not a global
+        // window (q95 discipline)
+        val cum = graft.operators.RankOps.prefixSum(
+          dict, Seq($"len"), $"c", "cum")
         val tot = dict.agg(sum($"c").as("n"),
           sum($"len" * $"c").as("tok"))
         val curves = Seq(1, 2, 4, 8).map { b =>

@@ -347,11 +347,12 @@ object Relational7 {
         val o = t(s, dir, "orders").select($"o_orderkey",
           round($"o_totalprice" * 100, 0).cast("long").as("cents"))
         val dict = o.groupBy($"cents").agg(count(lit(1)).as("c"))
-        // cumulative count over the VALUE DOMAIN (dictionary-sized
-        // global window, the q85 shape — never over facts)
-        val cum = dict.withColumn("cum",
-          sum($"c").over(Window.orderBy($"cents")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // cumulative count over the VALUE DOMAIN — a cents dictionary
+        // is ~10^6-10^7 distinct values at 100x scale, so the cumsum
+        // runs as RankOps.prefixSum (range-partitioned three-level, no
+        // single-task global window), not Window.orderBy
+        val cum = graft.operators.RankOps.prefixSum(
+          dict, Seq($"cents"), $"c", "cum")
         val tot = dict.agg(sum($"c").as("n"))
         // shard(v) = #boundaries at or below v; boundary k is the
         // smallest value whose cumulative count reaches ceil(n*k/B),
