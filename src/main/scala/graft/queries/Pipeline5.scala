@@ -767,7 +767,92 @@ object Pipeline5 {
            |  CAST(padding AS BIGINT) AS padding, waste_ppm
            |FROM (${branches.mkString("\nUNION ALL\n")})
            |ORDER BY n_buckets""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // BM25 RETRIEVAL — the lexical ranking function behind corpus
+      // search, decontamination lookup and retrieval-based curation,
+      // EXACT cross-engine: k1=1.2, b=0.75 fold into the rational form
+      // score = idf * 22*T*f / (10*T*f + 3*T + 9*N*dl) (multiply
+      // numerator and denominator by 10*T; T = corpus tokens, N = docs,
+      // dl = doc length), evaluated in DECIMAL(38,0)/HUGEINT with an
+      // integer floor division per term — no float in the score path.
+      // The idf is the Robertson odds ratio quantized to 2^-20 and
+      // log2-floored: floor(log2(k)) of an INTEGER is deterministic in
+      // double arithmetic on both engines (an integer cannot sit within
+      // 1 ulp of a non-attained power of two), so even the logarithm is
+      // bit-exact. Query terms are data-derived (df ranks 10..13, the
+      // mid-frequency band), not magic literals. Scale shape: one
+      // corpus explode -> (doc, term) partial aggregation carrying dl;
+      // df/idf live on broadcast dictionaries; the score join touches
+      // only docs containing a query term; top-20 is TakeOrdered.
+      "p98_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val tf = t(s, dir, "documents")
+          .select($"doc_id",
+            expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+          .select($"doc_id", size($"tk").cast("long").as("dl"),
+            explode($"tk").as("term"))
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("f"), max($"dl").as("dl"))
+        val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val tot = tf.groupBy($"doc_id").agg(max($"dl").as("dl"))
+          .agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
+        val qterms = dfr.orderBy($"df".desc, $"term").limit(13)
+          .orderBy($"df".asc, $"term".desc).limit(4)
+          .crossJoin(broadcast(tot))
+          .select($"term", expr(
+            "CAST(floor(log2(greatest(CAST(1 AS BIGINT), " +
+              "((nd - df) * 2 + 1) * 1048576 DIV (2 * df + 1)))) AS BIGINT)")
+            .as("idf"))
+        tf.join(broadcast(qterms), Seq("term"))
+          .crossJoin(broadcast(tot))
+          .withColumn("s", expr(
+            """CAST(CAST(idf AS DECIMAL(38,0)) * 22
+              |  * CAST(tt AS DECIMAL(38,0)) * f * 1000000
+              |  DIV (10 * CAST(tt AS DECIMAL(38,0)) * f
+              |    + 3 * CAST(tt AS DECIMAL(38,0))
+              |    + 9 * CAST(nd AS DECIMAL(38,0)) * dl) AS BIGINT)"""
+              .stripMargin))
+          .groupBy($"doc_id")
+          .agg(sum($"s").as("score"), count(lit(1)).as("n_terms"))
+          .orderBy($"score".desc, $"doc_id").limit(20)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS f, MAX(dl) AS dl FROM (
+             |    SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             |      unnest(tk) AS term
+             |    FROM (SELECT doc_id,
+             |            list_filter(string_split(text, ' '),
+             |              t -> t <> '') AS tk
+             |          FROM documents))
+             |  GROUP BY doc_id, term),
+             |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |tot AS (
+             |  SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM
+             |    (SELECT doc_id, MAX(dl) AS dl FROM tf GROUP BY doc_id)),
+             |q13 AS (
+             |  SELECT term, df FROM dfr ORDER BY df DESC, term LIMIT 13),
+             |qt AS (SELECT term, df FROM q13
+             |       ORDER BY df ASC, term DESC LIMIT 4),
+             |qi AS (
+             |  SELECT term,
+             |    CAST(floor(log2(greatest(CAST(1 AS BIGINT),
+             |      ((nd - df) * 2 + 1) * 1048576 // (2 * df + 1))))
+             |      AS BIGINT) AS idf
+             |  FROM qt, tot),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(CAST(idf AS HUGEINT) * 22 * tt * f * 1000000
+             |      // (10 * CAST(tt AS HUGEINT) * f + 3 * tt
+             |         + 9 * CAST(nd AS HUGEINT) * dl)
+             |      AS BIGINT) AS s
+             |  FROM tf JOIN qi USING (term), tot)
+             |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_terms
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */

