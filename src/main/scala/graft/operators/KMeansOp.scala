@@ -143,10 +143,14 @@ object KMeansOp {
       .orderBy(col("cluster"))
   }
 
-  /** The DuckDB replay of [[clusterStats]]: the same seeds, the same
-    * exact-decimal iterations (unrolled), the same final double ratio.
+  /** The WITH-body of the DuckDB k-means replay up to (and including)
+    * the final assignment CTE, plus that CTE's name — reused by both
+    * [[oracleSql]] (p47's cluster stats) and downstream compositions
+    * that need per-vector cluster labels (p99 semantic dedup). The
+    * exposed CTEs: `el` (vec_id, d, x decimal), `asg<fin>` (vec_id,
+    * cell, n, ee).
     */
-  def oracleSql(k: Int = 4, iters: Int = 3): String = {
+  def assignCtes(k: Int, iters: Int): (String, String) = {
     def eCte(i: Int): String =
       s"""e$i AS (
          |  SELECT e.vec_id, c.cell, MIN(c.n) AS n,
@@ -173,7 +177,7 @@ object KMeansOp {
          |  FROM c${i - 1} o LEFT JOIN u$i u USING (cell, d))""".stripMargin
     val rounds = (1 to iters).map(i => s"${eCte(i)},\n${uCte(i)}")
     val fin = iters + 1
-    s"""WITH el AS (
+    val ctes = s"""el AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
        |         CAST(unnest(embedding) AS DECIMAL(18,9)) AS x
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -185,11 +189,20 @@ object KMeansOp {
        |         CAST(1 AS BIGINT) AS n
        |  FROM seeds s JOIN el e USING (vec_id)),
        |${rounds.mkString(",\n")},
-       |${eCte(fin)}
+       |${eCte(fin)}""".stripMargin
+    (ctes, s"asg$fin")
+  }
+
+  /** The DuckDB replay of [[clusterStats]]: the same seeds, the same
+    * exact-decimal iterations (unrolled), the same final double ratio.
+    */
+  def oracleSql(k: Int = 4, iters: Int = 3): String = {
+    val (ctes, asg) = assignCtes(k, iters)
+    s"""WITH $ctes
        |SELECT cell AS cluster, COUNT(*) AS n_points,
        |  ROUND(CAST(SUM(ee) AS DOUBLE) / (MIN(n) * MIN(n)) / COUNT(*), 6)
        |    AS mean_dist2
-       |FROM asg$fin GROUP BY cell
+       |FROM $asg GROUP BY cell
        |ORDER BY cluster""".stripMargin
   }
 }

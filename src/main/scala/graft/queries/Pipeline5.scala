@@ -852,7 +852,81 @@ object Pipeline5 {
              |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score,
              |  CAST(COUNT(*) AS BIGINT) AS n_terms
              |FROM sc GROUP BY doc_id
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023, public):
+      // cluster embeddings with the oracle-exact k-means, then drop
+      // every vector that has a LOWER-id near-duplicate (exact decimal
+      // cosine >= 0.45) in the SAME cluster — keep-lowest-id, the p05
+      // keep-first discipline applied semantically. ORACLE-EXACT end to
+      // end: the cluster labels replay through KMeansOp.assignCtes (the
+      // p47 chained-CTE machinery, here COMPOSED downstream), and the
+      // cosine is decimal sums with one final double division. Scale
+      // shape: the cluster id is the blocking key — candidate pairs
+      // form only within a cluster, so production k grows with the
+      // corpus (k ~ N/target-cluster-size bounds the within-cluster
+      // quadratic; this entry pins correctness at k=4 fixture scale,
+      // and p17's banded LSH is the unblocked-pairs alternative);
+      // dropped ids shuffle as bare ids, never vectors.
+      "p99_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{KMeansOp, Similarity}
+        val emb = t(s, dir, "embeddings")
+        val model = KMeansOp.fit(emb, "vec_id", "embedding",
+          k = 4, iters = 2)
+        import graft.functions.VectorFunctions.vec_dot
+        val asg = KMeansOp.assign(emb, "vec_id", "embedding", model)
+          .select($"vec_id", $"embedding", $"cluster",
+            vec_dot($"embedding", $"embedding").as("n2"))
+          .cache() // two consumers: both pair sides + the final counts
+        // two-kernel pair evaluation (the p72 discipline): the native
+        // float vec_dot prunes the within-cluster candidate pairs at a
+        // safety margin, and only survivors pay the exact decimal
+        // cosine that DECIDES — evaluating the decimal kernel on every
+        // pair costs ~30x (measured 218s vs 7s at sf0.1). The margined
+        // multiply form dodges per-pair division and zero norms.
+        val dropped = asg.as("a").join(asg.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(vec_dot(col("a.embedding"), col("b.embedding")) >=
+            lit(0.45 - 1e-6) * sqrt(col("a.n2") * col("b.n2")))
+          .filter(Similarity.cosine(col("a.embedding"),
+            col("b.embedding")) >= 0.45)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        asg.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_vectors"), count($"__d").as("n_dropped"))
+          .select($"cluster", $"n_vectors", $"n_dropped",
+            ($"n_vectors" - $"n_dropped").as("n_kept"))
+          .orderBy($"cluster")
+      },
+      Some {
+        val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 2)
+        s"""WITH $ctes,
+           |pr AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb
+           |  FROM $asg a JOIN $asg b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |cs AS (
+           |  SELECT pr.ida, pr.idb,
+           |    CAST(SUM(x.x * y.x) AS DOUBLE) AS dot,
+           |    CAST(SUM(x.x * x.x) AS DOUBLE) AS nx,
+           |    CAST(SUM(y.x * y.x) AS DOUBLE) AS ny
+           |  FROM pr JOIN el x ON x.vec_id = pr.ida
+           |          JOIN el y ON y.vec_id = pr.idb AND y.d = x.d
+           |  GROUP BY pr.ida, pr.idb),
+           |drp AS (
+           |  SELECT DISTINCT idb AS id FROM cs
+           |  WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.45)
+           |SELECT a.cell AS cluster,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           |  CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+           |  CAST(COUNT(*) - COUNT(d.id) AS BIGINT) AS n_kept
+           |FROM $asg a LEFT JOIN drp d ON d.id = a.vec_id
+           |GROUP BY a.cell ORDER BY cluster""".stripMargin
+      })
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
