@@ -131,8 +131,17 @@ object KMeansOp {
       idCol: String,
       vecCol: String,
       k: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val model = fit(emb, idCol, vecCol, k, iters)
+      iters: Int = 3): DataFrame =
+    clusterStats(emb, idCol, vecCol, fit(emb, idCol, vecCol, k, iters))
+
+  /** [[clusterStats]] over an already-fitted model — lets callers share
+    * one fit across entries (the model is plain data, safe to memoize).
+    */
+  def clusterStats(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model): DataFrame = {
     assign(emb, idCol, vecCol, model)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),

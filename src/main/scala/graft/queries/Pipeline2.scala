@@ -851,8 +851,10 @@ object Pipeline2 {
       // per-cluster size + mean squared distance.
       "p47_kmeans_clusters",
       (s, dir) =>
+        // the fitted model is the Pipeline.fittedKmeans memo — p99
+        // shares the same (k=4, iters=3) fit
         KMeansOp.clusterStats(t(s, dir, "embeddings"), "vec_id",
-          "embedding", k = 4, iters = 3),
+          "embedding", Pipeline.fittedKmeans(s, dir, 4, 3)),
       Some(KMeansOp.oracleSql(k = 4, iters = 3))),
 
     QueryDef(

@@ -874,8 +874,9 @@ object Pipeline5 {
         import s.implicits._
         import graft.operators.{KMeansOp, Similarity}
         val emb = t(s, dir, "embeddings")
-        val model = KMeansOp.fit(emb, "vec_id", "embedding",
-          k = 4, iters = 2)
+        // shared (k=4, iters=3) fit with p47 via the Pipeline memo —
+        // one driver-loop fit serves both entries
+        val model = Pipeline.fittedKmeans(s, dir, 4, 3)
         import graft.functions.VectorFunctions.vec_dot
         val asg = KMeansOp.assign(emb, "vec_id", "embedding", model)
           .select($"vec_id", $"embedding", $"cluster",
@@ -903,7 +904,7 @@ object Pipeline5 {
           .orderBy($"cluster")
       },
       Some {
-        val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 2)
+        val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)
         s"""WITH $ctes,
            |pr AS (
            |  SELECT a.vec_id AS ida, b.vec_id AS idb
