@@ -638,4 +638,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected two cached consumers:\n$p")
     SparkTestSession.spark.catalog.clearCache()
   }
+
+  test("p98 BM25: dictionary joins broadcast, top-20 is TakeOrdered") {
+    // the fact path (doc, term) aggregation joins ONLY broadcast
+    // dictionaries (query terms, totals) — a sort-merge join here would
+    // shuffle the corpus against a 4-row frame — and the final top-20
+    // must be TakeOrderedAndProject, not a global sort
+    val p = plan("p98_bm25_retrieval")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p99 semantic dedup: pair join is cluster-blocked, never a product") {
+    // the within-cluster pair join must plan as an equi-join on the
+    // cluster key (the blocking that bounds the quadratic); a
+    // CartesianProduct or BroadcastNestedLoopJoin would mean the
+    // blocking key fell out of the join condition
+    val p = plan("p99_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"unblocked pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unblocked pair join:\n$p")
+    SparkTestSession.spark.catalog.clearCache()
+  }
 }
