@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sixth pipeline batch — the retrieval-stack composites a curation
+  * pipeline runs on top of the primitives the earlier batches built:
+  * hybrid lexical+dense rank fusion (p100) over p98's BM25 and the
+  * ANN family's exact dense top-k, and margin-based bitext mining
+  * (p101, the Artetxe & Schwenk 2019 margin criterion, public) over
+  * the embeddings table.
+  */
+object Pipeline6 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // HYBRID RETRIEVAL RANK FUSION (reciprocal-rank fusion, Cormack
+      // et al. 2009, public) — the standard way a curation/decontam
+      // stack combines a lexical ranker with a dense one: each system
+      // contributes 1/(60 + rank); candidates missing from one list
+      // contribute 0 from it. EXACT cross-engine: the contribution is
+      // the scaled integer 10^9 DIV (60 + rank), so the fused score is
+      // a sum of integers — no float in the fusion path. The two input
+      // systems are themselves oracle-exact: p98's BM25 top-20 (shared
+      // via the Pipeline5.bm25Top20 memo — whichever entry runs first
+      // pays the corpus scan) and the ANN family's exact dense top-10
+      // (the Pipeline.annExactTop10 memo). Scale shape: everything
+      // downstream of the two retrievals is dictionary-sized (<= 30
+      // rows); the rank windows are bounded by construction (20 and 10
+      // rows — the documented dictionary-window class, not a fact
+      // window).
+      "p100_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Pipeline5.bm25Top20(s, dir)
+          .withColumn("lr",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"lr")
+        val dense = Pipeline.annExactTop10(s, dir)
+          .withColumn("dr",
+            row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
+          .select($"vec_id".as("doc_id"), $"dr")
+        val ids = lex.select($"doc_id")
+          .unionAll(dense.select($"doc_id")).distinct()
+        // explicit broadcasts: both rank lists derive from checkpoint
+        // scans whose stats Catalyst treats as unknown-large — without
+        // the hint a 25-row fusion plans as a sort-merge join
+        ids.join(broadcast(lex), Seq("doc_id"), "left")
+          .join(broadcast(dense), Seq("doc_id"), "left")
+          .select($"doc_id",
+            (coalesce(expr("1000000000 DIV (60 + lr)"), lit(0L)) +
+              coalesce(expr("1000000000 DIV (60 + dr)"), lit(0L)))
+              .cast("long").as("rrf_scaled"),
+            coalesce($"lr".cast("long"), lit(0L)).as("lex_rank"),
+            coalesce($"dr".cast("long"), lit(0L)).as("dense_rank"))
+          .orderBy($"rrf_scaled".desc, $"doc_id")
+          .limit(10)
+      },
+      Some(s"""WITH ${Pipeline5.bm25OracleCtes},
+             |lex AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+             |  FROM (SELECT doc_id, score FROM bm
+             |        ORDER BY score DESC, doc_id LIMIT 20)),
+             |dq AS (SELECT embedding AS qe FROM embeddings
+             |       WHERE vec_id = 0),
+             |del AS (SELECT e.vec_id,
+             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(dq.qe) AS DECIMAL(18,9)) AS y
+             |  FROM embeddings e CROSS JOIN dq),
+             |dsum AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM del GROUP BY vec_id),
+             |dtop AS (SELECT vec_id,
+             |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
+             |  FROM dsum WHERE vec_id <> 0
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |dense AS (SELECT vec_id AS doc_id,
+             |    row_number() OVER (ORDER BY sim DESC, vec_id) AS dr
+             |  FROM dtop),
+             |ids AS (SELECT doc_id FROM lex
+             |        UNION SELECT doc_id FROM dense)
+             |SELECT i.doc_id,
+             |  CAST(COALESCE(1000000000 // (60 + l.lr), 0)
+             |     + COALESCE(1000000000 // (60 + d.dr), 0) AS BIGINT)
+             |    AS rrf_scaled,
+             |  CAST(COALESCE(l.lr, 0) AS BIGINT) AS lex_rank,
+             |  CAST(COALESCE(d.dr, 0) AS BIGINT) AS dense_rank
+             |FROM ids i LEFT JOIN lex l ON l.doc_id = i.doc_id
+             |LEFT JOIN dense d ON d.doc_id = i.doc_id
+             |ORDER BY rrf_scaled DESC, i.doc_id LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019 ratio
+      // margin, public) — mine translation/paraphrase pairs between
+      // two embedding "languages" (label parity splits the corpus into
+      // disjoint sides): for each probe x on side A, score its side-B
+      // neighbours by cos(x,y) relative to the mean of both vectors'
+      // top-4 neighbourhood cosines, and keep the best-scoring mate.
+      // EXACT cross-engine: cosines are the decimal-exact kernel
+      // floored at micro precision into integer c6 (see knn4's
+      // rounding note); the margin ratio
+      // is evaluated entirely in integers on the SHIFTED cosine
+      // (c6 + 10^6 >= 0, so truncating DIV and floor division agree)
+      // as c6p * 2 * nx * ny * 10^9 DIV (sx * ny + sy * nx) with
+      // nx, ny the neighbourhood sizes and sx, sy the shifted-cosine
+      // sums (max magnitude ~6.4e16, well inside BIGINT). Two-kernel
+      // discipline (the p72/p99 pattern): the codegen'd float vec_dot
+      // ranks every probe x corpus pair, a partial-aggregable
+      // TopKByOrd(4) finds each probe's 4th-best float score WITHOUT a
+      // corpus-sized window, and only candidates within 5e-6 of that
+      // boundary pay the exact decimal kernel — the float error
+      // (~1e-13) plus the micro-floor tie window (1e-6) sit well
+      // inside the margin, so the decimal decide provably sees every
+      // contender. Scale shape: probes broadcast against one corpus
+      // scan per side, candidate ids-only shuffles, and the per-probe
+      // decide window is margin-set-sized; production blocks the scan
+      // with the IVF index (p16) instead of widening the probe set.
+      "p101_bitext_mining",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val aSide = emb.filter($"label" % 2 === 0)
+          .select($"vec_id", $"embedding")
+        val bSide = emb.filter($"label" % 2 === 1)
+          .select($"vec_id", $"embedding")
+        val probes = aSide.orderBy($"vec_id").limit(16)
+          .select($"vec_id".as("pid"), $"embedding".as("pvec"))
+        val xknn = knn4(s, probes,
+          bSide.select($"vec_id".as("cid"), $"embedding".as("cvec")))
+          .cache() // <= 64 rows: pair list + both sum dictionaries
+        // the mined candidates become probes of the reverse direction:
+        // their side-A neighbourhoods price the margin denominator
+        val yprobes = emb
+          .join(broadcast(xknn.select($"cid").distinct()),
+            $"vec_id" === $"cid")
+          .select($"cid".as("pid"), $"embedding".as("pvec"))
+        val yknn = knn4(s, yprobes,
+          aSide.select($"vec_id".as("cid"), $"embedding".as("cvec")))
+        val sx = xknn.groupBy($"pid")
+          .agg(sum($"c6" + 1000000L).as("sx"), count(lit(1)).as("nx"))
+        val sy = yknn.groupBy($"pid").agg(
+            sum($"c6" + 1000000L).as("sy"), count(lit(1)).as("ny"))
+          .select($"pid".as("cid"), $"sy", $"ny")
+        xknn.join(broadcast(sx), Seq("pid"))
+          .join(broadcast(sy), Seq("cid"))
+          .select($"pid", $"cid", $"c6", expr(
+            """(c6 + 1000000) * 2 * nx * ny * 1000000000
+              |  DIV greatest(sx * ny + sy * nx, 1)""".stripMargin)
+            .as("score"))
+          .groupBy($"pid")
+          .agg(max(struct($"score", (-$"cid").as("nid"), $"c6")).as("b"))
+          .select($"pid".as("a_id"), (-$"b.nid").as("match_id"),
+            $"b.score".as("score_scaled"), $"b.c6".as("cos6"))
+          .orderBy($"a_id")
+      },
+      Some("""WITH pa AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE label % 2 = 0 ORDER BY vec_id LIMIT 16),
+             |ea AS (SELECT vec_id, embedding FROM embeddings
+             |       WHERE label % 2 = 0),
+             |eb AS (SELECT vec_id, embedding FROM embeddings
+             |       WHERE label % 2 = 1),
+             |xel AS (
+             |  SELECT p.vec_id AS pid, b.vec_id AS cid,
+             |    CAST(unnest(p.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+             |  FROM pa p CROSS JOIN eb b),
+             |xcs AS (
+             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM xel GROUP BY pid, cid
+             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+             |xc6 AS (
+             |  SELECT pid, cid,
+             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
+             |      AS BIGINT) AS c6
+             |  FROM xcs),
+             |xknn AS (
+             |  SELECT pid, cid, c6 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY pid
+             |      ORDER BY c6 DESC, cid) AS rn FROM xc6)
+             |  WHERE rn <= 4),
+             |yel AS (
+             |  SELECT y.cid AS pid, a.vec_id AS cid,
+             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS y
+             |  FROM (SELECT DISTINCT cid FROM xknn) y
+             |  JOIN embeddings e ON e.vec_id = y.cid
+             |  CROSS JOIN ea a),
+             |ycs AS (
+             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM yel GROUP BY pid, cid
+             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+             |yc6 AS (
+             |  SELECT pid, cid,
+             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
+             |      AS BIGINT) AS c6
+             |  FROM ycs),
+             |yknn AS (
+             |  SELECT pid, cid, c6 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY pid
+             |      ORDER BY c6 DESC, cid) AS rn FROM yc6)
+             |  WHERE rn <= 4),
+             |sx AS (SELECT pid, SUM(c6 + 1000000) AS sx,
+             |         COUNT(*) AS nx
+             |       FROM xknn GROUP BY pid),
+             |sy AS (SELECT pid AS cid, SUM(c6 + 1000000) AS sy,
+             |         COUNT(*) AS ny
+             |       FROM yknn GROUP BY pid),
+             |sc AS (
+             |  SELECT k.pid, k.cid, k.c6,
+             |    CAST((k.c6 + 1000000) * 2 * sx.nx * sy.ny * 1000000000
+             |      // greatest(sx.sx * sy.ny + sy.sy * sx.nx, 1)
+             |      AS BIGINT) AS score
+             |  FROM xknn k
+             |  JOIN sx ON sx.pid = k.pid
+             |  JOIN sy ON sy.cid = k.cid)
+             |SELECT pid AS a_id, cid AS match_id,
+             |  score AS score_scaled, c6 AS cos6
+             |FROM (SELECT *, row_number() OVER (PARTITION BY pid
+             |        ORDER BY score DESC, cid) AS rn FROM sc)
+             |WHERE rn = 1
+             |ORDER BY a_id""".stripMargin))
+  )
+
+  /** Exact decimal top-4 cosine neighbours of each probe in `corpus`
+    * — (pid, cid, c6) with c6 the round-6 cosine scaled to an integer
+    * (micro-cosine). Two-kernel: float vec_dot ranks all pairs, the
+    * partial-aggregable TopKByOrd(4) finds each probe's float 4th-best
+    * (NO corpus-sized per-probe window), and candidates within 5e-6 of
+    * that boundary pay the exact decimal kernel that decides. The
+    * decide window runs over the margin-set only. Zero-norm vectors
+    * drop on both sides (cosine undefined), matching the oracle's
+    * HAVING SUM(x*x) > 0 guard.
+    */
+  private def knn4(
+      s: SparkSession,
+      probes: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.vec_dot
+    val p = probes.filter(vec_dot($"pvec", $"pvec") > 0)
+    val c = corpus.filter(vec_dot($"cvec", $"cvec") > 0)
+    // slim float-scored frame, persisted: it feeds the per-probe top-4
+    // id selection, the boundary-value fetch, and the margin filter —
+    // unpersisted, Spark would re-run the corpus x probe scan per
+    // consumer inside one action. Vectors are dropped before the
+    // persist (candidates re-fetch them by key), the p72 discipline.
+    val scored = c.crossJoin(broadcast(p))
+      .select($"pid", $"cid",
+        (vec_dot($"cvec", $"pvec") /
+          (sqrt(vec_dot($"cvec", $"cvec")) *
+            sqrt(vec_dot($"pvec", $"pvec")))).as("fs"))
+      .filter($"fs".isNotNull && !isnan($"fs"))
+      .persist()
+    val topk = udaf(new graft.functions.Aggregators.TopKByOrd(4))
+    // descending-float order encoded as an ascending fixed-width hex
+    // string for the ord-typed aggregator: (1 - fs) quantized to 1e-9
+    // (quantization noise is absorbed by the 5e-6 decide margin; the
+    // greatest() guards fs float-noise epsilon above 1.0)
+    val ord = lpad(hex(greatest(lit(0L),
+      round((lit(1.0) - $"fs") * 1e9).cast("long"))), 12, "0")
+    val top4Ids = scored.groupBy($"pid").agg(topk(ord, $"cid").as("ids"))
+      .select($"pid", explode($"ids").as("cid"))
+    // the id list is probes x 4 rows — broadcast it against the scored
+    // frame (post-aggregation stats are unknown to Catalyst, so the
+    // hint is load-bearing: without it this plans as a sort-merge join
+    // shuffling the whole scored frame)
+    val f4 = scored.join(broadcast(top4Ids), Seq("pid", "cid"))
+      .groupBy($"pid").agg(min($"fs").as("f4"))
+    val cands = scored.join(broadcast(f4), Seq("pid"))
+      .filter($"fs" >= $"f4" - 5e-6)
+      .select($"pid", $"cid")
+    // micro-cosine: FLOOR of the bit-identical double cosine scaled by
+    // 1e6 — NOT round(·, 6): Spark's round applies HALF_UP to the
+    // double's exact decimal expansion while DuckDB rounds the scaled
+    // double, and the two disagree on half-way neighbourhoods (a c6-
+    // by-one difference shifts the margin sums — observed at sf0.01).
+    // Both engines build the cosine from exact decimal sums cast to
+    // double and the same IEEE op sequence, so cos, cos * 1e6, and its
+    // floor are bit-identical cross-engine.
+    val exact = c.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(p), Seq("pid"))
+      .select($"pid", $"cid",
+        floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
+          .cast("long").as("c6"))
+    exact.withColumn("rk", row_number().over(
+        Window.partitionBy($"pid").orderBy($"c6".desc, $"cid")))
+      .filter($"rk" <= 4)
+      .select($"pid", $"cid", $"c6")
+  }
+}

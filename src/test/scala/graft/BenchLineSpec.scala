@@ -40,11 +40,14 @@ class BenchLineSpec extends AnyFunSuite {
     }
     // a pathological future size must degrade to the heaviest-subset
     // map, never overflow: 400 synthetic queries, slowest-first kept
-    val big = (1 to 400).map(i => (f"q$i%03d_x", i.toDouble / 10, true))
+    // WITH decisecond resolution (the omitted fast tail is the one a
+    // bench reader can afford to follow into bench-full.json)
+    val big = (1 to 400).map(i => (f"q$i%03d_x", i.toDouble / 100, true))
     val line3 = Bench.renderLine(big, "/root/testdata/sf0.1")
     assert(line3.length < 1850, s"${line3.length}")
     assert(line3.contains("queries_omitted"), line3.takeRight(100))
-    assert(line3.contains("\"q400"), "heaviest query must survive the cut")
+    assert(line3.contains("\"q400\":4.0"),
+      s"heaviest query must survive the cut with tenths: ${line3.take(120)}")
     // the 10s boundary must not emit a 4-char "10.0"
     val b = Bench.renderLine(Seq(("q01_x", 9.96, true)), "/tmp/sf0.1")
     assert(b.contains("\"q01\":10}"), b)

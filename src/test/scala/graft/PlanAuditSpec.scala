@@ -643,8 +643,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the fact path (doc, term) aggregation joins ONLY broadcast
     // dictionaries (query terms, totals) — a sort-merge join here would
     // shuffle the corpus against a 4-row frame — and the final top-20
-    // must be TakeOrderedAndProject, not a global sort
-    val p = plan("p98_bm25_retrieval")
+    // must be TakeOrderedAndProject, not a global sort. The p98 ENTRY
+    // serves the Pipeline5.bm25Top20 memo (plan = checkpoint scan, the
+    // p10 pattern), so the audit targets the plan the memo materializes.
+    val p = graft.queries.Pipeline5.bm25Top20Plan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
