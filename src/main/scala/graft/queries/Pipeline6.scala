@@ -250,8 +250,16 @@ object Pipeline6 {
       corpus: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.vec_dot
-    val p = probes.filter(vec_dot($"pvec", $"pvec") > 0)
-    val c = corpus.filter(vec_dot($"cvec", $"cvec") > 0)
+    // norms once per SIDE, not per pair: inside the cross join each
+    // corpus row would otherwise re-pay its own norm per probe (and
+    // each probe per corpus row) — a |corpus| x |probes| blowup of
+    // work that is linear by nature
+    val p = probes
+      .withColumn("pn", sqrt(vec_dot($"pvec", $"pvec")))
+      .filter($"pn" > 0)
+    val c = corpus
+      .withColumn("cn", sqrt(vec_dot($"cvec", $"cvec")))
+      .filter($"cn" > 0)
     // slim float-scored frame, persisted: it feeds the per-probe top-4
     // id selection, the boundary-value fetch, and the margin filter —
     // unpersisted, Spark would re-run the corpus x probe scan per
@@ -259,9 +267,7 @@ object Pipeline6 {
     // persist (candidates re-fetch them by key), the p72 discipline.
     val scored = c.crossJoin(broadcast(p))
       .select($"pid", $"cid",
-        (vec_dot($"cvec", $"pvec") /
-          (sqrt(vec_dot($"cvec", $"cvec")) *
-            sqrt(vec_dot($"pvec", $"pvec")))).as("fs"))
+        (vec_dot($"cvec", $"pvec") / ($"cn" * $"pn")).as("fs"))
       .filter($"fs".isNotNull && !isnan($"fs"))
       .persist()
     val topk = udaf(new graft.functions.Aggregators.TopKByOrd(4))
