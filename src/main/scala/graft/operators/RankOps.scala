@@ -111,4 +111,111 @@ object RankOps {
       .withColumn(outCol, col("__off") + sum(value).over(localW))
       .drop("__pid", "__off")
   }
+
+  /** [[prefixSum]] with a grouping key — exact inclusive per-key prefix
+    * sum of `value` over `order`, scalable to arbitrarily large keys
+    * (the [[rankWithinKey]] three-level shape, summing a value column
+    * instead of counting rows). The per-key offset window runs over at
+    * most P rows per key (P = shuffle parallelism), and the local
+    * finish window is bounded by the range partition size — no task
+    * ever holds a whole key. `value` must be integral/decimal (float
+    * addition is association-order dependent); `order` must be unique
+    * per (key, row).
+    */
+  def prefixSumWithinKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keys = keyCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, (keys ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy((col("__pid") +: keys): _*)
+      .agg(sum(value).as("__n"))
+    val offsetW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(offsetW), lit(0L)))
+      .drop("__n")
+    val localW = Window.partitionBy((col("__pid") +: keys): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(offsets, "__pid" +: keyCols)
+      .withColumn(outCol, col("__off") + sum(value).over(localW))
+      .drop("__pid", "__off")
+  }
+
+  /** Exact interpolated quantiles — `percentile` / `quantile_cont`
+    * semantics — computed from the VALUE DICTIONARY with bounded-task
+    * rank arithmetic. Spark's exact `percentile` aggregator buffers
+    * every value of a group inside ONE aggregation buffer (per-group
+    * memory grows with group size — an executor OOM at 100 TB); this
+    * shape aggregates the input to a (key, value, count) dictionary,
+    * prefix-sums the counts with the three-level discipline, and joins
+    * the two bracketing ranks per requested p. Interpolation applies
+    * the same formula Spark's aggregator evaluates — for
+    * position = p * (n-1), lower = floor, higher = ceil:
+    * (higher - position) * v_lo + (position - lower) * v_hi — pinned
+    * bitwise-equal to the aggregator by ExactQuantilesSpec, so swaps
+    * are invisible to an oracle that uses quantile_cont.
+    *
+    * Returns one row per (keys..., p): (keys..., "p", outCol) with
+    * outCol double. NULL values are ignored, like the aggregator.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: Column,
+      ps: Seq[Double],
+      outCol: String = "q"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile targets must sit in [0, 1]: $ps")
+    val keyed = keyCols.nonEmpty
+    // keyless inputs ride a constant key: every window below then
+    // carries a partition spec (bounded by P or the range partition),
+    // and one code path serves both shapes
+    val keys = if (keyed) keyCols else Seq("__k")
+    val base = df.filter(valueCol.isNotNull).select(
+      (if (keyed) keyCols.map(col) else Seq(lit(0L).as("__k"))) :+
+        valueCol.as("__v"): _*)
+    val dict = base.groupBy((keys.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = prefixSumWithinKey(dict, keys, Seq(col("__v")), col("__c"),
+        "__cum")
+      .persist() // three consumers: totals + both bracket lookups
+    val totals = cum.groupBy(keys.map(col): _*).agg(max(col("__cum")).as("__n"))
+    val pFrame = totals
+      .select((keys.map(col) :+ col("__n") :+
+        explode(typedLit(ps)).as("__p")): _*)
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    // the dictionary row holding rank r is the one whose inclusive
+    // cumulative count first reaches it: cum - c < r <= cum
+    def bracket(rank: Column, as: String) =
+      cum.as("d").join(broadcast(pFrame.as("r")),
+        keys.map(k => col(s"d.$k") === col(s"r.$k")).reduce(_ && _) &&
+          (col("d.__cum") - col("d.__c") < rank + 1) &&
+          (rank + 1 <= col("d.__cum")))
+        .select((keys.map(k => col(s"r.$k").as(k)) ++ Seq(
+          col("r.__p").as("__p"), col("r.__pos").as("__pos"),
+          col("r.__lo").as("__lo"), col("r.__hi").as("__hi"),
+          col("d.__v").cast("double").as(s"__$as"))): _*)
+    val lo = bracket(col("r.__lo"), "vlo")
+    val hi = bracket(col("r.__hi"), "vhi")
+      .select((keys.map(col) :+ col("__p") :+ col("__vhi")): _*)
+    val out = lo.join(hi, keys :+ "__p")
+      .withColumn(outCol,
+        when(col("__lo") === col("__hi"), col("__vlo"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__vlo") +
+              (col("__pos") - col("__lo").cast("double")) * col("__vhi")))
+    out.select(((if (keyed) keyCols.map(col) else Nil) :+
+      col("__p").as("p") :+ col(outCol)): _*)
+  }
 }

@@ -452,20 +452,22 @@ object Pipeline2 {
 
     QueryDef(
       // corpus-relative quality filtering: keep docs at or above the
-      // corpus's 60th-percentile quality score. The cutoff is a
-      // percentile AGGREGATE broadcast back over the corpus (scalar
-      // cross join — the corpus itself never reshuffles), the shape a
-      // 100 TB quality gate uses (with approx_percentile when the exact
-      // cutoff needn't be reproducible; Spark `percentile` ==
-      // DuckDB `quantile_cont` exactly, so the oracle uses the exact
-      // one).
+      // corpus's 60th-percentile quality score. The cutoff comes from
+      // RankOps.exactQuantiles (score-dictionary + bounded prefix sum
+      // — never the `percentile` aggregator's collect-all buffer, the
+      // 100 TB hazard; the swap is pinned bitwise-equal by
+      // ExactQuantilesSpec, and Spark's interpolation == DuckDB
+      // quantile_cont exactly, so the oracle uses the exact one) and
+      // broadcasts back over the corpus (scalar cross join — the
+      // corpus itself never reshuffles).
       "p33_quality_percentile_filter",
       (s, dir) => {
         import s.implicits._
         val scored = t(s, dir, "documents")
           .select($"doc_id", $"lang",
             TextAnalysis.qualityScore($"text").as("quality"))
-        val thr = scored.agg(percentile($"quality", lit(0.6)).as("thr"))
+        val thr = graft.operators.RankOps.exactQuantiles(
+          scored, Nil, $"quality", Seq(0.6), "thr").select($"thr")
         scored.crossJoin(broadcast(thr))
           .filter($"quality" >= $"thr")
           .groupBy($"lang")

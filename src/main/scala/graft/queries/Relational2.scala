@@ -88,16 +88,23 @@ object Relational2 {
 
     // ---- q24: exact percentiles -------------------------------------------
     QueryDef(
+      // Exact grouped percentiles via RankOps.exactQuantiles: the
+      // (key, value, count) dictionary + bounded prefix sum, NOT the
+      // `percentile` aggregator, whose collect-all buffer grows with
+      // group size (an executor OOM at 100 TB). ExactQuantilesSpec
+      // pins the swap bitwise-equal to the aggregator, so the
+      // quantile_cont oracle is untouched.
       "q24_percentiles",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
+        val q = graft.operators.RankOps.exactQuantiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), $"l_quantity",
+          Seq(0.25, 0.5, 0.9))
+        q.groupBy($"l_returnflag")
           .agg(
-            expr("percentile(l_quantity, 0.5)").as("median_qty"),
-            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-            expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0)
-              .as("p25_qty"))
+            max(when($"p" === 0.5, $"q")).as("median_qty"),
+            max(when($"p" === 0.9, $"q")).as("p90_qty"),
+            max(when($"p" === 0.25, $"q")).as("p25_qty"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,

@@ -695,28 +695,30 @@ object Relational4 {
     QueryDef(
       // mergeable quantile SKETCH (Greenwald-Khanna via
       // approx_percentile) — the single-pass, fixed-memory path to
-      // percentiles at 100 TB, where an exact percentile needs a full
-      // sort. Gated the p11/p16 way: output rows are the EXACT
-      // quantiles (oracle-replayed), plus a literal-TRUE boolean
-      // asserting the sketch's value lands within 0.2% RANK error of
-      // its target (the sketch promises 0.01%; the in-frame check
-      // counts rows <= sketch value, so the gate is exact arithmetic,
-      // not value tolerance).
+      // percentiles at 100 TB. Gated the p11/p16 way: output rows are
+      // the EXACT quantiles (oracle-replayed), plus a literal-TRUE
+      // boolean asserting the sketch's value lands within 0.2% RANK
+      // error of its target (the sketch promises 0.01%; the in-frame
+      // check counts rows <= sketch value, so the gate is exact
+      // arithmetic, not value tolerance). The exact companion rides
+      // RankOps.exactQuantiles (dictionary + bounded prefix sum) — the
+      // `percentile` aggregator's collect-all buffer would itself be
+      // the 100 TB hazard this entry exists to avoid; the swap is
+      // pinned bitwise-equal by ExactQuantilesSpec.
       "q53_approx_quantiles",
       (s, dir) => {
         import s.implicits._
         val ps = Seq(0.25, 0.5, 0.75, 0.95)
         val li = t(s, dir, "lineitem").select($"l_extendedprice".as("v"))
-        val agg = li.agg(
-          percentile($"v", typedlit(ps)).as("exact_qs"),
-          approx_percentile($"v", typedlit(ps), lit(10000)).as("approx_qs"),
-          count(lit(1)).as("n"))
-        val rows = agg.select(
-            posexplode(arrays_zip($"exact_qs", $"approx_qs"))
-              .as(Seq("i", "qs")), $"n")
+        val exact = graft.operators.RankOps.exactQuantiles(
+          li, Nil, $"v", ps, "exact_q")
+        val sk = li.agg(
+            approx_percentile($"v", typedlit(ps), lit(10000)).as("approx_qs"),
+            count(lit(1)).as("n"))
+          .select(posexplode($"approx_qs").as(Seq("i", "approx_v")), $"n")
           .select(element_at(typedLit(ps), $"i" + 1).as("p"),
-            $"qs.exact_qs".as("exact_q"), $"qs.approx_qs".as("approx_v"),
-            $"n")
+            $"approx_v", $"n")
+        val rows = exact.join(broadcast(sk), Seq("p"))
         li.crossJoin(broadcast(rows))
           .groupBy($"p", $"exact_q", $"n")
           .agg(sum(when($"v" <= $"approx_v", 1L).otherwise(0L))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RankOps.exactQuantiles must be BITWISE-equal to Spark's exact
+  * `percentile` aggregator — the swap replaces the aggregator's
+  * collect-all buffer with dictionary rank arithmetic, and the oracle
+  * gate (quantile_cont) only stays green if the interpolated doubles
+  * are identical, not merely close.
+  */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("keyless: bitwise equal to percentile() on lineitem prices") {
+    import spark.implicits._
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_extendedprice".cast("double").as("v"))
+    val agg = li.agg(percentile($"v", typedLit(ps)).as("qs"))
+      .select(posexplode($"qs").as(Seq("i", "expect")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val got = RankOps.exactQuantiles(li, Nil, $"v", ps)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(got.size == ps.size)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(java.lang.Double.doubleToLongBits(got(p)) ==
+        java.lang.Double.doubleToLongBits(agg(i)),
+        s"p=$p: got ${got(p)}, aggregator ${agg(i)}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("grouped: bitwise equal to percentile() per return flag") {
+    import spark.implicits._
+    val ps = Seq(0.25, 0.5, 0.9)
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity")
+    val agg = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", typedLit(ps)).as("qs"))
+      .select($"l_returnflag", posexplode($"qs").as(Seq("i", "expect")))
+      .collect()
+      .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
+    val got = RankOps.exactQuantiles(li, Seq("l_returnflag"),
+        $"l_quantity", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == agg.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(agg(k)),
+        s"$k: got $v, aggregator ${agg(k)}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("adversarial: ties, single-row groups, exact-integer positions") {
+    import spark.implicits._
+    // heavy ties (rank brackets collapse onto one dictionary row),
+    // a single-row group (position 0 everywhere), and n chosen so
+    // p*(n-1) lands exactly on integers for p = 0.25/0.5/0.75
+    val rows = Seq.tabulate(9)(i => ("ties", (i / 3).toDouble)) ++
+      Seq(("single", 42.0)) ++
+      Seq.tabulate(5)(i => ("spread", math.pow(10.0, i - 2)))
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val agg = df.groupBy($"k").agg(percentile($"v", typedLit(ps)).as("qs"))
+      .select($"k", posexplode($"qs").as(Seq("i", "expect")))
+      .collect()
+      .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
+    val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == agg.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(agg(k)),
+        s"$k: got $v, aggregator ${agg(k)}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("plan: no collect-all percentile buffer, windows all keyed") {
+    import spark.implicits._
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select($"l_extendedprice".cast("double").as("v"))
+    val plan = RankOps.exactQuantiles(li, Nil, $"v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(" percentile("),
+      s"exact path must not use the buffering aggregator:\n$plan")
+    spark.catalog.clearCache()
+  }
+}
