@@ -154,6 +154,20 @@ object BpeTrainer {
     * every later round stays empty — exactly learnMerges' early stop.
     */
   def oracleSql(numMerges: Int, minPairCount: Long = 2L): String = {
+    val (ctes, union) = oracleCtes(numMerges, minPairCount)
+    s"""WITH $ctes
+       |SELECT CAST(rk AS INT) AS rank, l AS "left", r AS "right",
+       |  l || r AS merged, CAST(n AS BIGINT) AS n
+       |FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The training replay's CTE chain (words, d0, one round triple per
+    * merge) plus the rank-ordered merge-table UNION — exposed so
+    * downstream oracles (p102's corpus encode) can compose the learned
+    * merges without duplicating the chain text.
+    */
+  def oracleCtes(numMerges: Int, minPairCount: Long = 2L): (String, String) = {
     def roundCtes(k: Int): String =
       s"""p$k AS MATERIALIZED (
          |  SELECT d.syms[i] AS l, d.syms[i+1] AS r, SUM(d.freq) AS n
@@ -176,16 +190,14 @@ object BpeTrainer {
     val union = (1 to numMerges)
       .map(k => s"SELECT ${k - 1} AS rk, l, r, n FROM b$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
-       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-       |d0 AS MATERIALIZED (
-       |  SELECT string_split(w, '') AS syms, COUNT(*) AS freq
-       |  FROM words WHERE len(w) > 0 GROUP BY w),
-       |$rounds
-       |SELECT CAST(rk AS INT) AS rank, l AS "left", r AS "right",
-       |  l || r AS merged, CAST(n AS BIGINT) AS n
-       |FROM ($union)
-       |ORDER BY rank""".stripMargin
+    val ctes =
+      s"""words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |d0 AS MATERIALIZED (
+         |  SELECT string_split(w, '') AS syms, COUNT(*) AS freq
+         |  FROM words WHERE len(w) > 0 GROUP BY w),
+         |$rounds""".stripMargin
+    (ctes, union)
   }
 
   /** Expression-tree merge-table ceiling for [[applyMerges]]: each merge

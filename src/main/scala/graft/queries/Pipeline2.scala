@@ -85,6 +85,34 @@ object Pipeline2 {
     }
   }
 
+  /** Cross-entry memo for the learned BPE merge table: p42 (training)
+    * and p102 (corpus encode) share one 12-merge fit. The table is
+    * PLAIN DATA (12 rows of strings + counts collected in rank order
+    * from the driver-loop trainer), so whichever entry runs first pays
+    * the fit — the fittedKmeans discipline. Keyed by
+    * (applicationId, sfDir).
+    */
+  @volatile private var bpeMemo
+      : Option[((String, String), Seq[(Int, String, String, String, Long)])] =
+    None
+
+  private[queries] def learnedBpe(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] = synchronized {
+    val key = (s.sparkContext.applicationId, dir)
+    bpeMemo match {
+      case Some((k, m)) if k == key => m
+      case _ =>
+        val rows = graft.operators.BpeTrainer
+          .learnMerges(t(s, dir, "documents"), "text", numMerges = 12)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+        bpeMemo = Some((key, rows))
+        rows
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -668,8 +696,10 @@ object Pipeline2 {
       "p42_bpe_merges",
       (s, dir) => {
         import s.implicits._
-        graft.operators.BpeTrainer.learnMerges(
-            t(s, dir, "documents"), "text", numMerges = 12)
+        // the fitted table is the learnedBpe memo, shared with p102's
+        // corpus encode — one driver-loop fit serves both entries
+        learnedBpe(s, dir)
+          .toDF("rank", "left", "right", "merged", "n")
           .orderBy($"rank")
       },
       Some(graft.operators.BpeTrainer.oracleSql(numMerges = 12))),

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
 /** Sixth pipeline batch — the retrieval-stack composites a curation
   * pipeline runs on top of the primitives the earlier batches built:
   * hybrid lexical+dense rank fusion (p100) over p98's BM25 and the
-  * ANN family's exact dense top-k, and margin-based bitext mining
-  * (p101, the Artetxe & Schwenk 2019 margin criterion, public) over
-  * the embeddings table.
+  * ANN family's exact dense top-k, margin-based bitext mining (p101,
+  * the Artetxe & Schwenk 2019 margin criterion, public) over the
+  * embeddings table, and the corpus-wide BPE encode (p102) applying
+  * p42's learned merge table through the broadcast tokenizer.
   */
 object Pipeline6 {
   import graft.Tables.t
@@ -231,7 +232,85 @@ object Pipeline6 {
              |FROM (SELECT *, row_number() OVER (PARTITION BY pid
              |        ORDER BY score DESC, cid) AS rn FROM sc)
              |WHERE rn = 1
-             |ORDER BY a_id""".stripMargin))
+             |ORDER BY a_id""".stripMargin)),
+
+    QueryDef(
+      // CORPUS BPE ENCODE — the inference half of p42's tokenizer
+      // training: apply the learned 12-merge table to every document
+      // and report the per-source tokenization economics (words,
+      // tokens, token types, chars/token compression in exact ppm).
+      // The merge table is the Pipeline2.learnedBpe memo (one
+      // driver-loop fit serves p42 and this entry); application runs
+      // through BpeTrainer.applyMergesIterative — the production
+      // shape: the table ships ONCE per executor as a broadcast and
+      // each word is tokenized in a plain JVM loop, constant plan size
+      // at any vocabulary. ORACLE-EXACT: DuckDB re-learns the merges
+      // through the p42 chained CTEs, then re-applies them with a
+      // NESTED list_reduce fold — the outer fold walks the rank-
+      // ordered merge list, the inner fold is the same greedy
+      // left-to-right scan the trainer's oracle uses.
+      "p102_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val merges = Pipeline2.learnedBpe(s, dir).map(m => (m._2, m._3))
+        val enc = graft.operators.BpeTrainer.applyMergesIterative(
+            t(s, dir, "documents").select($"source", $"text"),
+            "text", merges)
+          .select($"source", $"bpe_tokens")
+          .persist() // two consumers: word-level totals + type counts
+        val totals = enc.groupBy($"source").agg(
+          count(lit(1)).as("n_words"),
+          sum(size($"bpe_tokens")).cast("long").as("n_tokens"),
+          sum(expr("aggregate(bpe_tokens, 0L, (a, x) -> a + length(x))"))
+            .cast("long").as("n_chars"))
+        val types = enc.select($"source", explode($"bpe_tokens").as("t"))
+          .groupBy($"source")
+          .agg(countDistinct($"t").as("n_token_types"))
+        totals.join(types, Seq("source"))
+          .select($"source", $"n_words", $"n_tokens", $"n_token_types",
+            $"n_chars",
+            expr("n_chars * 1000000 DIV n_tokens").as("chars_per_token_ppm"))
+          .orderBy($"source")
+      },
+      Some {
+        val (ctes, union) = graft.operators.BpeTrainer.oracleCtes(12)
+        s"""WITH $ctes,
+           |mt AS (
+           |  SELECT list(l || chr(2) || r ORDER BY rk) AS ms
+           |  FROM ($union)),
+           |sw AS (
+           |  SELECT source, w, COUNT(*) AS c FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS w
+           |    FROM documents)
+           |  WHERE len(w) > 0 GROUP BY source, w),
+           |enc AS (
+           |  SELECT source, w, c,
+           |    string_split(list_reduce(
+           |      list_prepend(array_to_string(string_split(w, ''), ' '),
+           |        mt.ms),
+           |      (acc, m) -> substr(list_reduce(
+           |        list_prepend(chr(1), string_split(acc, ' ')),
+           |        (a, s) -> CASE
+           |          WHEN ends_with(a, ' ' || string_split(m, chr(2))[1])
+           |            AND s = string_split(m, chr(2))[2]
+           |          THEN a || string_split(m, chr(2))[2]
+           |          ELSE a || ' ' || s END), 3)), ' ') AS toks
+           |  FROM sw, mt),
+           |ty AS (
+           |  SELECT source, COUNT(DISTINCT t) AS n_token_types
+           |  FROM (SELECT source, unnest(toks) AS t FROM enc)
+           |  GROUP BY source)
+           |SELECT e.source,
+           |  CAST(SUM(c) AS BIGINT) AS n_words,
+           |  CAST(SUM(len(toks) * c) AS BIGINT) AS n_tokens,
+           |  CAST(MIN(ty.n_token_types) AS BIGINT) AS n_token_types,
+           |  CAST(SUM(len(w) * c) AS BIGINT) AS n_chars,
+           |  CAST(SUM(len(w) * c) * 1000000
+           |    // SUM(len(toks) * c) AS BIGINT) AS chars_per_token_ppm
+           |FROM enc e JOIN ty ON ty.source = e.source
+           |GROUP BY e.source
+           |ORDER BY e.source""".stripMargin
+      })
   )
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`

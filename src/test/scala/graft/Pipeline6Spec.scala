@@ -108,6 +108,33 @@ class Pipeline6Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p102 totals reconcile with a raw-text replay; merges compress") {
+    import spark.implicits._
+    val raw = Tables.t(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"), sum(length($"w")).as("n_chars"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SparkEntry.queries("p102_bpe_encode")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (src, nw, nt, nc, ppm) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(4), r.getLong(5))
+      val (rawW, rawC) = raw(src)
+      // merges only concatenate: words and chars are conserved
+      assert(nw == rawW, s"$src words $nw != raw $rawW")
+      assert(nc == rawC, s"$src chars $nc != raw $rawC")
+      // each word >= 1 token, each token >= 1 char, and 12 learned
+      // merges must actually compress (strictly fewer tokens than
+      // chars on natural text)
+      assert(nt >= nw && nt < nc, s"$src tokens $nt vs words $nw chars $nc")
+      assert(ppm == nc * 1000000L / nt, s"$src ppm $ppm")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("p100/p101 plans: fusion broadcasts, pair scans never sort-merge") {
     val p100 = SparkEntry.queries("p100_hybrid_rrf")(spark, sf)
       .queryExecution.executedPlan.toString
