@@ -310,7 +310,89 @@ object Pipeline6 {
            |FROM enc e JOIN ty ON ty.source = e.source
            |GROUP BY e.source
            |ORDER BY e.source""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // CONTENT-DEFINED CHUNK DEDUP — the storage-level dedup every
+      // snapshotting corpus store runs below document granularity:
+      // split each document at gear rolling-hash boundaries (native
+      // codegen'd `gear_chunks`, maskBits=6 -> ~64-char average
+      // chunks; boundaries move WITH content, so an early edit
+      // re-synchronizes instead of shifting every later block), hash
+      // the chunks, and report per source how much of its chunk volume
+      // is corpus-wide duplicated — the bytes a content-addressed
+      // store would not pay twice. Scale shape: chunking and hashing
+      // are map-side; only (hash, len) shuffles (never chunk text);
+      // the occurrence dictionary joins back by hash. ORACLE-EXACT:
+      // h_i mod 2^32 equals a windowed sum over the trailing 32
+      // characters (2^k kills higher terms mod 2^32), so DuckDB
+      // replays the boundary set without sequential state, then
+      // re-chunks with substring arithmetic.
+      "p103_cdc_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .select($"source", $"doc_id",
+            explode(graft.functions.CdcFunctions.gear_chunks($"text", 6))
+              .as("chunk"))
+          .select($"source", $"doc_id",
+            substring(md5($"chunk"), 1, 12).as("h"),
+            length($"chunk").cast("long").as("len"))
+          .persist() // slim (hash, len) frame; occurrence dict + join-back
+        val occ = ch.groupBy($"h").agg(count(lit(1)).as("occ"))
+        ch.join(occ, Seq("h"))
+          .groupBy($"source")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            countDistinct($"h").as("n_chunk_types"),
+            sum($"len").as("chunk_chars"),
+            sum(when($"occ" > 1, $"len").otherwise(0L)).as("dup_chars"))
+          .select($"source", $"n_docs", $"n_chunks", $"n_chunk_types",
+            $"chunk_chars",
+            expr("dup_chars * 1000000 DIV chunk_chars").as("dup_chunk_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH gs AS (
+             |  SELECT source, doc_id, text,
+             |    list_transform(string_split(text, ''),
+             |      x -> (unicode(x) * 2654435761) % 4294967296) AS g,
+             |    len(string_split(text, '')) AS n
+             |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+             |bs AS (
+             |  SELECT source, doc_id, text, n,
+             |    list_filter(generate_series(1, n), i ->
+             |      (list_sum(list_transform(
+             |          generate_series(greatest(1, i - 31), i),
+             |          j -> (g[j] * (CAST(1 AS BIGINT) << (i - j)))
+             |               % 4294967296))
+             |        % 4294967296) < 67108864) AS b
+             |  FROM gs),
+             |ck AS (
+             |  SELECT source, doc_id, unnest(chs) AS chunk FROM (
+             |    SELECT source, doc_id,
+             |      list_transform(generate_series(1, len(b2) - 1),
+             |        k -> substring(text, b2[k] + 1, b2[k + 1] - b2[k]))
+             |        AS chs
+             |    FROM (SELECT source, doc_id, text,
+             |            list_prepend(0,
+             |              CASE WHEN len(b) > 0 AND b[len(b)] = n THEN b
+             |                   ELSE list_append(b, n) END) AS b2
+             |          FROM bs))),
+             |h AS (
+             |  SELECT source, doc_id, substring(md5(chunk), 1, 12) AS h,
+             |    CAST(len(chunk) AS BIGINT) AS len
+             |  FROM ck),
+             |occ AS (SELECT h, COUNT(*) AS occ FROM h GROUP BY h)
+             |SELECT source,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(COUNT(DISTINCT h.h) AS BIGINT) AS n_chunk_types,
+             |  CAST(SUM(len) AS BIGINT) AS chunk_chars,
+             |  CAST(SUM(CASE WHEN occ > 1 THEN len ELSE 0 END) * 1000000
+             |    // SUM(len) AS BIGINT) AS dup_chunk_ppm
+             |FROM h JOIN occ USING (h)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`
