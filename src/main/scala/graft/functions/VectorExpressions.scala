@@ -457,11 +457,27 @@ object VectorFunctions {
       StringHamming(children(0), children(1)): Expression
     })
 
+  private val gearChunksEntry = (
+    FunctionIdentifier("gear_chunks"),
+    new ExpressionInfo(classOf[GearChunks].getName, "gear_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"gear_chunks expects 2 arguments (string, maskBits literal), " +
+          s"got ${children.length}")
+      val bits = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"gear_chunks maskBits must be an integer literal, got $other")
+      }
+      GearChunks(children(0), bits): Expression
+    })
+
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
     override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction(vecDotEntry)
       e.injectFunction(vecMatchCountEntry)
       e.injectFunction(bitsHammingEntry)
+      e.injectFunction(gearChunksEntry)
     }
   }
 
@@ -475,5 +491,7 @@ object VectorFunctions {
       vecMatchCountEntry._1, vecMatchCountEntry._2, vecMatchCountEntry._3)
     spark.sessionState.functionRegistry.registerFunction(
       bitsHammingEntry._1, bitsHammingEntry._2, bitsHammingEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      gearChunksEntry._1, gearChunksEntry._2, gearChunksEntry._3)
   }
 }

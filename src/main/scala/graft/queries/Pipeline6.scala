@@ -392,7 +392,80 @@ object Pipeline6 {
              |    // SUM(len) AS BIGINT) AS dup_chunk_ppm
              |FROM h JOIN occ USING (h)
              |GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // RETRIEVAL QUALITY METRICS — the evaluation loop every retrieval
+      // stack (p98 BM25 / p100 fusion / the ANN family) needs:
+      // precision@k and MRR of the exact dense top-10, with relevance
+      // defined by the data itself (a hit shares the query vector's
+      // label). EXACT cross-engine: precision is integer ppm, MRR is
+      // the scaled integer 10^9 DIV first-relevant-rank — no float in
+      // any metric. The ranking under evaluation is the memoized exact
+      // dense top-10 (one 10-row frame); everything here is
+      // dictionary-sized, and the label fetch broadcasts the ranking
+      // against one corpus scan.
+      "p104_retrieval_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val dense = Pipeline.annExactTop10(s, dir)
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
+          .select($"vec_id", $"rank")
+        val qlab = emb.filter($"vec_id" === 0).select($"label".as("qlab"))
+        val rel = emb.select($"vec_id", $"label")
+          .join(broadcast(dense), Seq("vec_id"))
+          .crossJoin(broadcast(qlab))
+          .select($"rank", ($"label" === $"qlab").cast("long").as("rel"))
+        val mrr = rel.filter($"rel" === 1)
+          .agg(coalesce(expr("1000000000 DIV min(rank)"), lit(0L))
+            .as("mrr_scaled"))
+        rel.crossJoin(broadcast(mrr))
+          .select(explode(typedLit(Seq(1, 5, 10))).as("k"),
+            $"rank", $"rel", $"mrr_scaled")
+          .filter($"rank" <= $"k")
+          .groupBy($"k", $"mrr_scaled")
+          .agg(sum($"rel").as("n_relevant"))
+          .select($"k".cast("long").as("k"), $"n_relevant",
+            expr("n_relevant * 1000000 DIV k").as("precision_ppm"),
+            $"mrr_scaled")
+          .orderBy($"k")
+      },
+      Some("""WITH dq AS (SELECT embedding AS qe FROM embeddings
+             |       WHERE vec_id = 0),
+             |del AS (SELECT e.vec_id,
+             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(dq.qe) AS DECIMAL(18,9)) AS y
+             |  FROM embeddings e CROSS JOIN dq),
+             |dsum AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM del GROUP BY vec_id),
+             |dtop AS (SELECT vec_id,
+             |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
+             |  FROM dsum WHERE vec_id <> 0
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |dr AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+             |  FROM dtop),
+             |ql AS (SELECT label FROM embeddings WHERE vec_id = 0),
+             |rel AS (
+             |  SELECT dr.rank,
+             |    CASE WHEN e.label = ql.label THEN 1 ELSE 0 END AS rel
+             |  FROM dr JOIN embeddings e USING (vec_id), ql),
+             |mrr AS (
+             |  SELECT COALESCE(CAST(1000000000 // MIN(rank) AS BIGINT), 0)
+             |    AS mrr_scaled
+             |  FROM rel WHERE rel = 1)
+             |SELECT CAST(k AS BIGINT) AS k,
+             |  CAST(SUM(rel) AS BIGINT) AS n_relevant,
+             |  CAST(SUM(rel) * 1000000 // k AS BIGINT) AS precision_ppm,
+             |  mrr.mrr_scaled
+             |FROM rel, (VALUES (1), (5), (10)) ks(k), mrr
+             |WHERE rank <= k
+             |GROUP BY k, mrr.mrr_scaled
+             |ORDER BY k""".stripMargin))
   )
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`

@@ -135,6 +135,30 @@ class Pipeline6Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p104 metrics equal a Scala replay over the p10 ranking") {
+    import spark.implicits._
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ranking = SparkEntry.queries("p10_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq // already (sim desc, id) order
+    val rels = ranking.map(id => labels(id) == labels(0L))
+    val mrr = rels.indexWhere(identity) match {
+      case -1 => 0L
+      case i  => 1000000000L / (i + 1)
+    }
+    val expected = Seq(1, 5, 10).map { k =>
+      val n = rels.take(k).count(identity).toLong
+      (k.toLong, n, n * 1000000L / k, mrr)
+    }
+    val got = SparkEntry.queries("p104_retrieval_metrics")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"\n got      $got\n expected $expected")
+    spark.catalog.clearCache()
+  }
+
   test("p100/p101 plans: fusion broadcasts, pair scans never sort-merge") {
     val p100 = SparkEntry.queries("p100_hybrid_rrf")(spark, sf)
       .queryExecution.executedPlan.toString
