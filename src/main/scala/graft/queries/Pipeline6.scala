@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * hybrid lexical+dense rank fusion (p100) over p98's BM25 and the
   * ANN family's exact dense top-k, margin-based bitext mining (p101,
   * the Artetxe & Schwenk 2019 margin criterion, public) over the
-  * embeddings table, and the corpus-wide BPE encode (p102) applying
-  * p42's learned merge table through the broadcast tokenizer.
+  * embeddings table, the corpus-wide BPE encode (p102) applying
+  * p42's learned merge table through the broadcast tokenizer,
+  * content-defined chunk dedup (p103) on the native gear_chunks
+  * expression, retrieval quality metrics (p104), and contrastive
+  * triplet mining (p105).
   */
 object Pipeline6 {
   import graft.Tables.t
@@ -465,7 +468,104 @@ object Pipeline6 {
              |FROM rel, (VALUES (1), (5), (10)) ks(k), mrr
              |WHERE rank <= k
              |GROUP BY k, mrr.mrr_scaled
-             |ORDER BY k""".stripMargin))
+             |ORDER BY k""".stripMargin)),
+
+    QueryDef(
+      // CONTRASTIVE TRIPLET MINING — the full training-pair builder
+      // p72's hard negatives are half of: for each anchor, the most
+      // similar SAME-label vector (the positive, self excluded) and
+      // the most similar DIFFERENT-label vector (the hard negative),
+      // plus the triplet margin. One corpus x anchor scan serves both
+      // sides (the same/different flag is a grouping key, not a second
+      // pass); per-(anchor, side) argmax is a partial-aggregable
+      // max(struct) — never a window. Two-kernel discipline as in
+      // p72/p101, and every output similarity is the FLOORED
+      // micro-cosine (integer; round(x, 6) is not cross-engine-stable
+      // — the p101 lesson), so the margin is a plain integer
+      // difference.
+      "p105_triplet_mining",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vec_dot
+        val emb = t(s, dir, "embeddings")
+        val anchors = emb.filter($"vec_id" < 20)
+          .filter(vec_dot($"embedding", $"embedding") > 0)
+          .select($"vec_id".as("a_id"), $"embedding".as("a_vec"),
+            $"label".as("a_label"))
+        val scored = emb
+          .filter(vec_dot($"embedding", $"embedding") > 0)
+          .join(broadcast(anchors), $"vec_id" =!= $"a_id")
+          .select($"a_id", $"vec_id",
+            ($"label" === $"a_label").as("same"),
+            (vec_dot($"embedding", $"a_vec") /
+              (sqrt(vec_dot($"embedding", $"embedding")) *
+                sqrt(vec_dot($"a_vec", $"a_vec")))).as("fs"))
+          .filter($"fs".isNotNull && !isnan($"fs"))
+          .persist()
+        val fmax = scored.groupBy($"a_id".as("m_id"), $"same".as("m_same"))
+          .agg(max($"fs").as("fmax"))
+        val cands = scored.join(broadcast(fmax),
+            $"a_id" === $"m_id" && $"same" === $"m_same")
+          .filter($"fs" >= $"fmax" - lit(1e-3))
+          .select($"a_id", $"same", $"vec_id")
+        val best = cands
+          .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+          .join(broadcast(anchors.select($"a_id", $"a_vec")), Seq("a_id"))
+          .select($"a_id", $"same", $"vec_id",
+            floor(Similarity.cosine($"embedding", $"a_vec") * 1000000)
+              .cast("long").as("c6"))
+          .groupBy($"a_id", $"same")
+          .agg(max(struct($"c6", (-$"vec_id").as("nid"))).as("b"))
+        best.groupBy($"a_id").agg(
+            max(when($"same", -$"b.nid")).as("pos_id"),
+            max(when($"same", $"b.c6")).as("pos_c6"),
+            max(when(!$"same", -$"b.nid")).as("neg_id"),
+            max(when(!$"same", $"b.c6")).as("neg_c6"))
+          .filter($"pos_id".isNotNull && $"neg_id".isNotNull)
+          .select($"a_id", $"pos_id", $"pos_c6", $"neg_id", $"neg_c6",
+            ($"pos_c6" - $"neg_c6").as("margin_c6"))
+          .orderBy($"a_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id AS a_id, label AS a_label,
+             |         embedding AS a_vec
+             |  FROM embeddings WHERE vec_id < 20),
+             |el AS (
+             |  SELECT a.a_id, e.vec_id,
+             |    e.label = a.a_label AS same,
+             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(a.a_vec) AS DECIMAL(18,9)) AS y
+             |  FROM embeddings e CROSS JOIN a
+             |  WHERE e.vec_id <> a.a_id),
+             |cs AS (
+             |  SELECT a_id, vec_id, same,
+             |    CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM el GROUP BY a_id, vec_id, same
+             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+             |c6 AS (
+             |  SELECT a_id, vec_id, same,
+             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
+             |      AS BIGINT) AS c6
+             |  FROM cs),
+             |r AS (
+             |  SELECT a_id, vec_id, same, c6,
+             |    row_number() OVER (PARTITION BY a_id, same
+             |      ORDER BY c6 DESC, vec_id) AS rn
+             |  FROM c6),
+             |pv AS (
+             |  SELECT a_id,
+             |    MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+             |    MAX(CASE WHEN same THEN c6 END) AS pos_c6,
+             |    MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+             |    MAX(CASE WHEN NOT same THEN c6 END) AS neg_c6
+             |  FROM r WHERE rn = 1 GROUP BY a_id)
+             |SELECT a_id, pos_id, pos_c6, neg_id, neg_c6,
+             |  pos_c6 - neg_c6 AS margin_c6
+             |FROM pv
+             |WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+             |ORDER BY a_id""".stripMargin))
   )
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`

@@ -159,6 +159,24 @@ class Pipeline6Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p105 triplets: sides carry the right labels, margin is exact") {
+    import spark.implicits._
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("p105_triplet_mining")(spark, sf).collect()
+    assert(got.length == 20, s"expected one triplet per anchor, got ${got.length}")
+    got.foreach { r =>
+      val (a, pos, posC6, neg, negC6, margin) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(pos != a && neg != a, s"self-pairing on anchor $a")
+      assert(labels(pos) == labels(a), s"positive $pos label mismatch for $a")
+      assert(labels(neg) != labels(a), s"negative $neg shares label with $a")
+      assert(margin == posC6 - negC6)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("p100/p101 plans: fusion broadcasts, pair scans never sort-merge") {
     val p100 = SparkEntry.queries("p100_hybrid_rrf")(spark, sf)
       .queryExecution.executedPlan.toString

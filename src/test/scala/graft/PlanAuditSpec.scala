@@ -653,6 +653,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q24/q53/p33 never plan the collect-all percentile aggregator") {
+    // the exact-quantile entries ride RankOps.exactQuantiles
+    // (dictionary rank arithmetic); a revert to `percentile` would
+    // reintroduce a per-group buffer that grows with group size —
+    // invisible at fixture scale, an executor OOM at 100 TB. q53's
+    // sketch keeps approx_percentile, which is the bounded one.
+    Seq("q24_percentiles", "q53_approx_quantiles",
+        "p33_quality_percentile_filter").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains(" percentile("),
+        s"$name fell back to the buffering aggregator:\n${p.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("p99 semantic dedup: pair join is cluster-blocked, never a product") {
     // the within-cluster pair join must plan as an equi-join on the
     // cluster key (the blocking that bounds the quadratic); a
