@@ -557,7 +557,41 @@ object Relational7 {
              |    CAST(MIN(o_orderkey) AS BIGINT) AS first_key
              |  FROM orders GROUP BY o_orderpriority)
              |UNPIVOT (val FOR metric IN (n_orders, total_cents, first_key))
-             |ORDER BY o_orderpriority, metric""".stripMargin))
+             |ORDER BY o_orderpriority, metric""".stripMargin)),
+
+    QueryDef(
+      // GROUP BY ALL / ORDER BY ALL (SQL-standard-adjacent shorthand
+      // both engines implement identically): every non-aggregate select
+      // item becomes a grouping key by position — the ergonomic form
+      // analysts reach for first, and an easy place for engines to
+      // disagree on which items are "non-aggregate" (the expression
+      // o_orderstatus || '/' || o_orderpriority must group, the CASE
+      // inside SUM must not). Money stays in integer cents.
+      "q100_group_by_all",
+      (s, dir) => {
+        graft.Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderstatus || '/' || o_orderpriority AS grp,
+            |  year(o_orderdate) AS y,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CASE WHEN o_totalprice > 100000
+            |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            |    ELSE 0 END) AS BIGINT) AS big_cents
+            |FROM orders
+            |WHERE year(o_orderdate) = 1995
+            |GROUP BY ALL
+            |ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus || '/' || o_orderpriority AS grp,
+             |  year(o_orderdate) AS y,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN o_totalprice > 100000
+             |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) AS big_cents
+             |FROM orders
+             |WHERE year(o_orderdate) = 1995
+             |GROUP BY ALL
+             |ORDER BY ALL""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */

