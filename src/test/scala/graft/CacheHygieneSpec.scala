@@ -55,6 +55,28 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"p72 left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
   }
 
+  test("batch-6 persists (p101/p103) are dropped by the per-query clear") {
+    for (q <- Seq("p101_bitext_mining", "p103_cdc_chunk_dedup")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      assert(leaked.isEmpty,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+    // p102's merge table is PLAIN driver data (the learnedBpe memo):
+    // a repeat must hit it — no second fit, no checkpoint accumulation
+    SparkEntry.queries("p102_bpe_encode")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP102 = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("p102_bpe_encode")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterP102,
+      "repeated p102 must hit the learnedBpe memo, not re-fit")
+  }
+
   test("p07/p24/p28 share BOUNDED stage memos (no accumulation)") {
     // p07 computes the shared pair stage; the memoized checkpoint is the
     // one allowed persistent entry (the shingle index used to build it
