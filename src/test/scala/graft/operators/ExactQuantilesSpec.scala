@@ -82,6 +82,43 @@ class ExactQuantilesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("property: bitwise equal to percentile() on random groups") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // small random grouped datasets with deliberate tie mass and mixed
+    // magnitudes; random quantile targets including the 0/1 edges
+    val genVal = Gen.oneOf(
+      Gen.chooseNum(0, 5).map(_.toDouble),           // heavy ties
+      Gen.chooseNum(-1000.0, 1000.0),                // spread
+      Gen.oneOf(0.5, -0.5, 1e-9, 1e9))               // fixed landmarks
+    val genRows = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2", "g3"), genVal)))
+    val genPs = Gen.chooseNum(1, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0))
+        .map(_.distinct))
+    val prop = forAll(Gen.zip(genRows, genPs)) { case (rows, ps0) =>
+      val ps = if (ps0.isEmpty) Seq(0.5) else ps0
+      val df = rows.toDF("k", "v")
+      val agg = df.groupBy($"k")
+        .agg(percentile($"v", typedLit(ps)).as("qs"))
+        .select($"k", posexplode($"qs").as(Seq("i", "e")))
+        .collect()
+        .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
+      val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      spark.catalog.clearCache()
+      Prop(got.keySet == agg.keySet && got.forall { case (k, v) =>
+        java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(agg(k))
+      }).label(s"rows=$rows ps=$ps got=$got agg=$agg")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("plan: no collect-all percentile buffer, windows all keyed") {
     import spark.implicits._
     val li = graft.Tables.t(spark, sf, "lineitem")
