@@ -56,7 +56,9 @@ class CacheHygieneSpec extends AnyFunSuite {
   }
 
   test("batch-6 persists (p101/p103) are dropped by the per-query clear") {
-    for (q <- Seq("p101_bitext_mining", "p103_cdc_chunk_dedup")) {
+    // q53 rides exactQuantiles' internal dictionary persist — same contract
+    for (q <- Seq("p101_bitext_mining", "p103_cdc_chunk_dedup",
+        "q53_approx_quantiles")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
