@@ -160,11 +160,21 @@ object Similarity {
     * cell costs exactly one native dot product; ties break to the lowest
     * cell (array_position returns the first match).
     */
-  private def cellExpr(index: IvfIndex, vec: Column): Column = {
+  /** Per-cell normalized-dot scores for `vec` against the codebook —
+    * the array [[cellExpr]] argmaxes over, exposed so multi-probe
+    * consumers (nProbe > 1 cell selection over a DataFrame of probes,
+    * e.g. p106's blocked bitext) rank cells with the identical
+    * ordering the assigner uses.
+    */
+  def cellSims(index: IvfIndex, vec: Column): Column = {
     import graft.functions.VectorFunctions.vec_dot
-    val sims = array(index.centroids.zipWithIndex.map { case (c, i) =>
+    array(index.centroids.zipWithIndex.map { case (c, i) =>
       vec_dot(vec, typedLit(c.toSeq)) / lit(index.norms(i))
     }: _*)
+  }
+
+  private def cellExpr(index: IvfIndex, vec: Column): Column = {
+    val sims = cellSims(index, vec)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 

@@ -131,15 +131,8 @@ object Pipeline6 {
       (s, dir) => {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
-        val aSide = emb.filter($"label" % 2 === 0)
-          .select($"vec_id", $"embedding")
-        val bSide = emb.filter($"label" % 2 === 1)
-          .select($"vec_id", $"embedding")
-        val probes = aSide.orderBy($"vec_id").limit(16)
-          .select($"vec_id".as("pid"), $"embedding".as("pvec"))
-        val xknn = knn4(s, probes,
-          bSide.select($"vec_id".as("cid"), $"embedding".as("cvec")))
-          .cache() // <= 64 rows: pair list + both sum dictionaries
+        val (aSide, _, _) = bitextSides(s, dir)
+        val xknn = bitextXknn(s, dir)
         // the mined candidates become probes of the reverse direction:
         // their side-A neighbourhoods price the margin denominator
         val yprobes = emb
@@ -165,34 +158,7 @@ object Pipeline6 {
             $"b.score".as("score_scaled"), $"b.c6".as("cos6"))
           .orderBy($"a_id")
       },
-      Some("""WITH pa AS (
-             |  SELECT vec_id, embedding FROM embeddings
-             |  WHERE label % 2 = 0 ORDER BY vec_id LIMIT 16),
-             |ea AS (SELECT vec_id, embedding FROM embeddings
-             |       WHERE label % 2 = 0),
-             |eb AS (SELECT vec_id, embedding FROM embeddings
-             |       WHERE label % 2 = 1),
-             |xel AS (
-             |  SELECT p.vec_id AS pid, b.vec_id AS cid,
-             |    CAST(unnest(p.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
-             |  FROM pa p CROSS JOIN eb b),
-             |xcs AS (
-             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM xel GROUP BY pid, cid
-             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
-             |xc6 AS (
-             |  SELECT pid, cid,
-             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
-             |      AS BIGINT) AS c6
-             |  FROM xcs),
-             |xknn AS (
-             |  SELECT pid, cid, c6 FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY pid
-             |      ORDER BY c6 DESC, cid) AS rn FROM xc6)
-             |  WHERE rn <= 4),
+      Some(s"""WITH $bitextXOracleCtes,
              |yel AS (
              |  SELECT y.cid AS pid, a.vec_id AS cid,
              |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
@@ -565,8 +531,159 @@ object Pipeline6 {
              |  pos_c6 - neg_c6 AS margin_c6
              |FROM pv
              |WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+             |ORDER BY a_id""".stripMargin)),
+
+    QueryDef(
+      // IVF-BLOCKED BITEXT NN + RECALL GATE — the production blocking
+      // p101's Scaladoc points at, demonstrated and GATED: side-B
+      // vectors assign once to a cosine-metric IVF codebook (the p16
+      // machinery — the cell metric must MATCH the NN metric; the
+      // Euclidean k-means cells and the unrefined seed codebook both
+      // measured ~7/16 recall before this shape landed), each probe
+      // ranks the cells with the IDENTICAL normalized-dot array the
+      // assigner argmaxes over (Similarity.cellSims) and scans only
+      // its nprobe=4 of 16 Lloyd-refined cells — candidate volume
+      // ~1/4 of the corpus. Output rows are the EXACT nearest mates
+      // (oracle-replayed from the shared x-side CTEs); the literal-
+      // TRUE boolean gates the IVF path's top-1 recall against them
+      // at >= 9/16 — measured a stable 10-11/16 across all three
+      // fixture scales and repeat runs (the refined codebook's float
+      // means are approximate-deterministic, so the gate sits under
+      // the observed floor; the p11/p16 self-oracling discipline,
+      // same ~60% threshold class as p16's 6/10). Scale shape: cell
+      // assignment is map-side, the candidate join carries ids only,
+      // and the two-kernel decide touches a margin-set of pairs.
+      "p106_ivf_bitext_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vec_dot
+        val (_, bSide, probes) = bitextSides(s, dir)
+        val exact1 = bitextXknn(s, dir).groupBy($"pid")
+          .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
+          .select($"pid", (-$"b.nid").as("exact_id"),
+            $"b.c6".as("exact_c6"))
+        val index = Similarity.ivfBuild(bSide, "vec_id", "embedding",
+          nCells = 16, kmeansIters = 2)
+        val bCells = Similarity.ivfAssign(bSide, "vec_id", "embedding",
+            index)
+          .select($"vec_id".as("cid"), $"cell".as("cluster"))
+        val pCells = probes
+          .select($"pid", posexplode(Similarity.cellSims(index, $"pvec"))
+            .as(Seq("cell", "sim")))
+          .withColumn("rn", row_number().over(Window.partitionBy($"pid")
+            .orderBy($"sim".desc, $"cell")))
+          .filter($"rn" <= 4).select($"pid", $"cell")
+        val cands = bCells.join(broadcast(pCells), $"cluster" === $"cell")
+          .select($"pid", $"cid")
+        val cvecs = bSide.select($"vec_id".as("cid"),
+          $"embedding".as("cvec"))
+        val scored = cvecs.join(broadcast(cands), Seq("cid"))
+          .join(broadcast(probes), Seq("pid"))
+          .select($"pid", $"cid",
+            (vec_dot($"cvec", $"pvec") /
+              (sqrt(vec_dot($"cvec", $"cvec")) *
+                sqrt(vec_dot($"pvec", $"pvec")))).as("fs"))
+          .filter($"fs".isNotNull && !isnan($"fs"))
+          .persist() // float argmax + margin filter read it twice
+        val fmax = scored.groupBy($"pid".as("m_id"))
+          .agg(max($"fs").as("fmax"))
+        val surv = scored.join(broadcast(fmax), $"pid" === $"m_id")
+          .filter($"fs" >= $"fmax" - lit(5e-6)).select($"pid", $"cid")
+        val approx1 = cvecs.join(broadcast(surv), Seq("cid"))
+          .join(broadcast(probes), Seq("pid"))
+          .select($"pid", $"cid",
+            floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
+              .cast("long").as("c6"))
+          .groupBy($"pid")
+          .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
+          .select($"pid", (-$"b.nid").as("approx_id"))
+        val ok = exact1.join(approx1, Seq("pid"))
+          .agg((sum(when($"exact_id" === $"approx_id", 1L).otherwise(0L))
+            >= 9L).as("ivf_ok"))
+        exact1.crossJoin(broadcast(ok))
+          .select($"pid".as("a_id"), $"exact_id", $"exact_c6", $"ivf_ok")
+          .orderBy($"a_id")
+      },
+      Some(s"""WITH $bitextXOracleCtes
+             |SELECT pid AS a_id, cid AS exact_id, c6 AS exact_c6,
+             |  TRUE AS ivf_ok
+             |FROM xr WHERE rn = 1
              |ORDER BY a_id""".stripMargin))
   )
+
+  /** The bitext sides (label parity): even-label A carries the probes,
+    * odd-label B the candidate mates. Shared by p101/p106.
+    */
+  private def bitextSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val aSide = emb.filter($"label" % 2 === 0)
+      .select($"vec_id", $"embedding")
+    val bSide = emb.filter($"label" % 2 === 1)
+      .select($"vec_id", $"embedding")
+    val probes = aSide.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("pid"), $"embedding".as("pvec"))
+    (aSide, bSide, probes)
+  }
+
+  /** Cross-entry memo for the exact x-side kNN (probe -> top-4 side-B
+    * mates, <= 64 rows): p101's margin scoring and p106's IVF recall
+    * gate both read it — whichever runs first pays the corpus scan
+    * (the annExactTop10 discipline; executor-resident localCheckpoint
+    * keyed by (applicationId, sfDir)).
+    */
+  @volatile private var xknnMemo
+      : Option[((String, String), DataFrame)] = None
+
+  private def bitextXknn(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s.sparkContext.applicationId, dir)
+      xknnMemo match {
+        case Some((k, df)) if k == key => df
+        case _ =>
+          import s.implicits._
+          val (_, bSide, probes) = bitextSides(s, dir)
+          val xk = knn4(s, probes,
+            bSide.select($"vec_id".as("cid"), $"embedding".as("cvec")))
+            .localCheckpoint(true)
+          xknnMemo = Some((key, xk))
+          xk
+      }
+    }
+
+  /** The x-side oracle CTE chain (probes, exact decimal cosines,
+    * ranked frame `xr`, top-4 `xknn`) — shared by p101's margin replay
+    * and p106's exact-NN select, one text for both.
+    */
+  private val bitextXOracleCtes: String =
+    """pa AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE label % 2 = 0 ORDER BY vec_id LIMIT 16),
+      |ea AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE label % 2 = 0),
+      |eb AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE label % 2 = 1),
+      |xel AS (
+      |  SELECT p.vec_id AS pid, b.vec_id AS cid,
+      |    CAST(unnest(p.embedding) AS DECIMAL(18,9)) AS x,
+      |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+      |  FROM pa p CROSS JOIN eb b),
+      |xcs AS (
+      |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
+      |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+      |    CAST(SUM(y*y) AS DOUBLE) AS ny
+      |  FROM xel GROUP BY pid, cid
+      |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+      |xc6 AS (
+      |  SELECT pid, cid,
+      |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
+      |      AS BIGINT) AS c6
+      |  FROM xcs),
+      |xr AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pid
+      |    ORDER BY c6 DESC, cid) AS rn FROM xc6),
+      |xknn AS (SELECT pid, cid, c6 FROM xr WHERE rn <= 4)""".stripMargin
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`
     * — (pid, cid, c6) with c6 the round-6 cosine scaled to an integer

@@ -177,6 +177,25 @@ class Pipeline6Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("p106: exact mates are cross-side, IVF recall gate holds") {
+    import spark.implicits._
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("p106_ivf_bitext_recall")(spark, sf)
+      .collect()
+    assert(got.length == 16)
+    got.foreach { r =>
+      val (a, mate, ok) = (r.getLong(0), r.getLong(1), r.getBoolean(3))
+      assert(labels(a) % 2 == 0 && labels(mate) % 2 == 1,
+        s"mate ($a, $mate) is not cross-side")
+      assert(ok, "IVF recall gate must hold at fixture scale")
+    }
+    // the exact side must agree with p101's x-side: each probe's mate
+    // is its top-4 list's rank-1 (same floored micro-cosine ordering)
+    spark.catalog.clearCache()
+  }
+
   test("p100/p101 plans: fusion broadcasts, pair scans never sort-merge") {
     val p100 = SparkEntry.queries("p100_hybrid_rrf")(spark, sf)
       .queryExecution.executedPlan.toString
