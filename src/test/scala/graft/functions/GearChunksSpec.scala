@@ -90,6 +90,27 @@ class GearChunksSpec extends AnyFunSuite {
     assert(viaExpr == viaEval)
   }
 
+  test("property: lossless non-empty chunking on random strings") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    // printable ASCII plus spaces/newlines, lengths 0..400, and every
+    // maskBits extreme — concatenation must always reproduce the input
+    val genStr = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.const(' '),
+        1 -> Gen.const('\n'))).map(_.mkString))
+    val prop = forAll(Gen.zip(genStr, Gen.oneOf(1, 6, 12, 20))) {
+      case (s, bits) =>
+        val ch = chunksOf(s, bits)
+        Prop(ch.mkString == s && ch.forall(_.nonEmpty))
+          .label(s"len=${s.length} bits=$bits chunks=${ch.size}")
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.toString)
+  }
+
   test("maskBits contract") {
     intercept[IllegalArgumentException] {
       GearChunks(org.apache.spark.sql.catalyst.expressions.Literal("x"), 0)
