@@ -17,6 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
+  /** Range-partition `df` by `exprs`, stamp the physical partition id,
+    * and MATERIALIZE the result before anyone consumes it twice.
+    *
+    * The materialization is load-bearing, not a cache hint. Every
+    * operator below reads the stamped frame from two subtrees (the
+    * per-partition totals and the final join-back), and the stamped pid
+    * is only meaningful if both subtrees see the SAME range bounds.
+    * Spark samples range-exchange bounds with a seed derived from the
+    * exchange's RDD id, so two physical instantiations of "the same"
+    * repartitionByRange draw DIFFERENT bounds; normally ReuseExchange
+    * collapses them into one, but that is an optimization, not a
+    * contract — it demonstrably fails to fire over e.g. an
+    * InMemoryTableScan input, and then per-partition offsets computed
+    * under one set of bounds are joined onto rows bucketed under
+    * another (observed: cumulative sums smaller than the row count).
+    * Persisting the stamped frame and forcing it with one count() pins
+    * membership: later consumers read cached blocks, and a block lost
+    * to eviction recomputes from the SAME materialized shuffle output,
+    * so pid assignment stays frozen. One extra pass over the operator's
+    * working set — the price of making consistency structural instead
+    * of reuse-dependent.
+    */
+  private def rangedWithPid(df: DataFrame, parts: Int,
+      exprs: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(parts, exprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    ranged
+  }
+
   /** Exact per-key row_number (1-based, dense over rows, deterministic)
     * scalable to arbitrarily large keys.
     *
@@ -49,9 +80,7 @@ object RankOps {
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val ranged = df
-      .repartitionByRange(parts, (col(keyCol) +: order): _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedWithPid(df, parts, col(keyCol) +: order)
     val counts = ranged.groupBy(col("__pid"), col(keyCol))
       .agg(count(lit(1)).as("__n"))
     val offsetW = Window.partitionBy(col(keyCol)).orderBy(col("__pid"))
@@ -97,9 +126,7 @@ object RankOps {
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val ranged = df
-      .repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedWithPid(df, parts, order)
     val totals = ranged.groupBy(col("__pid")).agg(sum(value).as("__n"))
     val offsets = totals.as("a")
       .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
@@ -132,9 +159,7 @@ object RankOps {
     val parts = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val keys = keyCols.map(col)
-    val ranged = df
-      .repartitionByRange(parts, (keys ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedWithPid(df, parts, keys ++ order)
     val counts = ranged.groupBy((col("__pid") +: keys): _*)
       .agg(sum(value).as("__n"))
     val offsetW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
@@ -164,15 +189,34 @@ object RankOps {
     * bitwise-equal to the aggregator by ExactQuantilesSpec, so swaps
     * are invisible to an oracle that uses quantile_cont.
     *
+    * Small-dictionary fast path: the three-level rank arithmetic costs
+    * ~6 stages of fixed latency, which dominates at fixture scale
+    * (seconds for a 100-row dictionary). When the deduplicated
+    * (keys, value) dictionary holds at most `smallDictLimit` rows, the
+    * quantiles come instead from ONE `percentile(value, ps, count)`
+    * aggregation over that dictionary — the aggregator buffers only
+    * dictionary rows (bounded by the limit, not by group size), so the
+    * 100 TB OOM class this operator exists to remove stays removed.
+    * ExactQuantilesSpec pins the two paths bitwise-equal at the
+    * threshold boundary; picking the path costs one count() job over
+    * the persisted dictionary.
+    *
     * Returns one row per (keys..., p): (keys..., "p", outCol) with
     * outCol double. NULL values are ignored, like the aggregator.
+    * NULL GROUPING KEYS ARE DROPPED (explicitly, on both paths): the
+    * rank path's equality joins cannot carry them, so the contract is
+    * enforced up front rather than diverging between paths. This
+    * differs from Spark's aggregator, which emits a NULL-keyed row —
+    * callers needing that row must coalesce keys first. An all-NULL
+    * value group likewise emits no row (the aggregator emits NULL).
     */
   def exactQuantiles(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: Column,
       ps: Seq[Double],
-      outCol: String = "q"): DataFrame = {
+      outCol: String = "q",
+      smallDictLimit: Long = 65536L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile targets must sit in [0, 1]: $ps")
     val keyed = keyCols.nonEmpty
@@ -180,11 +224,27 @@ object RankOps {
     // carries a partition spec (bounded by P or the range partition),
     // and one code path serves both shapes
     val keys = if (keyed) keyCols else Seq("__k")
-    val base = df.filter(valueCol.isNotNull).select(
-      (if (keyed) keyCols.map(col) else Seq(lit(0L).as("__k"))) :+
-        valueCol.as("__v"): _*)
+    val base = df.filter(valueCol.isNotNull &&
+        (if (keyed) keyCols.map(col(_).isNotNull).reduce(_ && _)
+         else lit(true)))
+      .select(
+        (if (keyed) keyCols.map(col) else Seq(lit(0L).as("__k"))) :+
+          valueCol.as("__v"): _*)
     val dict = base.groupBy((keys.map(col) :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
+      .persist() // consumers: the path-choosing count + either path
+    if (dict.count() <= smallDictLimit) {
+      // Double.toString round-trips exactly (shortest-repr contract),
+      // so the SQL literal re-parses to the identical double
+      val psSql = ps.map(_.toString).mkString(", ")
+      val agg = dict.groupBy(keys.map(col): _*)
+        .agg(expr(s"percentile(__v, array($psSql), __c)").as("__qs"))
+        .select((keys.map(col) :+
+          posexplode(col("__qs")).as(Seq("__i", outCol))): _*)
+        .withColumn("p", typedLit(ps).getItem(col("__i")))
+      return agg.select(((if (keyed) keyCols.map(col) else Nil) :+
+        col("p") :+ col(outCol)): _*)
+    }
     val cum = prefixSumWithinKey(dict, keys, Seq(col("__v")), col("__c"),
         "__cum")
       .persist() // three consumers: totals + both bracket lookups

@@ -546,11 +546,14 @@ object Pipeline6 {
       // ~1/4 of the corpus. Output rows are the EXACT nearest mates
       // (oracle-replayed from the shared x-side CTEs); the literal-
       // TRUE boolean gates the IVF path's top-1 recall against them
-      // at >= 9/16 — measured a stable 10-11/16 across all three
-      // fixture scales and repeat runs (the refined codebook's float
-      // means are approximate-deterministic, so the gate sits under
-      // the observed floor; the p11/p16 self-oracling discipline,
-      // same ~60% threshold class as p16's 6/10). Scale shape: cell
+      // at >= 8/16 — measured a stable 10-11/16 across all three
+      // fixture scales and repeat runs, and the gate sits TWO hits
+      // under that floor because the Lloyd-refined codebook's float
+      // means are approximate-deterministic: a platform/JIT change in
+      // reduction order may legally move one borderline assignment,
+      // and the gate must not fail on a no-code-change run (the
+      // p11/p16 self-oracling discipline, same ~60% threshold class
+      // as p16's 6/10). Scale shape: cell
       // assignment is map-side, the candidate join carries ids only,
       // and the two-kernel decide touches a margin-set of pairs.
       "p106_ivf_bitext_recall",
@@ -599,7 +602,7 @@ object Pipeline6 {
           .select($"pid", (-$"b.nid").as("approx_id"))
         val ok = exact1.join(approx1, Seq("pid"))
           .agg((sum(when($"exact_id" === $"approx_id", 1L).otherwise(0L))
-            >= 9L).as("ivf_ok"))
+            >= 8L).as("ivf_ok"))
         exact1.crossJoin(broadcast(ok))
           .select($"pid".as("a_id"), $"exact_id", $"exact_c6", $"ivf_ok")
           .orderBy($"a_id")

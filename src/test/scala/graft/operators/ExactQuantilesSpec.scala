@@ -22,7 +22,10 @@ class ExactQuantilesSpec extends AnyFunSuite {
     val agg = li.agg(percentile($"v", typedLit(ps)).as("qs"))
       .select(posexplode($"qs").as(Seq("i", "expect")))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val got = RankOps.exactQuantiles(li, Nil, $"v", ps)
+    // smallDictLimit = 0 forces the rank path even on this fixture-
+    // sized dictionary; the default exercises the fast path below
+    val got = RankOps.exactQuantiles(li, Nil, $"v", ps,
+        smallDictLimit = 0L)
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
     assert(got.size == ps.size)
     ps.zipWithIndex.foreach { case (p, i) =>
@@ -44,7 +47,7 @@ class ExactQuantilesSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
     val got = RankOps.exactQuantiles(li, Seq("l_returnflag"),
-        $"l_quantity", ps)
+        $"l_quantity", ps, smallDictLimit = 0L)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     assert(got.keySet == agg.keySet)
@@ -70,7 +73,8 @@ class ExactQuantilesSpec extends AnyFunSuite {
       .select($"k", posexplode($"qs").as(Seq("i", "expect")))
       .collect()
       .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
-    val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps)
+    val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps,
+        smallDictLimit = 0L)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     assert(got.keySet == agg.keySet)
@@ -80,6 +84,56 @@ class ExactQuantilesSpec extends AnyFunSuite {
         s"$k: got $v, aggregator ${agg(k)}")
     }
     spark.catalog.clearCache()
+  }
+
+  test("threshold boundary: fast and rank paths bitwise-equal at D / D-1") {
+    import spark.implicits._
+    // dictionary size D is exactly the distinct (k, v) count; limit = D
+    // takes the percentile-over-dictionary fast path, limit = D - 1 the
+    // three-level rank path. Both must match the aggregator bitwise —
+    // the switch is invisible to any oracle.
+    val rows = Seq.tabulate(9)(i => ("a", (i / 3).toDouble)) ++   // ties
+      Seq.tabulate(7)(i => ("b", i * 1.75 - 3.0)) ++
+      Seq(("c", 42.0))
+    val df = rows.toDF("k", "v")
+    val d = df.select($"k", $"v").distinct().count()
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val agg = df.groupBy($"k").agg(percentile($"v", typedLit(ps)).as("qs"))
+      .select($"k", posexplode($"qs").as(Seq("i", "e")))
+      .collect()
+      .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
+    for (limit <- Seq(d, d - 1)) {
+      val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps,
+          smallDictLimit = limit)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == agg.keySet, s"limit=$limit")
+      got.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(agg(k)),
+          s"limit=$limit $k: got $v, aggregator ${agg(k)}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("contract: NULL grouping keys dropped, all-NULL group emits no row") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(3.0)),
+      (Option.empty[String], Option(9.0)),     // NULL key: dropped
+      (Option("b"), Option.empty[Double]),     // all-NULL values: no row
+      (Option("b"), Option.empty[Double])
+    ).toDF("k", "v")
+    for (limit <- Seq(0L, 1000L)) {            // both paths, same contract
+      val got = RankOps.exactQuantiles(df, Seq("k"), $"v", Seq(0.5),
+          smallDictLimit = limit)
+        .collect().map(r => (r.getString(0), r.getDouble(2)))
+      assert(got.toSeq == Seq(("a", 2.0)),
+        s"limit=$limit: only the non-null 'a' group survives, got " +
+          got.mkString(", "))
+      spark.catalog.clearCache()
+    }
   }
 
   test("property: bitwise equal to percentile() on random groups") {
@@ -105,14 +159,21 @@ class ExactQuantilesSpec extends AnyFunSuite {
         .select($"k", posexplode($"qs").as(Seq("i", "e")))
         .collect()
         .map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2)).toMap
-      val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps)
-        .collect()
-        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-      spark.catalog.clearCache()
-      Prop(got.keySet == agg.keySet && got.forall { case (k, v) =>
-        java.lang.Double.doubleToLongBits(v) ==
-          java.lang.Double.doubleToLongBits(agg(k))
-      }).label(s"rows=$rows ps=$ps got=$got agg=$agg")
+      // both paths against the aggregator: limit 0 = rank arithmetic,
+      // the huge limit = percentile-over-dictionary fast path
+      val both = Seq(0L, 1L << 40).map { limit =>
+        val got = RankOps.exactQuantiles(df, Seq("k"), $"v", ps,
+            smallDictLimit = limit)
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        spark.catalog.clearCache()
+        got
+      }
+      Prop(both.forall(got =>
+        got.keySet == agg.keySet && got.forall { case (k, v) =>
+          java.lang.Double.doubleToLongBits(v) ==
+            java.lang.Double.doubleToLongBits(agg(k))
+        })).label(s"rows=$rows ps=$ps got=$both agg=$agg")
     }
     val result = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
@@ -123,10 +184,21 @@ class ExactQuantilesSpec extends AnyFunSuite {
     import spark.implicits._
     val li = graft.Tables.t(spark, sf, "lineitem")
       .select($"l_extendedprice".cast("double").as("v"))
-    val plan = RankOps.exactQuantiles(li, Nil, $"v", Seq(0.5))
+    val plan = RankOps.exactQuantiles(li, Nil, $"v", Seq(0.5),
+        smallDictLimit = 0L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains(" percentile("),
-      s"exact path must not use the buffering aggregator:\n$plan")
+      s"rank path must not use the buffering aggregator:\n$plan")
+    spark.catalog.clearCache()
+    // fast path DOES use the aggregator — but over the deduplicated
+    // dictionary (bounded by the limit), never the raw rows: its scan
+    // feeds a (v, count) hash aggregate below the percentile
+    val fast = RankOps.exactQuantiles(li, Nil, $"v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(fast.contains("percentile("),
+      s"small dictionary must take the aggregator fast path:\n$fast")
+    assert(fast.contains("InMemoryTableScan") || fast.contains("count(1)"),
+      s"fast-path percentile must read the dictionary, not raw rows:\n$fast")
     spark.catalog.clearCache()
   }
 }
