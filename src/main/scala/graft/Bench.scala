@@ -64,6 +64,17 @@ object Bench {
     // listener bus; the post-timing clearCache+GC window is orders of
     // magnitude longer than its drain, so per-query attribution is
     // stable in practice.
+    // 1-minute load BEFORE the timed pass and after it: round 7's
+    // driver bench was ~1.7x uniformly inflated by external box load
+    // and nothing in the artifact said so — a tainted run must be
+    // self-documenting so a reader discounts it instead of bisecting
+    // phantom regressions (it cost round 6 five commits).
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = load1()
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
     val shuffleR = new java.util.concurrent.atomic.AtomicLong
     val spilled = new java.util.concurrent.atomic.AtomicLong
@@ -99,18 +110,40 @@ object Bench {
       System.gc()
       (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get)
     }
-    println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir))
+    val loadAfter = load1()
+    println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir,
+      Some((loadBefore, loadAfter))))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
     val detail = results.map { case (k, v, ok, sw, sr, sp) =>
       s""""$k":{"sec":$v,"ok":$ok,"shuffle_w_mb":${sw / 1048576},""" +
         s""""shuffle_r_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}"""
-    }.mkString("{", ",", "}")
-    try {
-      val p = java.nio.file.Paths.get("target", "bench-full.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
-    } catch { case _: java.io.IOException => () }
+    }.mkString(
+      s"""{"load1":[$loadBefore,$loadAfter],"sf":"$sfDir","queries":{""",
+      ",", "}}")
+    // Two copies: the stable path the stdout pointer names, and a
+    // ROUND-STAMPED one — round 7's full-precision record was destroyed
+    // when a later verification run rewrote the same file. The round
+    // number comes from SPARK_GRAFT_ROUND when the caller sets it, else
+    // from the BENCH_r{N}.json files already in the working directory
+    // (the driver writes BENCH_r{N} AFTER this run, so max+1 is the
+    // current round — and a post-round re-run stamps a HIGHER number
+    // instead of clobbering the round's record).
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+      .getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val prior = Option(new java.io.File(".").list()).getOrElse(Array())
+          .collect { case rx(n) => n.toInt }
+        if (prior.isEmpty) 0 else prior.max + 1
+      }
+    for (p <- Seq(
+        java.nio.file.Paths.get("target", "bench-full.json"),
+        java.nio.file.Paths.get("target", f"bench-full-r$round%02d.json"))) {
+      try {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () }
+    }
     spark.stop()
   }
 
@@ -124,7 +157,8 @@ object Bench {
     * full precision is in target/bench-full.json), the total keeps 2,
     * and failures are listed by key only when present.
     */
-  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
+  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String,
+      load: Option[(Double, Double)] = None): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // per-query stdout values cap at 3 chars: one decimal under 10s
@@ -166,8 +200,16 @@ object Bench {
     // per-query JSON this same run wrote next to it. A reader of
     // BENCH_r{N}.json follows the path; the stdout line stays a summary.
     val fullPtr = ""","full":"target/bench-full.json""""
+    // 1-min loadavg straddling the timed pass, one decimal: on this
+    // 32-cpu box a before-load much above ~2 means the numbers are
+    // contention-tainted (round 7 inflated ~1.7x with nothing in the
+    // artifact saying so). ~20 chars, paid on every tier.
+    val loadPart = load.map { case (b, a) =>
+      def f(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      s""""load1":[${f(b)},${f(a)}],"""
+    }.getOrElse("")
     def line(qsPart: String, failedPart: String, ptr: String = "") =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$failedPart$ptr,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$failedPart$ptr,"sf":"$sfShort"}"""
     // The driver reads the LAST ~2000 chars of output; sbt appends a
     // ~75-char [success] line after ours, so 1850 leaves real margin.
     // The degrade ladder (each tier drops stdout detail that survives

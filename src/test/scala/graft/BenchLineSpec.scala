@@ -27,7 +27,10 @@ class BenchLineSpec extends AnyFunSuite {
     // carries a failed count.
     for (v <- Seq(9.94, 999.99)) {
       val results = names.map(n => (n, v, false))
-      val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+      // the load annotation is on every real line — budget WITH it
+      val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+        Some((12.3, 45.6)))
+      assert(line.contains(""""load1":[12.3,45.6]"""), line.takeRight(120))
       assert(line.length < 1850, s"bench line ${line.length} chars ($v); must stay < 1850")
       assert(!line.contains("\n"))
       assert(line.contains(s""""failed":${names.size}"""), line.takeRight(80))
