@@ -801,45 +801,26 @@ object Pipeline5 {
       // end: the cluster labels replay through KMeansOp.assignCtes (the
       // p47 chained-CTE machinery, here COMPOSED downstream), and the
       // cosine is decimal sums with one final double division. Scale
-      // shape: the cluster id is the blocking key — candidate pairs
-      // form only within a cluster, so production k grows with the
-      // corpus (k ~ N/target-cluster-size bounds the within-cluster
-      // quadratic; this entry pins correctness at k=4 fixture scale,
-      // and p17's banded LSH is the unblocked-pairs alternative);
-      // dropped ids shuffle as bare ids, never vectors.
+      // shape: the cluster id is the blocking key, and the quadratic it
+      // bounds is now ENFORCED — the entry routes through
+      // Similarity.semanticDedupBounded, whose in-plan guard
+      // raise_errors if any (possibly re-split) cell exceeds 2*cellCap,
+      // capping candidate pairs at N*cellCap (linear in N). At fixture
+      // scale the cap (65536) never fires and the oversized-cell
+      // re-split is the identity, so the oracle below replays the plain
+      // within-cluster join; p107 exercises the LIVE re-split path
+      // hash-gated, and SemanticDedupBoundedSpec the guard.
       "p99_semantic_dedup",
       (s, dir) => {
         import s.implicits._
-        import graft.operators.{KMeansOp, Similarity}
+        import graft.operators.Similarity
         val emb = t(s, dir, "embeddings")
-        // shared (k=4, iters=3) fit with p47 via the Pipeline memo —
-        // one driver-loop fit serves both entries
+        // shared (k=4, iters=3) fit with p47/p107 via the Pipeline
+        // memo — one driver-loop fit serves all three entries
         val model = Pipeline.fittedKmeans(s, dir, 4, 3)
-        import graft.functions.VectorFunctions.vec_dot
-        val asg = KMeansOp.assign(emb, "vec_id", "embedding", model)
-          .select($"vec_id", $"embedding", $"cluster",
-            vec_dot($"embedding", $"embedding").as("n2"))
-          .cache() // two consumers: both pair sides + the final counts
-        // two-kernel pair evaluation (the p72 discipline): the native
-        // float vec_dot prunes the within-cluster candidate pairs at a
-        // safety margin, and only survivors pay the exact decimal
-        // cosine that DECIDES — evaluating the decimal kernel on every
-        // pair costs ~30x (measured 218s vs 7s at sf0.1). The margined
-        // multiply form dodges per-pair division and zero norms.
-        val dropped = asg.as("a").join(asg.as("b"),
-            col("a.cluster") === col("b.cluster") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .filter(vec_dot(col("a.embedding"), col("b.embedding")) >=
-            lit(0.45 - 1e-6) * sqrt(col("a.n2") * col("b.n2")))
-          .filter(Similarity.cosine(col("a.embedding"),
-            col("b.embedding")) >= 0.45)
-          .select(col("b.vec_id").as("vec_id")).distinct()
-        asg.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
-          .groupBy($"cluster")
-          .agg(count(lit(1)).as("n_vectors"), count($"__d").as("n_dropped"))
-          .select($"cluster", $"n_vectors", $"n_dropped",
-            ($"n_vectors" - $"n_dropped").as("n_kept"))
-          .orderBy($"cluster")
+        Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
+            model, 0.45, cellCap = 65536L)
+          .select($"cluster", $"n_vectors", $"n_dropped", $"n_kept")
       },
       Some {
         val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)

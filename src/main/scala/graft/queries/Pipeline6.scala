@@ -611,7 +611,84 @@ object Pipeline6 {
              |SELECT pid AS a_id, cid AS exact_id, c6 AS exact_c6,
              |  TRUE AS ivf_ok
              |FROM xr WHERE rn = 1
-             |ORDER BY a_id""".stripMargin))
+             |ORDER BY a_id""".stripMargin)),
+
+    QueryDef(
+      // SEMANTIC DEDUP WITH A LIVE PAIR BUDGET — p99's operator
+      // (Similarity.semanticDedupBounded) with cellCap = 64, small
+      // enough that every fixture cluster EXCEEDS it, so the
+      // oversized-cell re-split actually fires here and the oracle
+      // replays it: one deterministic centered-sign refinement round —
+      // sub-cell bit d (d < m) is the exact decimal compare
+      // n_c*x_d > S_cd against the cluster's exact centroid sums, m the
+      // smallest shift with cluster_size <= 64*2^m (integer CASE arms,
+      // no log2 float boundary). Near-dup drops then form only within
+      // (cluster, sub_cell); refined drops are a subset of p99's
+      // unrefined drops (pinned by SemanticDedupBoundedSpec) — the same
+      // approximation knob as SemDeDup's own k. n_subcells > 1 in the
+      // output is the hash-gated proof the re-split ran. Scale shape:
+      // sign bits are map-side k x maxBits literal compares, the pair
+      // join carries the refined key, and the in-plan guard raise_errors
+      // past 2*cellCap — candidate pairs <= N*cellCap, linear in N.
+      "p107_semdedup_resplit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val emb = t(s, dir, "embeddings")
+        val model = Pipeline.fittedKmeans(s, dir, 4, 3)
+        Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
+          model, 0.45, cellCap = 64L)
+      },
+      Some {
+        val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)
+        // centroids after the final update round: c<iters> (the CTE the
+        // final assignment reads)
+        val cn = "c3"
+        s"""WITH $ctes,
+           |sz AS (SELECT cell, COUNT(*) AS c FROM $asg GROUP BY cell),
+           |ms AS (
+           |  SELECT cell,
+           |    CASE WHEN c <= 64 THEN 0 WHEN c <= 128 THEN 1
+           |         WHEN c <= 256 THEN 2 WHEN c <= 512 THEN 3
+           |         WHEN c <= 1024 THEN 4 WHEN c <= 2048 THEN 5
+           |         ELSE 6 END AS m
+           |  FROM sz),
+           |bits AS (
+           |  SELECT a.vec_id, a.cell,
+           |    SUM(CASE WHEN e.d < ms.m AND
+           |          CAST(CAST(cn.n AS DECIMAL(12,0)) * e.x
+           |               AS DECIMAL(30,9)) > cn.sx
+           |        THEN (CAST(1 AS BIGINT) << e.d) ELSE 0 END) AS sub
+           |  FROM $asg a
+           |    JOIN ms ON ms.cell = a.cell
+           |    JOIN el e USING (vec_id)
+           |    JOIN $cn cn ON cn.cell = a.cell AND cn.d = e.d
+           |  WHERE e.d < 6
+           |  GROUP BY a.vec_id, a.cell),
+           |pr AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb
+           |  FROM bits a JOIN bits b
+           |    ON a.cell = b.cell AND a.sub = b.sub
+           |      AND a.vec_id < b.vec_id),
+           |cs AS (
+           |  SELECT pr.ida, pr.idb,
+           |    CAST(SUM(x.x * y.x) AS DOUBLE) AS dot,
+           |    CAST(SUM(x.x * x.x) AS DOUBLE) AS nx,
+           |    CAST(SUM(y.x * y.x) AS DOUBLE) AS ny
+           |  FROM pr JOIN el x ON x.vec_id = pr.ida
+           |          JOIN el y ON y.vec_id = pr.idb AND y.d = x.d
+           |  GROUP BY pr.ida, pr.idb),
+           |drp AS (
+           |  SELECT DISTINCT idb AS id FROM cs
+           |  WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.45)
+           |SELECT b.cell AS cluster,
+           |  CAST(COUNT(DISTINCT b.sub) AS BIGINT) AS n_subcells,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           |  CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+           |  CAST(COUNT(*) - COUNT(d.id) AS BIGINT) AS n_kept
+           |FROM bits b LEFT JOIN drp d ON d.id = b.vec_id
+           |GROUP BY b.cell ORDER BY cluster""".stripMargin
+      })
   )
 
   /** The bitext sides (label parity): even-label A carries the probes,

@@ -659,24 +659,40 @@ class PlanAuditSpec extends AnyFunSuite {
     // reintroduce a per-group buffer that grows with group size —
     // invisible at fixture scale, an executor OOM at 100 TB. q53's
     // sketch keeps approx_percentile, which is the bounded one.
+    // exactQuantiles' small-dictionary fast path MAY use the aggregator
+    // — but only in the weighted (value, count) dictionary form, whose
+    // buffer is bounded by smallDictLimit rather than group size: every
+    // percentile call in the plan must carry the __c weight argument
     Seq("q24_percentiles", "q53_approx_quantiles",
         "p33_quality_percentile_filter").foreach { name =>
       val p = plan(name)
-      assert(!p.contains(" percentile("),
-        s"$name fell back to the buffering aggregator:\n${p.take(2000)}")
+      val calls = "(?:partial_)?percentile\\([^\\)]*".r
+        .findAllIn(p.replace("approx_percentile(", "SKETCH(")).toList
+      calls.foreach { c =>
+        assert(c.contains("__c#"),
+          s"$name: raw-row percentile (unbounded buffer): $c")
+      }
       spark.catalog.clearCache()
     }
   }
 
   test("p99 semantic dedup: pair join is cluster-blocked, never a product") {
     // the within-cluster pair join must plan as an equi-join on the
-    // cluster key (the blocking that bounds the quadratic); a
-    // CartesianProduct or BroadcastNestedLoopJoin would mean the
-    // blocking key fell out of the join condition
-    val p = plan("p99_semantic_dedup")
-    assert(!p.contains("CartesianProduct"), s"unblocked pair join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"unblocked pair join:\n$p")
-    SparkTestSession.spark.catalog.clearCache()
+    // refined (cluster, sub-cell) blocking key — the blocking that
+    // bounds the quadratic. A CartesianProduct would mean the key fell
+    // out of the join condition. Nested-loop joins are allowed ONLY in
+    // the guard shape (BuildRight, Cross against the 1-row pair-budget
+    // aggregate that semanticDedupBounded rides on every consumer).
+    for (name <- Seq("p99_semantic_dedup", "p107_semdedup_resplit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name unblocked pair join:\n$p")
+      p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+        l => assert(l.contains("BuildRight, Cross"),
+          s"$name: non-guard nested loop: $l")
+      }
+      assert("Join \\[cluster#\\d+, __sub#\\d+L?\\]".r.findFirstIn(p).isDefined,
+        s"$name: pair join must be an equi-join on (cluster, __sub):\n$p")
+      spark.catalog.clearCache()
+    }
   }
 }
