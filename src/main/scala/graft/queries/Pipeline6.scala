@@ -688,7 +688,112 @@ object Pipeline6 {
            |  CAST(COUNT(*) - COUNT(d.id) AS BIGINT) AS n_kept
            |FROM bits b LEFT JOIN drp d ON d.id = b.vec_id
            |GROUP BY b.cell ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // CLAMPED CDC CHUNK DEDUP — p103's pipeline with the FastCDC-
+      // shaped min/max clamp (gear_chunks_clamped: hash hits within 16
+      // chars of the last boundary are skipped, chunks force-cut at 256)
+      // — the production chunker shape whose boundary selection is
+      // sequential-stateful. The oracle replays it exactly: candidate
+      // positions come from the same set-based windowed-sum identity as
+      // p103, then ONE list_reduce fold with the boundary list as
+      // positional state walks the candidates, inserting the forced
+      // cuts between consecutive candidates arithmetically
+      // ((gap-1) DIV 256 cuts at multiples of 256) and accepting a
+      // candidate only when it lands >= 16 past the resulting last
+      // boundary (verified chunk-exact against the expression on every
+      // fixture document). max_chunk_len in the output is the hash-
+      // gated proof the cap binds. Scale shape: identical to p103 —
+      // map-side chunk+hash, only (hash, len) shuffles.
+      "p108_cdc_clamped_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .select($"source", $"doc_id",
+            explode(graft.functions.CdcFunctions
+              .gear_chunks_clamped($"text", 6, 16, 256)).as("chunk"))
+          .select($"source", $"doc_id",
+            substring(md5($"chunk"), 1, 12).as("h"),
+            length($"chunk").cast("long").as("len"))
+          .persist() // slim (hash, len) frame; occurrence dict + join-back
+        val occ = ch.groupBy($"h").agg(count(lit(1)).as("occ"))
+        ch.join(occ, Seq("h"))
+          .groupBy($"source")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            countDistinct($"h").as("n_chunk_types"),
+            sum($"len").as("chunk_chars"),
+            max($"len").as("max_chunk_len"),
+            sum(when($"occ" > 1, $"len").otherwise(0L)).as("dup_chars"))
+          .select($"source", $"n_docs", $"n_chunks", $"n_chunk_types",
+            $"chunk_chars", $"max_chunk_len",
+            expr("dup_chars * 1000000 DIV chunk_chars").as("dup_chunk_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH gs AS (
+             |  SELECT source, doc_id, text,
+             |    list_transform(string_split(text, ''),
+             |      x -> (unicode(x) * 2654435761) % 4294967296) AS g,
+             |    len(string_split(text, '')) AS n
+             |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+             |bs AS (
+             |  SELECT source, doc_id, text, n,
+             |    list_filter(generate_series(1, n), i ->
+             |      (list_sum(list_transform(
+             |          generate_series(greatest(1, i - 31), i),
+             |          j -> (g[j] * (CAST(1 AS BIGINT) << (i - j)))
+             |               % 4294967296))
+             |        % 4294967296) < 67108864) AS b
+             |  FROM gs),
+             |sel AS (
+             |  SELECT source, doc_id, text, n,
+             |    list_reduce(
+             |      list_prepend([CAST(0 AS BIGINT)],
+             |        list_transform(b, x -> [x])),
+             |      (acc, x) -> list_concat(
+             |        list_concat(acc,
+             |          list_transform(
+             |            generate_series(1, (x[1] - acc[len(acc)] - 1) // 256),
+             |            k -> acc[len(acc)] + k * 256)),
+             |        CASE WHEN x[1] - (acc[len(acc)]
+             |               + 256 * ((x[1] - acc[len(acc)] - 1) // 256)) >= 16
+             |             THEN [x[1]] ELSE [] END)) AS bl
+             |  FROM bs),
+             |tl AS (
+             |  SELECT source, doc_id, text, n,
+             |    list_concat(bl,
+             |      list_transform(generate_series(1, (n - bl[len(bl)]) // 256),
+             |        k -> bl[len(bl)] + k * 256)) AS t
+             |  FROM sel),
+             |bb AS (
+             |  SELECT source, doc_id, text,
+             |    CASE WHEN t[len(t)] = n THEN t ELSE list_append(t, n) END
+             |      AS b2
+             |  FROM tl),
+             |ck AS (
+             |  SELECT source, doc_id, unnest(chs) AS chunk FROM (
+             |    SELECT source, doc_id,
+             |      list_transform(generate_series(1, len(b2) - 1),
+             |        k -> substring(text, CAST(b2[k] + 1 AS INT),
+             |                       CAST(b2[k + 1] - b2[k] AS INT))) AS chs
+             |    FROM bb)),
+             |h AS (
+             |  SELECT source, doc_id, substring(md5(chunk), 1, 12) AS h,
+             |    CAST(len(chunk) AS BIGINT) AS len
+             |  FROM ck),
+             |occ AS (SELECT h, COUNT(*) AS occ FROM h GROUP BY h)
+             |SELECT source,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |  CAST(COUNT(DISTINCT h.h) AS BIGINT) AS n_chunk_types,
+             |  CAST(SUM(len) AS BIGINT) AS chunk_chars,
+             |  CAST(MAX(len) AS BIGINT) AS max_chunk_len,
+             |  CAST(SUM(CASE WHEN occ > 1 THEN len ELSE 0 END) * 1000000
+             |    // SUM(len) AS BIGINT) AS dup_chunk_ppm
+             |FROM h JOIN occ USING (h)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 
   /** The bitext sides (label parity): even-label A carries the probes,
