@@ -235,6 +235,78 @@ object Similarity {
       kmeansIters: Int = 0): DataFrame =
     ivfAssign(emb, idCol, vecCol, ivfBuild(emb, idCol, vecCol, nCells, kmeansIters))
 
+  /** Full-side IVF mate mining — every row of `aSide` finds its
+    * approximate nearest `bSide` neighbour through the cell-keyed
+    * EQUI-JOIN form: B is assigned to cells map-side, each A row ranks
+    * the codebook with a pure array expression (sort the 16 cell
+    * sims in-row — no explode+window) and fans out to its `nProbe`
+    * best cells, and the two sides meet on the cell key. This is the
+    * batch shape a per-probe broadcast cannot reach: the probe VECTOR
+    * rides to the cells it probes (nProbe small copies per row, the
+    * classic distributed-IVF routing), candidate pairs exist only
+    * inside the join stage, and the per-probe argmax is a
+    * partial-aggregable max(struct) — no corpus-sized window, no
+    * cartesian anywhere (plan-pinned by IvfMineMatesSpec).
+    *
+    * Two-kernel decide (the p72/p106 discipline): float cosine ranks
+    * all candidates, survivors within 5e-6 of each probe's float max
+    * pay the exact decimal cosine, and the mate is the exact-decimal
+    * argmax (micro-cosine, ties to the lowest candidate id) — so for a
+    * FIXED candidate set the result is bit-stable. Returns
+    * (aid, cid, c6): each non-zero-norm A id with its mined mate and
+    * the mate's micro-cosine.
+    */
+  def ivfMineMates(
+      aSide: DataFrame, // (aid, avec)
+      bSide: DataFrame, // (cid, cvec)
+      index: IvfIndex,
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(nProbe >= 1 && nProbe <= index.nCells,
+      s"nProbe must sit in [1, ${index.nCells}], got $nProbe")
+    val bCells = bSide
+      .withColumn("cn", sqrt(vec_dot(col("cvec"), col("cvec"))))
+      .filter(col("cn") > 0)
+      .withColumn("cell", cellExpr(index, col("cvec")))
+    // per-row probe cells: pair each cell sim with its id, sort the
+    // 16-element array descending by (sim, -cell), slice nProbe — one
+    // codegen'd expression per row, the ordering identical to the
+    // assigner's argmax tie-break
+    val ranked = transform(
+      array_sort(zip_with(
+        cellSims(index, col("avec")),
+        sequence(lit(0), lit(index.nCells - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("cell")))),
+      e => e.getField("cell"))
+    val aProbes = aSide
+      .withColumn("an", sqrt(vec_dot(col("avec"), col("avec"))))
+      .filter(col("an") > 0)
+      .select(col("aid"), col("avec"), col("an"),
+        explode(slice(ranked, 1, nProbe)).as("cell"))
+    // slim float-scored frame, persisted: vectors are dropped before
+    // the persist (the margin survivors re-fetch them by key — the p72
+    // discipline), so the cached working set is (aid, cid, fs) triples,
+    // never candidate-pair-many 64-float arrays
+    val scored = bCells.join(aProbes, Seq("cell"))
+      .select(col("aid"), col("cid"),
+        (vec_dot(col("avec"), col("cvec")) / (col("an") * col("cn")))
+          .as("fs"))
+      .filter(col("fs").isNotNull && !isnan(col("fs")))
+      .persist()
+    val fmax = scored.groupBy(col("aid")).agg(max(col("fs")).as("fmax"))
+    val surv = scored.join(fmax, Seq("aid"))
+      .filter(col("fs") >= col("fmax") - lit(5e-6))
+      .select(col("aid"), col("cid"))
+    surv.join(bSide, Seq("cid"))
+      .join(aSide, Seq("aid"))
+      .select(col("aid"), col("cid"),
+        floor(cosine(col("avec"), col("cvec")) * 1000000)
+          .cast("long").as("c6"))
+      .groupBy(col("aid"))
+      .agg(max(struct(col("c6"), (-col("cid")).as("nid"))).as("b"))
+      .select(col("aid"), (-col("b.nid")).as("cid"), col("b.c6").as("c6"))
+  }
+
   /** IVF top-k: rank exactly within the query's `nProbe` nearest cells.
     * Probe-cell selection is driver-side arithmetic against the tiny
     * codebook (same tie-break as the scan path: sim desc, cell asc).

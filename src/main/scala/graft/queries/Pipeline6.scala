@@ -565,8 +565,7 @@ object Pipeline6 {
           .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
           .select($"pid", (-$"b.nid").as("exact_id"),
             $"b.c6".as("exact_c6"))
-        val index = Similarity.ivfBuild(bSide, "vec_id", "embedding",
-          nCells = 16, kmeansIters = 2)
+        val index = bitextIvf(s, dir) // shared build with p109
         val bCells = Similarity.ivfAssign(bSide, "vec_id", "embedding",
             index)
           .select($"vec_id".as("cid"), $"cell".as("cluster"))
@@ -793,7 +792,81 @@ object Pipeline6 {
              |    // SUM(len) AS BIGINT) AS dup_chunk_ppm
              |FROM h JOIN occ USING (h)
              |GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // BATCH BITEXT MINING — the real bitext workload p101/p106 fix at
+      // 16 probes, over the WHOLE A side: every even-label vector mines
+      // its nearest odd-label mate through the cell-keyed EQUI-JOIN
+      // form (Similarity.ivfMineMates): B assigned to IVF cells
+      // map-side, each A row ranks the codebook with one in-row
+      // array_sort (no explode+window) and fans out to its 4 best
+      // cells, the sides meet on the cell key — never a per-probe
+      // broadcast, never a cartesian (IvfMineMatesSpec plan-pins it).
+      // Output rows are the EXACT nearest mates (knn4's two-kernel
+      // float-prune/decimal-decide over the full side, oracle-replayed
+      // from the full cross exact-cosine CTEs below); the literal-TRUE
+      // boolean gates the mined path's top-1 recall against them at
+      // >= 45% — measured 56.6-62.2% across all three fixture scales
+      // (nProbe=4 of 16 cells; the Lloyd-refined codebook's float means
+      // are approximate-deterministic, so the gate sits well under the
+      // floor — the p106/p11/p16 self-oracling discipline). Scale
+      // shape: the mined path shuffles (cell)-keyed rows and slim
+      // (aid, cid, fs) triples; the exact companion exists only as the
+      // fixture-scale gate (it is the quadratic the mined path
+      // replaces).
+      "p109_ivf_batch_bitext",
+      (s, dir) => {
+        import s.implicits._
+        val (aSide, bSide, _) = bitextSides(s, dir)
+        val probes = aSide.select($"vec_id".as("pid"),
+          $"embedding".as("pvec"))
+        val corpus = bSide.select($"vec_id".as("cid"),
+          $"embedding".as("cvec"))
+        val exact1 = knn4(s, probes, corpus)
+          .groupBy($"pid")
+          .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
+          .select($"pid", (-$"b.nid").as("exact_id"),
+            $"b.c6".as("exact_c6"))
+        val mined = Similarity.ivfMineMates(
+          aSide.select($"vec_id".as("aid"), $"embedding".as("avec")),
+          corpus, bitextIvf(s, dir), nProbe = 4)
+        val ok = exact1.join(mined, $"pid" === $"aid", "left")
+          .agg((sum(when($"exact_id" === $"cid", 1L).otherwise(0L)) * 100 >=
+            count(lit(1)) * 45).as("ivf_ok"))
+        exact1.crossJoin(broadcast(ok))
+          .select($"pid".as("a_id"), $"exact_id", $"exact_c6", $"ivf_ok")
+          .orderBy($"a_id")
+      },
+      Some("""WITH fea AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE label % 2 = 0),
+             |feb AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE label % 2 = 1),
+             |fel AS (
+             |  SELECT a.vec_id AS pid, b.vec_id AS cid,
+             |    CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
+             |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+             |  FROM fea a CROSS JOIN feb b),
+             |fcs AS (
+             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
+             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
+             |    CAST(SUM(y*y) AS DOUBLE) AS ny
+             |  FROM fel GROUP BY pid, cid
+             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+             |fc6 AS (
+             |  SELECT pid, cid,
+             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
+             |      AS BIGINT) AS c6
+             |  FROM fcs),
+             |fr AS (
+             |  SELECT *, row_number() OVER (PARTITION BY pid
+             |    ORDER BY c6 DESC, cid) AS rn FROM fc6)
+             |SELECT pid AS a_id, cid AS exact_id, c6 AS exact_c6,
+             |  TRUE AS ivf_ok
+             |FROM fr WHERE rn = 1
+             |ORDER BY a_id""".stripMargin))
   )
 
   /** The bitext sides (label parity): even-label A carries the probes,
@@ -811,6 +884,27 @@ object Pipeline6 {
       .select($"vec_id".as("pid"), $"embedding".as("pvec"))
     (aSide, bSide, probes)
   }
+
+  /** Cross-entry memo for the bitext IVF codebook (16 centroids,
+    * Lloyd-refined twice — driver-side plain data): p106's blocked
+    * recall gate and p109's full-side mining share one build.
+    */
+  @volatile private var bitextIvfMemo
+      : Option[((String, String), Similarity.IvfIndex)] = None
+
+  private def bitextIvf(s: SparkSession, dir: String): Similarity.IvfIndex =
+    synchronized {
+      val key = (s.sparkContext.applicationId, dir)
+      bitextIvfMemo match {
+        case Some((k, idx)) if k == key => idx
+        case _ =>
+          val (_, bSide, _) = bitextSides(s, dir)
+          val idx = Similarity.ivfBuild(bSide, "vec_id", "embedding",
+            nCells = 16, kmeansIters = 2)
+          bitextIvfMemo = Some((key, idx))
+          idx
+      }
+    }
 
   /** Cross-entry memo for the exact x-side kNN (probe -> top-4 side-B
     * mates, <= 64 rows): p101's margin scoring and p106's IVF recall
