@@ -123,4 +123,23 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= afterP24,
       "repeated p24 must hit the memo, not accumulate checkpoints")
   }
+
+  test("batch-8 persists (p107/p108/p109) are dropped by the per-query clear") {
+    // p107 rides semanticDedupBounded's assignment persist, p108 the
+    // chunk-frame persist, p109 knn4's + ivfMineMates' scored persists
+    // — all plain persist() frames the per-query clear must drop; the
+    // only executor-resident survivors allowed are the cross-entry
+    // memos p101/p106 own (xknn checkpoint), which p109 does not read
+    for (q <- Seq("p107_semdedup_resplit", "p108_cdc_clamped_dedup",
+        "p109_ivf_batch_bitext")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      assert(leaked.isEmpty,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+  }
 }
