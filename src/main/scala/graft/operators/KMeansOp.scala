@@ -141,8 +141,16 @@ object KMeansOp {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      model: Model): DataFrame = {
-    assign(emb, idCol, vecCol, model)
+      model: Model): DataFrame =
+    clusterStatsAssigned(assign(emb, idCol, vecCol, model))
+
+  /** The stats aggregation over an ALREADY-ASSIGNED frame (columns
+    * cluster, ee, n — [[assign]]'s output): lets callers share one
+    * materialized assignment across every consumer of the same labels
+    * (the decimal E kernel is the expensive pass, not this groupBy).
+    */
+  def clusterStatsAssigned(assigned: DataFrame): DataFrame = {
+    assigned
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),
         sum(col("ee")).as("__sumE"), first(col("n")).as("__n"))

@@ -866,6 +866,13 @@ object Similarity {
     * per cluster: (cluster, n_subcells, n_vectors, n_dropped, n_kept),
     * ordered by cluster.
     */
+  /** @param preAssigned an already-MATERIALIZED assignment frame for
+    *   the same (emb, model) — columns (idCol, vecCol, cluster), e.g. a
+    *   cross-entry localCheckpoint memo. When given, the operator skips
+    *   its own assignment pass AND its persist (the caller owns the
+    *   frame's lifecycle); the labels must be [[KMeansOp.assign]]'s for
+    *   this model or the sign-bit refinement loses its centering.
+    */
   def semanticDedupBounded(
       emb: DataFrame,
       idCol: String,
@@ -873,7 +880,8 @@ object Similarity {
       model: KMeansOp.Model,
       threshold: Double,
       cellCap: Long,
-      maxBits: Int = 6): DataFrame = {
+      maxBits: Int = 6,
+      preAssigned: Option[DataFrame] = None): DataFrame = {
     require(cellCap >= 1 && cellCap <= (1L << 56),
       s"cellCap out of range: $cellCap")
     require(maxBits >= 0 && maxBits <= 6, s"maxBits out of range: $maxBits")
@@ -884,11 +892,19 @@ object Similarity {
     // decimal E-expressions are the expensive per-row kernel (~4s at
     // sf0.1 when computed twice — measured), and every consumer below
     // (cell sizes, guard, both pair sides, final counts) re-derives its
-    // cheap projection from this one cached frame
-    val asg = KMeansOp.assign(emb, idCol, vecCol, model)
-      .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-        col("cluster"), vec_dot(col(vecCol), col(vecCol)).as("__n2"))
-      .persist()
+    // cheap projection from this one cached frame (or from the caller's
+    // materialized memo — the n2 re-projection per consumer is one
+    // native float dot, noise next to the decimal kernel it avoids)
+    val asg = preAssigned match {
+      case Some(pre) =>
+        pre.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+          col("cluster"), vec_dot(col(vecCol), col(vecCol)).as("__n2"))
+      case None =>
+        KMeansOp.assign(emb, idCol, vecCol, model)
+          .select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+            col("cluster"), vec_dot(col(vecCol), col(vecCol)).as("__n2"))
+          .persist()
+    }
     // per-cell refinement width: smallest m with c <= cellCap << m —
     // integer arithmetic only (a ceil(log2(c/cap)) in doubles would put
     // exact powers of two on an engine-dependent rounding boundary)

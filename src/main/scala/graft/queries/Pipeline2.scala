@@ -883,10 +883,11 @@ object Pipeline2 {
       // per-cluster size + mean squared distance.
       "p47_kmeans_clusters",
       (s, dir) =>
-        // the fitted model is the Pipeline.fittedKmeans memo — p99
-        // shares the same (k=4, iters=3) fit
-        KMeansOp.clusterStats(t(s, dir, "embeddings"), "vec_id",
-          "embedding", Pipeline.fittedKmeans(s, dir, 4, 3)),
+        // the assignment frame is the Pipeline.fittedKmeansAssigned
+        // memo — p99/p107 read the identical (k=4, iters=3) labels, so
+        // the decimal E kernel runs once for all three entries
+        KMeansOp.clusterStatsAssigned(
+          Pipeline.fittedKmeansAssigned(s, dir, 4, 3)),
       Some(KMeansOp.oracleSql(k = 4, iters = 3))),
 
     QueryDef(

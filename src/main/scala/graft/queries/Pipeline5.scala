@@ -815,11 +815,13 @@ object Pipeline5 {
         import s.implicits._
         import graft.operators.Similarity
         val emb = t(s, dir, "embeddings")
-        // shared (k=4, iters=3) fit with p47/p107 via the Pipeline
-        // memo — one driver-loop fit serves all three entries
+        // shared (k=4, iters=3) fit AND assignment frame with p47/p107
+        // via the Pipeline memos — one driver-loop fit and one decimal
+        // assignment pass serve all three entries
         val model = Pipeline.fittedKmeans(s, dir, 4, 3)
         Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
-            model, 0.45, cellCap = 65536L)
+            model, 0.45, cellCap = 65536L,
+            preAssigned = Some(Pipeline.fittedKmeansAssigned(s, dir, 4, 3)))
           .select($"cluster", $"n_vectors", $"n_dropped", $"n_kept")
       },
       Some {

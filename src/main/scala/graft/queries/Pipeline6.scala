@@ -636,7 +636,8 @@ object Pipeline6 {
         val emb = t(s, dir, "embeddings")
         val model = Pipeline.fittedKmeans(s, dir, 4, 3)
         Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
-          model, 0.45, cellCap = 64L)
+          model, 0.45, cellCap = 64L,
+          preAssigned = Some(Pipeline.fittedKmeansAssigned(s, dir, 4, 3)))
       },
       Some {
         val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)

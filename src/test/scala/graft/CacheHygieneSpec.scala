@@ -125,13 +125,27 @@ class CacheHygieneSpec extends AnyFunSuite {
   }
 
   test("batch-8 persists (p107/p108/p109) are dropped by the per-query clear") {
-    // p107 rides semanticDedupBounded's assignment persist, p108 the
-    // chunk-frame persist, p109 knn4's + ivfMineMates' scored persists
-    // — all plain persist() frames the per-query clear must drop; the
-    // only executor-resident survivors allowed are the cross-entry
-    // memos p101/p106 own (xknn checkpoint), which p109 does not read
-    for (q <- Seq("p107_semdedup_resplit", "p108_cdc_clamped_dedup",
-        "p109_ivf_batch_bitext")) {
+    // p107 populates the shared k-means ASSIGNMENT memo (one
+    // executor-resident localCheckpoint p47/p99 also read) on a cold
+    // session, so it may retain exactly that one entry — but a re-run
+    // must hit the memo, not accumulate. p108 (chunk-frame persist) and
+    // p109 (knn4's + ivfMineMates' scored persists) must leak nothing.
+    val beforeP107 = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("p107_semdedup_resplit")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP107 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !beforeP107.contains(id)
+    }
+    assert(afterP107.size <= 1,
+      s"p107 may keep only the assignment memo: ${afterP107.values.map(_.name)}")
+    SparkEntry.queries("p107_semdedup_resplit")(spark, sf).count()
+    spark.catalog.clearCache()
+    val repeatP107 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !beforeP107.contains(id)
+    }
+    assert(repeatP107.size <= afterP107.size,
+      "repeated p107 must hit the assignment memo, not accumulate")
+    for (q <- Seq("p108_cdc_clamped_dedup", "p109_ivf_batch_bitext")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
