@@ -824,11 +824,7 @@ object Pipeline6 {
           $"embedding".as("pvec"))
         val corpus = bSide.select($"vec_id".as("cid"),
           $"embedding".as("cvec"))
-        val exact1 = knn4(s, probes, corpus)
-          .groupBy($"pid")
-          .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
-          .select($"pid", (-$"b.nid").as("exact_id"),
-            $"b.c6".as("exact_c6"))
+        val exact1 = exactMate1(s, probes, corpus)
         val mined = Similarity.ivfMineMates(
           aSide.select($"vec_id".as("aid"), $"embedding".as("avec")),
           corpus, bitextIvf(s, dir), nProbe = 4)
@@ -964,6 +960,45 @@ object Pipeline6 {
       |  SELECT *, row_number() OVER (PARTITION BY pid
       |    ORDER BY c6 DESC, cid) AS rn FROM xc6),
       |xknn AS (SELECT pid, cid, c6 FROM xr WHERE rn <= 4)""".stripMargin
+
+  /** Exact decimal top-1 mate of each probe — knn4's two-kernel shape
+    * specialized to the argmax: the float boundary is each probe's own
+    * max (one partial-aggregable agg, no TopKByOrd, no ranking window),
+    * margin survivors pay the exact decimal kernel, and max(struct)
+    * picks (c6 desc, cid asc) exactly like the oracle's rn = 1. p109's
+    * full-side gate runs this over ~|A| probes, where knn4's top-4
+    * machinery would be pure overhead.
+    */
+  private def exactMate1(
+      s: SparkSession,
+      probes: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.vec_dot
+    val p = probes
+      .withColumn("pn", sqrt(vec_dot($"pvec", $"pvec")))
+      .filter($"pn" > 0)
+    val c = corpus
+      .withColumn("cn", sqrt(vec_dot($"cvec", $"cvec")))
+      .filter($"cn" > 0)
+    val scored = c.crossJoin(broadcast(p))
+      .select($"pid", $"cid",
+        (vec_dot($"cvec", $"pvec") / ($"cn" * $"pn")).as("fs"))
+      .filter($"fs".isNotNull && !isnan($"fs"))
+      .persist() // feeds the float max and the margin filter
+    val fmax = scored.groupBy($"pid").agg(max($"fs").as("fmax"))
+    val cands = scored.join(broadcast(fmax), Seq("pid"))
+      .filter($"fs" >= $"fmax" - lit(5e-6))
+      .select($"pid", $"cid")
+    c.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(p), Seq("pid"))
+      .select($"pid", $"cid",
+        floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
+          .cast("long").as("c6"))
+      .groupBy($"pid")
+      .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
+      .select($"pid", (-$"b.nid").as("exact_id"), $"b.c6".as("exact_c6"))
+  }
 
   /** Exact decimal top-4 cosine neighbours of each probe in `corpus`
     * — (pid, cid, c6) with c6 the round-6 cosine scaled to an integer
