@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, FloatType}
+
+/** Native kernel for [[graft.operators.KMeansOp]]'s exact-decimal
+  * cluster energies E_c = sum_d (n_c x_d - S_cd)^2 — the per-row hot
+  * path of assignment, and therefore of every Lloyd round.
+  *
+  * The declarative form — one `aggregate(zip_with(vec, S_c, ...))` per
+  * cluster — runs on Catalyst's HigherOrderFunction INTERPRETER
+  * (CodegenFallback): every element boxes through a lambda variable and
+  * every zip allocates an intermediate array, k times per row. This
+  * expression computes all k energies in one primitive loop per row.
+  *
+  * BIT-IDENTICAL by construction, not by accident: every step runs the
+  * SAME Spark `Decimal` operations the declarative chain ran —
+  * `Decimal(double).changePrecision(18, 9)` for the float widening
+  * (Spark's float->decimal cast semantics, shortest-repr double
+  * rounding included), multiply/subtract on Spark Decimals, and the
+  * same (30,9) / (18,9) / (38,18) re-casts at the same points,
+  * including the per-merge (38,18) re-cast of the running sum. NULL
+  * semantics also mirror zip_with/aggregate: a null element or a
+  * length mismatch against the centroid vector nulls that cluster's
+  * energy (all of them — the same elements feed every cluster).
+  * KMeansEnergiesSpec pins equality against the declarative form on
+  * fixture and adversarial inputs; the DuckDB oracles for
+  * p47/p99/p107 re-verify it end-to-end every round.
+  */
+case class KMeansEnergies(
+    child: Expression,
+    sums: Seq[Seq[BigDecimal]],
+    counts: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(sums.nonEmpty && sums.length == counts.length,
+    "model shape: one (sums, count) pair per cluster")
+  require(sums.forall(_.length == sums.head.length),
+    "all centroid sum vectors must share one dimensionality")
+
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 18), containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmeans_energies expects array<float>, got ${t.simpleString}")
+    }
+
+  // Spark Decimal mirrors of the literal operands the declarative form
+  // used: S_cd at (38,9), n_c at (12,0)
+  @transient private lazy val sDec: Array[Array[Decimal]] =
+    sums.map(_.map { s =>
+      val d = Decimal(s)
+      d.changePrecision(38, 9)
+      d
+    }.toArray).toArray
+  @transient private lazy val nDec: Array[Decimal] =
+    counts.map { n =>
+      val d = Decimal(n)
+      d.changePrecision(12, 0)
+      d
+    }.toArray
+
+  def compute(input: ArrayData): ArrayData = {
+    val k = sDec.length
+    val dims = sDec(0).length
+    val n = input.numElements()
+    // zip_with pads the shorter side with null and a null element nulls
+    // its term, so a ragged or null-holed vector nulls EVERY cluster's
+    // energy — same elements feed all k sums
+    var broken = n != dims
+    var i = 0
+    while (!broken && i < n) {
+      if (input.isNullAt(i)) broken = true
+      i += 1
+    }
+    if (broken) return new GenericArrayData(new Array[Any](k))
+    // widen each element ONCE (the declarative form re-cast it per
+    // cluster; the cast is deterministic so once is identical k times)
+    val xs = new Array[Decimal](dims)
+    i = 0
+    while (i < dims) {
+      val x = Decimal(input.getFloat(i).toDouble)
+      if (!x.changePrecision(18, 9))
+        return new GenericArrayData(new Array[Any](k))
+      xs(i) = x
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val s = sDec(c)
+      val nc = nDec(c)
+      var acc = Decimal(0)
+      acc.changePrecision(38, 18)
+      var ok = true
+      var d = 0
+      while (ok && d < dims) {
+        val prod = nc * xs(d)              // (12,0)*(18,9) exact
+        ok = prod.changePrecision(30, 9)   // .cast(D30)
+        if (ok) {
+          val diff = prod - s(d)           // minus the (38,9) sum
+          // Subtract's RESULT TYPE is (38,8) — precision would be 39,
+          // so Spark trades one scale digit and ROUNDS HALF_UP at
+          // scale 8 (measured: rawdiff prints as DecimalType(38,8)).
+          // The oracle keeps scale 9 here; the divergence is absorbed
+          // by the outputs' double/round(6) boundary, but THIS kernel
+          // must match the declarative Spark chain bit for bit, so it
+          // reproduces the scale-8 rounding before the (18,9) cast.
+          ok = diff.changePrecision(38, 8)
+          if (ok) ok = diff.changePrecision(18, 9) // .cast(D)
+          if (ok) {
+            val sq = diff * diff
+            ok = sq.changePrecision(38, 18) // .cast(DSum)
+            if (ok) {
+              acc = acc + sq
+              // Add's result type is (38,17) — same precision trade as
+              // the subtract — and the merge lambda re-casts to (38,18)
+              ok = acc.changePrecision(38, 17)
+              if (ok) ok = acc.changePrecision(38, 18)
+            }
+          }
+        }
+        d += 1
+      }
+      out(c) = if (ok) acc else null
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmeansEnergies", this,
+      classOf[KMeansEnergies].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KMeansFunctions {
+  def kmeans_energies(
+      vec: Column,
+      sums: Seq[Seq[BigDecimal]],
+      counts: Seq[Long]): Column =
+    ColumnBridge.column(
+      KMeansEnergies(ColumnBridge.expression(vec), sums, counts))
+}

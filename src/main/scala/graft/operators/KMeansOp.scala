@@ -48,30 +48,25 @@ object KMeansOp {
     def k: Int = sums.length
   }
 
-  /** E_c = sum_d (n_c x_d - S_cd)^2, exact decimal. The inner casts pin
-    * every intermediate to a type BOTH engines compute exactly:
-    * (12,0)*(18,9) product -> (30,9); minus the (38,9) sum -> re-cast
-    * (18,9) (|diff| < 1e9 by the documented bound); square -> (38,18).
-    */
-  private def eExpr(vec: Column, s: Array[java.math.BigDecimal], n: Long): Column = {
-    val nLit = lit(n).cast(DecimalType(12, 0))
-    val sLit = typedLit(s.map(scala.math.BigDecimal(_)).toSeq)
-    aggregate(
-      zip_with(vec, sLit, (x, sv) => {
-        val diff = ((nLit * x.cast(D)).cast(D30) - sv.cast(DS)).cast(D)
-        (diff * diff).cast(DSum)
-      }),
-      lit(scala.math.BigDecimal(0)).cast(DSum),
-      (acc, v) => (acc + v).cast(DSum))
-  }
-
   /** (id, vec, cluster, ee, n): nearest cluster by the cross-multiplied
     * ratio, ties to the lowest cluster id; `ee` is the chosen cluster's
     * exact E value and `n` its model count (both feed the final stats).
+    *
+    * The energy array E_c = sum_d (n_c x_d - S_cd)^2 comes from the
+    * native [[graft.functions.KMeansEnergies]] kernel — bit-identical
+    * to the declarative aggregate(zip_with) chain it replaced (pinned
+    * by KMeansEnergiesSpec), which ran on Catalyst's HigherOrderFunction
+    * interpreter and dominated every Lloyd round. The cast ladder
+    * ((12,0)*(18,9) -> (30,9); minus the (38,9) sum -> (38,8) result
+    * rounding -> (18,9), |diff| < 1e9 by the documented bound;
+    * square -> (38,18); merge at (38,17) -> (38,18)) is reproduced
+    * rounding point for rounding point inside the kernel.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val es = array(model.sums.indices.map(c =>
-      eExpr(col(vecCol), model.sums(c), model.counts(c))): _*)
+    val es = graft.functions.KMeansFunctions.kmeans_energies(
+      col(vecCol),
+      model.sums.map(_.map(scala.math.BigDecimal(_)).toSeq).toSeq,
+      model.counts.toSeq)
     val ratios = array(model.counts.indices.map { c =>
       element_at(col("__es"), c + 1).cast("double") /
         lit(model.counts(c) * model.counts(c))
