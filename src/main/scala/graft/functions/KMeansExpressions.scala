@@ -151,6 +151,116 @@ case class KMeansEnergies(
     copy(child = newChild)
 }
 
+/** Native kernel for the EXACT decimal cosine
+  * `dotExact(dec(a), dec(b)) / (normExact(dec(a)) * normExact(dec(b)))`
+  * — the decide kernel of every two-kernel similarity operator and the
+  * per-round rescore of MMR, previously three interpreted
+  * aggregate(zip_with) chains per pair.
+  *
+  * Bit-identical to the declarative chain (DecCosineSpec pins it):
+  * each float widens via Spark's own `Decimal(double)` cast to (18,9);
+  * products are (18,9)x(18,9) -> exact (37,18) -> (38,18); every merge
+  * add rounds at (38,17) then re-casts to (38,18) (the same
+  * precision-loss point [[KMeansEnergies]] documents); the three sums
+  * cast to double and combine in the IEEE order dot / (sqrt(na) *
+  * sqrt(nb)). NULL mirrors zip_with: a length mismatch or a null
+  * element on either side nulls the result. ONE deliberate divergence:
+  * a ZERO norm returns NULL (cosine undefined) where the declarative
+  * chain raised DIVIDE_BY_ZERO under ANSI — every call site already
+  * filters sim IS NOT NULL, so zero-norm rows now drop uniformly with
+  * null-embedding rows instead of crashing the query (and a NaN would
+  * have been worse: it sorts FIRST under a descending rank). Decimal
+  * zero-norm implies zero dot (a sub-1e-9 float casts to decimal zero
+  * everywhere), so no finite cosine is ever lost.
+  */
+case class DecVecCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dec_cosine expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    val xa = new Array[Decimal](n)
+    val xb = new Array[Decimal](n)
+    i = 0
+    while (i < n) {
+      val da = Decimal(a.getFloat(i).toDouble)
+      val db = Decimal(b.getFloat(i).toDouble)
+      if (!da.changePrecision(18, 9) || !db.changePrecision(18, 9))
+        return null
+      xa(i) = da; xb(i) = db
+      i += 1
+    }
+    // one merge chain per sum, the declarative (38,17)->(38,18) ladder
+    def accumulate(f: Int => Decimal): Option[Decimal] = {
+      var acc = Decimal(0)
+      acc.changePrecision(38, 18)
+      var d = 0
+      while (d < n) {
+        val term = f(d)
+        if (!term.changePrecision(38, 18)) return None
+        acc = acc + term
+        if (!acc.changePrecision(38, 17)) return None
+        if (!acc.changePrecision(38, 18)) return None
+        d += 1
+      }
+      Some(acc)
+    }
+    (for {
+      dot <- accumulate(d => xa(d) * xb(d))
+      na <- accumulate(d => xa(d) * xa(d))
+      nb <- accumulate(d => xb(d) * xb(d))
+      if na.toDouble != 0.0 && nb.toDouble != 0.0 // undefined -> NULL
+    } yield dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+      .orNull
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decCosine", this,
+      classOf[DecVecCosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $ref.compute($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((Double) $res).doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object KMeansFunctions {
   def kmeans_energies(
       vec: Column,
@@ -158,4 +268,8 @@ object KMeansFunctions {
       counts: Seq[Long]): Column =
     ColumnBridge.column(
       KMeansEnergies(ColumnBridge.expression(vec), sums, counts))
+
+  def dec_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DecVecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -42,11 +42,15 @@ object Similarity {
 
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val da = decVec(a)
-    val db = decVec(b)
-    dotExact(da, db) / (normExact(da) * normExact(db))
-  }
+  /** Exact decimal cosine of two `array<float>` columns — since round 8
+    * the native [[graft.functions.DecVecCosine]] kernel (bit-identical
+    * to the declarative `dotExact/normExact` chain, pinned by
+    * DecCosineSpec; the declarative chain ran three interpreted
+    * aggregate(zip_with) passes per pair and dominated MMR's per-round
+    * rescore and every margin decide).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.KMeansFunctions.dec_cosine(a, b)
 
   /** Exact top-k nearest neighbours of `queryId` by cosine. */
   def bruteForceTopK(
