@@ -863,7 +863,108 @@ object Pipeline6 {
              |SELECT pid AS a_id, cid AS exact_id, c6 AS exact_c6,
              |  TRUE AS ivf_ok
              |FROM fr WHERE rn = 1
-             |ORDER BY a_id""".stripMargin))
+             |ORDER BY a_id""".stripMargin)),
+
+    QueryDef(
+      // CHUNK INGEST MONITOR — the batch form of
+      // streaming.ChunkStreams.newChunkTypesStream (stream == batch
+      // pinned by ChunkStreamsSpec): per ingest hour and source, total
+      // chunk arrivals vs chunk types seen for the FIRST time — the
+      // "is this crawl bringing us anything" novelty signal of a
+      // CDC-deduplicated ingest path. Event time is derived
+      // deterministically from doc_id ((doc_id * 97) % 48h seconds past
+      // a fixed epoch — both engines compute the identical timestamps),
+      // first-seen is the (ts, doc_id) minimum per hash, and novelty
+      // attributes to the FIRST arrival's window and source. Scale
+      // shape: map-side chunk+hash, only (hash, ts, doc_id, source)
+      // shuffles; the first-seen reduce is one partial-aggregable
+      // min(struct) per hash — no window function anywhere.
+      "p110_chunk_ingest_monitor",
+      (s, dir) => {
+        import s.implicits._
+        val ch = t(s, dir, "documents")
+          .withColumn("ts", expr(
+            "timestamp_seconds(1767225600 + (doc_id * 97) % 172800)"))
+          .select($"source", $"doc_id", $"ts",
+            explode(graft.functions.CdcFunctions.gear_chunks($"text", 6))
+              .as("chunk"))
+          .select($"source", $"doc_id", $"ts",
+            substring(md5($"chunk"), 1, 12).as("h"),
+            length($"chunk").cast("long").as("len"))
+          .persist() // two consumers: arrival totals + first-seen reduce
+        val arrivals = ch
+          .groupBy(date_trunc("hour", $"ts").as("w"), $"source")
+          .agg(count(lit(1)).as("n_chunks"), sum($"len").as("chunk_chars"))
+        val novelty = ch
+          .groupBy($"h")
+          .agg(min(struct($"ts", $"doc_id", $"source")).as("f"))
+          .groupBy(date_trunc("hour", $"f.ts").as("w"),
+            $"f.source".as("source"))
+          .agg(count(lit(1)).as("n_new"))
+        arrivals.join(novelty, Seq("w", "source"), "left")
+          .select($"w", $"source", $"n_chunks", $"chunk_chars",
+            coalesce($"n_new", lit(0L)).as("n_new_types"),
+            expr("coalesce(n_new, 0) * 1000000 DIV n_chunks")
+              .as("new_ppm"))
+          .orderBy($"w", $"source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text,
+             |    to_timestamp(1767225600 + (doc_id * 97) % 172800)
+             |      ::TIMESTAMP AS ts
+             |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+             |gs AS (
+             |  SELECT source, doc_id, ts, text,
+             |    list_transform(string_split(text, ''),
+             |      x -> (unicode(x) * 2654435761) % 4294967296) AS g,
+             |    len(string_split(text, '')) AS n
+             |  FROM d),
+             |bs AS (
+             |  SELECT source, doc_id, ts, text, n,
+             |    list_filter(generate_series(1, n), i ->
+             |      (list_sum(list_transform(
+             |          generate_series(greatest(1, i - 31), i),
+             |          j -> (g[j] * (CAST(1 AS BIGINT) << (i - j)))
+             |               % 4294967296))
+             |        % 4294967296) < 67108864) AS b
+             |  FROM gs),
+             |ck AS (
+             |  SELECT source, doc_id, ts, unnest(chs) AS chunk FROM (
+             |    SELECT source, doc_id, ts,
+             |      list_transform(generate_series(1, len(b2) - 1),
+             |        k -> substring(text, b2[k] + 1, b2[k + 1] - b2[k]))
+             |        AS chs
+             |    FROM (SELECT source, doc_id, ts, text,
+             |            list_prepend(0,
+             |              CASE WHEN len(b) > 0 AND b[len(b)] = n THEN b
+             |                   ELSE list_append(b, n) END) AS b2
+             |          FROM bs))),
+             |h AS (
+             |  SELECT source, doc_id, ts,
+             |    substring(md5(chunk), 1, 12) AS h,
+             |    CAST(len(chunk) AS BIGINT) AS len
+             |  FROM ck),
+             |arr AS (
+             |  SELECT date_trunc('hour', ts) AS w, source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |    CAST(SUM(len) AS BIGINT) AS chunk_chars
+             |  FROM h GROUP BY 1, 2),
+             |fst AS (
+             |  SELECT h, ts, doc_id, source,
+             |    row_number() OVER (PARTITION BY h
+             |      ORDER BY ts, doc_id, source) AS rn
+             |  FROM h),
+             |nov AS (
+             |  SELECT date_trunc('hour', ts) AS w, source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_new
+             |  FROM fst WHERE rn = 1 GROUP BY 1, 2)
+             |SELECT a.w, a.source, a.n_chunks, a.chunk_chars,
+             |  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_types,
+             |  CAST(COALESCE(n.n_new, 0) * 1000000 // a.n_chunks
+             |    AS BIGINT) AS new_ppm
+             |FROM arr a LEFT JOIN nov n
+             |  ON n.w = a.w AND n.source = a.source
+             |ORDER BY a.w, a.source""".stripMargin))
   )
 
   /** The bitext sides (label parity): even-label A carries the probes,

@@ -145,7 +145,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
     assert(repeatP107.size <= afterP107.size,
       "repeated p107 must hit the assignment memo, not accumulate")
-    for (q <- Seq("p108_cdc_clamped_dedup", "p109_ivf_batch_bitext")) {
+    for (q <- Seq("p108_cdc_clamped_dedup", "p109_ivf_batch_bitext",
+        "p110_chunk_ingest_monitor")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
