@@ -591,8 +591,59 @@ object Relational7 {
              |FROM orders
              |WHERE year(o_orderdate) = 1995
              |GROUP BY ALL
-             |ORDER BY ALL""".stripMargin))
+             |ORDER BY ALL""".stripMargin)),
+
+    QueryDef(
+      // RECURSIVE CTE (WITH RECURSIVE, new SQL surface in Spark 4.1):
+      // iterative graph traversal stated declaratively — the hierarchy
+      // rollup (org charts, BOM explosions, category trees) that
+      // previously needed a driver-side loop of joins. The tree is the
+      // decimal trie over customer keys (parent = key DIV 10): depth
+      // log10(N), so 100 TB of keys still terminates in ~10 rounds —
+      // each round is ONE equi-join of the frontier against the edge
+      // table on the parent key (partitioned join, no driver state;
+      // spark.sql.cteRecursionLevelLimit=100 default bounds runaway
+      // recursion). Both engines run the IDENTICAL statement: a user's
+      // standard recursive SQL ports verbatim. Money folds as integer
+      // cents; floor(k/10) not DIV because DuckDB's // floors while
+      // Spark's DIV truncates (differs on negatives — keys are
+      // non-negative, but the habit prevents the class). Roots are the
+      // single-digit keys and the recursive member EXCLUDES them: keys
+      // start at 0 and parent(0)=0 is a fixpoint — without the ck>=10
+      // guard both engines loop to their recursion limit (found live;
+      // the termination proof for any recursive CTE must name the
+      // strictly-shrinking quantity, here digits(ck)).
+      "q101_recursive_hierarchy",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(recursiveHierarchySql)
+      },
+      Some(recursiveHierarchySql))
   )
+
+  /** Shared verbatim by the Spark entry and the DuckDB oracle — the
+    * portability IS the point (see q101).
+    */
+  private val recursiveHierarchySql: String =
+    """WITH RECURSIVE cust AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+      |    CAST(floor(c_custkey / 10) AS BIGINT) AS parent,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |  FROM customer),
+      |chain(ck, root, depth, cents) AS (
+      |  SELECT ck, ck, 0, cents FROM cust WHERE ck < 10
+      |  UNION ALL
+      |  SELECT c.ck, ch.root, ch.depth + 1, c.cents
+      |  FROM cust c JOIN chain ch ON c.parent = ch.ck
+      |  WHERE c.ck >= 10)
+      |SELECT CAST(depth AS BIGINT) AS depth,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_trees,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(MAX(ck) AS BIGINT) AS max_key
+      |FROM chain
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit). */
   private lazy val scratchRoot: String = {

@@ -63,4 +63,22 @@ class Relational7Spec extends AnyFunSuite with Matchers {
     out.filter(r => Set("1-URGENT", "2-HIGH").contains(r._1))
       .foreach { case (_, _, minYear) => minYear should be >= 1997 }
   }
+
+  test("q101 recursion matches the closed form: depth = digits(key) - 1") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q101_recursive_hierarchy")(spark, sf)
+      .select($"depth", $"n_nodes")
+      .as[(Long, Long)].collect().toMap
+    // independent non-recursive formulation of the decimal trie: a key
+    // sits at depth len(digits) - 1, so the per-depth counts must equal
+    // a plain GROUP BY over the string length of the key
+    val byLen = Tables.t(spark, sf, "customer")
+      .select(org.apache.spark.sql.functions
+        .length($"c_custkey".cast("string")).cast("long").as("d"))
+      .groupBy($"d").count()
+      .as[(Long, Long)].collect().map { case (d, n) => (d - 1, n) }.toMap
+    out shouldBe byLen
+    // conservation: every customer lands at exactly one depth
+    out.values.sum shouldBe Tables.t(spark, sf, "customer").count()
+  }
 }
