@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-pattern dictionary matching (Aho–Corasick, public classic) as a
+  * native codegen'd expression: find EVERY occurrence of EVERY term of a
+  * fixed dictionary in one left-to-right pass over the text — the
+  * blocklist/content-filter scan of a training-data pipeline
+  * (license-tainted phrases, unsafe-content markers, eval-set canaries).
+  *
+  * Why an automaton and not `locate`/regex alternation: a per-term scan
+  * is O(terms x chars) and a regex alternation backtracks; the AC
+  * automaton is O(chars + matches) INDEPENDENT of dictionary size, so a
+  * 100k-term blocklist costs the same single pass as a 10-term one. The
+  * automaton is built once per executor from the broadcast-style term
+  * list carried by the expression (plan-embedded literals; dictionary
+  * size bounded by plan-transport, the same envelope as a broadcast
+  * join's small side) and matching stays inside whole-stage codegen via
+  * a reference object, the same pattern Spark's own regexp expressions
+  * use for their compiled Pattern.
+  *
+  * Exact semantics (the DuckDB oracle replays them positionally):
+  *  - characters are UTF-16 units (Java semantics; identical to code
+  *    points on BMP text — the GearChunks/p42 charset precedent),
+  *  - ALL occurrences are reported, overlapping and nested included
+  *    ("park" inside "spark" fires both; "aa" in "aaa" fires twice),
+  *  - a match is (tid, pos): 0-based term index, 1-based start offset,
+  *  - output order is (end position asc, tid asc) — deterministic.
+  */
+case class MultiMatch(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "multi_match needs at least one term")
+  require(terms.forall(_.nonEmpty), "multi_match terms must be non-empty")
+  require(terms.distinct.size == terms.size,
+    "multi_match terms must be distinct (tid would be ambiguous)")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tid", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"multi_match expects a string, got ${t.simpleString}")
+    }
+
+  @transient private lazy val automaton = AhoCorasick.build(terms)
+
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasick.findAll(automaton, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the built automaton rides the references array (one instance per
+    // plan, shared by every row the generated code sees) — matching
+    // stays inside the whole-stage codegen span
+    val acRef = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AhoCorasick$$.MODULE$$.findAll($acRef, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Immutable matching tables for one dictionary: per-state goto maps, the
+  * BFS-built failure links, and per-state term-id output lists (own term
+  * first, then everything inherited along the failure chain, kept
+  * tid-sorted for the documented deterministic emission order).
+  */
+final class AhoCorasick(
+    val goto: Array[Map[Char, Int]],
+    val fail: Array[Int],
+    val out: Array[Array[Int]],
+    val termLen: Array[Int]) extends Serializable
+
+object AhoCorasick {
+
+  def build(terms: Seq[String]): AhoCorasick = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    val own = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    // trie of the terms
+    terms.zipWithIndex.foreach { case (term, tid) =>
+      var s = 0
+      term.foreach { c =>
+        s = goto(s).getOrElseUpdate(c, {
+          goto += scala.collection.mutable.Map.empty[Char, Int]
+          own += Nil
+          goto.size - 1
+        })
+      }
+      own(s) = tid :: own(s)
+    }
+    val n = goto.size
+    val fail = new Array[Int](n)
+    val out = new Array[List[Int]](n)
+    var i = 0
+    while (i < n) { out(i) = own(i); i += 1 }
+    // BFS: fail(child of s via c) = deepest proper suffix state with a
+    // c-transition; outputs accumulate along the failure chain
+    val queue = scala.collection.mutable.Queue[Int]()
+    goto(0).valuesIterator.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      out(s) = out(s) ::: out(fail(s))
+      goto(s).foreach { case (c, child) =>
+        var f = fail(s)
+        while (f != 0 && !goto(f).contains(c)) f = fail(f)
+        fail(child) = goto(f).getOrElse(c, 0) match {
+          case `child` => 0 // c-edge from root IS this child
+          case other   => other
+        }
+        queue += child
+      }
+    }
+    new AhoCorasick(
+      goto.map(_.toMap).toArray, fail,
+      out.map(_.sorted.toArray), terms.map(_.length).toArray)
+  }
+
+  /** One pass; returns array<struct<tid int, pos int>> with 1-based
+    * match-start positions, ordered (end asc, tid asc).
+    */
+  def findAll(ac: AhoCorasick, text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val hits = new scala.collection.mutable.ArrayBuffer[Any]()
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      while (state != 0 && !ac.goto(state).contains(c)) state = ac.fail(state)
+      state = ac.goto(state).getOrElse(c, 0)
+      val outs = ac.out(state)
+      var j = 0
+      while (j < outs.length) {
+        val tid = outs(j)
+        hits += new GenericInternalRow(
+          Array[Any](tid, i - ac.termLen(tid) + 2))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits.toArray)
+  }
+
+  /** Naive O(terms x chars) reference for the property tests. */
+  def naiveFindAll(terms: Seq[String], s: String): Seq[(Int, Int)] =
+    for {
+      end <- 1 to s.length
+      (term, tid) <- terms.zipWithIndex
+      start = end - term.length
+      if start >= 0 && s.regionMatches(start, term, 0, term.length)
+    } yield (tid, start + 1)
+}
+
+object MatchFunctions {
+  def multi_match(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(MultiMatch(ColumnBridge.expression(text), terms))
+}

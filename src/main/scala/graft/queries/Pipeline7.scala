@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.MatchFunctions
+import graft.operators.SetSimJoin
+import org.apache.spark.sql.functions._
+
+/** Seventh pipeline batch — content-filtering and exact-similarity
+  * primitives: the Aho–Corasick blocklist scan (p111) as a native
+  * expression, and the prefix-filter AllPairs/PPJoin exact Jaccard
+  * self-join (p112), the provably-lossless complement of the
+  * MinHash-LSH approximate path.
+  */
+object Pipeline7 {
+  import graft.Tables.t
+
+  /** Fixed blocklist for p111. Deliberately adversarial for a naive
+    * matcher: "park" is a proper suffix of "spark" (every "spark"
+    * occurrence must ALSO report "park", one position later — the
+    * failure-link emission case), and "ch ba" only ever occurs nested
+    * inside "batch batch" overlapping both words.
+    */
+  private val BlockTerms = Seq(
+    "batch batch", "join order", "window window", "spark",
+    "park", "scan merge", "data line", "ch ba")
+
+  /** `(0, 'batch batch'), (1, 'join order'), ...` for the p111 oracle. */
+  private val termValues: String = BlockTerms.zipWithIndex
+    .map { case (term, i) => s"($i, '$term')" }.mkString(", ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // BLOCKLIST SPAN SCAN (Aho–Corasick multi-pattern matching): one
+      // automaton pass finds every occurrence of every dictionary term
+      // — O(chars + matches) regardless of dictionary size, where a
+      // per-term locate() loop is O(terms x chars) and a regex
+      // alternation backtracks. This is the content-filter pass of a
+      // curation pipeline (license-tainted phrases, unsafe-content
+      // markers, eval-set canaries) — at 100 TB the dictionary rides
+      // the plan once per executor and the text is scanned exactly
+      // once; only (tid, pos) pairs leave the scan, never text. The
+      // oracle replays every position of every term with a brute-force
+      // substr sweep, so the hash gate proves ALL-occurrence semantics
+      // (overlaps and nested matches included), not just counts.
+      "p111_blocklist_spans",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            explode(MatchFunctions.multi_match($"text", BlockTerms)).as("m"))
+          .select($"doc_id", $"m.tid".as("tid"), $"m.pos".as("pos"))
+          .groupBy($"tid")
+          .agg(
+            count(lit(1)).as("n_hits"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"pos").cast("long").as("first_pos"),
+            max($"pos").cast("long").as("last_pos"),
+            sum($"pos").as("pos_sum"))
+          .withColumn("term",
+            element_at(array(BlockTerms.map(lit): _*), $"tid" + 1))
+          .select($"tid".cast("long").as("tid"), $"term",
+            $"n_hits", $"n_docs", $"first_pos", $"last_pos", $"pos_sum")
+          .orderBy($"tid")
+      },
+      Some(s"""WITH terms(tid, term) AS (VALUES $termValues),
+              |pos AS (
+              |  SELECT doc_id, text,
+              |    CAST(unnest(generate_series(1, length(text))) AS INT) AS i
+              |  FROM documents),
+              |hits AS (
+              |  SELECT p.doc_id, t.tid, t.term, p.i AS pos
+              |  FROM pos p JOIN terms t
+              |    ON substr(p.text, p.i, length(t.term)) = t.term)
+              |SELECT CAST(tid AS BIGINT) AS tid, term,
+              |  COUNT(*) AS n_hits,
+              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+              |  CAST(MAX(pos) AS BIGINT) AS last_pos,
+              |  CAST(SUM(pos) AS BIGINT) AS pos_sum
+              |FROM hits GROUP BY tid, term
+              |ORDER BY tid""".stripMargin)),
+
+    QueryDef(
+      // EXACT JACCARD SELF-JOIN via prefix filtering (AllPairs/PPJoin,
+      // Bayardo et al. WWW'07): every document pair with 3-shingle-set
+      // Jaccard >= 1/2, NO approximation — the exactness complement of
+      // both p08 (MinHash-LSH trades recall) and p07 (whose DF cap
+      // drops candidates through hot shingles). The prune is the
+      // rarity-sorted prefix: a qualifying pair must share a shingle
+      // among each side's |S| - ceil(t|S|) + 1 RAREST shingles, so
+      // candidates come from an equi-join on prefix shingles only and
+      // the hot-shingle df² blowup of a naive shared-shingle join never
+      // forms — WITHOUT the cap's false negatives. Threshold is the
+      // rational 1/2 compared in integers on both engines. The oracle
+      // computes the UNPRUNED shared-shingle join + exact filter, so
+      // the hash gate proves the prune LOSSLESS, not just plausible.
+      // Shingle construction mirrors Dedup.shingles (3-token, distinct,
+      // short docs contribute themselves) — the p07 oracle precedent.
+      "p112_allpairs_simjoin",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id".as("id"),
+            graft.operators.Dedup.shingles($"text", 3).as("toks"))
+        SetSimJoin.jaccardJoin(docs, 1, 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id,
+             |    unnest(CASE WHEN len(toks) >= 3
+             |      THEN list_distinct(list_transform(
+             |        generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      ELSE [text] END) AS tok
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+             |        FROM documents)),
+             |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+             |pair AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY 1, 2)
+             |SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+             |  CAST(p.inter * 1000000 // (sa.n + sb.n - p.inter) AS BIGINT)
+             |    AS jaccard_ppm
+             |FROM pair p
+             |JOIN sz sa ON sa.id = p.id_a
+             |JOIN sz sb ON sb.id = p.id_b
+             |WHERE p.inter * 2 >= (sa.n + sb.n - p.inter) * 1
+             |ORDER BY id_a, id_b""".stripMargin))
+  )
+}
