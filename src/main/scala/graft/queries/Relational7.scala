@@ -618,7 +618,49 @@ object Relational7 {
         t(s, dir, "customer").createOrReplaceTempView("customer")
         s.sql(recursiveHierarchySql)
       },
-      Some(recursiveHierarchySql))
+      Some(recursiveHierarchySql)),
+
+    QueryDef(
+      // SQL PIPE SYNTAX (|>, new surface in Spark 4.x; GoogleSQL
+      // pipe-operator lineage, public): the same logical plan a nested
+      // SELECT states, but written as a top-to-bottom operator chain —
+      // scan |> filter |> aggregate |> extend |> filter-on-aggregate
+      // |> project |> order. Semantically load-bearing details pinned
+      // here: AGGREGATE ... GROUP BY emits grouping keys THEN
+      // aggregates; a WHERE after AGGREGATE filters aggregate output
+      // (HAVING without the keyword); EXTEND appends a computed column
+      // referencing aggregate aliases. The oracle is the equivalent
+      // classic SELECT — proving the pipe chain compiles to the SAME
+      // result, which is exactly what a user migrating between the two
+      // spellings needs to trust. Money folds as integer cents; the
+      // revenue ratio is scaled-integer DIV (floor == truncate on
+      // non-negatives).
+      "q102_pipe_syntax",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """FROM orders
+            ||> WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+            ||> AGGREGATE COUNT(*) AS n_orders,
+            |     SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            |     GROUP BY o_orderpriority,
+            |       CAST(year(o_orderdate) AS BIGINT) AS y
+            ||> EXTEND cents DIV n_orders AS avg_cents
+            ||> WHERE n_orders >= 5
+            ||> SELECT o_orderpriority, y, n_orders, cents, avg_cents
+            ||> ORDER BY o_orderpriority, y""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS cents,
+             |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    // COUNT(*) AS BIGINT) AS avg_cents
+             |FROM orders
+             |WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+             |GROUP BY o_orderpriority, year(o_orderdate)
+             |HAVING COUNT(*) >= 5
+             |ORDER BY o_orderpriority, y""".stripMargin))
   )
 
   /** Shared verbatim by the Spark entry and the DuckDB oracle — the
