@@ -128,6 +128,93 @@ object Pipeline7 {
              |JOIN sz sa ON sa.id = p.id_a
              |JOIN sz sb ON sb.id = p.id_b
              |WHERE p.inter * 2 >= (sa.n + sb.n - p.inter) * 1
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      // χ² TOKEN–CLASS FEATURE RANKING (the classic supervised
+      // feature-selection statistic for text classifiers — Manning &
+      // Schütze ch. 5, public): for every (token, lang) contingency
+      // table over document frequencies, rank tokens per language by
+      // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) and keep the top 5 —
+      // the features a langID/quality classifier (p02/p58 family)
+      // would train on. Exactness discipline is the q45 pattern: all
+      // four cells come from integer COUNT aggregates (two shuffles,
+      // both partial-aggregable, both dictionary-sized outputs); χ² is
+      // ONE final double expression over exact integers, rounded to 6
+      // digits to absorb the documented last-ulp cast divergence; the
+      // per-lang ranking windows sort the ROUNDED value (so the order
+      // both engines hash is the order both engines ranked) over a
+      // vocab-sized frame — the dictionary-window class, never a fact
+      // window. 100 TB shape: nothing after the two aggregations
+      // exceeds vocab x langs rows.
+      "p113_chi2_features",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tokLang = docs.select($"lang",
+            explode(array_distinct(split($"text", " "))).as("tok"))
+        val a = tokLang.groupBy($"tok", $"lang")
+          .agg(count(lit(1)).as("a")) // docs in lang containing tok
+        val dfTok = a.groupBy($"tok").agg(sum($"a").as("df"))
+        val nLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val n = docs.count() // one scalar, driver-side by design
+        val cells = a.join(broadcast(dfTok), "tok")
+          .join(broadcast(nLang), "lang")
+          // a token present in EVERY document has zero discriminative
+          // power and a zero denominator (b+d = 0 -> 0/0); exclude it
+          // in both engines rather than rank NaN
+          .filter($"df" < n)
+          .select($"tok", $"lang", $"a", $"df", $"n_lang",
+            ($"df" - $"a").as("c"), ($"n_lang" - $"a").as("b"),
+            (lit(n) - $"df" - ($"n_lang" - $"a")).as("d"))
+        val chi2 = cells.select($"tok", $"lang", $"a", $"df", $"n_lang",
+          round(
+            (lit(n.toDouble) *
+              ($"a" * $"d" - $"b" * $"c").cast("double") *
+              ($"a" * $"d" - $"b" * $"c").cast("double")) /
+              (($"a" + $"b") * ($"c" + $"d")).cast("double") /
+              (($"a" + $"c") * ($"b" + $"d")).cast("double"),
+            6).as("chi2"))
+        chi2.withColumn("rank", row_number().over(
+            Window.partitionBy($"lang").orderBy($"chi2".desc, $"tok")))
+          .filter($"rank" <= 5)
+          .select($"lang", $"rank".cast("long").as("rank"), $"tok",
+            $"a", $"df", $"n_lang", $"chi2")
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH tl AS (
+             |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents),
+             |a AS (SELECT tok, lang, COUNT(*) AS a FROM tl GROUP BY 1, 2),
+             |dfx AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS df FROM a GROUP BY 1),
+             |nl AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |cells AS (
+             |  SELECT a.tok, a.lang, a.a, dfx.df, nl.n_lang,
+             |    dfx.df - a.a AS c, nl.n_lang - a.a AS b,
+             |    n.n - dfx.df - (nl.n_lang - a.a) AS d, n.n AS n
+             |  FROM a JOIN dfx USING (tok) JOIN nl USING (lang) CROSS JOIN n
+             |  WHERE dfx.df < n.n),
+             |chi AS (
+             |  SELECT tok, lang, a, df, n_lang,
+             |    round(
+             |      CAST(n AS DOUBLE)
+             |        * CAST(a * d - b * c AS DOUBLE)
+             |        * CAST(a * d - b * c AS DOUBLE)
+             |        / CAST((a + b) * (c + d) AS DOUBLE)
+             |        / CAST((a + c) * (b + d) AS DOUBLE),
+             |      6) AS chi2
+             |  FROM cells),
+             |ranked AS (
+             |  SELECT lang,
+             |    row_number() OVER (PARTITION BY lang
+             |                       ORDER BY chi2 DESC, tok) AS rank,
+             |    tok, a, df, n_lang, chi2
+             |  FROM chi)
+             |SELECT lang, CAST(rank AS BIGINT) AS rank, tok,
+             |  a, df, n_lang, chi2
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin))
   )
 }
