@@ -168,7 +168,137 @@ object AhoCorasick {
     } yield (tid, start + 1)
 }
 
+/** Greedy longest-match subword tokenization (the WordPiece scheme of
+  * the BERT family — Wu et al. 2016, public; the MaxMatch algorithm):
+  * encode one WORD against a fixed vocabulary of start pieces and
+  * "##"-prefixed continuation pieces by repeatedly taking the LONGEST
+  * vocabulary piece matching at the cursor; if no piece matches at any
+  * cursor position the WHOLE word encodes as ["[UNK]"]. The greedy
+  * longest-match rule is what distinguishes this from BPE (p42/p102
+  * replay learned merges in order; this never consults merge history —
+  * complementary tokenizer families, both used by corpus pipelines to
+  * budget and pack tokens).
+  *
+  * Lookup is by (continuation?, length) keyed sets, longest length
+  * first — O(chars x maxPieceLen) per word with maxPieceLen a small
+  * vocabulary constant. The intended call shape is over the DISTINCT
+  * word dictionary (encode each word once, join counts back), so the
+  * per-word constant is off the corpus-sized hot path entirely.
+  *
+  * Semantics pinned for the oracle replay (exact, no tie ambiguity:
+  * two distinct pieces of equal effective length matching at one
+  * cursor would be the same string):
+  *  - characters are UTF-16 units (the GearChunks/p42 precedent),
+  *  - position 0 consults only non-## pieces, positions > 0 only
+  *    ## pieces (strictly: their effective text after the marker),
+  *  - on failure the result is exactly ["[UNK]"] regardless of any
+  *    pieces already consumed.
+  */
+case class WordPieces(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "wordpieces needs a vocabulary")
+  require(vocab.distinct.size == vocab.size, "vocabulary must be distinct")
+  require(vocab.forall(p => p != "##" && p.nonEmpty),
+    "pieces must have non-empty effective text")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wordpieces expects a string, got ${t.simpleString}")
+    }
+
+  @transient private lazy val table = WordPieceTable.build(vocab)
+
+  override def nullSafeEval(input: Any): Any =
+    WordPieceTable.encode(table, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpTable", table,
+      classOf[WordPieceTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordPieceTable$$.MODULE$$.encode($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Length-keyed piece sets: `start(l)` / `cont(l)` hold the effective
+  * texts of length l (continuation pieces stripped of their marker).
+  */
+final class WordPieceTable(
+    val start: Map[Int, Set[String]],
+    val cont: Map[Int, Set[String]],
+    val maxLen: Int) extends Serializable
+
+object WordPieceTable {
+  val Unk = "[UNK]"
+
+  def build(vocab: Seq[String]): WordPieceTable = {
+    val (contPieces, startPieces) = vocab.partition(_.startsWith("##"))
+    val start = startPieces.groupBy(_.length)
+      .map { case (l, ps) => l -> ps.toSet }
+    val cont = contPieces.map(_.substring(2)).groupBy(_.length)
+      .map { case (l, ps) => l -> ps.toSet }
+    val maxLen = ((start.keySet ++ cont.keySet) + 0).max
+    new WordPieceTable(start, cont, maxLen)
+  }
+
+  def encode(t: WordPieceTable, word: UTF8String): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var pos = 0
+    while (pos < n) {
+      val sets = if (pos == 0) t.start else t.cont
+      var l = math.min(t.maxLen, n - pos)
+      var hit = -1
+      while (l >= 1 && hit < 0) {
+        if (sets.get(l).exists(_.contains(s.substring(pos, pos + l)))) hit = l
+        else l -= 1
+      }
+      if (hit < 0)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](UTF8String.fromString(Unk)))
+      out += UTF8String.fromString(
+        (if (pos == 0) "" else "##") + s.substring(pos, pos + hit))
+      pos += hit
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Naive reference for the property tests: same semantics, no
+    * length-keyed lookup (scan the whole vocabulary at each cursor).
+    */
+  def naiveEncode(vocab: Seq[String], word: String): Seq[String] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (pos < word.length) {
+      val cands = vocab
+        .filter(p => p.startsWith("##") == (pos > 0))
+        .map(p => (p, if (pos > 0) p.substring(2) else p))
+        .filter { case (_, eff) =>
+          eff.nonEmpty && word.regionMatches(pos, eff, 0, eff.length) }
+      if (cands.isEmpty) return Seq(Unk)
+      val (piece, eff) = cands.maxBy(_._2.length)
+      out += piece
+      pos += eff.length
+    }
+    out.toSeq
+  }
+}
+
 object MatchFunctions {
   def multi_match(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(MultiMatch(ColumnBridge.expression(text), terms))
+
+  def wordpieces(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WordPieces(ColumnBridge.expression(word), vocab))
 }

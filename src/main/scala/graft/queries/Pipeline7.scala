@@ -215,6 +215,103 @@ object Pipeline7 {
              |SELECT lang, CAST(rank AS BIGINT) AS rank, tok,
              |  a, df, n_lang, chi2
              |FROM ranked WHERE rank <= 5
-             |ORDER BY lang, rank""".stripMargin))
+             |ORDER BY lang, rank""".stripMargin)),
+
+    QueryDef(
+      // WORDPIECE ENCODE (greedy longest-match / MaxMatch subword
+      // tokenization, the BERT-family scheme — Wu et al. 2016, public):
+      // the tokenizer family p42/p102's BPE does NOT cover — BPE
+      // replays learned merges in order, WordPiece greedily takes the
+      // longest vocabulary piece at the cursor with "##" continuation
+      // marking, and a word with any uncovered cursor position encodes
+      // as [UNK] wholesale. The vocabulary deliberately omits the
+      // letter 'v', so v-words exercise the UNK path at every scale.
+      // Dictionary discipline: the corpus collapses to DISTINCT words
+      // FIRST (one count shuffle), the native expression encodes each
+      // word once, and corpus totals ride the word counts back — the
+      // per-word greedy walk never runs on the corpus-sized frame. The
+      // oracle replays the greedy walk EXACTLY: a per-(word, position)
+      // longest-match jump table from a set-based join (no tie
+      // ambiguity — equal-length matches at one cursor are the same
+      // string), then a RECURSIVE CTE walks each word through the jump
+      // table with (cursor, pieces) state — one row per word per step,
+      // final rows are those whose cursor passed the word end. (A
+      // list_reduce fold was tried first and found to mis-correlate
+      // OUTER row columns inside the reduce lambda in DuckDB — it read
+      // another row's jump table; the recursive join form references
+      // only joined columns, which both engines define.)
+      "p114_wordpiece_encode",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        words
+          .select($"word", $"cnt",
+            explode(MatchFunctions.wordpieces($"word", WpVocab)).as("piece"))
+          .groupBy($"piece")
+          .agg(sum($"cnt").as("n_uses"),
+            countDistinct($"word").as("n_words"))
+          .orderBy($"piece")
+      },
+      Some(s"""WITH RECURSIVE vocab(piece) AS (VALUES $wpVocabValues),
+              |vw AS (
+              |  SELECT piece,
+              |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+              |         ELSE piece END AS eff,
+              |    (piece LIKE '##%') AS cont
+              |  FROM vocab),
+              |wc AS (
+              |  SELECT word, COUNT(*) AS cnt
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1),
+              |pos AS (
+              |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
+              |  FROM wc),
+              |m AS (
+              |  SELECT pos.word, pos.p,
+              |    max(length(v.eff)) AS jl,
+              |    max_by(v.piece, length(v.eff)) AS pc
+              |  FROM pos JOIN vw v
+              |    ON v.cont = (pos.p > 1)
+              |   AND substr(pos.word, pos.p, length(v.eff)) = v.eff
+              |  GROUP BY 1, 2),
+              |walk(word, pos, pieces) AS (
+              |  SELECT word, CAST(1 AS INT), CAST([] AS VARCHAR[]) FROM wc
+              |  UNION ALL
+              |  SELECT k.word,
+              |    CAST(CASE WHEN m.jl IS NULL THEN length(k.word) + 1
+              |              ELSE k.pos + m.jl END AS INT),
+              |    CASE WHEN m.jl IS NULL THEN ['[UNK]']
+              |         ELSE list_append(k.pieces, m.pc) END
+              |  FROM walk k LEFT JOIN m ON m.word = k.word AND m.p = k.pos
+              |  WHERE k.pos <= length(k.word)),
+              |enc AS (
+              |  SELECT w.word, w.cnt, k.pieces
+              |  FROM wc w JOIN walk k ON k.word = w.word
+              |  WHERE k.pos > length(k.word)),
+              |toks AS (SELECT word, cnt, unnest(pieces) AS piece FROM enc)
+              |SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses,
+              |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+              |FROM toks GROUP BY piece
+              |ORDER BY piece""".stripMargin))
   )
+
+  /** WordPiece vocabulary for p114: every corpus letter EXCEPT 'v' as
+    * both a start and a continuation single (v-words exercise [UNK]),
+    * plus multi-character pieces covering the frequent corpus words so
+    * the greedy longest-match rule is load-bearing, not decorative.
+    */
+  private val WpVocab: Seq[String] = {
+    val singles = "abcdefghijklmnopqrstuwy".map(_.toString)
+    singles ++ singles.map("##" + _) ++
+      Seq("sp", "spark", "batch", "scan", "wind", "me", "qu", "st", "gr") ++
+      Seq("##ark", "##tch", "##an", "##rge", "##ow", "##dow", "##ery",
+        "##eam", "##oup")
+  }
+
+  /** `('a'), ('b'), ...` for the p114 oracle. */
+  private val wpVocabValues: String =
+    WpVocab.map(p => s"('$p')").mkString(", ")
 }
