@@ -296,7 +296,124 @@ object Pipeline7 {
               |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
-  )
+  ) :+ blocklistStripDef
+
+  private def blocklistStripDef: QueryDef =
+    QueryDef(
+      // BLOCKLIST STRIP — the APPLY pass of p111's report (the
+      // p45/p67 report/apply discipline, at CHARACTER granularity):
+      // rebuild every document with each blocklisted occurrence cut
+      // out. Overlapping matches merge into maximal char intervals
+      // first (gaps-and-islands on the running max end, windowed BY
+      // DOCUMENT — bounded by doc length, never corpus size; a span
+      // starting at exactly maxe+1 stays a separate island — the
+      // rebuild is identical either way, the island COUNT convention
+      // is pinned in both engines), then a per-row codegen'd aggregate
+      // fold splices the surviving segments — no extra shuffle.
+      // md5(clean_text) in the output makes the hash gate prove the
+      // reconstruction BYTE-EXACT, not just statistically plausible
+      // (the p67 precedent). The oracle rebuilds each document from
+      // the COMPLEMENT intervals with a window + ordered string_agg —
+      // deliberately no list_reduce lambda (see the p114 note on
+      // DuckDB's outer-column mis-correlation inside reduce lambdas).
+      "p115_blocklist_strip",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val termLens = BlockTerms.map(_.length)
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val spans = docs
+          .select($"doc_id",
+            explode(MatchFunctions.multi_match($"text", BlockTerms)).as("m"))
+          .select($"doc_id", $"m.pos".as("s"),
+            ($"m.pos" + element_at(array(termLens.map(lit): _*), $"m.tid" + 1)
+              - 1).as("e"))
+        val w = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+        val merged = spans
+          .withColumn("maxe", max($"e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nw",
+            when($"maxe".isNull || $"s" > $"maxe", 1L).otherwise(0L))
+          .withColumn("isl", sum($"nw").over(w))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"s").as("s"), max($"e").as("e"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"e" - $"s" + 1).as("blocked_chars"),
+            sort_array(collect_list(struct($"s", $"e"))).as("sp"))
+        docs.join(merged, Seq("doc_id"), "left")
+          .withColumn("clean", when($"sp".isNull, $"text").otherwise(
+            aggregate($"sp",
+              struct(lit(1).as("p"), lit("").as("acc")),
+              (st, x) => struct(
+                (x.getField("e") + 1).as("p"),
+                concat(st.getField("acc"),
+                  $"text".substr(st.getField("p"),
+                    x.getField("s") - st.getField("p"))).as("acc")),
+              st => concat(st.getField("acc"),
+                $"text".substr(st.getField("p"),
+                  length($"text") - st.getField("p") + 1)))))
+          .select($"doc_id",
+            coalesce($"n_spans", lit(0L)).as("n_spans"),
+            coalesce($"blocked_chars", lit(0L)).as("blocked_chars"),
+            length($"clean").cast("long").as("clean_chars"),
+            md5($"clean").as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH terms(tid, term) AS (VALUES $termValues),
+              |pos0 AS (
+              |  SELECT doc_id, text,
+              |    CAST(unnest(generate_series(1, length(text))) AS INT) AS i
+              |  FROM documents),
+              |hits AS (
+              |  SELECT p.doc_id, p.i AS s,
+              |    p.i + length(t.term) - 1 AS e
+              |  FROM pos0 p JOIN terms t
+              |    ON substr(p.text, p.i, length(t.term)) = t.term),
+              |ord AS (
+              |  SELECT doc_id, s, e,
+              |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+              |  FROM hits),
+              |isl AS (
+              |  SELECT doc_id, s, e,
+              |    SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+              |  FROM ord),
+              |sp AS (
+              |  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+              |  FROM isl GROUP BY 1, 2),
+              |gaps AS (
+              |  SELECT doc_id,
+              |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+              |      + 1 AS gs,
+              |    s - 1 AS ge
+              |  FROM sp
+              |  UNION ALL
+              |  SELECT doc_id, MAX(e) + 1, NULL FROM sp GROUP BY doc_id),
+              |segs AS (
+              |  SELECT g.doc_id, g.gs,
+              |    coalesce(g.ge, length(d.text)) AS ge, d.text
+              |  FROM gaps g JOIN documents d USING (doc_id)),
+              |clean AS (
+              |  SELECT doc_id,
+              |    string_agg(CASE WHEN ge >= gs
+              |      THEN substr(text, gs, ge - gs + 1) ELSE '' END,
+              |      '' ORDER BY gs) AS ct
+              |  FROM segs GROUP BY doc_id),
+              |st AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |    CAST(SUM(e - s + 1) AS BIGINT) AS blocked_chars
+              |  FROM sp GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(st.n_spans, 0) AS n_spans,
+              |  coalesce(st.blocked_chars, 0) AS blocked_chars,
+              |  CAST(length(coalesce(c.ct, d.text)) AS BIGINT) AS clean_chars,
+              |  md5(coalesce(c.ct, d.text)) AS clean_md5
+              |FROM documents d
+              |LEFT JOIN st ON st.doc_id = d.doc_id
+              |LEFT JOIN clean c ON c.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
 
   /** WordPiece vocabulary for p114: every corpus letter EXCEPT 'v' as
     * both a start and a continuation single (v-words exercise [UNK]),
