@@ -37,14 +37,29 @@ object SetSimJoin {
 
   /** All pairs (id_a < id_b) with Jaccard(toks_a, toks_b) >= num/den.
     *
+    * Scale contract (the p99/p95 in-plan-guard discipline): candidate
+    * volume is Σ over prefix tokens of C(bucket, 2), so one degenerate
+    * corpus (near-identical docs make even the RAREST tokens hot) can
+    * turn the prune into a quadratic join wearing a filter. A 1-row
+    * guard aggregate rides the plan via crossJoin — if any prefix
+    * bucket exceeds `prefixBucketCap`, every consumer raises with the
+    * remedy named instead of silently forming ~bucket²/2 pairs. The
+    * exact answer for such a corpus IS quadratic; the guard makes
+    * paying that cost a deliberate caller decision, never an accident.
+    *
     * @param docs (id BIGINT, toks array<string> DISTINCT tokens)
     * @param num  threshold numerator;  with den, a rational in (0, 1]
     * @param den  threshold denominator
+    * @param prefixBucketCap max docs sharing one prefix token before
+    *                        the plan refuses (default 65536)
     * @return id_a, id_b, inter, size_a, size_b, jaccard_ppm
     *         (ppm floored — both engines' non-negative integer division)
     */
-  def jaccardJoin(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  def jaccardJoin(
+      docs: DataFrame, num: Int, den: Int,
+      prefixBucketCap: Int = 65536): DataFrame = {
     require(num >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    require(prefixBucketCap >= 1, "prefixBucketCap must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -62,7 +77,22 @@ object SetSimJoin {
             - expr(s"(size(ranked) * $num + ${den - 1}) DIV $den")
             + 1)).as("ptok"))
 
-    val a = pref.as("a"); val b = pref.as("b")
+    // the guard rides the plan (1-row aggregate, broadcast crossJoin),
+    // so no consumer can run the candidate join without the budget check
+    val guard = pref.groupBy($"ptok").agg(count(lit(1)).as("__bc"))
+      .agg(max($"__bc").as("__mx"))
+      .select(when($"__mx" > prefixBucketCap,
+          raise_error(concat(
+            lit("setSimJoin: prefix bucket size "), $"__mx",
+            lit(s" exceeds prefixBucketCap=$prefixBucketCap — the " +
+              "candidate join would form ~bucket^2/2 pairs; raise the " +
+              "threshold, pre-shard the corpus, or raise the cap " +
+              "deliberately"))))
+        .otherwise(lit(1L)).as("__g"))
+    val prefG = pref.crossJoin(broadcast(guard)).filter($"__g" === 1L)
+      .select($"id", $"n", $"ptok")
+
+    val a = prefG.as("a"); val b = prefG.as("b")
     val cand = a.join(b,
         $"a.ptok" === $"b.ptok" && $"a.id" < $"b.id" &&
           // length filter: J >= t forces t <= |A|/|B| <= 1/t

@@ -63,12 +63,31 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(row == Seq((1L, 2L, 1000000L)))
   }
 
-  test("plan has no cartesian product or nested-loop fallback") {
+  test("prefix-bucket budget guard raises with the remedy named") {
+    import spark.implicits._
+    // every doc shares token "hot" and (at t=1/2, n=2) every prefix
+    // includes it -> one bucket of size 20 > cap 4
+    val df = (0L until 20L).map(i => (i, Seq("hot", s"u$i"))).toDF("id", "toks")
+    val e = intercept[Exception] {
+      SetSimJoin.jaccardJoin(df, 1, 2, prefixBucketCap = 4).collect()
+    }
+    assert(e.getMessage.contains("prefixBucketCap"), e.getMessage)
+    // same data under the default cap completes (guard inert)
+    SetSimJoin.jaccardJoin(df, 1, 2).collect()
+  }
+
+  test("plan has no cartesian product; the only nested-loop is the guard") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Seq("a", s"b$i"))).toDF("id", "toks")
     val p = SetSimJoin.jaccardJoin(df, 9, 10)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$p")
+    // the budget guard is a broadcast crossJoin of a 1-ROW aggregate —
+    // physically a BroadcastNestedLoopJoin, once per candidate-join
+    // side (the guarded prefix frame feeds both): exactly two, and the
+    // candidate join itself must stay an equi-join
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj == 2, s"expected the two guard nested-loops only, got $nlj:\n$p")
+    assert(p.contains("raise_error"), s"guard missing from plan:\n$p")
   }
 }
