@@ -156,5 +156,41 @@ class PipelineGbScaleSmokeSpec extends AnyFunSuite {
     val cdcMbps = textMb / (cdcMs / 1000.0)
     info(f"gear_chunks: ${cdcMs}ms ($cdcMbps%.0f MB/s, avg $avgChunk%.0f chars)")
     assert(cdcMbps >= 12, f"gear_chunks $cdcMbps%.1f MB/s < 12 MB/s floor")
+
+    // 5. Aho-Corasick blocklist scan (native multi_match): the
+    //    replication identity is EXACT — byte-identical replicas
+    //    preserve hit sets, and the " uniq <digits>" suffix can
+    //    contribute no hit (no term contains 'u', 'q' or a digit, and
+    //    a boundary-spanning match would have to include them), so
+    //    corpus hits == r x base hits and hit-docs == r x base
+    //    hit-docs. Catches cross-row state leaks and any scale
+    //    nondeterminism in the automaton path, in the same pass that
+    //    prices the single-scan throughput.
+    val terms = Seq("batch batch", "join order", "window window",
+      "spark", "park", "scan merge", "data line", "ch ba")
+    def acScan(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val row = df.select($"doc_id",
+          size(graft.functions.MatchFunctions
+            .multi_match($"text", terms)).as("h"))
+        .agg(sum($"h".cast("long")), count(when($"h" > 0, 1)))
+        .collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    val (baseHits, baseHitDocs) = acScan(base)
+    assert(baseHits > 0, "fixture must contain blocklist hits")
+    var ((acHits, acHitDocs), acMs) = timedMs(acScan(docs))
+    if (textMb / (acMs / 1000.0) < 30) {
+      val again = timedMs(acScan(docs))
+      if (again._2 < acMs) {
+        acHits = again._1._1; acHitDocs = again._1._2; acMs = again._2
+      }
+    }
+    assert(acHits == baseHits * r,
+      s"multi_match hits off at scale: $acHits != ${baseHits * r}")
+    assert(acHitDocs == baseHitDocs * r,
+      s"multi_match hit-docs off at scale: $acHitDocs != ${baseHitDocs * r}")
+    val acMbps = textMb / (acMs / 1000.0)
+    info(f"multi_match (8 terms): ${acMs}ms ($acMbps%.0f MB/s)")
+    assert(acMbps >= 12, f"multi_match $acMbps%.1f MB/s < 12 MB/s floor")
   }
 }
