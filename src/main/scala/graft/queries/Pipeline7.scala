@@ -296,7 +296,7 @@ object Pipeline7 {
               |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
-  ) :+ blocklistStripDef
+  ) :+ blocklistStripDef :+ blocklistMonitorDef
 
   private def blocklistStripDef: QueryDef =
     QueryDef(
@@ -414,6 +414,59 @@ object Pipeline7 {
               |LEFT JOIN st ON st.doc_id = d.doc_id
               |LEFT JOIN clean c ON c.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin))
+
+  private def blocklistMonitorDef: QueryDef =
+    QueryDef(
+      // BLOCKLIST INGEST MONITOR — the batch form of
+      // streaming.MatchStreams.blocklistHitsStream (stream == batch
+      // pinned by MatchStreamsSpec under deliberately RAGGED
+      // micro-batch splits — the windowed count carries no dedup
+      // state, so batch placement cannot matter): per ingest hour and
+      // term, hit counts and affected documents — the
+      // policy-violation-rate signal of a filtered ingest path. Event
+      // time derives deterministically from doc_id (the p110 epoch
+      // recipe, identical on both engines). Scale shape: the automaton
+      // runs map-side, text never leaves its projection, only
+      // (hour, tid, doc_id) shuffles into two partial-aggregable
+      // counts.
+      "p116_blocklist_monitor",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("ts", expr(
+            "timestamp_seconds(1767225600 + (doc_id * 97) % 172800)"))
+          .select(date_trunc("hour", $"ts").as("w"), $"doc_id",
+            explode(MatchFunctions.multi_match($"text", BlockTerms)).as("m"))
+          .select($"w", $"doc_id", $"m.tid".as("tid"))
+          .groupBy($"w", $"tid")
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct($"doc_id").as("n_docs"))
+          .withColumn("term",
+            element_at(array(BlockTerms.map(lit): _*), $"tid" + 1))
+          .select($"w", $"tid".cast("long").as("tid"), $"term",
+            $"n_hits", $"n_docs")
+          .orderBy($"w", $"tid")
+      },
+      Some(s"""WITH terms(tid, term) AS (VALUES $termValues),
+              |d AS (
+              |  SELECT doc_id, text,
+              |    to_timestamp(1767225600 + (doc_id * 97) % 172800)
+              |      ::TIMESTAMP AS ts
+              |  FROM documents),
+              |pos AS (
+              |  SELECT doc_id, ts, text,
+              |    CAST(unnest(generate_series(1, length(text))) AS INT) AS i
+              |  FROM d),
+              |hits AS (
+              |  SELECT p.doc_id, p.ts, t.tid, t.term
+              |  FROM pos p JOIN terms t
+              |    ON substr(p.text, p.i, length(t.term)) = t.term)
+              |SELECT date_trunc('hour', ts) AS w,
+              |  CAST(tid AS BIGINT) AS tid, term,
+              |  COUNT(*) AS n_hits,
+              |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM hits GROUP BY 1, 2, 3
+              |ORDER BY w, tid""".stripMargin))
 
   /** WordPiece vocabulary for p114: every corpus letter EXCEPT 'v' as
     * both a start and a continuation single (v-words exercise [UNK]),
