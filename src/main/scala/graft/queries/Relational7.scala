@@ -660,7 +660,49 @@ object Relational7 {
              |WHERE year(o_orderdate) BETWEEN 1994 AND 1996
              |GROUP BY o_orderpriority, year(o_orderdate)
              |HAVING COUNT(*) >= 5
-             |ORDER BY o_orderpriority, y""".stripMargin))
+             |ORDER BY o_orderpriority, y""".stripMargin)),
+
+    QueryDef(
+      // TIME data type (new in Spark 4.1, behind spark.sql.timeType
+      // .enabled; cast-from-timestamp is NOT yet wired in 4.1, so the
+      // time-of-day derives via make_time over the extracted h/m/s —
+      // whole seconds on both engines, since the two truncate
+      // fractional seconds differently). Exercises TIME construction,
+      // literals, ordering (min/max), and range comparison — the
+      // wall-clock-of-day analytics (business-hours windows, shift
+      // buckets) that timestamps answer awkwardly across days. TIME
+      // round-trips Spark -> parquet (TIME_MICROS) -> DuckDB natively;
+      // both render whole-second times identically for the hash gate.
+      "q103_time_type",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.timeType.enabled", "true")
+        t(s, dir, "events")
+          .withColumn("t", expr(
+            "make_time(hour(ts), minute(ts), CAST(second(ts) AS DECIMAL(16,6)))"))
+          .groupBy($"event_type")
+          .agg(
+            min($"t").as("first_time"),
+            max($"t").as("last_time"),
+            count(when(
+              expr("t >= TIME'09:00:00' AND t < TIME'17:00:00'"), 1))
+              .as("business_hits"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  MIN(t) AS first_time, MAX(t) AS last_time,
+             |  CAST(COUNT(CASE WHEN t >= TIME '09:00:00'
+             |    AND t < TIME '17:00:00' THEN 1 END) AS BIGINT)
+             |    AS business_hits,
+             |  COUNT(*) AS n
+             |FROM (
+             |  SELECT event_type,
+             |    make_time(date_part('hour', ts), date_part('minute', ts),
+             |      CAST(date_part('second', ts) AS DOUBLE)) AS t
+             |  FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Shared verbatim by the Spark entry and the DuckDB oracle — the
