@@ -296,7 +296,62 @@ object Pipeline7 {
               |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
-  ) :+ blocklistStripDef :+ blocklistMonitorDef
+  ) :+ blocklistStripDef :+ blocklistMonitorDef :+ classifierAucDef
+
+  private def classifierAucDef: QueryDef =
+    QueryDef(
+      // EXACT CLASSIFIER AUC (Mann–Whitney U with midrank ties — the
+      // rank-statistic identity, public textbook material): one-vs-rest
+      // AUC per language for the score "document length", the
+      // evaluation metric a quality/langID classifier stack (p58/p63)
+      // reports — and, unlike a sklearn-style float sweep, computed
+      // EXACTLY in integers: 2U = Σ_s n1(s)·(2·N0_below(s) + n0(s))
+      // over the score dictionary, so ties contribute exactly ½ and
+      // the result is an integer rational both engines floor
+      // identically. Scale shape: ONE partial-aggregable (score, lang)
+      // count shuffle; everything after — the 5-lang grid, the
+      // per-lang prefix sums, the final fold — is dictionary-sized
+      // (523 distinct scores at sf0.1; the prefix window partitions by
+      // lang over that dictionary, the documented dictionary-window
+      // class — a high-cardinality score would swap in
+      // RankOps.prefixSumWithinKey unchanged). The ppm division runs
+      // in DECIMAL(38,0) so 2U·10⁶ cannot overflow at any corpus size.
+      "p117_classifier_auc",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Metrics
+          .aucOneVsRest(t(s, dir, "documents"), $"n_chars", $"lang")
+          .select($"label".as("lang"), $"n1", $"n0", $"auc_ppm")
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT n_chars AS score, lang FROM documents),
+             |cnt AS (SELECT score, lang, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM d GROUP BY 1, 2),
+             |tot AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS nt
+             |        FROM d GROUP BY 1),
+             |grid AS (
+             |  SELECT l.lang, t.score,
+             |    COALESCE(c.c, 0) AS n1, t.nt - COALESCE(c.c, 0) AS n0
+             |  FROM tot t
+             |  CROSS JOIN (SELECT DISTINCT lang FROM d) l
+             |  LEFT JOIN cnt c ON c.score = t.score AND c.lang = l.lang),
+             |pb AS (
+             |  SELECT lang, score, n1, n0,
+             |    COALESCE(SUM(n0) OVER (PARTITION BY lang ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n0b
+             |  FROM grid),
+             |agg AS (
+             |  SELECT lang, CAST(SUM(n1) AS BIGINT) AS n1,
+             |    CAST(SUM(n0) AS BIGINT) AS n0,
+             |    CAST(SUM(n1 * (2 * n0b + n0)) AS HUGEINT) AS u2
+             |  FROM pb GROUP BY lang)
+             |SELECT lang, n1, n0,
+             |  CAST(u2 * 1000000 // (2 * CAST(n1 AS HUGEINT) * n0)
+             |    AS BIGINT) AS auc_ppm
+             |FROM agg
+             |ORDER BY lang""".stripMargin))
 
   private def blocklistStripDef: QueryDef =
     QueryDef(
