@@ -296,7 +296,124 @@ object Pipeline7 {
               |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
-  ) :+ blocklistStripDef :+ blocklistMonitorDef :+ classifierAucDef
+  ) :+ blocklistStripDef :+ blocklistMonitorDef :+ classifierAucDef :+
+    langidKappaDef
+
+  private def langidKappaDef: QueryDef =
+    QueryDef(
+      // CLASSIFIER AGREEMENT REPORT (exact): per-class precision /
+      // recall / F1 and CHANCE-CORRECTED Cohen's kappa for the p02
+      // langID heuristic against the gold labels — the
+      // did-the-cheap-classifier-earn-its-keep report a curation
+      // pipeline attaches to every heuristic gate. All integer
+      // rationals: F1 via the Dice identity 2d/(g+p) (exact, no
+      // rational-of-rationals), kappa as (N·D − Σg·p)/(N² − Σg·p) via
+      // plain integer division — MEASURED FACT (found live when kappa
+      // went NEGATIVE at sf0.001: the heuristic is worse than chance
+      // there!): DuckDB's integer // TRUNCATES toward zero exactly
+      // like Spark's DIV (-7 // 2 = -3); DuckDB floors only for
+      // doubles, so the floor/truncate divergence folklore does not
+      // apply to integer kappa and an "explicit floor" on the Spark
+      // side is what BREAKS parity. The '*' row is the micro average
+      // — for single-label
+      // multiclass, micro P = R = F1 = accuracy, so the same columns
+      // carry it without a schema split; kappa rides only there.
+      // Scale shape: ONE (gold, pred) count shuffle; everything after
+      // is classes² cells.
+      "p118_langid_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val cm = t(s, dir, "documents")
+          .withColumn("p", graft.operators.TextAnalysis.langId($"text"))
+          .groupBy($"lang", $"p").agg(count(lit(1)).as("n"))
+        val gold = cm.groupBy($"lang").agg(sum($"n").as("n_gold"))
+        val pred = cm.groupBy($"p").agg(sum($"n").as("n_pred"))
+          .withColumnRenamed("p", "lang")
+        val diag = cm.filter($"lang" === $"p")
+          .select($"lang", $"n".as("n_correct"))
+        val cls = gold.join(pred, Seq("lang"), "full")
+          .join(diag, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_gold", "n_pred", "n_correct"))
+        val perClass = cls.select($"lang", $"n_gold", $"n_pred", $"n_correct",
+          when($"n_pred" > 0, expr("n_correct * 1000000 DIV n_pred"))
+            .as("precision_ppm"),
+          when($"n_gold" > 0, expr("n_correct * 1000000 DIV n_gold"))
+            .as("recall_ppm"),
+          when($"n_gold" + $"n_pred" > 0,
+            expr("2 * n_correct * 1000000 DIV (n_gold + n_pred)"))
+            .as("f1_ppm"),
+          lit(null).cast("long").as("kappa_ppm"))
+        val total = cls.agg(
+            sum($"n_gold").as("nn"), sum($"n_correct").as("dd"),
+            sum($"n_gold" * $"n_pred").as("ss"))
+          .select(lit("*").as("lang"), $"nn".as("n_gold"),
+            $"nn".as("n_pred"), $"dd".as("n_correct"),
+            expr("dd * 1000000 DIV nn").as("precision_ppm"),
+            expr("dd * 1000000 DIV nn").as("recall_ppm"),
+            expr("dd * 1000000 DIV nn").as("f1_ppm"),
+            // truncating division on BOTH engines (see header comment)
+            expr("(1000000 * (nn * dd - ss)) DIV (nn * nn - ss)")
+              .as("kappa_ppm"))
+        perClass.unionByName(total).orderBy($"lang")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split(text,' '), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
+             |    len(list_filter(string_split(text,' '), t -> t='el' OR t='la' OR t='de' OR t='que' OR t='y')) AS s_es,
+             |    len(list_filter(string_split(text,' '), t -> t='der' OR t='die' OR t='und' OR t='das' OR t='ist')) AS s_de,
+             |    len(list_filter(string_split(text,' '), t -> t='le' OR t='la' OR t='et' OR t='les' OR t='des')) AS s_fr
+             |  FROM documents),
+             |prd AS (
+             |  SELECT lang,
+             |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+             |         WHEN s_es = m AND m > 0 THEN 'es'
+             |         WHEN s_de = m AND m > 0 THEN 'de'
+             |         WHEN s_fr = m AND m > 0 THEN 'fr'
+             |         ELSE 'unk' END AS p
+             |  FROM (SELECT lang, s_en, s_es, s_de, s_fr,
+             |          greatest(s_en, s_es, s_de, s_fr) AS m FROM scored)),
+             |cm AS (SELECT lang, p, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM prd GROUP BY 1, 2),
+             |gold AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_gold
+             |         FROM cm GROUP BY 1),
+             |pred AS (SELECT p AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+             |         FROM cm GROUP BY 1),
+             |diag AS (SELECT lang, n AS n_correct FROM cm WHERE lang = p),
+             |cls AS (
+             |  SELECT COALESCE(g.lang, pr.lang) AS lang,
+             |    COALESCE(g.n_gold, 0) AS n_gold,
+             |    COALESCE(pr.n_pred, 0) AS n_pred,
+             |    COALESCE(d.n_correct, 0) AS n_correct
+             |  FROM gold g
+             |  FULL JOIN pred pr ON pr.lang = g.lang
+             |  LEFT JOIN diag d ON d.lang = COALESCE(g.lang, pr.lang)),
+             |per AS (
+             |  SELECT lang, n_gold, n_pred, n_correct,
+             |    CASE WHEN n_pred > 0
+             |      THEN CAST(n_correct * 1000000 // n_pred AS BIGINT) END
+             |      AS precision_ppm,
+             |    CASE WHEN n_gold > 0
+             |      THEN CAST(n_correct * 1000000 // n_gold AS BIGINT) END
+             |      AS recall_ppm,
+             |    CASE WHEN n_gold + n_pred > 0
+             |      THEN CAST(2 * n_correct * 1000000 // (n_gold + n_pred)
+             |        AS BIGINT) END AS f1_ppm,
+             |    CAST(NULL AS BIGINT) AS kappa_ppm
+             |  FROM cls),
+             |tot AS (
+             |  SELECT CAST(SUM(n_gold) AS BIGINT) AS nn,
+             |    CAST(SUM(n_correct) AS BIGINT) AS dd,
+             |    CAST(SUM(n_gold * n_pred) AS BIGINT) AS ss
+             |  FROM cls)
+             |SELECT * FROM per
+             |UNION ALL
+             |SELECT '*', nn, nn, dd,
+             |  CAST(dd * 1000000 // nn AS BIGINT),
+             |  CAST(dd * 1000000 // nn AS BIGINT),
+             |  CAST(dd * 1000000 // nn AS BIGINT),
+             |  CAST((1000000 * (nn * dd - ss)) // (nn * nn - ss) AS BIGINT)
+             |FROM tot
+             |ORDER BY lang""".stripMargin))
 
   private def classifierAucDef: QueryDef =
     QueryDef(

@@ -605,9 +605,11 @@ object Relational7 {
       // spark.sql.cteRecursionLevelLimit=100 default bounds runaway
       // recursion). Both engines run the IDENTICAL statement: a user's
       // standard recursive SQL ports verbatim. Money folds as integer
-      // cents; floor(k/10) not DIV because DuckDB's // floors while
-      // Spark's DIV truncates (differs on negatives — keys are
-      // non-negative, but the habit prevents the class). Roots are the
+      // cents; floor(k/10) is used for portability of the STATEMENT
+      // (both engines define floor identically; note p118's measured
+      // fact that DuckDB's integer // actually TRUNCATES like Spark's
+      // DIV — the floor-vs-truncate divergence exists only against
+      // DuckDB's DOUBLE //). Roots are the
       // single-digit keys and the recursive member EXCLUDES them: keys
       // start at 0 and parent(0)=0 is a fixpoint — without the ck>=10
       // guard both engines loop to their recursion limit (found live;
