@@ -297,7 +297,102 @@ object Pipeline7 {
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
   ) :+ blocklistStripDef :+ blocklistMonitorDef :+ classifierAucDef :+
-    langidKappaDef
+    langidKappaDef :+ mixtureWaterfillDef
+
+  private def mixtureWaterfillDef: QueryDef =
+    QueryDef(
+      // TOKEN-BUDGET WATERFILLING (capped proportional allocation —
+      // the classic waterfilling solution, public textbook material):
+      // split a global token budget across sources toward target
+      // weights, capped by what each source HAS — the allocation step
+      // of a data-mix plan (p44 rebalances toward equal share by hash
+      // rate; this solves the weighted, supply-capped plan the mixer
+      // actually ships). Sources sorted by saturation ratio avail/w
+      // ascending (a shared integer proxy key — both engines compute
+      // the identical key, so the ordering and therefore the
+      // allocation is engine-identical by construction); saturation
+      // is then a PREFIX property, decided per row with exact integer
+      // cross-multiplication avail·U <= R·w against the prefix sums
+      // (no float lambda); unsaturated rows split the residual budget
+      // proportionally with truncating division. Weights are Zipf in
+      // the source index; budget = 3/5 of total tokens, so the head
+      // saturates and the tail shares the rest at every scale. Scale
+      // shape: ONE per-source count shuffle; the solve itself is a
+      // source-dictionary window (20 rows) — the documented
+      // dictionary-window class.
+      "p119_mixture_waterfill",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val src = t(s, dir, "documents")
+          .select($"source",
+            graft.operators.TextAnalysis.tokenCount($"text").as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("avail"))
+          .withColumn("w", expr(
+            "1000 DIV (CAST(substring(source, 4) AS INT) + 1)"))
+        val tot = src.agg(sum($"avail").as("ta"), sum($"w").as("tw"))
+        val key = src.crossJoin(broadcast(tot))
+          .withColumn("b", expr("ta * 3 DIV 5"))
+          .withColumn("k", expr(
+            "CAST(avail AS DECIMAL(38,0)) * 1000000000000 DIV w"))
+        val w1 = Window.orderBy($"k", $"source")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val flagged = key
+          .withColumn("ca", coalesce(sum($"avail").over(w1), lit(0L)))
+          .withColumn("cw", coalesce(sum($"w").over(w1), lit(0L)))
+          // saturates iff its fair share among the not-yet-saturated
+          // covers its supply: avail * U <= R * w with U = tw - cw,
+          // R = b - ca (exact integers, no division)
+          .withColumn("sat",
+            $"avail" * ($"tw" - $"cw") <= ($"b" - $"ca") * $"w")
+        val residual = flagged.groupBy()
+          .agg(sum(when($"sat", $"avail").otherwise(0L)).as("sa"),
+            sum(when(!$"sat", $"w").otherwise(0L)).as("uw"))
+        flagged.crossJoin(broadcast(residual))
+          .select($"source", $"w", $"avail",
+            when($"sat", $"avail")
+              .otherwise(expr("(b - sa) * w DIV uw")).as("alloc"),
+            $"sat".as("saturated"), $"b".as("budget"))
+          .orderBy($"source")
+      },
+      Some("""WITH src AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail,
+             |    CAST(1000 // (CAST(substring(source, 4) AS INT) + 1)
+             |      AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS ta,
+             |  CAST(SUM(w) AS BIGINT) AS tw FROM src),
+             |key AS (
+             |  SELECT src.*, tot.ta, tot.tw,
+             |    CAST(ta * 3 // 5 AS BIGINT) AS b,
+             |    CAST(CAST(avail AS HUGEINT) * 1000000000000 // w
+             |      AS BIGINT) AS k
+             |  FROM src CROSS JOIN tot),
+             |flagged AS (
+             |  SELECT *,
+             |    COALESCE(SUM(avail) OVER (ORDER BY k, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS ca,
+             |    COALESCE(SUM(w) OVER (ORDER BY k, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cw
+             |  FROM key),
+             |st AS (
+             |  SELECT *, (avail * (tw - cw) <= (b - ca) * w) AS sat
+             |  FROM flagged),
+             |res AS (
+             |  SELECT CAST(SUM(CASE WHEN sat THEN avail ELSE 0 END)
+             |    AS BIGINT) AS sa,
+             |    CAST(SUM(CASE WHEN NOT sat THEN w ELSE 0 END) AS BIGINT)
+             |      AS uw
+             |  FROM st)
+             |SELECT source, w, avail,
+             |  CAST(CASE WHEN sat THEN avail
+             |    ELSE (b - sa) * w // uw END AS BIGINT) AS alloc,
+             |  sat AS saturated, b AS budget
+             |FROM st CROSS JOIN res
+             |ORDER BY source""".stripMargin))
 
   private def langidKappaDef: QueryDef =
     QueryDef(
