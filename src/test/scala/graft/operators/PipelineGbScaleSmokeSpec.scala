@@ -192,5 +192,23 @@ class PipelineGbScaleSmokeSpec extends AnyFunSuite {
     val acMbps = textMb / (acMs / 1000.0)
     info(f"multi_match (8 terms): ${acMs}ms ($acMbps%.0f MB/s)")
     assert(acMbps >= 12, f"multi_match $acMbps%.1f MB/s < 12 MB/s floor")
+
+    // 6. SetSimJoin's budget guard FIRES at scale: 4/5 of replicas are
+    //    byte-identical, so the exact Jaccard answer on this corpus is
+    //    genuinely quadratic in the replication factor (~C(0.8r, 2)
+    //    pairs per base doc) and every rare prefix shingle sits in a
+    //    bucket of ~0.8r identical docs. With a cap well under that,
+    //    the in-plan raise_error must refuse the join BEFORE pair
+    //    formation — the scale contract working on real volume, not
+    //    just the unit fixture.
+    val ssDocs = docs.select($"doc_id".as("id"),
+      Dedup.shingles($"text", 3).as("toks"))
+    val e = intercept[Exception] {
+      SetSimJoin.jaccardJoin(ssDocs, 9, 10, prefixBucketCap = 64)
+        .count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("prefixBucketCap"),
+      s"guard did not fire on the quadratic corpus: ${e.getMessage}")
+    info("setSimJoin budget guard refused the quadratic corpus as designed")
   }
 }
