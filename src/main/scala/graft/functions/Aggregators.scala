@@ -82,4 +82,39 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  final case class TopKSItem(ord: String, payload: String)
+  final case class TopKSBuf(items: Seq[TopKSItem])
+
+  /** [[TopKByOrd]] with a STRING payload instead of a long id — for
+    * top-k over keys that have no natural numeric identity (tokens,
+    * paths). Same contract: keeps the k input rows with the smallest
+    * `ord` string (ties by smaller payload), returns payloads in that
+    * order; state is k rows per partition per key, so map-side partial
+    * aggregation bounds the shuffle where a rank window pays a full
+    * per-key sort in one task. NULL ord rows are skipped like any SQL
+    * aggregate input.
+    */
+  class TopKStrByOrd(k: Int)
+      extends Aggregator[TopKSItem, TopKSBuf, Seq[String]] {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    private def key(i: TopKSItem): (String, String) = (i.ord, i.payload)
+    private def trim(items: Seq[TopKSItem]): Seq[TopKSItem] =
+      items.sortBy(key).take(k)
+    override def zero: TopKSBuf = TopKSBuf(Nil)
+    override def reduce(b: TopKSBuf, x: TopKSItem): TopKSBuf =
+      if (x.ord == null) b
+      else if (b.items.size >= k) {
+        val last = b.items.last
+        val c = x.ord.compareTo(last.ord)
+        if (c > 0 || (c == 0 && x.payload.compareTo(last.payload) >= 0)) b
+        else TopKSBuf(trim(b.items :+ x))
+      } else TopKSBuf(trim(b.items :+ x))
+    override def merge(a: TopKSBuf, b: TopKSBuf): TopKSBuf =
+      TopKSBuf(trim(a.items ++ b.items))
+    override def finish(b: TopKSBuf): Seq[String] = b.items.map(_.payload)
+    override def bufferEncoder: Encoder[TopKSBuf] = Encoders.product[TopKSBuf]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
 }

@@ -21,10 +21,13 @@ object Metrics {
     * dictionary-sized (distinct scores x labels). The prefix window
     * partitions by label over that dictionary — the documented
     * dictionary-window class; a high-cardinality score domain would
-    * swap in RankOps.prefixSumWithinKey unchanged. The ppm division
-    * runs in DECIMAL(38,0) so 2U·10⁶ cannot overflow at any corpus
-    * size. Output: (label, n1, n0, auc_ppm), one row per label with
-    * both classes non-empty.
+    * swap in RankOps.prefixSumWithinKey unchanged. The 2U SUM itself
+    * accumulates in DECIMAL(38,0) — per-row terms reach ~N² (past 2^63
+    * at ~3e9 rows, where a long sum would wrap silently while the
+    * oracle's HUGEINT keeps going) — and the ppm division stays in
+    * DECIMAL(38,0), so neither the aggregate nor 2U·10⁶ can overflow
+    * at any corpus size. Output: (label, n1, n0, auc_ppm), one row per
+    * label with both classes non-empty.
     */
   def aucOneVsRest(df: DataFrame, score: Column, label: Column): DataFrame = {
     val spark = df.sparkSession
@@ -44,7 +47,10 @@ object Metrics {
       .withColumn("n0b", coalesce(sum($"n0").over(w), lit(0L)))
       .groupBy($"lang")
       .agg(sum($"n1").as("n1"), sum($"n0").as("n0"),
-        sum($"n1" * (lit(2) * $"n0b" + $"n0")).as("u2"))
+        // cast ONE factor before the multiply so the product itself is
+        // decimal — a long*long product wraps BEFORE any outer cast
+        sum($"n1".cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          (lit(2) * $"n0b" + $"n0")).as("u2"))
       .filter($"n1" > 0 && $"n0" > 0)
       .select($"lang".as("label"), $"n1", $"n0",
         expr("CAST(u2 AS DECIMAL(38,0)) * 1000000 DIV " +

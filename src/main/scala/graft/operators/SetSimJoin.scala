@@ -47,6 +47,20 @@ object SetSimJoin {
     * exact answer for such a corpus IS quadratic; the guard makes
     * paying that cost a deliberate caller decision, never an accident.
     *
+    * INTENDED REGIME: thresholds >= 0.8 — the near-dup band PPJoin was
+    * designed for and the one a dedup pipeline queries. There the
+    * prefix is a few RAREST tokens per doc and the positional filter
+    * bites; at low thresholds (~0.5) the prefix approaches half the
+    * set and the positional bound is measured near-inert (<1% pruned
+    * on the p112 fixture — candidates are decided almost entirely by
+    * the prefix join, i.e. the operator degrades toward the plain
+    * shared-token join it exists to avoid). Correctness holds at ANY
+    * threshold (the fuzz suite proves losslessness down to 1/2); if a
+    * low-threshold workload ever matters, the next prune to add is the
+    * suffix-count bound, not a tighter prefix. Exact low-similarity
+    * ANALYTICS (not dedup) should use the sketch family (p95 KMV)
+    * instead.
+    *
     * @param docs (id BIGINT, toks array<string> DISTINCT tokens)
     * @param num  threshold numerator;  with den, a rational in (0, 1]
     * @param den  threshold denominator

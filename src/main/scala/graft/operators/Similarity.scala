@@ -877,6 +877,25 @@ object Similarity {
     *   frame's lifecycle); the labels must be [[KMeansOp.assign]]'s for
     *   this model or the sign-bit refinement loses its centering.
     */
+  /** Derive [[semanticDedupBounded]]'s cellCap from the corpus
+    * cardinality instead of hand-tuning it to a fixture: on BALANCED
+    * data the expected cluster is N/k vectors and the sign-bit re-split
+    * can cut it by at most 2^maxBits, so any cap below
+    * ceil(N / (k·2^maxBits)) would trip the guard on data that isn't
+    * even skewed. cap = max(base, that bound): at small N the base
+    * dominates (p107's 64, the work-unit a single task comfortably
+    * holds — pairs/cell <= 2·cap² ≈ 8k comparisons), and as N drifts up
+    * the cap moves WITH the data while the guard keeps firing only for
+    * genuine skew. Integer ceiling division — the oracle replays it as
+    * (COUNT(*) + k·2^maxBits − 1) // (k·2^maxBits).
+    */
+  def derivedCellCap(n: Long, k: Int, maxBits: Int = 6,
+      base: Long = 64L): Long = {
+    require(n >= 0 && k >= 1 && maxBits >= 0 && maxBits <= 6 && base >= 1)
+    val denom = k.toLong << maxBits
+    math.max(base, (n + denom - 1) / denom)
+  }
+
   def semanticDedupBounded(
       emb: DataFrame,
       idCol: String,

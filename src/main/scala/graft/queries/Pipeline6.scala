@@ -635,8 +635,16 @@ object Pipeline6 {
         import graft.operators.Similarity
         val emb = t(s, dir, "embeddings")
         val model = Pipeline.fittedKmeans(s, dir, 4, 3)
+        // cellCap DERIVED from the corpus, not tuned to the fixture:
+        // max(64, ceil(N / (k·2^maxBits))) — at every fixture SF the
+        // base 64 still dominates (N <= 2000, bound <= 8), so the
+        // re-split keeps firing live here, while data drift at scale
+        // moves the cap instead of tripping the guard (the derivation
+        // arithmetic is pinned in SemanticDedupBoundedSpec; the oracle
+        // replays the same integer ceiling division)
+        val cap = Similarity.derivedCellCap(emb.count(), k = 4)
         Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
-          model, 0.45, cellCap = 64L,
+          model, 0.45, cellCap = cap,
           preAssigned = Some(Pipeline.fittedKmeansAssigned(s, dir, 4, 3)))
       },
       Some {
@@ -645,14 +653,17 @@ object Pipeline6 {
         // final assignment reads)
         val cn = "c3"
         s"""WITH $ctes,
+           |cap AS (
+           |  SELECT GREATEST(64, (COUNT(*) + 255) // 256) AS cap
+           |  FROM embeddings),
            |sz AS (SELECT cell, COUNT(*) AS c FROM $asg GROUP BY cell),
            |ms AS (
            |  SELECT cell,
-           |    CASE WHEN c <= 64 THEN 0 WHEN c <= 128 THEN 1
-           |         WHEN c <= 256 THEN 2 WHEN c <= 512 THEN 3
-           |         WHEN c <= 1024 THEN 4 WHEN c <= 2048 THEN 5
+           |    CASE WHEN c <= cap THEN 0 WHEN c <= 2 * cap THEN 1
+           |         WHEN c <= 4 * cap THEN 2 WHEN c <= 8 * cap THEN 3
+           |         WHEN c <= 16 * cap THEN 4 WHEN c <= 32 * cap THEN 5
            |         ELSE 6 END AS m
-           |  FROM sz),
+           |  FROM sz CROSS JOIN cap),
            |bits AS (
            |  SELECT a.vec_id, a.cell,
            |    SUM(CASE WHEN e.d < ms.m AND

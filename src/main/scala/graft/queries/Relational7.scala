@@ -678,7 +678,16 @@ object Relational7 {
       "q103_time_type",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.timeType.enabled", "true")
+        // the TIME gate is consulted at parse time AND again at
+        // execution (measured: restoring the conf after eager plan
+        // construction fails the run with UNSUPPORTED_TIME_TYPE), so a
+        // per-query set-and-restore cannot work — the flag must be on
+        // for the session. It is set ONCE at bootstrap (Bench, Verify,
+        // SparkTestSession all do), never mutated mid-run, so no query
+        // silently changes its neighbors' type-resolution behavior.
+        require(s.conf.get("spark.sql.timeType.enabled", "false") == "true",
+          "q103 needs spark.sql.timeType.enabled=true, set at session " +
+            "bootstrap (see Bench/Verify) — never mid-run")
         t(s, dir, "events")
           .withColumn("t", expr(
             "make_time(hour(ts), minute(ts), CAST(second(ts) AS DECIMAL(16,6)))"))

@@ -18,8 +18,10 @@ object ChunkStreams {
     * on the chunk hash keeps each hash's first arrival (state = one
     * entry per distinct hash inside the watermark horizon), and the
     * downstream watermarked window aggregate counts the survivors. Only
-    * 12-char hashes ever enter state; chunk text dies in the same
-    * stage it was born.
+    * the FULL 128-bit md5 ever enters state (a truncated key would let
+    * birthday collisions mark genuinely new chunks as duplicates,
+    * silently breaking the never-under-counts contract below past ~2^24
+    * distinct types); chunk text dies in the same stage it was born.
     *
     * The watermark horizon is the DEDUP MEMORY BUDGET, exactly as in
     * [[EventStreams.dedupStream]]: a hash recurring more than
@@ -39,7 +41,7 @@ object ChunkStreams {
       .select(col("ts"),
         explode(graft.functions.CdcFunctions.gear_chunks(col("text"),
           maskBits)).as("chunk"))
-      .select(col("ts"), substring(md5(col("chunk")), 1, 12).as("h"))
+      .select(col("ts"), md5(col("chunk")).as("h"))
       .dropDuplicatesWithinWatermark("h")
       .groupBy(window(col("ts"), windowDur))
       .agg(count(lit(1)).as("n_new_types"))

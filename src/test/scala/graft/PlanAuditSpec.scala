@@ -695,4 +695,32 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("p113 ranks per-lang top-5 without a vocab Window or forced broadcast") {
+    // the raw-web token vocabulary is unbounded (~10^8-10^9 types at
+    // 100 TB): the per-token df dictionary must NOT be force-broadcast
+    // (AQE may still choose to at small SF — the hint is the hazard,
+    // not the runtime choice) and top-5-per-lang must run through the
+    // bounded TopKStrByOrd aggregate, never a per-lang row_number
+    // window that sorts the whole vocab x langs frame in one task.
+    val df = SparkEntry.queries("p113_chi2_features")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    // the only permitted hint is the class-sized per-lang count frame
+    // (it appears once per reference to the shared chi2 subtree); every
+    // hint's child must be the n_lang aggregate — never the vocab df
+    val lines = analyzed.split("\n")
+    val hintIdx = lines.indices.filter(lines(_).contains("ResolvedHint"))
+    assert(hintIdx.nonEmpty, s"nLang hint vanished:\n$analyzed")
+    hintIdx.foreach { i =>
+      val child = lines.drop(i + 1).find(_.contains("Aggregate ["))
+      assert(child.exists(_.contains("n_lang")),
+        s"broadcast hint on a non-nLang frame:\n${lines.slice(i, i + 4).mkString("\n")}")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"vocab-sized window survived:\n$p")
+    assert(p.contains("TopKStrByOrd") || p.contains("topkstrbyord") ||
+      p.toLowerCase.contains("topkstr"),
+      s"bounded top-k aggregator missing from plan:\n$p")
+    assert(p.contains("partial_"), s"top-k must partial-aggregate:\n$p")
+  }
 }

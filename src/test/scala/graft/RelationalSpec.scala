@@ -9,6 +9,7 @@ object SparkTestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.timeType.enabled", "true") // q103; set at bootstrap, never mid-run
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

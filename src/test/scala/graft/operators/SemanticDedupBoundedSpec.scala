@@ -85,4 +85,29 @@ class SemanticDedupBoundedSpec extends AnyFunSuite {
     assert(ok == emb.filter(col("embedding").isNotNull).count())
     spark.catalog.clearCache()
   }
+
+  test("derivedCellCap: base floor, exact ceiling, balanced-data no-guard bound") {
+    import Similarity.derivedCellCap
+    // base dominates at every fixture scale (N = 500 / 500 / 2000, k=4)
+    assert(derivedCellCap(500, 4) == 64L)
+    assert(derivedCellCap(2000, 4) == 64L)
+    // base stops dominating exactly past N = base * k * 2^maxBits
+    assert(derivedCellCap(64L * 256, 4) == 64L)
+    assert(derivedCellCap(64L * 256 + 1, 4) == 65L)
+    // exact integer ceiling, never the floor
+    assert(derivedCellCap(257, 4, base = 1) == 2L)
+    assert(derivedCellCap(256, 4, base = 1) == 1L)
+    assert(derivedCellCap(512, 4, base = 1) == 2L)
+    // the property the derivation exists for: on perfectly balanced
+    // data (every cluster N/k, every sign-split even) the refined cell
+    // is N / (k * 2^maxBits) <= cap < 2*cap — the guard cannot fire
+    for (n <- Seq(10000L, 1000000L, 123456789L); k <- Seq(4, 16)) {
+      val cap = derivedCellCap(n, k)
+      val balancedRefined = (n + (k.toLong << 6) - 1) / (k.toLong << 6)
+      assert(balancedRefined <= cap, s"n=$n k=$k")
+    }
+    // and the pair budget stays linear: pairs <= N * cap with cap
+    // growing only as N/(k*2^maxBits) — the documented Σc² bound
+    assert(derivedCellCap(1L << 40, 4) == (1L << 40) / 256)
+  }
 }

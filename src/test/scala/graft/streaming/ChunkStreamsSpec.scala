@@ -29,7 +29,7 @@ class ChunkStreamsSpec extends AnyFunSuite {
     val ch = docs.select($"ts", $"doc_id",
         explode(graft.functions.CdcFunctions.gear_chunks($"text", 6))
           .as("chunk"))
-      .select($"ts", $"doc_id", substring(md5($"chunk"), 1, 12).as("h"))
+      .select($"ts", $"doc_id", md5($"chunk").as("h"))
     val expected = ch.groupBy($"h")
       .agg(min(struct($"ts", $"doc_id")).as("f"))
       .groupBy(date_trunc("hour", $"f.ts").as("w"))
@@ -92,7 +92,7 @@ class ChunkStreamsSpec extends AnyFunSuite {
     val ch = docs.select($"ts", $"doc_id",
         explode(graft.functions.CdcFunctions.gear_chunks($"text", 6))
           .as("chunk"))
-      .select($"ts", $"doc_id", substring(md5($"chunk"), 1, 12).as("h"))
+      .select($"ts", $"doc_id", md5($"chunk").as("h"))
     val types = ch.select($"h").distinct().count()
     val summed = ch.groupBy($"h")
       .agg(min(struct($"ts", $"doc_id")).as("f"))
