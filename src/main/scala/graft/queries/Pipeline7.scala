@@ -328,7 +328,8 @@ object Pipeline7 {
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
   ) :+ blocklistStripDef :+ blocklistMonitorDef :+ classifierAucDef :+
-    langidKappaDef :+ mixtureWaterfillDef :+ unigramEncodeDef :+ ndcgDef
+    langidKappaDef :+ mixtureWaterfillDef :+ unigramEncodeDef :+ ndcgDef :+
+    unigramPruneDef
 
   private def mixtureWaterfillDef: QueryDef =
     QueryDef(
@@ -940,16 +941,62 @@ object Pipeline7 {
     * and cost nothing. A word longer than the ladder would UNK in the
     * oracle but encode in Spark, so the headroom is deliberate.)
     */
-  private def ugDpLadder(steps: Int): String =
+  private def ugDpLadder(steps: Int, m: String = "m",
+      pre: String = ""): String =
     (1 to steps).map { k =>
-      s"""b$k AS MATERIALIZED (
+      s"""${pre}b$k AS MATERIALIZED (
          |  SELECT m.word, m.p, CAST(MIN(m.cost + u.best) AS BIGINT) AS best
-         |  FROM m JOIN u${k - 1} u ON u.word = m.word AND u.p = m.p + m.l
+         |  FROM $m m JOIN ${pre}u${k - 1} u
+         |    ON u.word = m.word AND u.p = m.p + m.l
          |  WHERE m.p = length(m.word) + 1 - $k
          |  GROUP BY 1, 2),
-         |u$k AS MATERIALIZED (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM b$k)"""
+         |${pre}u$k AS MATERIALIZED (
+         |  SELECT * FROM ${pre}u${k - 1} UNION ALL SELECT * FROM ${pre}b$k)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** The full encode block for one vocabulary table `$voc(piece, cost)`:
+    * match table, 24-step backward-DP ladder, (cost, len DESC) jump
+    * table, recursive walk, and `${pre}toks(word, cnt, piece)` — the
+    * p120 oracle machinery, parameterized so p122 can run it twice
+    * (once per pre/post-prune vocabulary) in one statement.
+    */
+  private def ugEncodeCtes(voc: String, pre: String): String =
+    s"""${pre}m AS MATERIALIZED (
+       |  SELECT pos.word, pos.p, CAST(length(v.piece) AS INT) AS l,
+       |    v.cost, v.piece
+       |  FROM pos JOIN $voc v
+       |    ON substr(pos.word, pos.p, length(v.piece)) = v.piece),
+       |${pre}u0 AS MATERIALIZED (
+       |  SELECT word, CAST(length(word) + 1 AS INT) AS p,
+       |    CAST(0 AS BIGINT) AS best
+       |  FROM wc),
+       |${ugDpLadder(24, s"${pre}m", pre)},
+       |${pre}jmp AS (
+       |  SELECT m.word, m.p, m.l, m.piece,
+       |    row_number() OVER (PARTITION BY m.word, m.p
+       |      ORDER BY m.cost + b.best, m.l DESC) AS rn
+       |  FROM ${pre}m m JOIN ${pre}u24 b
+       |    ON b.word = m.word AND b.p = m.p + m.l),
+       |${pre}jmp1 AS MATERIALIZED (SELECT * FROM ${pre}jmp WHERE rn = 1),
+       |${pre}walk(word, pos, pieces) AS (
+       |  SELECT word, CAST(1 AS INT), CAST([] AS VARCHAR[]) FROM wc
+       |  UNION ALL
+       |  SELECT k.word,
+       |    CAST(CASE WHEN j.l IS NULL THEN length(k.word) + 1
+       |              ELSE k.pos + j.l END AS INT),
+       |    CASE WHEN j.l IS NULL THEN ['[UNK]']
+       |         ELSE list_append(k.pieces, j.piece) END
+       |  FROM ${pre}walk k LEFT JOIN ${pre}jmp1 j
+       |    ON j.word = k.word AND j.p = k.pos
+       |  WHERE k.pos <= length(k.word)),
+       |${pre}enc AS (
+       |  SELECT w.word, w.cnt, k.pieces
+       |  FROM wc w JOIN ${pre}walk k ON k.word = w.word
+       |  WHERE k.pos > length(k.word)),
+       |${pre}toks AS (
+       |  SELECT word, cnt, unnest(pieces) AS piece FROM ${pre}enc)"""
+      .stripMargin
 
   private def unigramEncodeDef: QueryDef =
     QueryDef(
@@ -996,40 +1043,102 @@ object Pipeline7 {
               |pos AS MATERIALIZED (
               |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
               |  FROM wc),
-              |m AS MATERIALIZED (
-              |  SELECT pos.word, pos.p, CAST(length(v.piece) AS INT) AS l,
-              |    v.cost, v.piece
-              |  FROM pos JOIN vocab v
-              |    ON substr(pos.word, pos.p, length(v.piece)) = v.piece),
-              |u0 AS MATERIALIZED (
-              |  SELECT word, CAST(length(word) + 1 AS INT) AS p,
-              |    CAST(0 AS BIGINT) AS best
-              |  FROM wc),
-              |${ugDpLadder(24)},
-              |jmp AS (
-              |  SELECT m.word, m.p, m.l, m.piece,
-              |    row_number() OVER (PARTITION BY m.word, m.p
-              |      ORDER BY m.cost + b.best, m.l DESC) AS rn
-              |  FROM m JOIN u24 b ON b.word = m.word AND b.p = m.p + m.l),
-              |jmp1 AS MATERIALIZED (SELECT * FROM jmp WHERE rn = 1),
-              |walk(word, pos, pieces) AS (
-              |  SELECT word, CAST(1 AS INT), CAST([] AS VARCHAR[]) FROM wc
-              |  UNION ALL
-              |  SELECT k.word,
-              |    CAST(CASE WHEN j.l IS NULL THEN length(k.word) + 1
-              |              ELSE k.pos + j.l END AS INT),
-              |    CASE WHEN j.l IS NULL THEN ['[UNK]']
-              |         ELSE list_append(k.pieces, j.piece) END
-              |  FROM walk k LEFT JOIN jmp1 j
-              |    ON j.word = k.word AND j.p = k.pos
-              |  WHERE k.pos <= length(k.word)),
-              |enc AS (
-              |  SELECT w.word, w.cnt, k.pieces
-              |  FROM wc w JOIN walk k ON k.word = w.word
-              |  WHERE k.pos > length(k.word)),
-              |toks AS (SELECT word, cnt, unnest(pieces) AS piece FROM enc)
+              |${ugEncodeCtes("vocab", "")}
               |SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses,
               |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
               |FROM toks GROUP BY piece
               |ORDER BY piece""".stripMargin))
+
+  private def unigramPruneDef: QueryDef =
+    QueryDef(
+      // UNIGRAM VOCABULARY PRUNING ROUND (the train-side loop of the
+      // SentencePiece scheme: seed a vocabulary, measure piece utility
+      // under the CURRENT model's own Viterbi segmentation, prune the
+      // low-utility pieces, re-segment — Kudo 2018's prune step with
+      // an integer utility): encode pass 1 with the full p120
+      // vocabulary, drop every multi-character piece whose corpus use
+      // count is under 1/25 of total word instances (single characters
+      // are never pruned — they are the coverage floor), re-encode
+      // with the survivors, and report per-piece uses before/after.
+      // The re-encode is LOAD-BEARING at every fixture SF: pruning
+      // "qu" UNKs every q-word, pruning "wind"/"str"/"eam" re-routes
+      // window/stream onto char paths, and pass-2 picks up pieces
+      // pass 1 never used ("w" takes window's head once "wind" dies) —
+      // exactly the vocabulary-shrink dynamics a tokenizer trainer
+      // iterates. Exactness: the prune rule is one integer
+      // cross-multiplication (uses*25 >= total, no ratio), so vocab2
+      // is engine-identical by construction; the oracle replays BOTH
+      // Viterbi passes with the shared encode block (ugEncodeCtes) and
+      // derives vocab2 relationally from pass-1 counts. Scale shape:
+      // two distinct-word dictionary encodes and two count shuffles;
+      // the pass-1 piece stats collected to build pass 2's plan-time
+      // vocabulary are CODEBOOK-BOUNDED (vocab-sized, the fittedKmeans
+      // model-artifact discipline) — never corpus-sized.
+      "p122_unigram_prune",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.unigram_pieces
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // tiny dictionary, read by both passes
+        val enc1 = words.select($"word", $"cnt",
+          explode(unigram_pieces($"word", UgVocab)).as("piece"))
+        val uses1 = enc1.groupBy($"piece").agg(sum($"cnt").as("uses1"))
+        val total = words.agg(sum($"cnt")).head.getLong(0)
+        // codebook-bounded: vocab-sized piece stats to the driver, the
+        // model-fit step (pass 2's vocabulary is a plan-time literal)
+        val used = uses1.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val vocab2 = UgVocab.filter { case (p, _) =>
+          p.length == 1 || used.getOrElse(p, 0L) * 25 >= total }
+        val enc2 = words.select($"word", $"cnt",
+          explode(unigram_pieces($"word", vocab2)).as("piece"))
+        val uses2 = enc2.groupBy($"piece").agg(sum($"cnt").as("uses2"))
+        val kept = vocab2.map(_._1).toSet
+        val spine = (UgVocab.map(_._1) :+ "[UNK]")
+          .map(p => (p, p != "[UNK]" && !kept.contains(p)))
+          .toDF("piece", "dropped")
+        spine.join(uses1, Seq("piece"), "left")
+          .join(uses2, Seq("piece"), "left")
+          .select($"piece",
+            coalesce($"uses1", lit(0L)).as("uses1"),
+            coalesce($"uses2", lit(0L)).as("uses2"),
+            $"dropped")
+          .orderBy($"piece")
+      },
+      Some(s"""WITH RECURSIVE vocab(piece, cost) AS (VALUES $ugVocabValues),
+              |wc AS MATERIALIZED (
+              |  SELECT word, COUNT(*) AS cnt
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1),
+              |pos AS MATERIALIZED (
+              |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
+              |  FROM wc),
+              |${ugEncodeCtes("vocab", "a")},
+              |us1 AS MATERIALIZED (
+              |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS uses1
+              |  FROM atoks GROUP BY piece),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+              |vocab2 AS MATERIALIZED (
+              |  SELECT v.piece, v.cost
+              |  FROM vocab v LEFT JOIN us1 ON us1.piece = v.piece, tot
+              |  WHERE length(v.piece) = 1
+              |     OR COALESCE(us1.uses1, 0) * 25 >= tot.total),
+              |${ugEncodeCtes("vocab2", "b")},
+              |us2 AS MATERIALIZED (
+              |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS uses2
+              |  FROM btoks GROUP BY piece),
+              |spine AS (SELECT piece FROM vocab
+              |          UNION ALL SELECT '[UNK]')
+              |SELECT s.piece,
+              |  COALESCE(us1.uses1, 0) AS uses1,
+              |  COALESCE(us2.uses2, 0) AS uses2,
+              |  (s.piece <> '[UNK]' AND v2.piece IS NULL) AS dropped
+              |FROM spine s
+              |LEFT JOIN us1 ON us1.piece = s.piece
+              |LEFT JOIN us2 ON us2.piece = s.piece
+              |LEFT JOIN vocab2 v2 ON v2.piece = s.piece
+              |ORDER BY s.piece""".stripMargin))
 }
