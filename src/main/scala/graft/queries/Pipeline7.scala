@@ -798,7 +798,7 @@ object Pipeline7 {
     * golden and ties-everywhere fuzz — the fixture costs happen to
     * have unique optima.)
     */
-  private val UgVocab: Seq[(String, Int)] = {
+  private[queries] val UgVocab: Seq[(String, Int)] = {
     val singles = "abcdefghijklmnoprstuwy".map(c => c.toString -> 100)
     singles ++ Seq("qu" -> 260, "da" -> 120, "ta" -> 110, "dat" -> 290,
       "th" -> 150, "the" -> 210, "er" -> 130, "ord" -> 250, "st" -> 140,
@@ -807,7 +807,7 @@ object Pipeline7 {
   }
 
   /** `('a', 100), ...` for the p120 oracle. */
-  private val ugVocabValues: String =
+  private[queries] val ugVocabValues: String =
     UgVocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
 
   /** p121's rank-discount table: round(2^20 / log2(rank+1)) for ranks
@@ -961,7 +961,7 @@ object Pipeline7 {
     * p120 oracle machinery, parameterized so p122 can run it twice
     * (once per pre/post-prune vocabulary) in one statement.
     */
-  private def ugEncodeCtes(voc: String, pre: String): String =
+  private[queries] def ugEncodeCtes(voc: String, pre: String): String =
     s"""${pre}m AS MATERIALIZED (
        |  SELECT pos.word, pos.p, CAST(length(v.piece) AS INT) AS l,
        |    v.cost, v.piece

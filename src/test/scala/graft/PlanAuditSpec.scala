@@ -723,4 +723,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bounded top-k aggregator missing from plan:\n$p")
     assert(p.contains("partial_"), s"top-k must partial-aggregate:\n$p")
   }
+
+  test("p123/p124 aggregate partially, no window, no cartesian") {
+    // fertility: word-dictionary encode joins back by key; k-anonymity
+    // is one count shuffle + a dictionary rollup — neither may plan a
+    // window (nothing here ranks) or an unkeyed join
+    for (name <- Seq("p123_tokenizer_fertility", "p124_k_anonymity")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name grew a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name must partial-aggregate:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
 }
