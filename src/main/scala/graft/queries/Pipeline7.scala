@@ -798,7 +798,7 @@ object Pipeline7 {
     * golden and ties-everywhere fuzz — the fixture costs happen to
     * have unique optima.)
     */
-  private[queries] val UgVocab: Seq[(String, Int)] = {
+  val UgVocab: Seq[(String, Int)] = {
     val singles = "abcdefghijklmnoprstuwy".map(c => c.toString -> 100)
     singles ++ Seq("qu" -> 260, "da" -> 120, "ta" -> 110, "dat" -> 290,
       "th" -> 150, "the" -> 210, "er" -> 130, "ord" -> 250, "st" -> 140,

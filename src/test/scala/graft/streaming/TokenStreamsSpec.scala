@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming fertility monitor must equal the batch per-window
+  * (n_tokens, n_pieces, n_unk_tokens) sums when the watermark horizon
+  * covers the whole span — and because the windowed sums carry NO
+  * dedup state, equality must hold under deliberately RAGGED
+  * micro-batch splits (the MatchStreamsSpec discipline; contrast the
+  * chunk-novelty monitor whose dedup state needs aligned batches in
+  * its spec).
+  */
+class TokenStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val vocab = graft.queries.Pipeline7.UgVocab
+
+  test("stream == batch windowed fertility under ragged batch splits") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .withColumn("ts", expr(
+        "timestamp_seconds(1767225600 + (doc_id * 97) % 21600)"))
+      .select($"ts", $"doc_id", $"text")
+    val expected = docs
+      .select(date_trunc("hour", $"ts").as("w"),
+        explode(split($"text", " ")).as("word"))
+      .select($"w",
+        graft.functions.UnigramFunctions.unigram_pieces($"word", vocab)
+          .as("pieces"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size($"pieces")).as("n_pieces"),
+        sum(when($"pieces" === array(lit("[UNK]")), 1L).otherwise(0L))
+          .as("n_unk"))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(expected.size >= 4, s"fixture too sparse: ${expected.size}")
+    assert(expected.values.exists(_._3 > 0),
+      "fixture must exercise the UNK path in-stream (v-words)")
+
+    val dir = Files.createTempDirectory("tokenstream-docs").toString
+    val ckpt = Files.createTempDirectory("tokenstream-ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = TokenStreams.fertilityStream(stream, vocab,
+        windowDur = "1 hour", watermark = "96 hours")
+      .writeStream.format("memory").queryName("token_fertility")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // ragged splits: doc_id bands, never window-aligned
+      Seq(0L -> 101L, 101L -> 260L, 260L -> 333L, 333L -> 100000L)
+        .foreach { case (lo, hi) =>
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      val sentinelTs = 1767225600L + 1000L * 3600
+      Seq((new java.sql.Timestamp(sentinelTs * 1000), 999999L, "spark"))
+        .toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("token_fertility")
+      .filter($"w_start" < new java.sql.Timestamp(
+        (1767225600L + 999L * 3600) * 1000))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"stream diverged from batch:\n  stream: ${got.toSeq.sortBy(_._1.getTime)}\n" +
+        s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
+    // the derived ratio is consistent with the sums it rides on
+    spark.table("token_fertility").collect().foreach { r =>
+      assert(r.getAs[Long]("fertility_centi") ==
+        r.getAs[Long]("n_pieces") * 100 / r.getAs[Long]("n_tokens"))
+    }
+    spark.catalog.clearCache()
+  }
+}
