@@ -84,11 +84,15 @@ case class UnigramPieces(child: Expression, vocab: Seq[(String, Int)])
     copy(child = newChild)
 }
 
-/** Length-keyed piece costs: `byLen(l)` maps each piece text of length
-  * l to its integer cost. maxLen bounds the per-cursor inner loop.
+/** Length-INDEXED piece costs: `byLen(l)` is a java.util.HashMap from
+  * piece text of length l to its boxed cost (null-absent — one probe,
+  * no Option boxing), or null when no piece has length l. The batch
+  * call sites encode only the distinct-word dictionary, but the
+  * streaming fertility monitor (TokenStreams) runs this per word
+  * INSTANCE map-side, so the per-cursor probe is the hot path there.
   */
 final class UnigramTable(
-    val byLen: Map[Int, Map[String, Int]],
+    val byLen: Array[java.util.HashMap[String, Integer]],
     val maxLen: Int) extends Serializable
 
 object UnigramTable {
@@ -96,19 +100,24 @@ object UnigramTable {
   private val Inf = Long.MaxValue / 4
 
   def build(vocab: Seq[(String, Int)]): UnigramTable = {
-    val byLen = vocab.groupBy(_._1.length)
-      .map { case (l, ps) => l -> ps.toMap }
-    new UnigramTable(byLen, (byLen.keySet + 0).max)
+    val maxLen = vocab.map(_._1.length).max
+    val byLen = new Array[java.util.HashMap[String, Integer]](maxLen + 1)
+    vocab.foreach { case (p, c) =>
+      if (byLen(p.length) == null)
+        byLen(p.length) = new java.util.HashMap[String, Integer]()
+      byLen(p.length).put(p, c)
+    }
+    new UnigramTable(byLen, maxLen)
   }
 
-  private def costAt(t: UnigramTable, s: String, pos: Int, l: Int): Long =
-    t.byLen.get(l) match {
-      case Some(m) => m.get(s.substring(pos, pos + l)) match {
-        case Some(c) => c.toLong
-        case None    => Inf
-      }
-      case None => Inf
+  private def costAt(t: UnigramTable, s: String, pos: Int, l: Int): Long = {
+    val m = t.byLen(l)
+    if (m == null) Inf
+    else {
+      val c = m.get(s.substring(pos, pos + l))
+      if (c == null) Inf else c.longValue()
     }
+  }
 
   def encode(t: UnigramTable, word: UTF8String): ArrayData = {
     val s = word.toString

@@ -211,4 +211,74 @@ class PipelineGbScaleSmokeSpec extends AnyFunSuite {
       s"guard did not fire on the quadratic corpus: ${e.getMessage}")
     info("setSimJoin budget guard refused the quadratic corpus as designed")
   }
+
+  test("unigram dictionary discipline holds analytic results at ~GB scale") {
+    import spark.implicits._
+    val full = sys.env.get("SPARK_GRAFT_GBSMOKE").contains("1")
+    val r = if (full) 680 else 170
+    val dir = s"/tmp/graft-synth/docs_x$r.parquet"
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val nBase = base.count()
+    val uniqPerBase = (r + 4) / 5
+    if (!new java.io.File(dir).exists()) {
+      // same corpus recipe as the main smoke (generate-once cached)
+      base.withColumn("__r", explode(lit((0 until r).toArray)))
+        .select(
+          ($"doc_id" * 1000 + $"__r").as("doc_id"),
+          when($"__r" % 5 === 0,
+            concat($"text", lit(" uniq "), $"doc_id" * 1000 + $"__r"))
+            .otherwise($"text").as("text"),
+          $"source")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val textMb = base.agg(sum(length($"text"))).collect().head
+      .getLong(0) * r / 1e6
+    val vocab = graft.queries.Pipeline7.UgVocab
+
+    // the p123 shape: collapse to the distinct-word dictionary, run the
+    // Viterbi DP once per word, ride corpus counts back. The analytic
+    // identities: replicas preserve segmentation exactly, and each
+    // suffixed replica appends " uniq <digits>" — BOTH suffix words UNK
+    // under this vocabulary ('q' is reachable only via "qu", digits are
+    // uncovered), so tokens/pieces/UNKs all shift by exactly
+    // 2 * nBase * uniqPerBase. A broken dictionary collapse (encode on
+    // the corpus frame) would still pass the identities but blow the
+    // time floor: the DP over ~10^5 distinct words is sub-second, the
+    // corpus is ~50M word instances.
+    def fert(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val words = df.select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val dict = words.select($"word",
+          graft.functions.UnigramFunctions
+            .unigram_pieces($"word", vocab).as("p"))
+        .select($"word", size($"p").cast("long").as("np"),
+          ($"p" === array(lit("[UNK]"))).as("unk"))
+      val row = words.join(dict, "word")
+        .agg(sum($"cnt"), sum($"cnt" * $"np"),
+          sum(when($"unk", $"cnt").otherwise(0L)))
+        .collect().head
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val (bTok, bPc, bUnk) = fert(base)
+    assert(bUnk > 0, "base fixture must exercise UNK (v-words)")
+    var ((gTok, gPc, gUnk), ms) = timedMs(fert(docs))
+    if (textMb / (ms / 1000.0) < 30) {
+      val again = timedMs(fert(docs))
+      if (again._2 < ms) {
+        gTok = again._1._1; gPc = again._1._2; gUnk = again._1._3
+        ms = again._2
+      }
+    }
+    val extra = 2L * nBase * uniqPerBase
+    assert(gTok == bTok * r + extra, s"token identity off: $gTok")
+    assert(gPc == bPc * r + extra, s"piece identity off: $gPc")
+    assert(gUnk == bUnk * r + extra, s"UNK identity off: $gUnk")
+    val mbps = textMb / (ms / 1000.0)
+    info(f"unigram fertility (dict discipline): ${ms}ms over " +
+      f"$textMb%.0f MB ($mbps%.0f MB/s)")
+    assert(mbps >= 12, f"unigram fertility $mbps%.1f MB/s < 12 MB/s floor")
+    spark.catalog.clearCache()
+  }
 }
