@@ -1081,7 +1081,12 @@ object Pipeline7 {
         val words = t(s, dir, "documents")
           .select(explode(split($"text", " ")).as("word"))
           .groupBy($"word").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true) // tiny dictionary, read by both passes
+          // intra-query reuse across both passes: persist (populated by
+          // the uses1 collect below, dropped by the per-query
+          // clearCache — the CacheHygieneSpec contract), NOT a
+          // localCheckpoint, which would leak one executor-resident
+          // RDD per invocation past the clear
+          .persist()
         val enc1 = words.select($"word", $"cnt",
           explode(unigram_pieces($"word", UgVocab)).as("piece"))
         val uses1 = enc1.groupBy($"piece").agg(sum($"cnt").as("uses1"))

@@ -217,7 +217,7 @@ object Pipeline8 {
       // Batch side keeps the dictionary discipline: the DP runs once
       // per distinct word, per-(hour, word) counts join back on the
       // word key. Integer centi/ppm ratios as p123.
-      "p127_fertility_drift",
+      "p126_fertility_drift",
       (s, dir) => {
         import s.implicits._
         import graft.functions.UnigramFunctions.unigram_pieces

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The unigram tokenizer composed into the streaming stack — the
-  * ingest-time face of p123/p127's fertility analytics: as documents
+  * ingest-time face of p123/p126's fertility analytics: as documents
   * arrive, how many subword pieces per token is each event-time window
   * paying, and what fraction UNKs? A crawl whose fertility spikes is
   * changing register or language; the ingest router should notice

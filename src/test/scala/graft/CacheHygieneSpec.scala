@@ -157,4 +157,27 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
   }
+
+  test("round-9 entries (p122 word-dict persist included) leak nothing") {
+    // p122 persists its distinct-word dictionary for the two encode
+    // passes (a plain persist, NOT a localCheckpoint, precisely so the
+    // per-query clear drops it); p113/p120/p121/p123-p125/p126 carry no
+    // persist at all. Repeat p122 to prove no per-invocation growth.
+    for (q <- Seq("p113_chi2_features", "p120_unigram_encode",
+        "p121_ndcg", "p122_unigram_prune", "p122_unigram_prune",
+        "p123_tokenizer_fertility", "p124_k_anonymity",
+        "p125_calibration_ece", "p126_fertility_drift")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      // p121 reads the annExactTop10 memo (ONE bounded cross-query
+      // localCheckpoint, the p101/xknn precedent) on a cold session
+      val allow = if (q == "p121_ndcg") 1 else 0
+      assert(leaked.size <= allow,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+  }
 }
