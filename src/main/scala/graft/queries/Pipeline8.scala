@@ -275,6 +275,139 @@ object Pipeline8 {
               |    // SUM(ws.cnt) AS BIGINT) AS unk_ppm
               |FROM ws JOIN pw ON pw.word = ws.word
               |GROUP BY ws.w
-              |ORDER BY ws.w""".stripMargin))
+              |ORDER BY ws.w""".stripMargin)),
+
+    QueryDef(
+      // ROUGE-L EVAL-SET DECONTAMINATION (token-LCS against held-out
+      // references — Lin 2004, public): the decontam signal n-gram
+      // matching misses: a paraphrased or token-dropped copy of an
+      // eval prompt shares a long COMMON SUBSEQUENCE with it even when
+      // every contiguous n-gram is broken (p96's Bloom decontam and
+      // the containment entries are exact-n-gram; this catches the
+      // reordering-robust leak class). ROUGE-L's F at beta=1 reduces
+      // to 2*LCS/(m+n), so the whole metric is integer ppm — both
+      // engines floor identically. Per reference probe: documents over
+      // the 150000-ppm flag line, the worst offender's score, and
+      // total LCS mass. Scale shape: the probes are plan literals, the
+      // LCS runs map-side per document (O(doc_tokens * ref_tokens),
+      // native codegen expression), ONE partial-aggregable probe-keyed
+      // aggregate — nothing corpus-sized survives the map stage. The
+      // oracle replays the 2-D DP relationally: a windowed prefix-max
+      // CTE ladder over the row-sparse LCS recurrence
+      // L[j][i] = max(L[j-1][i], max_{i'<=i, tok=ref_j} L[j-1][i'-1]+1)
+      // — one ladder step per reference token position, each step one
+      // LEFT JOIN + running max (validated against an independent
+      // full-table LCS before shipping).
+      "p128_rougel_decontam",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.LcsFunctions.lcs_tokens
+        val lcsCols = EvalRefs.zipWithIndex.map { case ((_, toks), rid) =>
+          struct(lit(rid).as("rid"), lit(toks.size).as("rlen"),
+            lcs_tokens($"text", toks).cast("long").as("lcs")).as(s"r$rid")
+        }
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n"),
+            explode(array(lcsCols: _*)).as("r"))
+          .select($"doc_id", $"n", $"r.rid".as("rid"),
+            $"r.rlen".as("rlen"), $"r.lcs".as("lcs"))
+          .select($"rid", $"lcs",
+            expr("2 * lcs * 1000000 DIV (n + rlen)").as("f_ppm"))
+          .groupBy($"rid")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"f_ppm" >= 150000L, 1L).otherwise(0L))
+              .as("n_flagged"),
+            max($"f_ppm").as("max_f_ppm"),
+            sum($"lcs").as("sum_lcs"))
+          .withColumn("ref",
+            element_at(array(EvalRefs.map(r => lit(r._1)): _*), $"rid" + 1))
+          .select($"rid".cast("long").as("rid"), $"ref", $"n_docs",
+            $"n_flagged", $"max_f_ppm", $"sum_lcs")
+          .orderBy($"rid")
+      },
+      Some(s"""WITH refs(rid, j, rtok, rlen) AS (VALUES $evalRefValues),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CAST(unnest(generate_series(1, len(toks))) AS INT) AS i,
+              |    unnest(toks) AS tok, len(toks) AS n
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |        FROM documents)),
+              |dn AS MATERIALIZED (
+              |  SELECT doc_id, MAX(n) AS n FROM dt GROUP BY 1),
+              |row0 AS MATERIALIZED (
+              |  SELECT dn.doc_id, r.rid,
+              |    CAST(unnest(generate_series(0, dn.n)) AS INT) AS i,
+              |    CAST(0 AS BIGINT) AS dp
+              |  FROM dn CROSS JOIN (SELECT DISTINCT rid FROM refs) r),
+              |${lcsLadder(EvalRefs.map(_._2.size).max)},
+              |lcs AS (
+              |  SELECT doc_id, rid, MAX(dp) AS lcs
+              |  FROM row${EvalRefs.map(_._2.size).max} GROUP BY 1, 2),
+              |f AS (
+              |  SELECT l.doc_id, l.rid, l.lcs,
+              |    CAST(2 * l.lcs * 1000000 // (dn.n + r.rlen) AS BIGINT)
+              |      AS f_ppm
+              |  FROM lcs l JOIN dn ON dn.doc_id = l.doc_id
+              |  JOIN (SELECT DISTINCT rid, rlen FROM refs) r
+              |    ON r.rid = l.rid),
+              |rn(rid, ref) AS (VALUES $evalRefNames)
+              |SELECT CAST(f.rid AS BIGINT) AS rid, rn.ref,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN f_ppm >= 150000 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_flagged,
+              |  CAST(MAX(f_ppm) AS BIGINT) AS max_f_ppm,
+              |  CAST(SUM(lcs) AS BIGINT) AS sum_lcs
+              |FROM f JOIN rn ON rn.rid = f.rid
+              |GROUP BY f.rid, rn.ref
+              |ORDER BY rid""".stripMargin))
   )
+
+  /** p128's held-out reference probes — fixture-vocabulary token
+    * sequences so real (partial, reordered) overlaps exist at every
+    * scale. A production pass loads these from the eval registry; the
+    * plan shape is identical.
+    */
+  private val EvalRefs: Seq[(String, Seq[String])] = Seq(
+    "the query scan merge data",
+    "spark stream join order group",
+    "small batch fast hash table row",
+    "window filter sort key value vector column"
+  ).map(s => s -> s.split(" ").toSeq)
+
+  /** `(0, 1, 'the', 5), (0, 2, 'query', 5), ...` for the p128 oracle. */
+  private val evalRefValues: String =
+    EvalRefs.zipWithIndex.flatMap { case ((_, toks), rid) =>
+      toks.zipWithIndex.map { case (t, j) =>
+        s"($rid, ${j + 1}, '$t', ${toks.size})" }
+    }.mkString(", ")
+
+  /** `(0, 'the query ...'), ...` for the p128 oracle's name join. */
+  private val evalRefNames: String =
+    EvalRefs.zipWithIndex.map { case ((name, _), rid) =>
+      s"($rid, '$name')" }.mkString(", ")
+
+  /** The p128 oracle's LCS DP as a CTE ladder: step j lifts the DP one
+    * reference-token row via the row-sparse recurrence — candidates
+    * (match positions against ref token j) LEFT JOIN onto the previous
+    * row, then ONE running max over doc positions. MATERIALIZED for
+    * the same reason as the p120 ladder (DuckDB CTE re-inlining).
+    */
+  private def lcsLadder(steps: Int): String =
+    (1 to steps).map { j =>
+      s"""cand$j AS MATERIALIZED (
+         |  SELECT d.doc_id, r.rid, d.i, p.dp + 1 AS v
+         |  FROM dt d JOIN refs r ON r.j = $j AND d.tok = r.rtok
+         |  JOIN row${j - 1} p ON p.doc_id = d.doc_id AND p.rid = r.rid
+         |    AND p.i = d.i - 1),
+         |row$j AS MATERIALIZED (
+         |  SELECT p.doc_id, p.rid, p.i,
+         |    GREATEST(p.dp, COALESCE(MAX(c.v) OVER (
+         |      PARTITION BY p.doc_id, p.rid ORDER BY p.i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) AS dp
+         |  FROM row${j - 1} p
+         |  LEFT JOIN cand$j c ON c.doc_id = p.doc_id AND c.rid = p.rid
+         |    AND c.i = p.i)"""
+        .stripMargin
+    }.mkString(",\n")
 }

@@ -166,7 +166,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     for (q <- Seq("p113_chi2_features", "p120_unigram_encode",
         "p121_ndcg", "p122_unigram_prune", "p122_unigram_prune",
         "p123_tokenizer_fertility", "p124_k_anonymity",
-        "p125_calibration_ece", "p126_fertility_drift")) {
+        "p125_calibration_ece", "p126_fertility_drift",
+        "p128_rougel_decontam")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()

@@ -724,6 +724,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"top-k must partial-aggregate:\n$p")
   }
 
+  test("p128 LCS decontam is map-side: no join, no window, one aggregate") {
+    // the reference probes are plan literals and the LCS is a native
+    // expression, so the ONLY plan structure allowed is scan ->
+    // project/generate -> partial agg -> exchange -> final agg -> sort;
+    // a Join or Window would mean the probes stopped riding the plan
+    val p = plan("p128_rougel_decontam")
+    assert(!p.contains("Join"), s"p128 grew a join:\n$p")
+    assert(!p.contains("Window"), s"p128 grew a window:\n$p")
+    assert(p.contains("partial_"), s"p128 must partial-aggregate:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("p123/p124 aggregate partially, no window, no cartesian") {
     // fertility: word-dictionary encode joins back by key; k-anonymity
     // is one count shuffle + a dictionary rollup — neither may plan a
