@@ -101,7 +101,105 @@ object LcsTokens {
   }
 }
 
+/** Token-level Smith–Waterman LOCAL alignment score against a fixed
+  * reference (Smith & Waterman 1981, public) — the quote/plagiarism
+  * detector [[LcsTokens]] is not: LCS scores a 4-token exact quote and
+  * 4 tokens scattered across a document identically, while local
+  * alignment (match +2, mismatch −1, gap −1, floor 0) rewards the
+  * CONTIGUOUS region — a verbatim k-token quote scores 2k, scattered
+  * tokens decay through the gap penalty. The score is the max cell of
+  * the DP, i.e. the best locally-aligned span anywhere in the doc.
+  *
+  * Same envelope as LcsTokens: reference rides the plan, O(n·m)
+  * two-row DP map-side, integer score. The oracle replays it with the
+  * decay-max ladder: per reference row, core = max(0, diag, up), then
+  * the left-gap chain resolves to ONE running max of (core + i) − i
+  * (linear gap cost ⇒ the within-row recurrence telescopes).
+  */
+case class SwTokens(child: Expression, ref: Seq[String])
+    extends UnaryExpression {
+  require(ref.nonEmpty && ref.size <= 64,
+    "sw_tokens reference must be 1..64 tokens")
+  require(ref.forall(_.nonEmpty), "reference tokens must be non-empty")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sw_tokens expects a string, got ${t.simpleString}")
+    }
+
+  @transient private lazy val refArr: Array[String] = ref.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    SwTokens.sw(refArr, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("swRef", refArr,
+      classOf[Array[String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SwTokens$$.MODULE$$.sw($r, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SwTokens {
+
+  /** Two-row local-alignment DP, classic weights (+2/−1/−1, floor 0). */
+  def sw(ref: Array[String], text: UTF8String): Int = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var best = 0
+    var j = 0
+    while (j < ref.length) {
+      val rj = ref(j)
+      var i = 1
+      while (i <= n) {
+        val d = prev(i - 1) + (if (toks(i - 1) == rj) 2 else -1)
+        var v = if (d > 0) d else 0
+        if (prev(i) - 1 > v) v = prev(i) - 1
+        if (cur(i - 1) - 1 > v) v = cur(i - 1) - 1
+        cur(i) = v
+        if (v > best) best = v
+        i += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      j += 1
+    }
+    best
+  }
+
+  /** Naive reference for the property tests: full table, textbook
+    * recurrence, independently written.
+    */
+  def naiveSw(ref: Seq[String], toks: Seq[String]): Int = {
+    val m = ref.size; val n = toks.size
+    val dp = Array.ofDim[Int](m + 1, n + 1)
+    var best = 0
+    for (j <- 1 to m; i <- 1 to n) {
+      dp(j)(i) = Seq(0,
+        dp(j - 1)(i - 1) + (if (ref(j - 1) == toks(i - 1)) 2 else -1),
+        dp(j - 1)(i) - 1, dp(j)(i - 1) - 1).max
+      best = math.max(best, dp(j)(i))
+    }
+    best
+  }
+}
+
 object LcsFunctions {
   def lcs_tokens(text: Column, ref: Seq[String]): Column =
     ColumnBridge.column(LcsTokens(ColumnBridge.expression(text), ref))
+
+  def sw_tokens(text: Column, ref: Seq[String]): Column =
+    ColumnBridge.column(SwTokens(ColumnBridge.expression(text), ref))
 }

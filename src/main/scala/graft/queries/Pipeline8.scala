@@ -360,6 +360,76 @@ object Pipeline8 {
               |  CAST(SUM(lcs) AS BIGINT) AS sum_lcs
               |FROM f JOIN rn ON rn.rid = f.rid
               |GROUP BY f.rid, rn.ref
+              |ORDER BY rid""".stripMargin)),
+
+    QueryDef(
+      // LOCAL-ALIGNMENT QUOTE DETECTION (token Smith-Waterman vs the
+      // same held-out probes — Smith & Waterman 1981, public): the
+      // CONTIGUITY-weighted companion to p128's ROUGE-L. LCS scores a
+      // verbatim 4-token quote and 4 scattered tokens identically;
+      // local alignment (match +2, mismatch -1, gap -1, floor 0)
+      // scores the quote 8 and lets scatter decay — the verbatim-leak
+      // detector. Flag line sw >= 6 (a clean 3-token run, or 4 tokens
+      // with one gap). Scale shape identical to p128: probes are plan
+      // literals, the DP runs map-side, one probe-keyed aggregate.
+      // The oracle replays the 2-D DP as a ladder whose within-row
+      // left-gap chain TELESCOPES (linear gap cost): per reference
+      // row, core = max(0, diag, up) then
+      // S[i] = max_{i'<=i}(core[i'] + i') - i — one running max per
+      // step, the floor-at-0 free because core >= 0. The best cell can
+      // sit mid-table, so the final max scans ALL ladder rows, not the
+      // last (validated against an independent full-table SW before
+      // shipping).
+      "p129_local_align",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.LcsFunctions.sw_tokens
+        val swCols = EvalRefs.zipWithIndex.map { case ((_, toks), rid) =>
+          struct(lit(rid).as("rid"),
+            sw_tokens($"text", toks).cast("long").as("sw")).as(s"r$rid")
+        }
+        t(s, dir, "documents")
+          .select($"doc_id", explode(array(swCols: _*)).as("r"))
+          .select($"r.rid".as("rid"), $"r.sw".as("sw"))
+          .groupBy($"rid")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"sw" >= 6L, 1L).otherwise(0L)).as("n_flagged"),
+            max($"sw").as("max_sw"),
+            sum($"sw").as("sum_sw"))
+          .withColumn("ref",
+            element_at(array(EvalRefs.map(r => lit(r._1)): _*), $"rid" + 1))
+          .select($"rid".cast("long").as("rid"), $"ref", $"n_docs",
+            $"n_flagged", $"max_sw", $"sum_sw")
+          .orderBy($"rid")
+      },
+      Some(s"""WITH refs(rid, j, rtok, rlen) AS (VALUES $evalRefValues),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CAST(unnest(generate_series(1, len(toks))) AS INT) AS i,
+              |    unnest(toks) AS tok, len(toks) AS n
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |        FROM documents)),
+              |dn AS MATERIALIZED (
+              |  SELECT doc_id, MAX(n) AS n FROM dt GROUP BY 1),
+              |row0 AS MATERIALIZED (
+              |  SELECT dn.doc_id, r.rid,
+              |    CAST(unnest(generate_series(0, dn.n)) AS INT) AS i,
+              |    CAST(0 AS BIGINT) AS dp
+              |  FROM dn CROSS JOIN (SELECT DISTINCT rid FROM refs) r),
+              |${swLadder(EvalRefs.map(_._2.size).max)},
+              |allrows AS (${(1 to EvalRefs.map(_._2.size).max)
+                .map(j => s"SELECT * FROM row$j").mkString(" UNION ALL ")}),
+              |sw AS (
+              |  SELECT doc_id, rid, MAX(dp) AS sw FROM allrows GROUP BY 1, 2),
+              |rn(rid, ref) AS (VALUES $evalRefNames)
+              |SELECT CAST(sw.rid AS BIGINT) AS rid, rn.ref,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN sw >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_flagged,
+              |  CAST(MAX(sw) AS BIGINT) AS max_sw,
+              |  CAST(SUM(sw) AS BIGINT) AS sum_sw
+              |FROM sw JOIN rn ON rn.rid = sw.rid
+              |GROUP BY sw.rid, rn.ref
               |ORDER BY rid""".stripMargin))
   )
 
@@ -408,6 +478,34 @@ object Pipeline8 {
          |  FROM row${j - 1} p
          |  LEFT JOIN cand$j c ON c.doc_id = p.doc_id AND c.rid = p.rid
          |    AND c.i = p.i)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** The p129 oracle's Smith-Waterman ladder: per reference row, core
+    * = max(0, diag + w, up - 1) from the previous row, then the
+    * within-row left-gap chain telescopes (linear gap) into ONE
+    * running max of (core + i) - i. Rows past a probe's length only
+    * decay (core = max(0, prev - 1)) and can never raise the max, so
+    * a shared Jmax ladder serves every probe. MATERIALIZED as always.
+    */
+  private def swLadder(steps: Int): String =
+    (1 to steps).map { j =>
+      s"""core$j AS MATERIALIZED (
+         |  SELECT p.doc_id, p.rid, p.i,
+         |    GREATEST(0,
+         |      COALESCE(pd.dp +
+         |        CASE WHEN d.tok = r.rtok THEN 2 ELSE -1 END, 0),
+         |      p.dp - 1) AS core
+         |  FROM row${j - 1} p
+         |  LEFT JOIN dt d ON d.doc_id = p.doc_id AND d.i = p.i
+         |  LEFT JOIN refs r ON r.rid = p.rid AND r.j = $j
+         |  LEFT JOIN row${j - 1} pd ON pd.doc_id = p.doc_id
+         |    AND pd.rid = p.rid AND pd.i = p.i - 1),
+         |row$j AS MATERIALIZED (
+         |  SELECT doc_id, rid, i,
+         |    MAX(core + i) OVER (PARTITION BY doc_id, rid ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - i AS dp
+         |  FROM core$j)"""
         .stripMargin
     }.mkString(",\n")
 }

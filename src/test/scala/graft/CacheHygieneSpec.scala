@@ -167,7 +167,7 @@ class CacheHygieneSpec extends AnyFunSuite {
         "p121_ndcg", "p122_unigram_prune", "p122_unigram_prune",
         "p123_tokenizer_fertility", "p124_k_anonymity",
         "p125_calibration_ece", "p126_fertility_drift",
-        "p128_rougel_decontam")) {
+        "p128_rougel_decontam", "p129_local_align")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()

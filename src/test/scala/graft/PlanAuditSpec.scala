@@ -724,16 +724,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"top-k must partial-aggregate:\n$p")
   }
 
-  test("p128 LCS decontam is map-side: no join, no window, one aggregate") {
-    // the reference probes are plan literals and the LCS is a native
-    // expression, so the ONLY plan structure allowed is scan ->
+  test("p128/p129 alignment kernels are map-side: no join, no window") {
+    // the reference probes are plan literals and the DP kernels are
+    // native expressions, so the ONLY plan structure allowed is scan ->
     // project/generate -> partial agg -> exchange -> final agg -> sort;
     // a Join or Window would mean the probes stopped riding the plan
-    val p = plan("p128_rougel_decontam")
-    assert(!p.contains("Join"), s"p128 grew a join:\n$p")
-    assert(!p.contains("Window"), s"p128 grew a window:\n$p")
-    assert(p.contains("partial_"), s"p128 must partial-aggregate:\n$p")
-    spark.catalog.clearCache()
+    for (name <- Seq("p128_rougel_decontam", "p129_local_align")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(!p.contains("Window"), s"$name grew a window:\n$p")
+      assert(p.contains("partial_"), s"$name must partial-aggregate:\n$p")
+      spark.catalog.clearCache()
+    }
   }
 
   test("p123/p124 aggregate partially, no window, no cartesian") {
