@@ -14,7 +14,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++
       queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++
-      queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16)
+      queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++
+      queries17)
       .sortBy(_.name)
 
   private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
@@ -33,6 +34,7 @@ object SparkEntry {
   private def queries14: Seq[QueryDef] = _root_.graft.queries.Pipeline6.defs
   private def queries15: Seq[QueryDef] = _root_.graft.queries.Pipeline7.defs
   private def queries16: Seq[QueryDef] = _root_.graft.queries.Pipeline8.defs
+  private def queries17: Seq[QueryDef] = _root_.graft.queries.Pipeline9.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01 (scan + filter + hash aggregate) always yields its six

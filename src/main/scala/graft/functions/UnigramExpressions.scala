@@ -188,7 +188,253 @@ object UnigramTable {
   }
 }
 
+/** E-step companion to [[UnigramPieces]] — EXPECTED piece counts of a
+  * word under the quantized unigram measure, the quantity one round of
+  * SentencePiece's EM re-estimation (Kudo 2018, public) needs where
+  * Viterbi gives only the 1-best segmentation's counts.
+  *
+  * Model, pinned for the oracle: P(seg) ∝ Π_p V_p over the
+  * caller-supplied INTEGER lattice weights V_p. The caller
+  * length-homogenizes real piece probabilities into these weights
+  * (V_p = W_p · B^(len_p − 1) for per-piece probability W_p/B): then
+  * Π_seg V_p = B^(n−k) · Π W_p with n the word length and k the piece
+  * count, i.e. a constant B^n per word times Π (W_p/B) — the lattice
+  * measure IS the product-of-probabilities measure, and the scale B
+  * cancels in every expectation. This keeps the entire
+  * forward–backward EXACT-INTEGER: no float sum ever happens, unlike
+  * a log-space forward–backward which would need approximate
+  * log-add tables.
+  *
+  * Output: one (piece, eppm) struct per vocabulary piece matching the
+  * word, where eppm = floor(10^6 · num / Z), num = Σ_occurrences
+  * A(i)·V·B(j) (the total lattice weight of segmentations through each
+  * occurrence — each segmentation counted once per use of the piece),
+  * Z = A(n) the word's total lattice weight. Uncoverable words (Z = 0),
+  * empty words, and words longer than `lenCap` return an EMPTY array —
+  * the length cap is the documented HUGEINT headroom contract of the
+  * DuckDB replay (V ≤ 2^32, maxPieceLen ≤ 4 ⇒ per-word mass
+  * Z ≤ 2^9 · (2^8)^10 · B-homogenization ≤ 2^89; num·10^6 ≤ 2^113 <
+  * 2^127), while this side computes in BigInt and never overflows.
+  *
+  * Scale shape: intended call site is the DISTINCT word dictionary
+  * (p114/p120 discipline) — the O(n · maxLen) lattice never runs on
+  * the corpus-sized frame; corpus expectations are cnt-weighted sums
+  * of the per-word eppm, a partial-aggregable groupBy.
+  */
+case class UnigramEStep(child: Expression, weights: Seq[(String, Long)],
+    lenCap: Int) extends UnaryExpression {
+  require(weights.nonEmpty, "unigram_estep needs lattice weights")
+  require(weights.map(_._1).distinct.size == weights.size,
+    "weight pieces must be distinct")
+  require(weights.forall(_._1.nonEmpty), "pieces must be non-empty")
+  require(weights.forall(p => p._2 >= 1L && p._2 <= (1L << 32)),
+    "lattice weights must be in [1, 2^32] (the oracle's HUGEINT headroom)")
+  require(lenCap >= 1 && lenCap <= 10,
+    "lenCap must be in [1, 10] (the oracle's ladder depth)")
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("eppm", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unigram_estep expects a string, got ${t.simpleString}")
+    }
+
+  @transient private lazy val table = UnigramLattice.build(weights, lenCap)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramLattice.estep(table, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugLattice", table,
+      classOf[UnigramLatticeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramLattice$$.MODULE$$.estep($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Length-indexed lattice weights (the [[UnigramTable]] layout with
+  * Long weights) plus the E-step length cap.
+  */
+final class UnigramLatticeTable(
+    val byLen: Array[java.util.HashMap[String, java.lang.Long]],
+    val maxLen: Int, val lenCap: Int) extends Serializable
+
+object UnigramLattice {
+  private val Ppm = BigInt(1000000)
+
+  def build(weights: Seq[(String, Long)], lenCap: Int): UnigramLatticeTable = {
+    val maxLen = weights.map(_._1.length).max
+    val byLen = new Array[java.util.HashMap[String, java.lang.Long]](maxLen + 1)
+    weights.foreach { case (p, v) =>
+      if (byLen(p.length) == null)
+        byLen(p.length) = new java.util.HashMap[String, java.lang.Long]()
+      byLen(p.length).put(p, v)
+    }
+    new UnigramLatticeTable(byLen, maxLen, lenCap)
+  }
+
+  private def weightAt(t: UnigramLatticeTable, s: String, pos: Int,
+      l: Int): Long = {
+    val m = t.byLen(l)
+    if (m == null) 0L
+    else {
+      val v = m.get(s.substring(pos, pos + l))
+      if (v == null) 0L else v.longValue()
+    }
+  }
+
+  def estep(t: UnigramLatticeTable, word: UTF8String): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0 || n > t.lenCap)
+      return new GenericArrayData(Array.empty[Any])
+    // forward: A(j) = total lattice weight of segmentations of s[0..j)
+    val fwd = Array.fill(n + 1)(BigInt(0))
+    fwd(0) = BigInt(1)
+    var j = 1
+    while (j <= n) {
+      var l = math.min(t.maxLen, j)
+      while (l >= 1) {
+        if (fwd(j - l).signum > 0) {
+          val v = weightAt(t, s, j - l, l)
+          if (v > 0L) fwd(j) += fwd(j - l) * v
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    val z = fwd(n)
+    if (z.signum == 0)
+      return new GenericArrayData(Array.empty[Any])
+    // backward: B(i) = total lattice weight of segmentations of s[i..n)
+    val bwd = Array.fill(n + 1)(BigInt(0))
+    bwd(n) = BigInt(1)
+    var i = n - 1
+    while (i >= 0) {
+      var l = math.min(t.maxLen, n - i)
+      while (l >= 1) {
+        if (bwd(i + l).signum > 0) {
+          val v = weightAt(t, s, i, l)
+          if (v > 0L) bwd(i) += bwd(i + l) * v
+        }
+        l -= 1
+      }
+      i -= 1
+    }
+    // per-piece edge mass: num(p) = Σ_occurrences A(i)·V·B(i+l); each
+    // term is the weight of segmentations USING that edge, so num ≤ Z·n
+    val num = new java.util.TreeMap[String, BigInt]()
+    i = 0
+    while (i < n) {
+      if (fwd(i).signum > 0) {
+        var l = math.min(t.maxLen, n - i)
+        while (l >= 1) {
+          if (bwd(i + l).signum > 0) {
+            val v = weightAt(t, s, i, l)
+            if (v > 0L) {
+              val p = s.substring(i, i + l)
+              val prev = num.get(p)
+              val term = fwd(i) * v * bwd(i + l)
+              num.put(p, if (prev == null) term else prev + term)
+            }
+          }
+          l -= 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](num.size)
+    val it = num.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey),
+          ((e.getValue * Ppm) / z).toLong))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Independent exhaustive reference for the property tests: enumerate
+    * EVERY segmentation, weight each by the product of its piece
+    * weights, and read expectations off the enumeration — no lattice,
+    * no shared code path with [[estep]].
+    */
+  def naiveEStep(weights: Seq[(String, Long)],
+      word: String): Seq[(String, Long)] = {
+    val w = weights.toMap
+    def segs(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to s.length).flatMap { l =>
+        val p = s.substring(0, l)
+        if (w.contains(p)) segs(s.substring(l)).map(p :: _) else Nil
+      }
+    if (word.isEmpty) return Nil
+    val all = segs(word)
+    if (all.isEmpty) return Nil
+    val weighted = all.map(seg => (seg, seg.map(p => BigInt(w(p))).product))
+    val z = weighted.map(_._2).sum
+    weighted
+      .flatMap { case (seg, wt) => seg.map(p => (p, wt)) }
+      .groupBy(_._1)
+      .map { case (p, terms) =>
+        p -> ((terms.map(_._2).sum * 1000000) / z).toLong }
+      .toSeq.sortBy(_._1)
+  }
+}
+
+/** Exact fixed-point base-2 integer logarithm — the M-step's
+  * re-estimation quantizer. `ilog2f(x)` returns an integer
+  * approximation of log2(x) · 2^16 computed with NOTHING but integer
+  * shifts, multiplies, and compares (the classic square-and-extract
+  * binary-digit algorithm), so DuckDB replays it bit-identically as a
+  * 16-step CTE ladder — no float log on either engine, ever.
+  *
+  * Algorithm: e = floor(log2 x); mantissa m = x normalized into
+  * [2^30, 2^31) by a shift (floor division — identical to the SQL
+  * `//`); then 16 rounds of m ← m²/2^30, emitting fraction bit 1 and
+  * halving whenever m ≥ 2^31. m < 2^31 keeps m² < 2^62 inside a
+  * signed 64-bit integer on both engines. Inputs must be ≥ 1 and
+  * ≤ 2^62.
+  */
+object IntLog {
+  def ilog2f(x: Long): Long = {
+    require(x >= 1L && x <= (1L << 62), s"ilog2f domain is [1, 2^62]: $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e >= 30) x >> (e - 30) else x << (30 - e)
+    var acc = 0L
+    var k = 0
+    while (k < 16) {
+      m = (m * m) >> 30
+      if (m >= (1L << 31)) { m >>= 1; acc = acc * 2 + 1 }
+      else acc = acc * 2
+      k += 1
+    }
+    e.toLong * 65536L + acc
+  }
+}
+
 object UnigramFunctions {
   def unigram_pieces(word: Column, vocab: Seq[(String, Int)]): Column =
     ColumnBridge.column(UnigramPieces(ColumnBridge.expression(word), vocab))
+
+  def unigram_estep(word: Column, weights: Seq[(String, Long)],
+      lenCap: Int): Column =
+    ColumnBridge.column(
+      UnigramEStep(ColumnBridge.expression(word), weights, lenCap))
 }

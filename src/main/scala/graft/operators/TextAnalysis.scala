@@ -888,14 +888,20 @@ object TextAnalysis {
     *
     * Returns one row per test doc: (idCol, labelCol actual, predicted).
     */
-  def classifyByTokens(
+  /** The scored frame behind [[classifyByTokens]]: one row per
+    * (test doc, class) with the integer mean-scaled-likelihood score —
+    * exposed so calibration audits (p131) can read the classifier's
+    * REAL confidence (top score over the class-score sum) rather than
+    * a proxy feature. Train/score semantics identical to
+    * [[classifyByTokens]]; that method is now argmax over this frame.
+    */
+  def classifierScores(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String,
       isTrain: Column,
       scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol), col(labelCol), isTrain.as("__tr"),
         explode(tokens(col(textCol))).as("__t"))
@@ -914,7 +920,7 @@ object TextAnalysis {
     val classes = nc.crossJoin(broadcast(v))
       .select(col("__c"), expr(s"${scale}L DIV (__nc + __v)").as("__l0"))
     val test = toks.filter(!col("__tr"))
-    val scored = test
+    test
       .crossJoin(broadcast(classes))
       .join(model, Seq("__c", "__t"), "left")
       .select(col(idCol), col(labelCol), col("__c"),
@@ -923,6 +929,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__sl"))
       .select(col(idCol), col(labelCol), col("__c"),
         expr("__sl DIV __n").as("__score"))
+  }
+
+  def classifyByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      isTrain: Column,
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored =
+      classifierScores(df, idCol, textCol, labelCol, isTrain, scale)
+    // per-doc argmax: partitions are class-count-sized (one row per
+    // class per doc), so the window never sees a corpus-sized partition
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("__c"))
     scored.withColumn("__rn", row_number().over(w))

@@ -181,4 +181,20 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
   }
+
+  test("p130's word-dict persist is dropped by the per-query clear") {
+    // p130 persists its distinct-word dictionary across the E-step
+    // collect and the pass-2 encode (the p122 pattern: a plain persist,
+    // NOT a localCheckpoint). Repeat to prove no per-invocation growth.
+    for (q <- Seq("p130_unigram_em", "p130_unigram_em")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      assert(leaked.isEmpty,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+  }
 }
