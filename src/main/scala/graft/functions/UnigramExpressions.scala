@@ -429,6 +429,40 @@ object IntLog {
   }
 }
 
+/** [[IntLog.ilog2f]] as a codegen'd column — the building block that
+  * makes log-log corpus statistics (Zipf rank-frequency slope, Heaps'
+  * vocabulary-growth exponent) EXACTLY replicable: both engines
+  * quantize the logarithm with the same integer algorithm, so the
+  * downstream least-squares sums are integer-identical. Domain is
+  * [1, 2^62]; callers clamp with GREATEST(x, 1) where a zero is
+  * structurally possible (the same clamp, spelled in both engines).
+  */
+case class Ilog2Fix(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ilog2_fix expects a bigint, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    IntLog.ilog2f(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IntLog$$.MODULE$$.ilog2f($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UnigramFunctions {
   def unigram_pieces(word: Column, vocab: Seq[(String, Int)]): Column =
     ColumnBridge.column(UnigramPieces(ColumnBridge.expression(word), vocab))
@@ -437,4 +471,7 @@ object UnigramFunctions {
       lenCap: Int): Column =
     ColumnBridge.column(
       UnigramEStep(ColumnBridge.expression(word), weights, lenCap))
+
+  def ilog2_fix(x: Column): Column =
+    ColumnBridge.column(Ilog2Fix(ColumnBridge.expression(x)))
 }

@@ -91,24 +91,48 @@ object Pipeline9 {
         .stripMargin
     }.mkString(",\n")
 
-  /** The M-step quantizer's 16-step square-and-extract ladder — the
-    * bit-identical SQL replay of [[graft.functions.IntLog.ilog2f]]:
-    * each step squares the [2^30, 2^31) mantissa, floor-divides by
-    * 2^30, and extracts one fraction bit. m < 2^31 keeps m² < 2^62
-    * inside BIGINT on both engines.
+  /** The fixed-point log2 quantizer as SQL — the bit-identical replay
+    * of [[graft.functions.IntLog.ilog2f]], parameterized so any query
+    * can log-transform a keyed integer column: given a CTE `$src` with
+    * columns (`$keys`..., x) where x ≥ 1 (BIGINT), emits
+    * `${pre}lg(`$keys`..., lgf)` with lgf = ilog2f(x). Exponent via
+    * the pw2 powers table (the caller's WITH must include
+    * `pw2(k, v) AS (VALUES $pw2Values)`), mantissa normalized into
+    * [2^30, 2^31) by a shift, then a 16-step square-and-extract
+    * ladder — each step squares the mantissa, floor-divides by 2^30,
+    * and extracts one fraction bit; m < 2^31 keeps m² < 2^62 inside
+    * BIGINT on both engines.
     */
-  private def ilogLadder(steps: Int): String =
-    (1 to steps).map { j =>
-      s"""lm$j AS MATERIALIZED (
-         |  SELECT piece, e,
+  private[queries] def ilogCtes(src: String, keys: String,
+      pre: String): String = {
+    val ladder = (1 to 16).map { j =>
+      s"""${pre}lm$j AS MATERIALIZED (
+         |  SELECT $keys, e,
          |    CASE WHEN msq >= 2147483648 THEN msq // 2 ELSE msq END AS m,
          |    acc * 2 + CASE WHEN msq >= 2147483648 THEN 1 ELSE 0 END AS acc
-         |  FROM (SELECT piece, e, acc, (m * m) // 1073741824 AS msq
-         |        FROM lm${j - 1}))"""
+         |  FROM (SELECT $keys, e, acc, (m * m) // 1073741824 AS msq
+         |        FROM ${pre}lm${j - 1}))"""
         .stripMargin
     }.mkString(",\n")
+    s"""${pre}lexp AS MATERIALIZED (
+       |  SELECT $keys, x, CAST(MAX(p.k) AS INT) AS e
+       |  FROM $src s JOIN pw2 p ON p.v <= s.x
+       |  GROUP BY ALL),
+       |${pre}lm0 AS MATERIALIZED (
+       |  SELECT $keys, e,
+       |    CASE WHEN e >= 30 THEN x // p.v
+       |         ELSE x * p.v END AS m,
+       |    CAST(0 AS BIGINT) AS acc
+       |  FROM ${pre}lexp l JOIN pw2 p
+       |    ON p.k = CASE WHEN e >= 30 THEN e - 30 ELSE 30 - e END),
+       |$ladder,
+       |${pre}lg AS MATERIALIZED (
+       |  SELECT $keys, CAST(e AS BIGINT) * 65536 + acc AS lgf
+       |  FROM ${pre}lm16)"""
+      .stripMargin
+  }
 
-  private val pw2Values: String =
+  private[queries] val pw2Values: String =
     (0 to 62).map(k => s"($k, ${1L << k})").mkString(", ")
 
   def defs: Seq[QueryDef] = Seq(
@@ -242,22 +266,7 @@ object Pipeline9 {
               |lin AS MATERIALIZED (
               |  SELECT piece, efix AS x FROM ecorp WHERE efix > 0
               |  UNION ALL SELECT '__TOTAL__' AS piece, t AS x FROM tt),
-              |lexp AS MATERIALIZED (
-              |  SELECT l.piece, l.x, CAST(MAX(p.k) AS INT) AS e
-              |  FROM lin l JOIN pw2 p ON p.v <= l.x
-              |  GROUP BY 1, 2),
-              |lm0 AS MATERIALIZED (
-              |  SELECT l.piece, l.e,
-              |    CASE WHEN l.e >= 30 THEN l.x // p.v
-              |         ELSE l.x * p.v END AS m,
-              |    CAST(0 AS BIGINT) AS acc
-              |  FROM lexp l JOIN pw2 p
-              |    ON p.k = CASE WHEN l.e >= 30 THEN l.e - 30
-              |                  ELSE 30 - l.e END),
-              |${ilogLadder(16)},
-              |lg AS MATERIALIZED (
-              |  SELECT piece, CAST(e AS BIGINT) * 65536 + acc AS lgf
-              |  FROM lm16),
+              |${ilogCtes("lin", "piece", "")},
               |vocab2 AS MATERIALIZED (
               |  SELECT l.piece,
               |    CAST(GREATEST(1, ((t.lgf - l.lgf) * 100) // 65536)
@@ -399,6 +408,200 @@ object Pipeline9 {
              |    AS gap_ppm,
              |  ece.ece_ppm
              |FROM bins, ece
-             |ORDER BY bin""".stripMargin))
+             |ORDER BY bin""".stripMargin)),
+
+    QueryDef(
+      // ZIPF RANK-FREQUENCY SLOPE PER SOURCE (Zipf 1949, public): the
+      // corpus-statistics fingerprint a mixture planner reads — natural
+      // text sits near exponent 1.0; a source that deviates hard
+      // (boilerplate, logs, templated spam) is flagged before it buys
+      // tokens. The log-log least-squares fit is EXACT-INTEGER on both
+      // engines, which no float log could give: ranks 1..64 carry
+      // PLAN-TIME literal log2 values (computed once here by
+      // IntLog.ilog2f — one authority), frequencies go through the
+      // SAME quantizer in-plan (the codegen'd ilog2_fix expression;
+      // the oracle replays it with the shared ilogCtes ladder), and
+      // the slope is one integer cross-multiplication
+      // (Σx·Σy − k·Σxy)·1000 DIV (k·Σxx − Σx²) — reported as the
+      // positive exponent magnitude (frequency falls with rank, so
+      // the raw slope is negative; the numerator is flipped and
+      // clamped at 0 so a pathological rising fit reads 0 rather than
+      // exercising negative-division corners). Scale shape: one
+      // (source, word) count shuffle, rankWithinKey's range-partition
+      // rank (NO corpus-sized window partition), a 64-row-per-source
+      // literal join, then a partial-aggregable per-source fit.
+      "p132_zipf_slope",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val k = 64
+        val words = t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("word"))
+          .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        val ranked = graft.operators.RankOps.rankWithinKey(words, "source",
+            Seq($"cnt".desc, $"word"), rankCol = "rank")
+          .filter($"rank" <= k)
+        val xlg = (1 to k).map(r =>
+          (r.toLong, graft.functions.IntLog.ilog2f(r.toLong)))
+          .toDF("rank", "xlg")
+        ranked.join(broadcast(xlg), "rank")
+          .select($"source", $"xlg", ilog2_fix($"cnt").as("ylg"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("kfit"),
+            sum($"xlg").as("sx"), sum($"ylg").as("sy"),
+            sum($"xlg" * $"ylg").as("sxy"),
+            sum($"xlg" * $"xlg").as("sxx"))
+          .select($"source", $"kfit",
+            expr("greatest(sx * sy - kfit * sxy, 0) * 1000" +
+              " DIV greatest(kfit * sxx - sx * sx, 1)")
+              .as("zipf_exp_milli"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES $pw2Values),
+              |xl(rank, xlg) AS (VALUES ${(1 to 64).map(r =>
+                s"($r, ${graft.functions.IntLog.ilog2f(r.toLong)})")
+                .mkString(", ")}),
+              |words AS MATERIALIZED (
+              |  SELECT source, word, COUNT(*) AS cnt
+              |  FROM (SELECT source,
+              |          unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |rk AS MATERIALIZED (
+              |  SELECT source, CAST(cnt AS BIGINT) AS cnt,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |                       ORDER BY cnt DESC, word) AS rank
+              |  FROM words QUALIFY rank <= 64),
+              |zsrc AS MATERIALIZED (
+              |  SELECT source, rank, cnt AS x FROM rk),
+              |${ilogCtes("zsrc", "source, rank", "z")},
+              |pts AS (
+              |  SELECT r.source, CAST(x.xlg AS BIGINT) AS xlg,
+              |    z.lgf AS ylg
+              |  FROM rk r
+              |  JOIN xl x ON x.rank = r.rank
+              |  JOIN zlg z ON z.source = r.source AND z.rank = r.rank)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS kfit,
+              |  CAST(GREATEST(SUM(xlg) * SUM(ylg)
+              |        - COUNT(*) * SUM(xlg * ylg), 0) * 1000
+              |    // GREATEST(COUNT(*) * SUM(xlg * xlg)
+              |        - SUM(xlg) * SUM(xlg), 1) AS BIGINT)
+              |    AS zipf_exp_milli
+              |FROM pts GROUP BY source
+              |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // HEAPS'-LAW VOCABULARY GROWTH (Heaps 1978, public): distinct
+      // TRIGRAM vocabulary vs cumulative trigram tokens at ten
+      // equal-width doc_id checkpoints, plus the growth exponent β
+      // from the exact-integer log-log fit (natural text: β ≈ 0.4-0.6;
+      // a corpus whose β collapses is template-saturated, one whose β
+      // stays near 1 is id-like noise — either way the dedup/mixture
+      // planner wants to know). The unit is the word TRIGRAM because
+      // the fixture's unigram vocabulary is a closed class (31 words,
+      // saturated in the first checkpoint — measured; β would read an
+      // unconditional 0), while trigram vocabulary genuinely grows
+      // through the last checkpoint at every SF — the standard n-gram
+      // vocabulary-growth object. V(checkpoint) counts trigrams whose
+      // FIRST occurrence falls before the checkpoint — computed from
+      // one min-bucket per trigram, NOT a 10x corpus self-join:
+      // per-bucket token totals and first-occurrence vocab counts are
+      // two 10-row frames, the checkpoint cumulative is a
+      // literal-spine join over them, and the fit runs on ten rows.
+      // The ONLY corpus-scale work is one (trigram) min-aggregate and
+      // one (bucket) count — both partial-aggregable single shuffles.
+      // Exactness: bucket = least(9, doc_id·10 DIV (max_id+1)) on
+      // both engines; trigram assembly via 1-BASED element indexing
+      // on both (Spark element_at == DuckDB ws[i], with an explicit
+      // size guard because Spark's sequence(1, 0) counts DOWN where
+      // DuckDB's generate_series is empty); logs via the shared
+      // integer quantizer (clamped at 1 for structurally empty early
+      // checkpoints); β's division is positive (vocabulary grows with
+      // tokens) and floor-identical.
+      "p133_heaps_law",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val mx = docs.agg(max($"doc_id").as("maxid"))
+        val toks = docs.crossJoin(broadcast(mx))
+          .select(expr("least(9L, doc_id * 10 DIV (maxid + 1))").as("bucket"),
+            split($"text", " ").as("ws"))
+          .select($"bucket",
+            explode(expr("""CASE WHEN size(ws) >= 3
+              THEN transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ',
+                            element_at(ws, i + 1), ' ',
+                            element_at(ws, i + 2)))
+              ELSE array() END""")).as("word"))
+        val bt = toks.groupBy($"bucket").agg(count(lit(1)).as("btok"))
+        val bv = toks.groupBy($"word").agg(min($"bucket").as("fb"))
+          .groupBy($"fb").agg(count(lit(1)).as("bvoc"))
+        val js = (1 to 10).map(_.toLong).toDF("j")
+        val ck = js.join(bt, $"bucket" < $"j", "left")
+          .groupBy($"j").agg(coalesce(sum($"btok"), lit(0L)).as("tokens_cum"))
+        val cv = js.join(bv, $"fb" < $"j", "left")
+          .groupBy($"j").agg(coalesce(sum($"bvoc"), lit(0L)).as("vocab_cum"))
+        val pts = ck.join(cv, "j")
+          .select($"j", $"tokens_cum", $"vocab_cum",
+            ilog2_fix(greatest($"tokens_cum", lit(1L))).as("xlg"),
+            ilog2_fix(greatest($"vocab_cum", lit(1L))).as("ylg"))
+        val beta = pts.agg(
+            count(lit(1)).as("n"), sum($"xlg").as("sx"),
+            sum($"ylg").as("sy"), sum($"xlg" * $"ylg").as("sxy"),
+            sum($"xlg" * $"xlg").as("sxx"))
+          .select(expr("greatest(n * sxy - sx * sy, 0) * 1000" +
+            " DIV greatest(n * sxx - sx * sx, 1)").as("heaps_beta_milli"))
+        pts.select($"j", $"tokens_cum", $"vocab_cum")
+          .crossJoin(broadcast(beta))
+          .orderBy($"j")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES $pw2Values),
+              |js(j) AS (VALUES ${(1 to 10).map(j => s"($j)").mkString(", ")}),
+              |docs AS MATERIALIZED (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE text IS NOT NULL AND text <> ''),
+              |mx AS (SELECT MAX(doc_id) AS maxid FROM docs),
+              |sp AS MATERIALIZED (
+              |  SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+              |toks AS MATERIALIZED (
+              |  SELECT LEAST(9, doc_id * 10 // (maxid + 1)) AS bucket,
+              |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS word
+              |  FROM sp, mx,
+              |    LATERAL unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+              |bt AS (SELECT bucket, COUNT(*) AS btok FROM toks GROUP BY 1),
+              |bv AS (
+              |  SELECT fb, COUNT(*) AS bvoc
+              |  FROM (SELECT word, MIN(bucket) AS fb FROM toks GROUP BY 1)
+              |  GROUP BY 1),
+              |ck AS (
+              |  SELECT j, CAST(COALESCE(SUM(bt.btok), 0) AS BIGINT)
+              |    AS tokens_cum
+              |  FROM js LEFT JOIN bt ON bt.bucket < js.j GROUP BY 1),
+              |cv AS (
+              |  SELECT j, CAST(COALESCE(SUM(bv.bvoc), 0) AS BIGINT)
+              |    AS vocab_cum
+              |  FROM js LEFT JOIN bv ON bv.fb < js.j GROUP BY 1),
+              |tsrc AS MATERIALIZED (
+              |  SELECT j, GREATEST(tokens_cum, 1) AS x FROM ck),
+              |vsrc AS MATERIALIZED (
+              |  SELECT j, GREATEST(vocab_cum, 1) AS x FROM cv),
+              |${ilogCtes("tsrc", "j", "t")},
+              |${ilogCtes("vsrc", "j", "v")},
+              |pts AS (
+              |  SELECT t.j, t.lgf AS xlg, v.lgf AS ylg
+              |  FROM tlg t JOIN vlg v ON v.j = t.j),
+              |beta AS (
+              |  SELECT CAST(GREATEST(COUNT(*) * SUM(xlg * ylg)
+              |        - SUM(xlg) * SUM(ylg), 0) * 1000
+              |    // GREATEST(COUNT(*) * SUM(xlg * xlg)
+              |        - SUM(xlg) * SUM(xlg), 1) AS BIGINT)
+              |    AS heaps_beta_milli
+              |  FROM pts)
+              |SELECT CAST(ck.j AS BIGINT) AS j, ck.tokens_cum,
+              |  cv.vocab_cum, beta.heaps_beta_milli
+              |FROM ck JOIN cv USING (j), beta
+              |ORDER BY j""".stripMargin))
   )
 }
