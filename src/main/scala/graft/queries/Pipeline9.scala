@@ -602,6 +602,163 @@ object Pipeline9 {
               |SELECT CAST(ck.j AS BIGINT) AS j, ck.tokens_cum,
               |  cv.vocab_cum, beta.heaps_beta_milli
               |FROM ck JOIN cv USING (j), beta
-              |ORDER BY j""".stripMargin))
+              |ORDER BY j""".stripMargin)),
+
+    QueryDef(
+      // PMI COLLOCATIONS (pointwise mutual information over word
+      // bigrams — Church & Hanks 1990, public): the phrase-mining /
+      // tokenizer-seeding signal — bigrams whose joint count beats the
+      // independence expectation are merge candidates for a BPE-style
+      // vocabulary and anchor phrases for near-dup shingling. PMI
+      // needs a log, and this one is EXACT: each factor goes through
+      // the shared integer quantizer SEPARATELY — pmi_fix =
+      // lg(n_xy) + 2·lg(N_u) − lg(n_x) − lg(n_y) − lg(N) in 2^-16
+      // log2 units (per-factor quantization keeps every ilog2f input
+      // ≤ 2^62 where quantizing the assembled ratio would overflow at
+      // corpus scale; the sum is signed BIGINT arithmetic — no
+      // division anywhere, so no floor-semantics corner at all). A
+      // min-support floor n_xy ≥ 5 kills the noise PMI is notorious
+      // for, top-20 by (pmi_fix DESC, bigram) is a TakeOrdered — never
+      // a global sort. Scale shape: one unigram and one bigram count
+      // shuffle, two dictionary-keyed marginal joins, scalar totals
+      // ride a 1-row broadcast.
+      "p134_pmi_collocations",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val toks = docs.select(explode(split($"text", " ")).as("word"))
+        val uni = toks.groupBy($"word").agg(count(lit(1)).as("c"))
+        val bi = docs.select(split($"text", " ").as("ws"))
+          .select(explode(expr("""CASE WHEN size(ws) >= 2
+            THEN transform(sequence(1, size(ws) - 1),
+              i -> struct(element_at(ws, i) AS w1,
+                          element_at(ws, i + 1) AS w2))
+            ELSE array() END""")).as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("nxy"))
+        val totals = toks.agg(count(lit(1)).as("nu"))
+          .crossJoin(bi.agg(sum($"nxy").as("nb")))
+        bi.filter($"nxy" >= 5)
+          .join(uni.select($"word".as("w1"), $"c".as("nx")), "w1")
+          .join(uni.select($"word".as("w2"), $"c".as("ny")), "w2")
+          .crossJoin(broadcast(totals))
+          .select($"w1", $"w2", $"nxy",
+            (ilog2_fix($"nxy") + ilog2_fix($"nu") * 2
+              - ilog2_fix($"nx") - ilog2_fix($"ny")
+              - ilog2_fix($"nb")).as("pmi_fix"))
+          .orderBy($"pmi_fix".desc, $"w1", $"w2")
+          .limit(20)
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES $pw2Values),
+              |docs AS MATERIALIZED (
+              |  SELECT text FROM documents
+              |  WHERE text IS NOT NULL AND text <> ''),
+              |toks AS MATERIALIZED (
+              |  SELECT unnest(string_split(text, ' ')) AS word FROM docs),
+              |uni AS MATERIALIZED (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM toks GROUP BY 1),
+              |sp AS MATERIALIZED (
+              |  SELECT string_split(text, ' ') AS ws FROM docs),
+              |bi AS MATERIALIZED (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nxy
+              |  FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              |        FROM sp,
+              |          LATERAL unnest(generate_series(1, len(ws) - 1))
+              |            AS u(i))
+              |  GROUP BY 1, 2),
+              |tot AS (
+              |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS nu,
+              |    (SELECT CAST(SUM(nxy) AS BIGINT) FROM bi) AS nb),
+              |cand AS MATERIALIZED (SELECT * FROM bi WHERE nxy >= 5),
+              |usrc AS MATERIALIZED (SELECT word, c AS x FROM uni),
+              |${ilogCtes("usrc", "word", "u")},
+              |bsrc AS MATERIALIZED (SELECT w1, w2, nxy AS x FROM cand),
+              |${ilogCtes("bsrc", "w1, w2", "b")},
+              |tsrc AS MATERIALIZED (
+              |  SELECT 'nu' AS which, nu AS x FROM tot
+              |  UNION ALL SELECT 'nb', nb FROM tot),
+              |${ilogCtes("tsrc", "which", "t")}
+              |SELECT c.w1, c.w2, c.nxy,
+              |  CAST(b.lgf + 2 * tu.lgf - u1.lgf - u2.lgf - tb.lgf
+              |    AS BIGINT) AS pmi_fix
+              |FROM cand c
+              |JOIN blg b ON b.w1 = c.w1 AND b.w2 = c.w2
+              |JOIN ulg u1 ON u1.word = c.w1
+              |JOIN ulg u2 ON u2.word = c.w2
+              |CROSS JOIN (SELECT lgf FROM tlg WHERE which = 'nu') tu
+              |CROSS JOIN (SELECT lgf FROM tlg WHERE which = 'nb') tb
+              |ORDER BY pmi_fix DESC, c.w1, c.w2
+              |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // GOOD-TURING UNSEEN MASS PER SOURCE (Good 1953, public): the
+      // frequency-of-frequencies audit — f1/N estimates the
+      // probability the NEXT token drawn from a source is a
+      // never-seen word, and the Turing discount r1* = 2·f2/f1 prices
+      // how much singleton counts overstate themselves. A source
+      // whose unseen mass stays high is open-vocabulary (ids, noise,
+      // fresh entities — keep crawling); one near zero is saturated
+      // (more tokens buy repetition, not coverage) — the "is more of
+      // this source worth buying" signal next to p123's fertility.
+      // Unit is the word TRIGRAM (the p133 rationale: the fixture's
+      // unigram vocabulary is closed, f1 would be structurally 0).
+      // All integer: counts, one frequency-of-frequencies rollup,
+      // ppm/milli ratios with explicit GREATEST floors — identical on
+      // both engines. Scale shape: one (source, trigram) count
+      // shuffle, one (source, count) rollup — both partial-aggregable;
+      // the per-source result is dictionary-sized.
+      "p135_good_turing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val tri = docs
+          .select($"source", split($"text", " ").as("ws"))
+          .select($"source",
+            explode(expr("""CASE WHEN size(ws) >= 3
+              THEN transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ',
+                            element_at(ws, i + 1), ' ',
+                            element_at(ws, i + 2)))
+              ELSE array() END""")).as("tok"))
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        tri.groupBy($"source")
+          .agg(sum($"c").as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"),
+            sum(when($"c" === 3, 1L).otherwise(0L)).as("f3"))
+          .select($"source", $"n_tokens", $"vocab", $"f1", $"f2", $"f3",
+            expr("f1 * 1000000 DIV greatest(n_tokens, 1)").as("p0_ppm"),
+            expr("f2 * 2000 DIV greatest(f1, 1)").as("r1_star_milli"))
+          .orderBy($"source")
+      },
+      Some("""WITH docs AS MATERIALIZED (
+             |  SELECT source, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tri AS MATERIALIZED (
+             |  SELECT source, tok, COUNT(*) AS c
+             |  FROM (SELECT source,
+             |          ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok
+             |        FROM docs,
+             |          LATERAL unnest(generate_series(1, len(ws) - 2))
+             |            AS u(i))
+             |  GROUP BY 1, 2)
+             |SELECT source,
+             |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS vocab,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             |  CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+             |    // GREATEST(SUM(c), 1) AS BIGINT) AS p0_ppm,
+             |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 2000
+             |    // GREATEST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 1)
+             |    AS BIGINT) AS r1_star_milli
+             |FROM tri GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

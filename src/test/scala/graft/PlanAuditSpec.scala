@@ -750,4 +750,31 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("p130/p133 corpus passes partial-aggregate and never rank via window") {
+    // p130's pass-2 encode and p133's bucket/first-occurrence stats are
+    // plain count shuffles over the dictionary discipline — a Window
+    // anywhere means a rank snuck in; a CartesianProduct means a
+    // literal-spine join lost its broadcast (the 1-row/10-row frames
+    // must ride BroadcastNestedLoop, never a materialized cross)
+    for (name <- Seq("p130_unigram_em", "p133_heaps_law")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name grew a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(p.contains("partial_"), s"$name must partial-aggregate:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("p132's per-source ranking is range-partitioned, not one window per source") {
+    // rankWithinKey: ranks come from range partitions + offsets; the
+    // only windows allowed are the bounded per-(pid, key) local rank
+    // and the P-row offset scan — never a bare partitionBy(source)
+    // over the corpus-sized word frame
+    val p = plan("p132_zipf_slope")
+    assert(p.contains("Window"), s"rankWithinKey's local window missing:\n$p")
+    assert(p.contains("__pid"), s"range-partition pid missing:\n$p")
+    assert(p.contains("partial_"), s"fit sums must partial-aggregate:\n$p")
+    spark.catalog.clearCache()
+  }
 }
