@@ -759,6 +759,102 @@ object Pipeline9 {
              |    // GREATEST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 1)
              |    AS BIGINT) AS r1_star_milli
              |FROM tri GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // SOURCE-vs-MIXTURE KL DIVERGENCE (Kullback-Leibler 1951,
+      // public): the domain-shift audit — for each source, how far its
+      // trigram distribution sits from the corpus mixture,
+      // D(P_src‖P_corpus) = Σ_w p_w·log2(p_w/q_w). The signal a
+      // mixture planner reads next to p119's waterfill: a source with
+      // high KL is a distinct domain (keep it for coverage, cap it
+      // for balance); near-zero KL is redundant with the mixture.
+      // EXACT-INTEGER via the shared quantizer, per-factor (the p134
+      // discipline): each trigram contributes
+      // c_w·(lg(c_w) + lg(N_tot) − lg(n_w) − lg(N_src)), summed per
+      // source and divided by N_src — kl_milli_lg2 in 2^-16·milli
+      // log2 units... scaled to milli-bits: Σ·1000 DIV (N_src·65536).
+      // Per-term quantization can dip a hair negative on
+      // near-identical distributions; the division truncates toward
+      // zero IDENTICALLY on both engines (measured), and the sum is
+      // plain signed BIGINT — no float, no logsumexp. Scale shape:
+      // one (source, trigram) count shuffle, one (trigram) marginal
+      // rollup, a dictionary-keyed join of the two, scalar totals on
+      // a 1-row broadcast, then a per-source partial-aggregable sum.
+      "p136_source_kl",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val tri = docs
+          .select($"source", split($"text", " ").as("ws"))
+          .select($"source",
+            explode(expr("""CASE WHEN size(ws) >= 3
+              THEN transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ',
+                            element_at(ws, i + 1), ' ',
+                            element_at(ws, i + 2)))
+              ELSE array() END""")).as("tok"))
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        val marg = tri.groupBy($"tok").agg(sum($"c").as("nw"))
+        val srcN = tri.groupBy($"source").agg(sum($"c").as("nsrc"))
+        val ntot = marg.agg(sum($"nw").as("ntot"))
+        tri.join(marg, "tok")
+          .join(srcN, "source")
+          .crossJoin(broadcast(ntot))
+          .select($"source", $"nsrc",
+            ($"c" * (ilog2_fix($"c") + ilog2_fix($"ntot")
+              - ilog2_fix($"nw") - ilog2_fix($"nsrc"))).as("term"))
+          .groupBy($"source")
+          .agg(first($"nsrc").as("n_tokens"), sum($"term").as("tsum"))
+          .select($"source", $"n_tokens",
+            expr("tsum * 1000 DIV (n_tokens * 65536)")
+              .as("kl_millibits"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES $pw2Values),
+              |docs AS MATERIALIZED (
+              |  SELECT source, string_split(text, ' ') AS ws
+              |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+              |tri AS MATERIALIZED (
+              |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT source,
+              |          ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tok
+              |        FROM docs,
+              |          LATERAL unnest(generate_series(1, len(ws) - 2))
+              |            AS u(i))
+              |  GROUP BY 1, 2),
+              |marg AS MATERIALIZED (
+              |  SELECT tok, CAST(SUM(c) AS BIGINT) AS nw
+              |  FROM tri GROUP BY 1),
+              |srcn AS MATERIALIZED (
+              |  SELECT source, CAST(SUM(c) AS BIGINT) AS nsrc
+              |  FROM tri GROUP BY 1),
+              |ntot AS (SELECT CAST(SUM(nw) AS BIGINT) AS ntot FROM marg),
+              |csrc AS MATERIALIZED (
+              |  SELECT source, tok, c AS x FROM tri),
+              |${ilogCtes("csrc", "source, tok", "c")},
+              |wsrc AS MATERIALIZED (SELECT tok, nw AS x FROM marg),
+              |${ilogCtes("wsrc", "tok", "w")},
+              |ssrc AS MATERIALIZED (SELECT source, nsrc AS x FROM srcn),
+              |${ilogCtes("ssrc", "source", "s")},
+              |nsrc2 AS MATERIALIZED (
+              |  SELECT 1 AS one, ntot AS x FROM ntot),
+              |${ilogCtes("nsrc2", "one", "n")},
+              |terms AS (
+              |  SELECT t.source, sn.nsrc,
+              |    t.c * (cl.lgf + nl.lgf - wl.lgf - sl.lgf) AS term
+              |  FROM tri t
+              |  JOIN clg cl ON cl.source = t.source AND cl.tok = t.tok
+              |  JOIN wlg wl ON wl.tok = t.tok
+              |  JOIN slg sl ON sl.source = t.source
+              |  JOIN srcn sn ON sn.source = t.source
+              |  CROSS JOIN nlg nl)
+              |SELECT source, CAST(MIN(nsrc) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(term) * 1000 // (MIN(nsrc) * 65536) AS BIGINT)
+              |    AS kl_millibits
+              |FROM terms GROUP BY source
+              |ORDER BY source""".stripMargin))
   )
 }
