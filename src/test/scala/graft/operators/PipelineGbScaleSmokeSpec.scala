@@ -281,4 +281,67 @@ class PipelineGbScaleSmokeSpec extends AnyFunSuite {
     assert(mbps >= 12, f"unigram fertility $mbps%.1f MB/s < 12 MB/s floor")
     spark.catalog.clearCache()
   }
+
+  test("unigram E-step soft counts hold the replication identity at ~GB scale") {
+    import spark.implicits._
+    val full = sys.env.get("SPARK_GRAFT_GBSMOKE").contains("1")
+    val r = if (full) 680 else 170
+    val dir = s"/tmp/graft-synth/docs_x$r.parquet"
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    if (!new java.io.File(dir).exists()) {
+      // same corpus recipe as the main smoke (generate-once cached)
+      base.withColumn("__r", explode(lit((0 until r).toArray)))
+        .select(
+          ($"doc_id" * 1000 + $"__r").as("doc_id"),
+          when($"__r" % 5 === 0,
+            concat($"text", lit(" uniq "), $"doc_id" * 1000 + $"__r"))
+            .otherwise($"text").as("text"),
+          $"source")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val textMb = base.agg(sum(length($"text"))).collect().head
+      .getLong(0) * r / 1e6
+    val lattice = graft.queries.Pipeline9.UgLattice
+
+    // the p130 E-step shape at volume. The analytic identity is EXACT:
+    // every base word's corpus count scales by r, and BOTH suffix words
+    // of a uniq'd replica contribute zero soft mass ("uniq" dead-ends
+    // on the bare 'q' — reachable only via "qu" — and digit words are
+    // uncovered), so the corpus soft-count vector is r times the base
+    // vector, piece for piece. The suffix words still land in the
+    // DISTINCT dictionary (hundreds of thousands of unique digit
+    // words), so the dictionary-discipline lattice runs at real
+    // dictionary scale and must early-exit Z=0 cheaply.
+    def soft(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      import graft.functions.UnigramFunctions.unigram_estep
+      df.select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .filter(length($"word") <= 10)
+        .select($"cnt", explode(unigram_estep($"word", lattice, 10)).as("pe"))
+        .select($"pe.piece".as("piece"), ($"cnt" * $"pe.eppm").as("contrib"))
+        .groupBy($"piece").agg(sum($"contrib").as("e"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    }
+    val bSoft = soft(base)
+    assert(bSoft.nonEmpty && bSoft.values.sum > 0,
+      "base fixture must carry soft mass")
+    var (gSoft, ms) = timedMs(soft(docs))
+    if (textMb / (ms / 1000.0) < 30) {
+      val again = timedMs(soft(docs))
+      if (again._2 < ms) { gSoft = again._1; ms = again._2 }
+    }
+    assert(gSoft.keySet == bSoft.keySet,
+      s"piece set drifted at scale: ${gSoft.keySet -- bSoft.keySet}")
+    bSoft.foreach { case (p, e) =>
+      assert(gSoft(p) == e * r, s"soft identity off for '$p': " +
+        s"${gSoft(p)} != ${e * r}")
+    }
+    val mbps = textMb / (ms / 1000.0)
+    info(f"unigram E-step (dict discipline): ${ms}ms over " +
+      f"$textMb%.0f MB ($mbps%.0f MB/s)")
+    assert(mbps >= 12, f"unigram E-step $mbps%.1f MB/s < 12 MB/s floor")
+    spark.catalog.clearCache()
+  }
 }
