@@ -85,4 +85,70 @@ class TokenStreamsSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("vocab novelty: stream == batch first-seen under a full-span horizon") {
+    import spark.implicits._
+    // window-aligned micro-batches, the ChunkStreamsSpec discipline:
+    // WITHIN a batch dropDuplicatesWithinWatermark keeps an arbitrary
+    // first among equal keys — same-window attribution is order-free,
+    // cross-window would not be
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .filter($"text".isNotNull && length($"text") > 0)
+      .withColumn("ts", expr(
+        "timestamp_seconds(1767225600 + (doc_id * 97) % 21600)"))
+      .select($"ts", $"doc_id", $"text")
+    val tri = docs
+      .select($"ts", $"doc_id", split($"text", " ").as("ws"))
+      .select($"ts", $"doc_id", explode(expr("""CASE WHEN size(ws) >= 3
+        THEN transform(sequence(1, size(ws) - 2),
+          i -> concat(element_at(ws, i), ' ',
+                      element_at(ws, i + 1), ' ',
+                      element_at(ws, i + 2)))
+        ELSE array() END""")).as("tok"))
+    val expected = tri.groupBy($"tok")
+      .agg(min(struct($"ts", $"doc_id")).as("f"))
+      .groupBy(date_trunc("hour", $"f.ts").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(expected.size >= 4, s"fixture spans too few hours: $expected")
+    // every window must still be finding new trigrams (the p133 growth
+    // fact, restated stream-side), or the novelty monitor tests nothing
+    assert(expected.values.forall(_ > 0), s"degenerate growth: $expected")
+
+    val dir = Files.createTempDirectory("vocabstream-docs").toString
+    val ckpt = Files.createTempDirectory("vocabstream-ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = TokenStreams.vocabNoveltyStream(stream,
+        windowDur = "1 hour", watermark = "96 hours")
+      .writeStream.format("memory").queryName("vocab_novelty")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val hours = docs.select(date_trunc("hour", $"ts").as("w"))
+        .distinct().orderBy($"w").collect().map(_.getTimestamp(0))
+      hours.foreach { w =>
+        docs.filter(date_trunc("hour", $"ts") === w)
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val sentinelTs = 1767225600L + 1000L * 3600
+      Seq((new java.sql.Timestamp(sentinelTs * 1000), 999999L,
+          "zz zz zz zz-sentinel"))
+        .toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("vocab_novelty")
+      .filter($"w_start" < new java.sql.Timestamp(
+        (1767225600L + 999L * 3600) * 1000))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"stream vocab novelty diverged from batch first-seen:\n" +
+        s"  stream: ${got.toSeq.sortBy(_._1.getTime)}\n" +
+        s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
+    spark.catalog.clearCache()
+  }
 }
