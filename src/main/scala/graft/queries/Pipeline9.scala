@@ -135,6 +135,67 @@ object Pipeline9 {
   private[queries] val pw2Values: String =
     (0 to 62).map(k => s"($k, ${1L << k})").mkString(", ")
 
+  /** The full EM-round oracle block, shared by p130 and p137: E-step
+    * lattice ladders over the length-capped dictionary, soft corpus
+    * counts, and the M-step's quantized-log re-estimation — everything
+    * from the position table through `vocab2(piece, cost)`. The caller's
+    * WITH must already define `wc(word, cnt)` (the word dictionary),
+    * `vocab`, `wts`, and `pw2`.
+    */
+  private[queries] def emVocab2Ctes: String =
+    s"""pos AS MATERIALIZED (
+       |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
+       |  FROM wc),
+       |ewc AS MATERIALIZED (
+       |  SELECT word, cnt FROM wc WHERE length(word) <= $EmLenCap),
+       |lat AS MATERIALIZED (
+       |  SELECT pos.word, pos.p, CAST(length(w.piece) AS INT) AS l,
+       |    w.piece, w.v
+       |  FROM pos
+       |  JOIN ewc ON ewc.word = pos.word
+       |  JOIN wts w
+       |    ON substr(pos.word, pos.p, length(w.piece)) = w.piece),
+       |fu0 AS MATERIALIZED (
+       |  SELECT word, CAST(1 AS INT) AS p, CAST(1 AS HUGEINT) AS a
+       |  FROM ewc),
+       |${emFwdLadder(EmLenCap)},
+       |gu0 AS MATERIALIZED (
+       |  SELECT word, CAST(length(word) + 1 AS INT) AS p,
+       |    CAST(1 AS HUGEINT) AS b
+       |  FROM ewc),
+       |${emBwdLadder(EmLenCap)},
+       |zz AS MATERIALIZED (
+       |  SELECT word, a AS z FROM fu$EmLenCap
+       |  WHERE p = length(word) + 1),
+       |occ AS MATERIALIZED (
+       |  SELECT m.word, m.piece,
+       |    CAST(SUM(f.a * m.v * g.b) AS HUGEINT) AS num
+       |  FROM lat m
+       |  JOIN fu$EmLenCap f ON f.word = m.word AND f.p = m.p
+       |  JOIN gu$EmLenCap g ON g.word = m.word AND g.p = m.p + m.l
+       |  GROUP BY 1, 2),
+       |eppm AS MATERIALIZED (
+       |  SELECT o.word, o.piece,
+       |    CAST((o.num * 1000000) // z.z AS BIGINT) AS e
+       |  FROM occ o JOIN zz z ON z.word = o.word),
+       |ecorp AS MATERIALIZED (
+       |  SELECT e.piece, CAST(SUM(w.cnt * e.e) AS BIGINT) AS efix
+       |  FROM eppm e JOIN ewc w ON w.word = e.word
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(efix) AS BIGINT) AS t FROM ecorp),
+       |lin AS MATERIALIZED (
+       |  SELECT piece, efix AS x FROM ecorp WHERE efix > 0
+       |  UNION ALL SELECT '__TOTAL__' AS piece, t AS x FROM tt),
+       |${ilogCtes("lin", "piece", "")},
+       |vocab2 AS MATERIALIZED (
+       |  SELECT l.piece,
+       |    CAST(GREATEST(1, ((t.lgf - l.lgf) * 100) // 65536)
+       |      AS BIGINT) AS cost
+       |  FROM lg l
+       |  CROSS JOIN (SELECT lgf FROM lg WHERE piece = '__TOTAL__') t
+       |  WHERE l.piece <> '__TOTAL__')"""
+      .stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -167,8 +228,8 @@ object Pipeline9 {
       "p130_unigram_em",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.UnigramFunctions.{unigram_estep, unigram_pieces}
-        import graft.functions.IntLog.ilog2f
+        import graft.functions.UnigramFunctions.unigram_pieces
+        import graft.operators.UnigramEm
         val words = t(s, dir, "documents")
           .select(explode(split($"text", " ")).as("word"))
           .groupBy($"word").agg(count(lit(1)).as("cnt"))
@@ -176,23 +237,10 @@ object Pipeline9 {
           // persist (NOT a localCheckpoint), dropped by the per-query
           // clear — the p122 CacheHygieneSpec contract
           .persist()
-        val soft = words.filter(length($"word") <= EmLenCap)
-          .select($"cnt",
-            explode(unigram_estep($"word", UgLattice, EmLenCap)).as("pe"))
-          .select($"pe.piece".as("piece"),
-            ($"cnt" * $"pe.eppm").as("contrib"))
-          .groupBy($"piece").agg(sum($"contrib").as("e_fix"))
         // codebook-bounded: vocab-sized soft counts to the driver — the
         // model-fit step (pass 2's vocabulary is a plan-time literal)
-        val eMap = soft.collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val total = eMap.values.sum
-        val vocab2: Seq[(String, Int)] = Pipeline7.UgVocab.flatMap {
-          case (p, _) => eMap.get(p).filter(_ > 0L).map { ef =>
-            p -> math.max(1L,
-              ((ilog2f(total) - ilog2f(ef)) * 100L) / 65536L).toInt
-          }
-        }
+        val eMap = UnigramEm.softCounts(words, UgLattice, EmLenCap)
+        val vocab2 = UnigramEm.fitVocab2(Pipeline7.UgVocab, eMap)
         val uses2 =
           if (vocab2.isEmpty)
             // degenerate corpus (no coverable word ≤ cap): every word
@@ -223,57 +271,7 @@ object Pipeline9 {
               |  FROM (SELECT unnest(string_split(text, ' ')) AS word
               |        FROM documents)
               |  GROUP BY 1),
-              |pos AS MATERIALIZED (
-              |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
-              |  FROM wc),
-              |ewc AS MATERIALIZED (
-              |  SELECT word, cnt FROM wc WHERE length(word) <= $EmLenCap),
-              |lat AS MATERIALIZED (
-              |  SELECT pos.word, pos.p, CAST(length(w.piece) AS INT) AS l,
-              |    w.piece, w.v
-              |  FROM pos
-              |  JOIN ewc ON ewc.word = pos.word
-              |  JOIN wts w
-              |    ON substr(pos.word, pos.p, length(w.piece)) = w.piece),
-              |fu0 AS MATERIALIZED (
-              |  SELECT word, CAST(1 AS INT) AS p, CAST(1 AS HUGEINT) AS a
-              |  FROM ewc),
-              |${emFwdLadder(EmLenCap)},
-              |gu0 AS MATERIALIZED (
-              |  SELECT word, CAST(length(word) + 1 AS INT) AS p,
-              |    CAST(1 AS HUGEINT) AS b
-              |  FROM ewc),
-              |${emBwdLadder(EmLenCap)},
-              |zz AS MATERIALIZED (
-              |  SELECT word, a AS z FROM fu$EmLenCap
-              |  WHERE p = length(word) + 1),
-              |occ AS MATERIALIZED (
-              |  SELECT m.word, m.piece,
-              |    CAST(SUM(f.a * m.v * g.b) AS HUGEINT) AS num
-              |  FROM lat m
-              |  JOIN fu$EmLenCap f ON f.word = m.word AND f.p = m.p
-              |  JOIN gu$EmLenCap g ON g.word = m.word AND g.p = m.p + m.l
-              |  GROUP BY 1, 2),
-              |eppm AS MATERIALIZED (
-              |  SELECT o.word, o.piece,
-              |    CAST((o.num * 1000000) // z.z AS BIGINT) AS e
-              |  FROM occ o JOIN zz z ON z.word = o.word),
-              |ecorp AS MATERIALIZED (
-              |  SELECT e.piece, CAST(SUM(w.cnt * e.e) AS BIGINT) AS efix
-              |  FROM eppm e JOIN ewc w ON w.word = e.word
-              |  GROUP BY 1),
-              |tt AS (SELECT CAST(SUM(efix) AS BIGINT) AS t FROM ecorp),
-              |lin AS MATERIALIZED (
-              |  SELECT piece, efix AS x FROM ecorp WHERE efix > 0
-              |  UNION ALL SELECT '__TOTAL__' AS piece, t AS x FROM tt),
-              |${ilogCtes("lin", "piece", "")},
-              |vocab2 AS MATERIALIZED (
-              |  SELECT l.piece,
-              |    CAST(GREATEST(1, ((t.lgf - l.lgf) * 100) // 65536)
-              |      AS BIGINT) AS cost
-              |  FROM lg l
-              |  CROSS JOIN (SELECT lgf FROM lg WHERE piece = '__TOTAL__') t
-              |  WHERE l.piece <> '__TOTAL__'),
+              |$emVocab2Ctes,
               |${Pipeline7.ugEncodeCtes("vocab2", "x")},
               |us2 AS MATERIALIZED (
               |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS uses2
@@ -855,6 +853,114 @@ object Pipeline9 {
               |  CAST(SUM(term) * 1000 // (MIN(nsrc) * 65536) AS BIGINT)
               |    AS kl_millibits
               |FROM terms GROUP BY source
-              |ORDER BY source""".stripMargin))
+              |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // EM FERTILITY SHIFT PER SOURCE (the corpus-level consumer of
+      // p130's re-estimation — what the EM round DOES to each source's
+      // token bill): encode every source's tokens under the seed
+      // vocabulary and under the EM-re-estimated one; report pieces
+      // and UNKs before/after, the piece-count shift in centi-units,
+      // and — the headline at every fixture SF — moved_ppm, the
+      // cnt-weighted fraction of tokens whose SEGMENTATION changed
+      // (the fixture's re-estimation re-routes data→dat+a, line's
+      // mid-word path, the th/the family... while landing equal piece
+      // COUNTS, so the shift columns read 0 and the movement column
+      // is what catches it — the per-source regression a tokenizer
+      // re-fit must surface before deployment, since a changed
+      // segmentation invalidates every cached token id downstream).
+      // Both engines derive vocab2 from the SAME EM block (UnigramEm
+      // here, emVocab2Ctes there) and replay both Viterbi passes with
+      // the shared encode machinery.
+      // Scale shape: one (source, word) count shuffle, the word
+      // dictionary rolls up from it, two dictionary encodes join back
+      // on the word key — corpus-sized frames never meet the DP; the
+      // vocab-sized soft counts are the only driver traffic.
+      "p137_em_fertility_shift",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.unigram_pieces
+        import graft.operators.UnigramEm
+        val bySrc = t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("word"))
+          .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        val words = bySrc.groupBy($"word").agg(sum($"cnt").as("cnt"))
+          // reused by the E-step collect and both dictionary encodes
+          // (the p130/p122 persist contract)
+          .persist()
+        val vocab2 = UnigramEm.fitVocab2(Pipeline7.UgVocab,
+          UnigramEm.softCounts(words, UgLattice, EmLenCap))
+        val p2 =
+          if (vocab2.isEmpty) array(lit(graft.functions.UnigramTable.Unk))
+          else unigram_pieces($"word", vocab2)
+        val dict = words.select($"word",
+            unigram_pieces($"word", Pipeline7.UgVocab).as("a"),
+            p2.as("b"))
+          .select($"word",
+            size($"a").cast("long").as("np1"),
+            ($"a" === array(lit("[UNK]"))).as("unk1"),
+            size($"b").cast("long").as("np2"),
+            ($"b" === array(lit("[UNK]"))).as("unk2"),
+            ($"a" =!= $"b").as("moved"))
+        bySrc.join(dict, "word")
+          .groupBy($"source")
+          .agg(sum($"cnt").as("n_tokens"),
+            sum($"cnt" * $"np1").as("n_pieces1"),
+            sum($"cnt" * $"np2").as("n_pieces2"),
+            sum(when($"unk1", $"cnt").otherwise(0L)).as("n_unk1"),
+            sum(when($"unk2", $"cnt").otherwise(0L)).as("n_unk2"),
+            sum(when($"moved", $"cnt").otherwise(0L)).as("n_moved"))
+          .select($"source", $"n_tokens", $"n_pieces1", $"n_pieces2",
+            $"n_unk1", $"n_unk2", $"n_moved",
+            expr("(n_pieces2 - n_pieces1) * 100" +
+              " DIV greatest(n_pieces1, 1)").as("shift_centi"),
+            expr("n_moved * 1000000 DIV n_tokens").as("moved_ppm"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH RECURSIVE vocab(piece, cost) AS
+              |  (VALUES ${Pipeline7.ugVocabValues}),
+              |wts(piece, v) AS (VALUES $ugLatticeValues),
+              |pw2(k, v) AS (VALUES $pw2Values),
+              |ws AS MATERIALIZED (
+              |  SELECT source, word, COUNT(*) AS cnt
+              |  FROM (SELECT source,
+              |          unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |wc AS MATERIALIZED (
+              |  SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt
+              |  FROM ws GROUP BY 1),
+              |$emVocab2Ctes,
+              |${Pipeline7.ugEncodeCtes("vocab", "a")},
+              |${Pipeline7.ugEncodeCtes("vocab2", "x")},
+              |q1 AS MATERIALIZED (
+              |  SELECT word, pieces, CAST(len(pieces) AS BIGINT) AS np,
+              |    (pieces = ['[UNK]']) AS unk
+              |  FROM aenc),
+              |q2 AS MATERIALIZED (
+              |  SELECT word, pieces, CAST(len(pieces) AS BIGINT) AS np,
+              |    (pieces = ['[UNK]']) AS unk
+              |  FROM xenc)
+              |SELECT ws.source,
+              |  CAST(SUM(ws.cnt) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(ws.cnt * q1.np) AS BIGINT) AS n_pieces1,
+              |  CAST(SUM(ws.cnt * q2.np) AS BIGINT) AS n_pieces2,
+              |  CAST(SUM(CASE WHEN q1.unk THEN ws.cnt ELSE 0 END)
+              |    AS BIGINT) AS n_unk1,
+              |  CAST(SUM(CASE WHEN q2.unk THEN ws.cnt ELSE 0 END)
+              |    AS BIGINT) AS n_unk2,
+              |  CAST(SUM(CASE WHEN q1.pieces <> q2.pieces
+              |    THEN ws.cnt ELSE 0 END) AS BIGINT) AS n_moved,
+              |  CAST((SUM(ws.cnt * q2.np) - SUM(ws.cnt * q1.np)) * 100
+              |    // GREATEST(SUM(ws.cnt * q1.np), 1) AS BIGINT)
+              |    AS shift_centi,
+              |  CAST(SUM(CASE WHEN q1.pieces <> q2.pieces
+              |    THEN ws.cnt ELSE 0 END) * 1000000
+              |    // SUM(ws.cnt) AS BIGINT) AS moved_ppm
+              |FROM ws
+              |JOIN q1 ON q1.word = ws.word
+              |JOIN q2 ON q2.word = ws.word
+              |GROUP BY ws.source
+              |ORDER BY ws.source""".stripMargin))
   )
 }

@@ -182,11 +182,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("p130's word-dict persist is dropped by the per-query clear") {
-    // p130 persists its distinct-word dictionary across the E-step
-    // collect and the pass-2 encode (the p122 pattern: a plain persist,
-    // NOT a localCheckpoint). Repeat to prove no per-invocation growth.
-    for (q <- Seq("p130_unigram_em", "p130_unigram_em")) {
+  test("p130/p137 word-dict persists are dropped by the per-query clear") {
+    // both persist the distinct-word dictionary across the E-step
+    // collect and the encode passes (the p122 pattern: a plain persist,
+    // NOT a localCheckpoint). Repeat p130 to prove no per-invocation
+    // growth.
+    for (q <- Seq("p130_unigram_em", "p130_unigram_em",
+        "p137_em_fertility_shift")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
