@@ -961,6 +961,81 @@ object Pipeline9 {
               |JOIN q1 ON q1.word = ws.word
               |JOIN q2 ON q2.word = ws.word
               |GROUP BY ws.source
-              |ORDER BY ws.source""".stripMargin))
+              |ORDER BY ws.source""".stripMargin)),
+
+    QueryDef(
+      // TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004, public):
+      // PageRank over the word co-occurrence graph — adjacent-word
+      // pairs, undirected, self-loops excluded — is THE classic
+      // unsupervised keyword ranker, and here it rides the existing
+      // ORACLE-EXACT integer PageRank (p49's operator, unchanged):
+      // scaled-BIGINT mass, d = 17/20 as a rational, floor division
+      // both engines, three rounds replayed relationally by the
+      // oracle. Composing the graph op onto text is the point — one
+      // engine, one centrality kernel, both the commerce graph and
+      // the co-occurrence graph. Scale shape: edge building is one
+      // distinct over normalized (least, greatest) pairs; the rank
+      // vector is vocabulary-sized, each round one edges-join-ranks +
+      // one dst-keyed partial aggregation (the op's documented web
+      // graph shape); top-20 via TakeOrdered.
+      "p138_textrank",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val pairs = docs.select(split($"text", " ").as("ws"))
+          .select(explode(expr("""CASE WHEN size(ws) >= 2
+            THEN transform(sequence(1, size(ws) - 1),
+              i -> struct(element_at(ws, i) AS w1,
+                          element_at(ws, i + 1) AS w2))
+            ELSE array() END""")).as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .filter($"w1" =!= $"w2")
+        val eu = pairs
+          .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+          .distinct()
+        val edges = eu.select($"a".as("src"), $"b".as("dst"))
+          .union(eu.select($"b".as("src"), $"a".as("dst")))
+        graft.operators.PageRankOp.pageRank(edges, iters = 3)
+          .select($"node".as("word"), $"rank")
+          .orderBy($"rank".desc, $"word")
+          .limit(20)
+      },
+      Some {
+        val scale = 1000000000000L
+        val base = s"(SELECT (${scale * 3 / 20} // n) FROM nn)"
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS node,
+             |    SUM((r.rank * 17) // (20 * d.deg)) AS c
+             |  FROM edges e JOIN deg d ON e.src = d.src
+             |  JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (
+             |  SELECT n.node, CAST($base + COALESCE(c.c, 0) AS BIGINT)
+             |    AS rank
+             |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sp AS MATERIALIZED (
+           |  SELECT string_split(text, ' ') AS ws FROM documents
+           |  WHERE text IS NOT NULL AND text <> ''),
+           |pr AS MATERIALIZED (
+           |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+           |  FROM sp, LATERAL unnest(generate_series(1, len(ws) - 1))
+           |    AS u(i)),
+           |eu AS MATERIALIZED (
+           |  SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+           |  FROM pr WHERE w1 <> w2),
+           |edges AS (SELECT a AS src, b AS dst FROM eu
+           |          UNION ALL SELECT b, a FROM eu),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+           |$rounds
+           |SELECT node AS word, rank FROM r3
+           |ORDER BY rank DESC, word
+           |LIMIT 20""".stripMargin
+      })
   )
 }
