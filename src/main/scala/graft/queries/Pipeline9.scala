@@ -1036,6 +1036,65 @@ object Pipeline9 {
            |SELECT node AS word, rank FROM r3
            |ORDER BY rank DESC, word
            |LIMIT 20""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // WORD BURSTINESS (variance-to-mean dispersion of per-document
+      // counts — Church & Gale 1995's Poisson-mixture burstiness,
+      // public): a word whose occurrences CLUMP (high Fano factor)
+      // is topical content; one near 1 arrives Poisson-like
+      // (function words, boilerplate fill). The signal a keyword
+      // extractor or stopword-list builder reads next to p138's
+      // TextRank. EXACT-INTEGER: over D documents with per-doc counts
+      // c (zeros implicit), VMR = (D·Σc² − tot²) / (D·tot) — computed
+      // as fano_milli with one positive cross-multiplied division
+      // (Σc² ≥ tot²/D by Cauchy-Schwarz, so the numerator is
+      // non-negative; both engines floor identically). A min-support
+      // floor tot ≥ 50 keeps rare-word noise out; top-20 by
+      // (fano_milli DESC, word) is a TakeOrdered. Scale shape: one
+      // (doc, word) count shuffle, one per-word partial-aggregable
+      // rollup carrying (tot, Σc²), a 1-row doc-count broadcast.
+      "p139_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val dcount = docs.agg(count(lit(1)).as("d"))
+        val perDoc = docs
+          .select($"doc_id", explode(split($"text", " ")).as("word"))
+          .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+        perDoc.groupBy($"word")
+          .agg(sum($"c").as("tot"), sum($"c" * $"c").as("ssq"),
+            count(lit(1)).as("n_docs"))
+          .filter($"tot" >= 50)
+          .crossJoin(broadcast(dcount))
+          .select($"word", $"tot", $"n_docs",
+            expr("(d * ssq - tot * tot) * 1000 DIV (d * tot)")
+              .as("fano_milli"))
+          .orderBy($"fano_milli".desc, $"word")
+          .limit(20)
+      },
+      Some("""WITH docs AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE text IS NOT NULL AND text <> ''),
+             |dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM docs),
+             |pd AS MATERIALIZED (
+             |  SELECT doc_id, word, COUNT(*) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split(text, ' ')) AS word
+             |        FROM docs)
+             |  GROUP BY 1, 2),
+             |agg AS MATERIALIZED (
+             |  SELECT word, CAST(SUM(c) AS BIGINT) AS tot,
+             |    CAST(SUM(c * c) AS BIGINT) AS ssq,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM pd GROUP BY 1)
+             |SELECT word, tot, n_docs,
+             |  CAST((d * ssq - tot * tot) * 1000 // (d * tot) AS BIGINT)
+             |    AS fano_milli
+             |FROM agg, dc
+             |WHERE tot >= 50
+             |ORDER BY fano_milli DESC, word
+             |LIMIT 20""".stripMargin))
   )
 }
