@@ -121,7 +121,7 @@ class UnigramEStepSpec extends AnyFunSuite {
         "ab"(rnd.nextInt(2))).mkString
       val tot = estep(w, word).map(_._2).sum
       // between 1 piece (whole word) and n pieces (all singles), with
-      // floor slack of at most one ppm unit per emitted piece
+      // floor loss of at most one ppm unit per emitted piece
       assert(tot <= word.length.toLong * 1000000)
       assert(tot >= 1000000L - estep(w, word).size)
     }
