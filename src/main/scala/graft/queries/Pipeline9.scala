@@ -1095,6 +1095,142 @@ object Pipeline9 {
              |FROM agg, dc
              |WHERE tot >= 50
              |ORDER BY fano_milli DESC, word
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // ISOTONIC RECALIBRATION of the p131 reliability bins (pool-
+      // adjacent-violators — Ayer et al. 1955 / Zadrozny & Elkan 2002,
+      // public): p131 SHOWS the margin confidence is miscalibrated;
+      // this is the fix a production stack deploys — the monotone
+      // best-fit mapping from confidence bin to observed accuracy.
+      // Instead of replaying PAV's pooling stack as a sequential fold,
+      // both engines compute the CLOSED-FORM solution
+      // iso(i) = max_{j≤i} min_{k≥i} mean(acc over bins j..k) —
+      // the textbook max-min characterization of weighted isotonic
+      // regression — over the ≤10-bin frame: interval means are
+      // integer ppm floors (the quantization is the documented unit;
+      // both engines floor identically so the argmax/argmin picks are
+      // engine-identical by construction), intervals enumerate
+      // relationally (≤55 rows), and the min/max are plain
+      // aggregations — no window, no recursion, no fold. Reports per
+      // bin the raw accuracy, the isotonic fit, and ECE before/after
+      // (after = gap of the fit vs observed accuracy; pooled
+      // violators collapse, so ece_iso ≤ ece_raw on every fixture).
+      // Scale shape: everything after p131's one 10-bin groupBy is
+      // bin-dictionary-sized arithmetic.
+      "p140_isotonic_calibration",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.operators.TextAnalysis.classifierScores(
+          t(s, dir, "documents"), "doc_id", "text", "lang",
+          $"doc_id" % 2 === 0)
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"__score".desc, $"__c")
+        val perDocW = Window.partitionBy($"doc_id")
+        val bins = scored
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__ssum", sum($"__score").over(perDocW))
+          .withColumn("__smin", min($"__score").over(perDocW))
+          .withColumn("__k", count(lit(1)).over(perDocW))
+          .filter($"__rn" === 1)
+          .select(
+            least(lit(999999L),
+              expr("(__score - __smin) * 1000000" +
+                " DIV greatest(__ssum - __k * __smin, 1)")).as("conf"),
+            when($"__c" === $"lang", 1L).otherwise(0L).as("pos"))
+          .groupBy(expr("conf DIV 100000").as("bin"))
+          .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+        val pairs = bins.select($"bin".as("j"))
+          .crossJoin(bins.select($"bin".as("k")))
+          .filter($"j" <= $"k")
+          .join(bins, $"bin".between($"j", $"k"))
+          .groupBy($"j", $"k")
+          .agg(expr("sum(n_pos) * 1000000 DIV sum(n)").as("mean_ppm"))
+        val iso = bins.select($"bin".as("i"))
+          .join(pairs, $"j" <= $"i" && $"i" <= $"k")
+          .groupBy($"i", $"j").agg(min($"mean_ppm").as("mn"))
+          .groupBy($"i").agg(max($"mn").as("iso_ppm"))
+        val fitted = bins.join(iso, $"bin" === $"i").drop("i")
+        val ece = fitted.agg(
+          expr("sum(abs(n_pos * 1000000 - n * iso_ppm)) DIV sum(n)")
+            .as("ece_iso_ppm"))
+        fitted.crossJoin(broadcast(ece))
+          .select($"bin", $"n", $"n_pos",
+            expr("n_pos * 1000000 DIV n").as("acc_ppm"),
+            $"iso_ppm", $"ece_iso_ppm")
+          .orderBy($"bin")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, doc_id % 2 = 0 AS tr,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tc AS (SELECT lang AS c, t, COUNT(*) AS tc
+             |       FROM toks WHERE tr GROUP BY c, t),
+             |nc AS (SELECT lang AS c, COUNT(*) AS nc
+             |       FROM toks WHERE tr GROUP BY c),
+             |v AS (SELECT COUNT(DISTINCT t) AS v FROM toks WHERE tr),
+             |model AS (
+             |  SELECT c, t, ((tc + 1) * 1000000) // (nc + v.v) AS l
+             |  FROM tc JOIN nc USING (c) CROSS JOIN v),
+             |cls AS (SELECT c, 1000000 // (nc + v.v) AS l0
+             |        FROM nc CROSS JOIN v),
+             |sc AS (
+             |  SELECT doc_id, lang, cls.c,
+             |    CAST(SUM(COALESCE(model.l, cls.l0)) // COUNT(*) AS BIGINT)
+             |      AS score
+             |  FROM toks CROSS JOIN cls
+             |  LEFT JOIN model ON model.c = cls.c AND model.t = toks.t
+             |  WHERE NOT toks.tr
+             |  GROUP BY doc_id, lang, cls.c),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(score) AS BIGINT) AS ssum,
+             |    CAST(MIN(score) AS BIGINT) AS smin,
+             |    CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM sc GROUP BY 1),
+             |pred AS (
+             |  SELECT doc_id, lang, c, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, c) AS rn
+             |  FROM sc),
+             |bins AS (
+             |  SELECT conf // 100000 AS bin, COUNT(*) AS n,
+             |    SUM(pos) AS n_pos
+             |  FROM (
+             |    SELECT LEAST(999999, (p.score - a.smin) * 1000000
+             |        // GREATEST(a.ssum - a.k * a.smin, 1)) AS conf,
+             |      CASE WHEN p.c = p.lang THEN 1 ELSE 0 END AS pos
+             |    FROM pred p JOIN agg a USING (doc_id)
+             |    WHERE p.rn = 1)
+             |  GROUP BY 1),
+             |pairs AS (
+             |  SELECT j.bin AS j, k.bin AS k,
+             |    CAST(SUM(b.n_pos) * 1000000 // SUM(b.n) AS BIGINT)
+             |      AS mean_ppm
+             |  FROM bins j
+             |  JOIN bins k ON j.bin <= k.bin
+             |  JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+             |  GROUP BY 1, 2),
+             |iso AS (
+             |  SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+             |  FROM (
+             |    SELECT i.bin AS i, p.j, MIN(p.mean_ppm) AS mn
+             |    FROM bins i
+             |    JOIN pairs p ON p.j <= i.bin AND i.bin <= p.k
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |fitted AS (
+             |  SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+             |    CAST(b.n_pos AS BIGINT) AS n_pos, iso.iso_ppm
+             |  FROM bins b JOIN iso ON iso.i = b.bin),
+             |ece AS (
+             |  SELECT CAST(SUM(ABS(n_pos * 1000000 - n * iso_ppm))
+             |    // SUM(n) AS BIGINT) AS ece_iso_ppm
+             |  FROM fitted)
+             |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+             |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+             |  iso_ppm, ece.ece_iso_ppm
+             |FROM fitted, ece
+             |ORDER BY bin""".stripMargin))
   )
 }
