@@ -31,6 +31,26 @@ object UnigramEm {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Round-2 E-step lattice weights from round-1 soft counts: each
+    * surviving piece's LINEAR probability E_p/T re-quantized to the
+    * 8-bit scale the oracle's HUGEINT ladders can carry —
+    * W2 = max(1, E·256 DIV T), the documented ~1/256 resolution floor
+    * on rare pieces — then length-homogenized (V2 = W2 · 256^(len−1),
+    * the [[graft.functions.UnigramEStep]] construction). Zero-mass
+    * pieces drop (they matched no coverable word, so they cannot
+    * matter in round 2 either).
+    */
+  def lattice2(seedVocab: Seq[(String, Int)],
+      soft: Map[String, Long]): Seq[(String, Long)] = {
+    val total = soft.values.sum
+    seedVocab.flatMap { case (p, _) =>
+      soft.get(p).filter(_ > 0L).map { ef =>
+        val w2 = math.max(1L, ef * 256L / total)
+        p -> (w2 * (1L << (8 * (p.length - 1))))
+      }
+    }
+  }
+
   /** One full EM round's output vocabulary:
     * cost2 = max(1, (lg(ΣE) − lg(E_p)) · 100 / 2^16) over the soft
     * counts, in the seed vocabulary's piece order, zero-mass pieces

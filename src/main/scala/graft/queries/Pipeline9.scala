@@ -60,17 +60,18 @@ object Pipeline9 {
     * cap — positions past a word's length match no edges and cost
     * nothing).
     */
-  private def emFwdLadder(steps: Int): String =
+  private def emFwdLadder(steps: Int, pre: String = ""): String =
     (1 to steps).map { k =>
-      s"""fb$k AS MATERIALIZED (
+      s"""${pre}fb$k AS MATERIALIZED (
          |  SELECT m.word, CAST(${k + 1} AS INT) AS p,
          |    CAST(SUM(f.a * m.v) AS HUGEINT) AS a
-         |  FROM lat m JOIN fu${k - 1} f
+         |  FROM ${pre}lat m JOIN ${pre}fu${k - 1} f
          |    ON f.word = m.word AND f.p = m.p
          |  WHERE m.p + m.l = ${k + 1}
          |  GROUP BY 1, 2),
-         |fu$k AS MATERIALIZED (
-         |  SELECT * FROM fu${k - 1} UNION ALL SELECT * FROM fb$k)"""
+         |${pre}fu$k AS MATERIALIZED (
+         |  SELECT * FROM ${pre}fu${k - 1}
+         |  UNION ALL SELECT * FROM ${pre}fb$k)"""
         .stripMargin
     }.mkString(",\n")
 
@@ -78,16 +79,17 @@ object Pipeline9 {
     * length+1−k's total outbound weight B(p) = Σ_edges V·B(p+l) —
     * the mirror of [[emFwdLadder]].
     */
-  private def emBwdLadder(steps: Int): String =
+  private def emBwdLadder(steps: Int, pre: String = ""): String =
     (1 to steps).map { k =>
-      s"""gb$k AS MATERIALIZED (
+      s"""${pre}gb$k AS MATERIALIZED (
          |  SELECT m.word, m.p, CAST(SUM(m.v * g.b) AS HUGEINT) AS b
-         |  FROM lat m JOIN gu${k - 1} g
+         |  FROM ${pre}lat m JOIN ${pre}gu${k - 1} g
          |    ON g.word = m.word AND g.p = m.p + m.l
          |  WHERE m.p = length(m.word) + 1 - $k
          |  GROUP BY 1, 2),
-         |gu$k AS MATERIALIZED (
-         |  SELECT * FROM gu${k - 1} UNION ALL SELECT * FROM gb$k)"""
+         |${pre}gu$k AS MATERIALIZED (
+         |  SELECT * FROM ${pre}gu${k - 1}
+         |  UNION ALL SELECT * FROM ${pre}gb$k)"""
         .stripMargin
     }.mkString(",\n")
 
@@ -135,53 +137,72 @@ object Pipeline9 {
   private[queries] val pw2Values: String =
     (0 to 62).map(k => s"($k, ${1L << k})").mkString(", ")
 
-  /** The full EM-round oracle block, shared by p130 and p137: E-step
-    * lattice ladders over the length-capped dictionary, soft corpus
-    * counts, and the M-step's quantized-log re-estimation — everything
-    * from the position table through `vocab2(piece, cost)`. The caller's
-    * WITH must already define `wc(word, cnt)` (the word dictionary),
-    * `vocab`, `wts`, and `pw2`.
+  /** The shared word-dictionary CTEs every E-step block reads: one
+    * position table and the length-capped dictionary. Caller's WITH
+    * must already define `wc(word, cnt)`.
     */
-  private[queries] def emVocab2Ctes: String =
+  private[queries] def emDictCtes: String =
     s"""pos AS MATERIALIZED (
        |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
        |  FROM wc),
        |ewc AS MATERIALIZED (
-       |  SELECT word, cnt FROM wc WHERE length(word) <= $EmLenCap),
-       |lat AS MATERIALIZED (
+       |  SELECT word, cnt FROM wc WHERE length(word) <= $EmLenCap)"""
+      .stripMargin
+
+  /** One E-step over the dictionary under the lattice-weight table
+    * `$wts(piece, v)`: forward/backward HUGEINT ladders, per-word
+    * expectations, corpus soft counts — emits `${pre}ecorp(piece,
+    * efix)`. Prefix-parameterized so an oracle can run TWO iterations
+    * in one statement (p141). Caller's WITH must define `wc`, `$wts`,
+    * and include [[emDictCtes]] once.
+    */
+  private[queries] def emSoftCtes(pre: String, wts: String): String =
+    s"""${pre}lat AS MATERIALIZED (
        |  SELECT pos.word, pos.p, CAST(length(w.piece) AS INT) AS l,
        |    w.piece, w.v
        |  FROM pos
        |  JOIN ewc ON ewc.word = pos.word
-       |  JOIN wts w
+       |  JOIN $wts w
        |    ON substr(pos.word, pos.p, length(w.piece)) = w.piece),
-       |fu0 AS MATERIALIZED (
+       |${pre}fu0 AS MATERIALIZED (
        |  SELECT word, CAST(1 AS INT) AS p, CAST(1 AS HUGEINT) AS a
        |  FROM ewc),
-       |${emFwdLadder(EmLenCap)},
-       |gu0 AS MATERIALIZED (
+       |${emFwdLadder(EmLenCap, pre)},
+       |${pre}gu0 AS MATERIALIZED (
        |  SELECT word, CAST(length(word) + 1 AS INT) AS p,
        |    CAST(1 AS HUGEINT) AS b
        |  FROM ewc),
-       |${emBwdLadder(EmLenCap)},
-       |zz AS MATERIALIZED (
-       |  SELECT word, a AS z FROM fu$EmLenCap
+       |${emBwdLadder(EmLenCap, pre)},
+       |${pre}zz AS MATERIALIZED (
+       |  SELECT word, a AS z FROM ${pre}fu$EmLenCap
        |  WHERE p = length(word) + 1),
-       |occ AS MATERIALIZED (
+       |${pre}occ AS MATERIALIZED (
        |  SELECT m.word, m.piece,
        |    CAST(SUM(f.a * m.v * g.b) AS HUGEINT) AS num
-       |  FROM lat m
-       |  JOIN fu$EmLenCap f ON f.word = m.word AND f.p = m.p
-       |  JOIN gu$EmLenCap g ON g.word = m.word AND g.p = m.p + m.l
+       |  FROM ${pre}lat m
+       |  JOIN ${pre}fu$EmLenCap f ON f.word = m.word AND f.p = m.p
+       |  JOIN ${pre}gu$EmLenCap g
+       |    ON g.word = m.word AND g.p = m.p + m.l
        |  GROUP BY 1, 2),
-       |eppm AS MATERIALIZED (
+       |${pre}eppm AS MATERIALIZED (
        |  SELECT o.word, o.piece,
        |    CAST((o.num * 1000000) // z.z AS BIGINT) AS e
-       |  FROM occ o JOIN zz z ON z.word = o.word),
-       |ecorp AS MATERIALIZED (
+       |  FROM ${pre}occ o JOIN ${pre}zz z ON z.word = o.word),
+       |${pre}ecorp AS MATERIALIZED (
        |  SELECT e.piece, CAST(SUM(w.cnt * e.e) AS BIGINT) AS efix
-       |  FROM eppm e JOIN ewc w ON w.word = e.word
-       |  GROUP BY 1),
+       |  FROM ${pre}eppm e JOIN ewc w ON w.word = e.word
+       |  GROUP BY 1)"""
+      .stripMargin
+
+  /** The full EM-round oracle block, shared by p130 and p137:
+    * [[emDictCtes]] + one [[emSoftCtes]] pass + the M-step's
+    * quantized-log re-estimation, through `vocab2(piece, cost)`.
+    * Caller's WITH must already define `wc(word, cnt)`, `vocab`,
+    * `wts`, and `pw2`.
+    */
+  private[queries] def emVocab2Ctes: String =
+    s"""$emDictCtes,
+       |${emSoftCtes("", "wts")},
        |tt AS (SELECT CAST(SUM(efix) AS BIGINT) AS t FROM ecorp),
        |lin AS MATERIALIZED (
        |  SELECT piece, efix AS x FROM ecorp WHERE efix > 0
@@ -1231,6 +1252,107 @@ object Pipeline9 {
              |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
              |  iso_ppm, ece.ece_iso_ppm
              |FROM fitted, ece
-             |ORDER BY bin""".stripMargin))
+             |ORDER BY bin""".stripMargin)),
+
+    QueryDef(
+      // SECOND EM ITERATION (the round-10 open item, closed in-round):
+      // the E-step RE-RUN under the round-1 posterior — round-2
+      // lattice weights are the round-1 soft counts' linear
+      // probabilities re-quantized to the 8-bit scale the oracle's
+      // HUGEINT ladders can carry (W2 = max(1, E·256 DIV T), the
+      // documented ~1/256 resolution floor on rare pieces;
+      // length-homogenized as always so the product measure stays the
+      // probability measure). This is EM actually ITERATING on soft
+      // counts — where p122 iterates the prune step and p130 runs one
+      // E/M round, p141 shows the posterior feeding the next E-step,
+      // and reports where the distribution MOVES: per piece, round-1
+      // and round-2 soft counts and normalized shares, the round-2
+      // weight, and the total-variation drift between the two
+      // posteriors in ppm (Σ|share1 − share2| / 2 — the convergence
+      // meter a training loop watches). The oracle runs the ENTIRE
+      // double forward-backward in one statement: the prefix-
+      // parameterized emSoftCtes block twice, wts2 derived
+      // relationally from round-1 ecorp via the pw2 table
+      // (256^(len−1) = 2^(8(len−1))). Scale shape: two dictionary-
+      // discipline E-step aggregations; everything else is vocab-
+      // sized driver arithmetic (the model-artifact discipline).
+      "p141_em_second_iteration",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.UnigramEm
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          // reused by both E-step collects (the p130 persist contract)
+          .persist()
+        val e1 = UnigramEm.softCounts(words, UgLattice, EmLenCap)
+        val lat2 = UnigramEm.lattice2(Pipeline7.UgVocab, e1)
+        val e2 =
+          if (lat2.isEmpty) Map.empty[String, Long]
+          else UnigramEm.softCounts(words, lat2, EmLenCap)
+        val t1 = math.max(e1.values.sum, 1L)
+        val t2 = math.max(e2.values.sum, 1L)
+        val w2 = lat2.map { case (p, v) =>
+          p -> (v >> (8 * (p.length - 1))) }.toMap
+        val rows = Pipeline7.UgVocab.map { case (p, _) =>
+          val a = e1.getOrElse(p, 0L)
+          val b = e2.getOrElse(p, 0L)
+          (p, a, w2.getOrElse(p, 0L), b,
+            a * 1000000L / t1, b * 1000000L / t2)
+        }
+        val drift = rows.map { r => math.abs(r._5 - r._6) }.sum / 2
+        rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, drift))
+          .toDF("piece", "e1_fix", "w2", "e2_fix",
+            "share1_ppm", "share2_ppm", "drift_ppm")
+          .orderBy($"piece")
+      },
+      Some(s"""WITH vocab(piece, cost) AS
+              |  (VALUES ${Pipeline7.ugVocabValues}),
+              |wts(piece, v) AS (VALUES $ugLatticeValues),
+              |pw2(k, v) AS (VALUES $pw2Values),
+              |wc AS MATERIALIZED (
+              |  SELECT word, COUNT(*) AS cnt
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1),
+              |$emDictCtes,
+              |${emSoftCtes("", "wts")},
+              |tt1 AS (SELECT GREATEST(CAST(SUM(efix) AS BIGINT), 1) AS t
+              |        FROM ecorp),
+              |wts2 AS MATERIALIZED (
+              |  SELECT e.piece,
+              |    GREATEST(1, (e.efix * 256) // tt1.t) * p.v AS v
+              |  FROM ecorp e
+              |  CROSS JOIN tt1
+              |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
+              |  WHERE e.efix > 0),
+              |${emSoftCtes("y", "wts2")},
+              |tt2 AS (SELECT GREATEST(CAST(SUM(efix) AS BIGINT), 1) AS t
+              |        FROM yecorp),
+              |shares AS MATERIALIZED (
+              |  SELECT v.piece,
+              |    COALESCE(e1.efix, 0) AS e1_fix,
+              |    CASE WHEN COALESCE(e1.efix, 0) > 0
+              |      THEN GREATEST(1, (e1.efix * 256) // tt1.t)
+              |      ELSE 0 END AS w2,
+              |    COALESCE(e2.efix, 0) AS e2_fix,
+              |    COALESCE(e1.efix, 0) * 1000000 // tt1.t AS share1_ppm,
+              |    COALESCE(e2.efix, 0) * 1000000 // tt2.t AS share2_ppm
+              |  FROM vocab v
+              |  LEFT JOIN ecorp e1 ON e1.piece = v.piece
+              |  LEFT JOIN yecorp e2 ON e2.piece = v.piece
+              |  CROSS JOIN tt1 CROSS JOIN tt2),
+              |drift AS (
+              |  SELECT CAST(SUM(ABS(share1_ppm - share2_ppm)) // 2
+              |    AS BIGINT) AS drift_ppm
+              |  FROM shares)
+              |SELECT s.piece, CAST(s.e1_fix AS BIGINT) AS e1_fix,
+              |  CAST(s.w2 AS BIGINT) AS w2,
+              |  CAST(s.e2_fix AS BIGINT) AS e2_fix,
+              |  CAST(s.share1_ppm AS BIGINT) AS share1_ppm,
+              |  CAST(s.share2_ppm AS BIGINT) AS share2_ppm,
+              |  drift.drift_ppm
+              |FROM shares s, drift
+              |ORDER BY s.piece""".stripMargin))
   )
 }
