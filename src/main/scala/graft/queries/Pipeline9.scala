@@ -816,6 +816,12 @@ object Pipeline9 {
                             element_at(ws, i + 2)))
               ELSE array() END""")).as("tok"))
           .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+          // read four times (terms, marginal, source totals, corpus
+          // total) and trigram-dictionary-sized, never corpus-sized:
+          // persist instead of recomputing the corpus explode per
+          // branch (3.4s -> ~2s at sf0.1); dropped by the per-query
+          // clear (the CacheHygieneSpec contract)
+          .persist()
         val marg = tri.groupBy($"tok").agg(sum($"c").as("nw"))
         val srcN = tri.groupBy($"source").agg(sum($"c").as("nsrc"))
         val ntot = marg.agg(sum($"nw").as("ntot"))
@@ -1353,6 +1359,113 @@ object Pipeline9 {
               |  CAST(s.share2_ppm AS BIGINT) AS share2_ppm,
               |  drift.drift_ppm
               |FROM shares s, drift
-              |ORDER BY s.piece""".stripMargin))
+              |ORDER BY s.piece""".stripMargin)),
+
+    QueryDef(
+      // UNIGRAM-LM PERPLEXITY QUALITY TIERS (the CCNet scheme —
+      // Wenzek et al. 2020, public: score each document by LM
+      // perplexity, split each source into head/middle/tail thirds by
+      // score rank, keep the head): the document score here is the
+      // tokenizer-LM's cost-per-token — Σ cnt·cost(word's Viterbi
+      // segmentation) over the doc, milli-scaled, with UNK words
+      // charged a flat documented 1000 (the p114 convention's cost
+      // face). EXACT end to end: integer piece costs sum per word
+      // (dictionary discipline — the DP runs once per distinct word,
+      // per-doc counts join back), cpt_milli floors identically, and
+      // the per-source thirds come from rankWithinKey's deterministic
+      // (cpt, doc_id) rank with tier = (rank−1)·3 DIV n_source — both
+      // engines tie-break identically so tier boundaries are engine-
+      // identical. Reports per (source, tier): docs, tokens, min/mean/
+      // max cost-per-token — the table a CCNet-style filter reads to
+      // set its keep threshold. Scale shape: one (doc, word) count
+      // shuffle, one dictionary encode joined back on the word key,
+      // one per-doc aggregate, the range-partitioned rank (no
+      // corpus-sized window partition), one 60-row rollup.
+      "p142_ccnet_tiers",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.unigram_pieces
+        val dw = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"doc_id", $"source",
+            explode(split($"text", " ")).as("word"))
+          .groupBy($"doc_id", $"source", $"word")
+          .agg(count(lit(1)).as("cnt"))
+        val costs = Pipeline7.UgVocab.toDF("piece", "cost")
+        val wcost = dw.select($"word").distinct()
+          .select($"word",
+            unigram_pieces($"word", Pipeline7.UgVocab).as("pieces"))
+          .select($"word", ($"pieces" === array(lit("[UNK]"))).as("unk"),
+            explode($"pieces").as("piece"))
+          .join(broadcast(costs), Seq("piece"), "left")
+          .groupBy($"word")
+          .agg(when(max($"unk"), 1000L)
+            .otherwise(sum($"cost")).as("wcost"))
+        val perDoc = dw.join(wcost, "word")
+          .groupBy($"doc_id", $"source")
+          .agg(sum($"cnt").as("ntok"),
+            sum($"cnt" * $"wcost").as("tc"))
+          .select($"doc_id", $"source", $"ntok",
+            expr("tc * 1000 DIV ntok").as("cpt_milli"))
+        val nsrc = perDoc.groupBy($"source").agg(count(lit(1)).as("nd"))
+        val ranked = graft.operators.RankOps.rankWithinKey(perDoc,
+            "source", Seq($"cpt_milli", $"doc_id"), rankCol = "rk")
+          .join(nsrc, "source")
+          .select($"source", $"ntok", $"cpt_milli",
+            expr("(rk - 1) * 3 DIV nd").as("tier"))
+        ranked.groupBy($"source", $"tier")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+            min($"cpt_milli").as("min_cpt"),
+            expr("sum(cpt_milli) DIV count(1)").as("mean_cpt"),
+            max($"cpt_milli").as("max_cpt"))
+          .orderBy($"source", $"tier")
+      },
+      Some(s"""WITH RECURSIVE vocab(piece, cost) AS
+              |  (VALUES ${Pipeline7.ugVocabValues}),
+              |dw AS MATERIALIZED (
+              |  SELECT doc_id, source, word, COUNT(*) AS cnt
+              |  FROM (SELECT doc_id, source,
+              |          unnest(string_split(text, ' ')) AS word
+              |        FROM documents
+              |        WHERE text IS NOT NULL AND text <> '')
+              |  GROUP BY 1, 2, 3),
+              |wc AS MATERIALIZED (
+              |  SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt
+              |  FROM dw GROUP BY 1),
+              |pos AS MATERIALIZED (
+              |  SELECT word, CAST(unnest(generate_series(1, length(word))) AS INT) AS p
+              |  FROM wc),
+              |${Pipeline7.ugEncodeCtes("vocab", "a")},
+              |wp AS (SELECT word, unnest(pieces) AS piece FROM aenc),
+              |wcc AS (
+              |  SELECT wp.word, CAST(SUM(v.cost) AS BIGINT) AS c
+              |  FROM wp JOIN vocab v USING (piece) GROUP BY 1),
+              |wcost AS MATERIALIZED (
+              |  SELECT e.word,
+              |    CASE WHEN e.pieces = ['[UNK]'] THEN 1000
+              |         ELSE c.c END AS wcost
+              |  FROM aenc e LEFT JOIN wcc c ON c.word = e.word),
+              |pd AS MATERIALIZED (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(SUM(d.cnt) AS BIGINT) AS ntok,
+              |    CAST(SUM(d.cnt * w.wcost) * 1000
+              |      // SUM(d.cnt) AS BIGINT) AS cpt_milli
+              |  FROM dw d JOIN wcost w USING (word)
+              |  GROUP BY 1, 2),
+              |nsrc AS (SELECT source, COUNT(*) AS nd FROM pd GROUP BY 1),
+              |ranked AS (
+              |  SELECT p.source, p.ntok, p.cpt_milli,
+              |    (ROW_NUMBER() OVER (PARTITION BY p.source
+              |       ORDER BY p.cpt_milli, p.doc_id) - 1) * 3 // n.nd
+              |      AS tier
+              |  FROM pd p JOIN nsrc n USING (source))
+              |SELECT source, CAST(tier AS BIGINT) AS tier,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+              |  CAST(MIN(cpt_milli) AS BIGINT) AS min_cpt,
+              |  CAST(SUM(cpt_milli) // COUNT(*) AS BIGINT) AS mean_cpt,
+              |  CAST(MAX(cpt_milli) AS BIGINT) AS max_cpt
+              |FROM ranked GROUP BY 1, 2
+              |ORDER BY source, tier""".stripMargin))
   )
 }

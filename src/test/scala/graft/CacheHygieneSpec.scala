@@ -188,7 +188,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     // NOT a localCheckpoint). Repeat p130 to prove no per-invocation
     // growth.
     for (q <- Seq("p130_unigram_em", "p130_unigram_em",
-        "p137_em_fertility_shift", "p141_em_second_iteration")) {
+        "p137_em_fertility_shift", "p141_em_second_iteration",
+        "p136_source_kl")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
