@@ -1466,6 +1466,118 @@ object Pipeline9 {
               |  CAST(SUM(cpt_milli) // COUNT(*) AS BIGINT) AS mean_cpt,
               |  CAST(MAX(cpt_milli) AS BIGINT) AS max_cpt
               |FROM ranked GROUP BY 1, 2
-              |ORDER BY source, tier""".stripMargin))
+              |ORDER BY source, tier""".stripMargin)),
+
+    QueryDef(
+      // THIRD EM ITERATION — THE CONVERGENCE CLAIM PROPER: p141 shows
+      // the posterior feeding the next E-step; this entry chains one
+      // more round and reports the total-variation drift of EACH hop
+      // (share1→share2, share2→share3) plus the contraction ratio.
+      // EM's monotone-likelihood property surfaces operationally as
+      // drift12 > drift23 at every fixture SF (the 8-bit weight
+      // quantization floors late-round movement, which only HELPS the
+      // contraction read) — the three-line convergence dashboard a
+      // tokenizer-training loop watches to decide when to stop.
+      // Same machinery end to end: round-k weights from round-(k−1)
+      // soft counts (W = max(1, E·256 DIV T), homogenized), the
+      // oracle runs the TRIPLE forward-backward in one statement via
+      // three prefix-parameterized emSoftCtes blocks with both weight
+      // derivations relational. Scale shape: three dictionary-
+      // discipline E-step aggregations; vocab-sized driver arithmetic
+      // otherwise.
+      "p143_em_convergence",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.UnigramEm
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          // reused by all three E-step collects (the p130 contract)
+          .persist()
+        def shares(e: Map[String, Long]): Map[String, Long] = {
+          val t = math.max(e.values.sum, 1L)
+          Pipeline7.UgVocab.map { case (p, _) =>
+            p -> e.getOrElse(p, 0L) * 1000000L / t }.toMap
+        }
+        def next(e: Map[String, Long]): Map[String, Long] = {
+          val lat = UnigramEm.lattice2(Pipeline7.UgVocab, e)
+          if (lat.isEmpty) Map.empty
+          else UnigramEm.softCounts(words, lat, EmLenCap)
+        }
+        val e1 = UnigramEm.softCounts(words, UgLattice, EmLenCap)
+        val e2 = next(e1)
+        val e3 = next(e2)
+        val (s1, s2, s3) = (shares(e1), shares(e2), shares(e3))
+        def tv(a: Map[String, Long], b: Map[String, Long]): Long =
+          Pipeline7.UgVocab.map { case (p, _) =>
+            math.abs(a(p) - b(p)) }.sum / 2
+        val (d12, d23) = (tv(s1, s2), tv(s2, s3))
+        val ratio = d23 * 1000L / math.max(d12, 1L)
+        Pipeline7.UgVocab.map { case (p, _) =>
+          (p, s1(p), s2(p), s3(p), d12, d23, ratio) }
+          .toDF("piece", "share1_ppm", "share2_ppm", "share3_ppm",
+            "drift12_ppm", "drift23_ppm", "contraction_milli")
+          .orderBy($"piece")
+      },
+      Some(s"""WITH vocab(piece, cost) AS
+              |  (VALUES ${Pipeline7.ugVocabValues}),
+              |wts(piece, v) AS (VALUES $ugLatticeValues),
+              |pw2(k, v) AS (VALUES $pw2Values),
+              |wc AS MATERIALIZED (
+              |  SELECT word, COUNT(*) AS cnt
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1),
+              |$emDictCtes,
+              |${emSoftCtes("", "wts")},
+              |tt1 AS (SELECT GREATEST(CAST(SUM(efix) AS BIGINT), 1) AS t
+              |        FROM ecorp),
+              |wts2 AS MATERIALIZED (
+              |  SELECT e.piece,
+              |    GREATEST(1, (e.efix * 256) // tt1.t) * p.v AS v
+              |  FROM ecorp e
+              |  CROSS JOIN tt1
+              |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
+              |  WHERE e.efix > 0),
+              |${emSoftCtes("y", "wts2")},
+              |tt2 AS (SELECT GREATEST(CAST(SUM(efix) AS BIGINT), 1) AS t
+              |        FROM yecorp),
+              |wts3 AS MATERIALIZED (
+              |  SELECT e.piece,
+              |    GREATEST(1, (e.efix * 256) // tt2.t) * p.v AS v
+              |  FROM yecorp e
+              |  CROSS JOIN tt2
+              |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
+              |  WHERE e.efix > 0),
+              |${emSoftCtes("z", "wts3")},
+              |tt3 AS (SELECT GREATEST(CAST(SUM(efix) AS BIGINT), 1) AS t
+              |        FROM zecorp),
+              |shares AS MATERIALIZED (
+              |  SELECT v.piece,
+              |    COALESCE(e1.efix, 0) * 1000000 // tt1.t AS share1_ppm,
+              |    COALESCE(e2.efix, 0) * 1000000 // tt2.t AS share2_ppm,
+              |    COALESCE(e3.efix, 0) * 1000000 // tt3.t AS share3_ppm
+              |  FROM vocab v
+              |  LEFT JOIN ecorp e1 ON e1.piece = v.piece
+              |  LEFT JOIN yecorp e2 ON e2.piece = v.piece
+              |  LEFT JOIN zecorp e3 ON e3.piece = v.piece
+              |  CROSS JOIN tt1 CROSS JOIN tt2 CROSS JOIN tt3),
+              |drift AS (
+              |  SELECT
+              |    CAST(SUM(ABS(share1_ppm - share2_ppm)) // 2 AS BIGINT)
+              |      AS d12,
+              |    CAST(SUM(ABS(share2_ppm - share3_ppm)) // 2 AS BIGINT)
+              |      AS d23
+              |  FROM shares)
+              |SELECT s.piece,
+              |  CAST(s.share1_ppm AS BIGINT) AS share1_ppm,
+              |  CAST(s.share2_ppm AS BIGINT) AS share2_ppm,
+              |  CAST(s.share3_ppm AS BIGINT) AS share3_ppm,
+              |  drift.d12 AS drift12_ppm,
+              |  drift.d23 AS drift23_ppm,
+              |  CAST(drift.d23 * 1000 // GREATEST(drift.d12, 1) AS BIGINT)
+              |    AS contraction_milli
+              |FROM shares s, drift
+              |ORDER BY s.piece""".stripMargin))
   )
 }

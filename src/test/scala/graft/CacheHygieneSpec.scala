@@ -189,7 +189,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // growth.
     for (q <- Seq("p130_unigram_em", "p130_unigram_em",
         "p137_em_fertility_shift", "p141_em_second_iteration",
-        "p136_source_kl")) {
+        "p136_source_kl", "p143_em_convergence")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
