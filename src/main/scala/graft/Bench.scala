@@ -22,6 +22,75 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (utime+stime+cutime+cstime, ppid) from one /proc/<pid>/stat.
+    * comm (field 2) is parenthesized and may contain spaces: parse
+    * after the LAST ')'; post-paren tokens start at field 3 (state),
+    * so utime/stime/cutime/cstime (fields 14-17) are indices 11-14
+    * and ppid (field 4) is index 1. */
+  private def pidJiffies(pid: String): (Long, Long) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    (rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong,
+      rest(1).toLong)
+  }
+
+  /** Our own process tree, root-ward: this JVM plus every ancestor up
+    * to init. `run / fork := true` means sbt is our PARENT, and sbt's
+    * background work (GC, piping our stderr) must read as self, not as
+    * box contention — measured 2.3 "external" cores on an idle box
+    * before this exclusion. The chain is pid-stable for the run. */
+  private val selfTreePids: Seq[String] = {
+    val chain = scala.collection.mutable.ArrayBuffer("self")
+    try {
+      var pid = pidJiffies("self")._2
+      while (pid > 1 && chain.size < 32) {
+        chain += pid.toString
+        pid = pidJiffies(pid.toString)._2
+      }
+    } catch { case _: Throwable => () }
+    chain.toSeq
+  }
+
+  /** (box-wide busy jiffies, our process tree's jiffies).
+    *
+    * The r9 stamping lesson, part 2: a before/after loadavg pair cannot
+    * see a MID-RUN spike (the 1-min EMA smears it, and during the run
+    * loadavg is dominated by our own 32 threads anyway). External
+    * contention mid-run IS observable, though, as CPU the box burned
+    * that our own process tree did not: Δ(/proc/stat busy) − Δ(tree),
+    * over the query's wall window, in cores. In local[32] everything —
+    * driver, executors, shuffle — is this one JVM; the ancestor chain
+    * (sbt, shell, harness) is constant tooling present on every round's
+    * run, so counting it as self keeps the gate comparable.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      // first line: "cpu  user nice system idle iowait irq softirq steal …"
+      val f = stat.linesIterator.next().trim.split("\\s+")
+      // busy = user+nice+system+irq+softirq+steal (skip idle, iowait)
+      val busy = f(1).toLong + f(2).toLong + f(3).toLong +
+        f(6).toLong + f(7).toLong + f(8).toLong
+      // a vanished ancestor (shell replaced mid-run) contributes 0 —
+      // its CPU then reads as external, the conservative direction
+      val mine = selfTreePids.map { p =>
+        try pidJiffies(p)._1 catch { case _: Throwable => 0L }
+      }.sum
+      (busy, mine)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Non-self CPU in cores over a wall window (USER_HZ = 100 on every
+    * Linux this runs on; getconf CLK_TCK confirms on this box). ~0 on an
+    * idle box regardless of how hard the bench itself runs; ≥1 means a
+    * full external core competed with the timed query. */
+  private def extCores(before: (Long, Long), after: (Long, Long),
+      wallSec: Double): Double =
+    if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
+    else math.max(0.0,
+      ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / wallSec)
+
   def main(args: Array[String]): Unit = {
     // EXTERNAL-contention sample: taken before the Spark session (and
     // the 240-query warmup pass) exists, so it reads the BOX, not this
@@ -103,6 +172,7 @@ object Bench {
       })
     val results = names.map { name =>
       shuffleW.set(0); shuffleR.set(0); spilled.set(0)
+      val cpu0 = cpuJiffies()
       val t0 = System.nanoTime()
       val ok =
         try { drain(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -111,6 +181,13 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // in-run contention sample: non-self CPU cores burned during this
+      // query's timed window (see cpuJiffies). Sampled INSIDE the timed
+      // bracket — before clearCache/GC — so it covers exactly what the
+      // seconds cover. tools/stamp_bench.py gates the committed artifact
+      // on the MAX across queries: the r9 before/after loadavg pair
+      // passed a run whose middle 60s ran under a 4-core external spike.
+      val ext = extCores(cpu0, cpuJiffies(), sec)
       spark.catalog.clearCache()
       // Spark's ContextCleaner reclaims broadcast/shuffle state only when
       // the driver GCs; a large heap can go a whole 70-query suite
@@ -118,18 +195,37 @@ object Bench {
       // outlier on a mid-suite query. Nudge the cleaner OUTSIDE the timed
       // window so each query starts from a clean session.
       System.gc()
-      (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get)
+      (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get, ext)
     }
     val loadAfter = load1()
+    // headline contention figures. Max over queries ≥1s only: a
+    // sub-second window spans a handful of jiffies and one sbt GC tick
+    // reads as a phantom core (measured 0.84c on a 0.47s query on an
+    // idle box), while a real external spike lasts long enough to hit
+    // 1s+ queries. The duration-weighted AVERAGE over all queries
+    // complements it: a spike that happened to land only on short
+    // queries still moves the run-wide ratio.
+    val extValid = results.filter(_._7 >= 0)
+    val extMax = extValid.filter(_._2 >= 1.0)
+      .map(_._7).foldLeft(-1.0)(math.max)
+    val extAvg =
+      if (extValid.isEmpty) -1.0
+      else extValid.map(r => r._7 * r._2).sum /
+        math.max(extValid.map(_._2).sum, 1e-9)
     println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir,
-      Some((loadBefore, loadAfter))))
+      Some((loadBefore, loadAfter)), extMax))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
-    val detail = results.map { case (k, v, ok, sw, sr, sp) =>
+    val detail = results.map { case (k, v, ok, sw, sr, sp, ext) =>
       s""""$k":{"sec":$v,"ok":$ok,"shuffle_w_mb":${sw / 1048576},""" +
-        s""""shuffle_r_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}"""
+        s""""shuffle_r_mb":${sr / 1048576},"spill_mb":${sp / 1048576},""" +
+        s""""ext_cpu":${"%.2f".formatLocal(java.util.Locale.ROOT, ext)}}"""
     }.mkString(
-      s"""{"load1":[$loadBefore,$loadAfter],"sf":"$sfDir","queries":{""",
+      s"""{"load1":[$loadBefore,$loadAfter],"ext_cpu_max":${
+        "%.2f".formatLocal(java.util.Locale.ROOT, extMax)
+      },"ext_cpu_avg":${
+        "%.2f".formatLocal(java.util.Locale.ROOT, extAvg)
+      },"sf":"$sfDir","queries":{""",
       ",", "}}")
     // Two copies: the stable path the stdout pointer names, and a
     // ROUND-STAMPED one — round 7's full-precision record was destroyed
@@ -168,7 +264,8 @@ object Bench {
     * and failures are listed by key only when present.
     */
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String,
-      load: Option[(Double, Double)] = None): String = {
+      load: Option[(Double, Double)] = None,
+      extMax: Double = -1.0): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // per-query stdout values cap at 3 chars: one decimal under 10s
@@ -218,8 +315,14 @@ object Bench {
       def f(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       s""""load1":[${f(b)},${f(a)}],"""
     }.getOrElse("")
+    // max in-run non-self CPU (cores) across queries: the one number
+    // that says whether the TIMED WINDOWS themselves were contended —
+    // ~14 chars, paid on every tier (see cpuJiffies for semantics)
+    val extPart =
+      if (extMax < 0) ""
+      else s""""extmax":${"%.1f".formatLocal(java.util.Locale.ROOT, extMax)},"""
     def line(qsPart: String, failedPart: String, ptr: String = "") =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$failedPart$ptr,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$extPart$failedPart$ptr,"sf":"$sfShort"}"""
     // The driver reads the LAST ~2000 chars of output; sbt appends a
     // ~75-char [success] line after ours, so 1850 leaves real margin.
     // The degrade ladder (each tier drops stdout detail that survives

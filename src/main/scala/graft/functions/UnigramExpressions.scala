@@ -212,9 +212,22 @@ object UnigramTable {
   * Z = A(n) the word's total lattice weight. Uncoverable words (Z = 0),
   * empty words, and words longer than `lenCap` return an EMPTY array —
   * the length cap is the documented HUGEINT headroom contract of the
-  * DuckDB replay (V ≤ 2^32, maxPieceLen ≤ 4 ⇒ per-word mass
+  * DuckDB replay (V ≤ 256^len, maxPieceLen ≤ 4 ⇒ per-word mass
   * Z ≤ 2^9 · (2^8)^10 · B-homogenization ≤ 2^89; num·10^6 ≤ 2^113 <
   * 2^127), while this side computes in BigInt and never overflows.
+  *
+  * Length UNIT contract (the family's UTF-16 convention, see
+  * [[MultiMatch]]): word length and piece matching here count UTF-16
+  * code units, while a Spark `length(word)` prefilter and the DuckDB
+  * ladder's `length()`/`substr()` count Unicode code points. The three
+  * agree exactly on BMP text (every fixture; pinned by the astral fuzz
+  * suite), and diverge on supplementary-plane text — a word of six
+  * astral characters is 12 units here (gated out at lenCap 10) but 6
+  * code points to both SQL engines. The oracle hash gate therefore
+  * binds on BMP corpora; astral-bearing callers must prefilter on a
+  * UTF-16 length or accept the unit-gated semantics (outputs remain
+  * well-formed UTF-16 either way — a piece can only match a whole
+  * number of code points when the vocabulary is itself well-formed).
   *
   * Scale shape: intended call site is the DISTINCT word dictionary
   * (p114/p120 discipline) — the O(n · maxLen) lattice never runs on
@@ -227,8 +240,18 @@ case class UnigramEStep(child: Expression, weights: Seq[(String, Long)],
   require(weights.map(_._1).distinct.size == weights.size,
     "weight pieces must be distinct")
   require(weights.forall(_._1.nonEmpty), "pieces must be non-empty")
-  require(weights.forall(p => p._2 >= 1L && p._2 <= (1L << 32)),
-    "lattice weights must be in [1, 2^32] (the oracle's HUGEINT headroom)")
+  // Per-piece headroom, NOT a flat 2^32: the Scaladoc's HUGEINT proof
+  // assumes length-homogenized weights V_p = W_p · 256^(len_p − 1) with
+  // W_p ≤ 256, i.e. V_p ≤ 256^len_p — a flat 2^32 bound would admit a
+  // ~2^32 weight on a 1-char piece, whose per-word lattice mass on a
+  // 10-char word reaches ~2^320: exact here in BigInt but an overflow
+  // error in the oracle's HUGEINT ladder, a cross-engine divergence.
+  // The bound caps at 2^32 (len ≥ 4) because maxPieceLen ≤ 4 in the
+  // ladder contract; all callers length-homogenize and comply.
+  require(weights.forall(p => p._2 >= 1L &&
+      p._2 <= (1L << (8 * math.min(p._1.length, 4)))),
+    "lattice weights must be length-homogenized: 1 <= V_p <= 256^min(len_p,4)" +
+      " (the oracle's HUGEINT headroom proof)")
   require(lenCap >= 1 && lenCap <= 10,
     "lenCap must be in [1, 10] (the oracle's ladder depth)")
 

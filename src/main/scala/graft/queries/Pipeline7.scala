@@ -20,7 +20,7 @@ object Pipeline7 {
     * failure-link emission case), and "ch ba" only ever occurs nested
     * inside "batch batch" overlapping both words.
     */
-  private val BlockTerms = Seq(
+  private[graft] val BlockTerms = Seq(
     "batch batch", "join order", "window window", "spark",
     "park", "scan merge", "data line", "ch ba")
 
@@ -772,7 +772,7 @@ object Pipeline7 {
     * plus multi-character pieces covering the frequent corpus words so
     * the greedy longest-match rule is load-bearing, not decorative.
     */
-  private val WpVocab: Seq[String] = {
+  private[graft] val WpVocab: Seq[String] = {
     val singles = "abcdefghijklmnopqrstuwy".map(_.toString)
     singles ++ singles.map("##" + _) ++
       Seq("sp", "spark", "batch", "scan", "wind", "me", "qu", "st", "gr") ++

@@ -27,10 +27,12 @@ class BenchLineSpec extends AnyFunSuite {
     // carries a failed count.
     for (v <- Seq(9.94, 999.99)) {
       val results = names.map(n => (n, v, false))
-      // the load annotation is on every real line — budget WITH it
+      // the load AND in-run extmax annotations are on every real line —
+      // budget WITH both
       val line = Bench.renderLine(results, "/root/testdata/sf0.1",
-        Some((12.3, 45.6)))
+        Some((12.3, 45.6)), extMax = 12.34)
       assert(line.contains(""""load1":[12.3,45.6]"""), line.takeRight(120))
+      assert(line.contains(""""extmax":12.3"""), line.takeRight(120))
       assert(line.length < 1850, s"bench line ${line.length} chars ($v); must stay < 1850")
       assert(!line.contains("\n"))
       assert(line.contains(s""""failed":${names.size}"""), line.takeRight(80))
@@ -66,6 +68,12 @@ class BenchLineSpec extends AnyFunSuite {
     // ...and the full-detail tier 1 does NOT pay the pointer's chars
     val small = Bench.renderLine(Seq(("q01_x", 1.23, true)), "/tmp/sf0.1")
     assert(!small.contains("bench-full"), small)
+  }
+
+  test("negative extMax (no valid in-run samples) renders no extmax key") {
+    val line = Bench.renderLine(Seq(("q01_x", 1.0, true)), "/tmp/sf",
+      Some((0.1, 0.2)), extMax = -1.0)
+    assert(!line.contains("extmax"), line)
   }
 
   test("line is well-formed for the driver's parser") {
