@@ -1008,14 +1008,23 @@ object Pipeline9 {
       "p138_textrank",
       (s, dir) => {
         import s.implicits._
+        // co-occurrence window (TextRank's standard parameter is 2-10;
+        // Mihalcea & Tarau 2004 report window 2 as the best-performing
+        // keyword setting): words at distance 1..W form an edge. ONE
+        // pass over the corpus builds all distances — the inner
+        // transform runs per offset d inside the same projected row,
+        // so widening W grows the exploded frame, never the scan count.
+        val W = 2
         val docs = t(s, dir, "documents")
           .filter($"text".isNotNull && $"text" =!= "")
         val pairs = docs.select(split($"text", " ").as("ws"))
-          .select(explode(expr("""CASE WHEN size(ws) >= 2
-            THEN transform(sequence(1, size(ws) - 1),
-              i -> struct(element_at(ws, i) AS w1,
-                          element_at(ws, i + 1) AS w2))
-            ELSE array() END""")).as("bg"))
+          .select(explode(expr(s"""flatten(transform(sequence(1, $W),
+            d -> filter(transform(sequence(1, size(ws)),
+              i -> IF(i + d <= size(ws),
+                struct(element_at(ws, i) AS w1,
+                       element_at(ws, i + d) AS w2),
+                CAST(NULL AS STRUCT<w1: STRING, w2: STRING>))),
+              x -> x IS NOT NULL)))""")).as("bg"))
           .select($"bg.w1", $"bg.w2")
           .filter($"w1" =!= $"w2")
         val eu = pairs
@@ -1047,9 +1056,10 @@ object Pipeline9 {
            |  SELECT string_split(text, ' ') AS ws FROM documents
            |  WHERE text IS NOT NULL AND text <> ''),
            |pr AS MATERIALIZED (
-           |  SELECT ws[i] AS w1, ws[i + 1] AS w2
-           |  FROM sp, LATERAL unnest(generate_series(1, len(ws) - 1))
-           |    AS u(i)),
+           |  SELECT ws[i] AS w1, ws[i + d] AS w2
+           |  FROM sp,
+           |    LATERAL unnest(generate_series(1, 2)) AS dd(d),
+           |    LATERAL unnest(generate_series(1, len(ws) - d)) AS u(i)),
            |eu AS MATERIALIZED (
            |  SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
            |  FROM pr WHERE w1 <> w2),
