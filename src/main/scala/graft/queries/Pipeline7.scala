@@ -832,17 +832,25 @@ object Pipeline7 {
       // NDCG@k OVER THE EXACT DENSE RANKING (graded relevance — the
       // retrieval metric p104's binary precision@k/MRR cannot express:
       // a rank-1 marginally-related hit and a rank-1 exact hit score
-      // differently). Grades are data-defined and integral: 3 for the
-      // query's own label, 1 for the related class (same label mod 5 —
-      // a coarse-group notion), 0 otherwise (the standard 2^g - 1
-      // gains for g = 2/1/0). DCG@k = Σ gain(rank)·disc(rank) with the
-      // quantized discount table above; IDCG@k re-ranks the FULL
-      // corpus pool ideally (all grade-3 docs first, then grade-1) —
-      // so ndcg_ppm = DCG·10^6 DIV IDCG is an exact integer both
-      // engines floor identically. Scale shape: the ranking under
-      // evaluation is the memoized 10-row exact top-10; the pool
-      // grades are ONE partial-aggregable corpus scan collapsing to a
-      // 1-row (n3, n1) frame; everything downstream is k-sized.
+      // differently). Grades are DATA-DERIVED, not schema-arbitrary:
+      // 3 for the query's own label; 1 for the two labels whose class
+      // CENTROIDS sit nearest the query label's centroid by cosine
+      // (the p31 label-prototype machinery — relatedness measured in
+      // the same embedding space the ranking runs in); 0 otherwise
+      // (the standard 2^g − 1 gains for g = 2/1/0). Centroid cosine is
+      // scale-invariant, so the per-label SUM vectors substitute for
+      // means: decimal-exact cell sums (ONE partial-aggregable corpus
+      // scan to a 10-label × 64-dim frame), round-6 double cosine (the
+      // p59/dtop float recipe), top-2 with a label tiebreak — both
+      // engines derive the identical related set. DCG@k =
+      // Σ gain(rank)·disc(rank) with the quantized discount table
+      // above; IDCG@k re-ranks the FULL corpus pool ideally (all
+      // grade-3 docs first, then grade-1) — so ndcg_ppm =
+      // DCG·10^6 DIV IDCG is an exact integer both engines floor
+      // identically. Scale shape: the ranking under evaluation is the
+      // memoized 10-row exact top-10; centroid cells and the (n3, n1)
+      // pool are each one partial-aggregable corpus scan collapsing to
+      // label-count-sized frames; everything downstream is k-sized.
       "p121_ndcg",
       (s, dir) => {
         import s.implicits._
@@ -854,18 +862,43 @@ object Pipeline7 {
           .select($"vec_id", $"rank")
         val qlab = emb.filter($"vec_id" === 0).select($"label".as("qlab"))
         val disc = typedLit(NdcgDisc)
+        // per-label centroid sum vectors, cell-wise decimal-exact; the
+        // re-cast to (18,9) keeps the downstream product inside
+        // DECIMAL(38) on BOTH engines (sums are ≤ corpus count in
+        // magnitude, so the narrow cast is lossless)
+        val cells = emb.select($"label", posexplode($"embedding"))
+          .select($"label", $"pos".as("dim"),
+            $"col".cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("x"))
+          .groupBy($"label", $"dim")
+          .agg(sum($"x").cast(
+            org.apache.spark.sql.types.DecimalType(18, 9)).as("sx"))
+        val qs = cells.crossJoin(broadcast(qlab))
+          .filter($"label" === $"qlab").select($"dim", $"sx".as("qx"))
+        val related = cells.join(broadcast(qs), "dim")
+          .crossJoin(broadcast(qlab))
+          .filter($"label" =!= $"qlab")
+          .groupBy($"label")
+          .agg(sum($"sx" * $"qx").as("dot"),
+            sum($"sx" * $"sx").as("na"), sum($"qx" * $"qx").as("nb"))
+          .select($"label".as("rlab"),
+            round($"dot".cast("double") /
+              (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))),
+              6).as("cos6"))
+          .orderBy($"cos6".desc, $"rlab").limit(2)
+          .select($"rlab")
         val graded = emb.select($"vec_id", $"label")
           .join(broadcast(dense), Seq("vec_id"))
           .crossJoin(broadcast(qlab))
+          .join(broadcast(related), $"label" === $"rlab", "left")
           .select($"rank",
             (when($"label" === $"qlab", 3L)
-              .when($"label" % 5 === $"qlab" % 5, 1L)
+              .when($"rlab".isNotNull, 1L)
               .otherwise(0L) *
               element_at(disc, $"rank".cast("int"))).as("dg"))
         val pool = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(qlab))
+          .join(broadcast(related), $"label" === $"rlab", "left")
           .agg(sum(when($"label" === $"qlab", 1L).otherwise(0L)).as("n3"),
-            sum(when($"label" =!= $"qlab" &&
-              $"label" % 5 === $"qlab" % 5, 1L).otherwise(0L)).as("n1"))
+            sum(when($"rlab".isNotNull, 1L).otherwise(0L)).as("n1"))
         val ks = typedLit(Seq(5, 10))
         val dcg = graded.select(explode(ks).as("k"), $"rank", $"dg")
           .filter($"rank" <= $"k")
@@ -904,18 +937,38 @@ object Pipeline7 {
               |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
               |  FROM dtop),
               |ql AS (SELECT label AS qlab FROM embeddings WHERE vec_id = 0),
+              |cells AS (
+              |  SELECT label, i AS dim,
+              |    CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9)))
+              |      AS DECIMAL(18,9)) AS sx
+              |  FROM embeddings,
+              |    unnest(generate_series(1, len(embedding))) AS g(i)
+              |  GROUP BY label, i),
+              |qs AS (SELECT c.dim, c.sx AS qx FROM cells c, ql
+              |       WHERE c.label = ql.qlab),
+              |cosl AS (
+              |  SELECT c.label AS rlab,
+              |    round(CAST(SUM(c.sx * q.qx) AS DOUBLE) /
+              |      (sqrt(CAST(SUM(c.sx * c.sx) AS DOUBLE)) *
+              |       sqrt(CAST(SUM(q.qx * q.qx) AS DOUBLE))), 6) AS cos6
+              |  FROM cells c JOIN qs q USING (dim), ql
+              |  WHERE c.label <> ql.qlab
+              |  GROUP BY c.label),
+              |rel AS (SELECT rlab FROM cosl
+              |        QUALIFY row_number() OVER (ORDER BY cos6 DESC, rlab) <= 2),
               |graded AS (
               |  SELECT dr.rank,
               |    (CASE WHEN e.label = ql.qlab THEN 3
-              |          WHEN e.label % 5 = ql.qlab % 5 THEN 1
+              |          WHEN r.rlab IS NOT NULL THEN 1
               |          ELSE 0 END) * disc.d AS dg
               |  FROM dr JOIN embeddings e USING (vec_id)
-              |       JOIN disc ON disc.rank = dr.rank, ql),
+              |       JOIN disc ON disc.rank = dr.rank
+              |       LEFT JOIN rel r ON r.rlab = e.label, ql),
               |pool AS (
-              |  SELECT SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS n3,
-              |    SUM(CASE WHEN label <> qlab AND label % 5 = qlab % 5
-              |        THEN 1 ELSE 0 END) AS n1
-              |  FROM embeddings, ql WHERE vec_id <> 0),
+              |  SELECT SUM(CASE WHEN e.label = qlab THEN 1 ELSE 0 END) AS n3,
+              |    SUM(CASE WHEN r.rlab IS NOT NULL THEN 1 ELSE 0 END) AS n1
+              |  FROM embeddings e LEFT JOIN rel r ON r.rlab = e.label, ql
+              |  WHERE e.vec_id <> 0),
               |dcg AS (
               |  SELECT k, CAST(SUM(dg) AS BIGINT) AS dcg
               |  FROM graded, (VALUES (5), (10)) ks(k)
