@@ -42,10 +42,14 @@ object UnigramEm {
     */
   def lattice2(seedVocab: Seq[(String, Int)],
       soft: Map[String, Long]): Seq[(String, Long)] = {
-    val total = soft.values.sum
+    // BigInt multiply: ef reaches ~corpus_tokens · 10^6, so ef · 256
+    // wraps a Long silently around 10^10 tokens while the oracle's
+    // HUGEINT survives — the quotient (≤ 256) is Long-safe, the
+    // PRODUCT is not. Same discipline as the share-ppm numerators.
+    val total = soft.values.map(BigInt(_)).sum.max(BigInt(1))
     seedVocab.flatMap { case (p, _) =>
       soft.get(p).filter(_ > 0L).map { ef =>
-        val w2 = math.max(1L, ef * 256L / total)
+        val w2 = (BigInt(ef) * 256 / total).toLong.max(1L)
         p -> (w2 * (1L << (8 * (p.length - 1))))
       }
     }

@@ -155,6 +155,16 @@ object Pipeline9 {
     * efix)`. Prefix-parameterized so an oracle can run TWO iterations
     * in one statement (p141). Caller's WITH must define `wc`, `$wts`,
     * and include [[emDictCtes]] once.
+    *
+    * Corpus-size bound (the lenCap-contract style): efix is CAST to
+    * BIGINT, and efix ≤ corpus_tokens · lenCap · 10^6, so the cast
+    * binds around 10^12 corpus tokens — far past any single-table
+    * slice this runs on, and consumers must NOT widen it back
+    * implicitly: every downstream multiply of efix (share ppm, the
+    * 256-requantization) goes through an explicit HUGEINT cast in the
+    * oracle and BigInt on the driver (see p141/p143 and
+    * UnigramEm.lattice2), because efix · 10^6 alone already exceeds
+    * 2^63 around 10^7-10^8 tokens.
     */
   private[queries] def emSoftCtes(pre: String, wts: String): String =
     s"""${pre}lat AS MATERIALIZED (
@@ -362,6 +372,10 @@ object Pipeline9 {
           .groupBy($"bin")
           .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
             sum($"conf").as("sum_conf"))
+          // ≤10 rows, full classifier pass to derive; referenced by
+          // both the ece branch and the output projection — persist()
+          // makes it one pass (the p136/p140 discipline)
+          .persist()
         val ece = bins.agg(
           expr("sum(abs(n_pos * 1000000 - sum_conf)) DIV sum(n)")
             .as("ece_ppm"))
@@ -554,6 +568,15 @@ object Pipeline9 {
                             element_at(ws, i + 1), ' ',
                             element_at(ws, i + 2)))
               ELSE array() END""")).as("word"))
+          // referenced by BOTH the per-bucket token count and the
+          // first-bucket vocab scan: persist() (MEMORY_AND_DISK —
+          // Spark spills, never OOMs) halves the split+explode work.
+          // Scale note: this is a ~3x-corpus exploded frame; on a
+          // 100 TB run the right call flips to re-scanning the
+          // columnar source if executor storage is the binding
+          // resource — the persist trades storage for the second
+          // tokenize pass, it is not load-bearing for correctness.
+          .persist()
         val bt = toks.groupBy($"bucket").agg(count(lit(1)).as("btok"))
         val bv = toks.groupBy($"word").agg(min($"bucket").as("fb"))
           .groupBy($"fb").agg(count(lit(1)).as("bvoc"))
@@ -566,6 +589,8 @@ object Pipeline9 {
           .select($"j", $"tokens_cum", $"vocab_cum",
             ilog2_fix(greatest($"tokens_cum", lit(1L))).as("xlg"),
             ilog2_fix(greatest($"vocab_cum", lit(1L))).as("ylg"))
+          // 10 rows, consumed by the beta fit AND the output projection
+          .persist()
         val beta = pts.agg(
             count(lit(1)).as("n"), sum($"xlg").as("sx"),
             sum($"ylg").as("sy"), sum($"xlg" * $"ylg").as("sxy"),
@@ -1178,6 +1203,12 @@ object Pipeline9 {
             when($"__c" === $"lang", 1L).otherwise(0L).as("pos"))
           .groupBy(expr("conf DIV 100000").as("bin"))
           .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+          // ≤10 rows but a full classifier corpus pass to derive; the
+          // pairs/iso self-joins and the fitted/ece branches reference
+          // it five times — persist() collapses that to ONE pass (the
+          // p136 fix, measured there 3.4s -> ~2s; the per-query
+          // clearCache covers cleanup per the CacheHygieneSpec contract)
+          .persist()
         val pairs = bins.select($"bin".as("j"))
           .crossJoin(bins.select($"bin".as("k")))
           .filter($"j" <= $"k")
@@ -1306,15 +1337,20 @@ object Pipeline9 {
         val e2 =
           if (lat2.isEmpty) Map.empty[String, Long]
           else UnigramEm.softCounts(words, lat2, EmLenCap)
-        val t1 = math.max(e1.values.sum, 1L)
-        val t2 = math.max(e2.values.sum, 1L)
+        // BigInt numerators (the lattice2 discipline): efix · 10^6
+        // exceeds a Long around 10^7-10^8 corpus tokens — DuckDB's
+        // HUGEINT side keeps going while a Long share would wrap
+        // silently, a cross-engine divergence at scale
+        val t1 = e1.values.map(BigInt(_)).sum.max(BigInt(1))
+        val t2 = e2.values.map(BigInt(_)).sum.max(BigInt(1))
         val w2 = lat2.map { case (p, v) =>
           p -> (v >> (8 * (p.length - 1))) }.toMap
         val rows = Pipeline7.UgVocab.map { case (p, _) =>
           val a = e1.getOrElse(p, 0L)
           val b = e2.getOrElse(p, 0L)
           (p, a, w2.getOrElse(p, 0L), b,
-            a * 1000000L / t1, b * 1000000L / t2)
+            (BigInt(a) * 1000000 / t1).toLong,
+            (BigInt(b) * 1000000 / t2).toLong)
         }
         val drift = rows.map { r => math.abs(r._5 - r._6) }.sum / 2
         rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, drift))
@@ -1337,7 +1373,8 @@ object Pipeline9 {
               |        FROM ecorp),
               |wts2 AS MATERIALIZED (
               |  SELECT e.piece,
-              |    GREATEST(1, (e.efix * 256) // tt1.t) * p.v AS v
+              |    CAST(GREATEST(1, (CAST(e.efix AS HUGEINT) * 256) // tt1.t)
+              |      AS BIGINT) * p.v AS v
               |  FROM ecorp e
               |  CROSS JOIN tt1
               |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
@@ -1349,11 +1386,14 @@ object Pipeline9 {
               |  SELECT v.piece,
               |    COALESCE(e1.efix, 0) AS e1_fix,
               |    CASE WHEN COALESCE(e1.efix, 0) > 0
-              |      THEN GREATEST(1, (e1.efix * 256) // tt1.t)
+              |      THEN CAST(GREATEST(1,
+              |        (CAST(e1.efix AS HUGEINT) * 256) // tt1.t) AS BIGINT)
               |      ELSE 0 END AS w2,
               |    COALESCE(e2.efix, 0) AS e2_fix,
-              |    COALESCE(e1.efix, 0) * 1000000 // tt1.t AS share1_ppm,
-              |    COALESCE(e2.efix, 0) * 1000000 // tt2.t AS share2_ppm
+              |    CAST(COALESCE(e1.efix, 0) AS HUGEINT) * 1000000 // tt1.t
+              |      AS share1_ppm,
+              |    CAST(COALESCE(e2.efix, 0) AS HUGEINT) * 1000000 // tt2.t
+              |      AS share2_ppm
               |  FROM vocab v
               |  LEFT JOIN ecorp e1 ON e1.piece = v.piece
               |  LEFT JOIN yecorp e2 ON e2.piece = v.piece
@@ -1505,9 +1545,10 @@ object Pipeline9 {
           // reused by all three E-step collects (the p130 contract)
           .persist()
         def shares(e: Map[String, Long]): Map[String, Long] = {
-          val t = math.max(e.values.sum, 1L)
+          // BigInt numerator — the lattice2/p141 headroom discipline
+          val t = e.values.map(BigInt(_)).sum.max(BigInt(1))
           Pipeline7.UgVocab.map { case (p, _) =>
-            p -> e.getOrElse(p, 0L) * 1000000L / t }.toMap
+            p -> (BigInt(e.getOrElse(p, 0L)) * 1000000 / t).toLong }.toMap
         }
         def next(e: Map[String, Long]): Map[String, Long] = {
           val lat = UnigramEm.lattice2(Pipeline7.UgVocab, e)
@@ -1544,7 +1585,8 @@ object Pipeline9 {
               |        FROM ecorp),
               |wts2 AS MATERIALIZED (
               |  SELECT e.piece,
-              |    GREATEST(1, (e.efix * 256) // tt1.t) * p.v AS v
+              |    CAST(GREATEST(1, (CAST(e.efix AS HUGEINT) * 256) // tt1.t)
+              |      AS BIGINT) * p.v AS v
               |  FROM ecorp e
               |  CROSS JOIN tt1
               |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
@@ -1554,7 +1596,8 @@ object Pipeline9 {
               |        FROM yecorp),
               |wts3 AS MATERIALIZED (
               |  SELECT e.piece,
-              |    GREATEST(1, (e.efix * 256) // tt2.t) * p.v AS v
+              |    CAST(GREATEST(1, (CAST(e.efix AS HUGEINT) * 256) // tt2.t)
+              |      AS BIGINT) * p.v AS v
               |  FROM yecorp e
               |  CROSS JOIN tt2
               |  JOIN pw2 p ON p.k = 8 * (length(e.piece) - 1)
@@ -1564,9 +1607,12 @@ object Pipeline9 {
               |        FROM zecorp),
               |shares AS MATERIALIZED (
               |  SELECT v.piece,
-              |    COALESCE(e1.efix, 0) * 1000000 // tt1.t AS share1_ppm,
-              |    COALESCE(e2.efix, 0) * 1000000 // tt2.t AS share2_ppm,
-              |    COALESCE(e3.efix, 0) * 1000000 // tt3.t AS share3_ppm
+              |    CAST(COALESCE(e1.efix, 0) AS HUGEINT) * 1000000 // tt1.t
+              |      AS share1_ppm,
+              |    CAST(COALESCE(e2.efix, 0) AS HUGEINT) * 1000000 // tt2.t
+              |      AS share2_ppm,
+              |    CAST(COALESCE(e3.efix, 0) AS HUGEINT) * 1000000 // tt3.t
+              |      AS share3_ppm
               |  FROM vocab v
               |  LEFT JOIN ecorp e1 ON e1.piece = v.piece
               |  LEFT JOIN yecorp e2 ON e2.piece = v.piece
