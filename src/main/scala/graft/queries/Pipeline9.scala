@@ -752,8 +752,12 @@ object Pipeline9 {
       // All integer: counts, one frequency-of-frequencies rollup,
       // ppm/milli ratios with explicit GREATEST floors — identical on
       // both engines. Scale shape: one (source, trigram) count
-      // shuffle, one (source, count) rollup — both partial-aggregable;
-      // the per-source result is dictionary-sized.
+      // shuffle, one (source, count) rollup — both partial-aggregable.
+      // HONESTY on sizes: the gram frame is corpus-order at 100 TB
+      // (Heaps' law — never collected, never broadcast, never assumed
+      // bounded here); the frequency-of-frequencies RESULT is small
+      // (≤ max per-gram count per source) — that, not the gram
+      // dictionary, is the bounded frame.
       "p135_good_turing",
       (s, dir) => {
         import s.implicits._
@@ -842,15 +846,27 @@ object Pipeline9 {
               ELSE array() END""")).as("tok"))
           .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
           // read four times (terms, marginal, source totals, corpus
-          // total) and trigram-dictionary-sized, never corpus-sized:
-          // persist instead of recomputing the corpus explode per
-          // branch (3.4s -> ~2s at sf0.1); dropped by the per-query
-          // clear (the CacheHygieneSpec contract)
+          // total): persist instead of recomputing the corpus explode
+          // per branch (3.4s -> ~2s at sf0.1); dropped by the
+          // per-query clear (the CacheHygieneSpec contract).
+          // HONESTY: a gram dictionary is NOT bounded — it grows
+          // corpus-order at 100 TB (Heaps' law, p133's own finding) —
+          // so persisting it is a storage bet, not a dictionary-frame
+          // guarantee. The plan itself stays partial-aggregable either
+          // way; the guard below turns the storage bet into a
+          // fail-fast with the remedy named instead of silent spill
+          // churn (count over the just-persisted frame ≈ free).
           .persist()
-        val marg = tri.groupBy($"tok").agg(sum($"c").as("nw"))
-        val srcN = tri.groupBy($"source").agg(sum($"c").as("nsrc"))
+        val triG = graft.operators.ScaleGuards.cardinalityGuard(
+          tri, "p136 (source, trigram) persist", 100L * 1000 * 1000,
+          "the gram frame no longer earns a cache: drop the persist " +
+            "and re-scan the columnar source per branch (the plan is " +
+            "partial-aggregable without it), or shard the computation " +
+            "by gram hash range")
+        val marg = triG.groupBy($"tok").agg(sum($"c").as("nw"))
+        val srcN = triG.groupBy($"source").agg(sum($"c").as("nsrc"))
         val ntot = marg.agg(sum($"nw").as("ntot"))
-        tri.join(marg, "tok")
+        triG.join(marg, "tok")
           .join(srcN, "source")
           .crossJoin(broadcast(ntot))
           .select($"source", $"nsrc",
