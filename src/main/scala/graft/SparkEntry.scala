@@ -10,12 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** All registered capabilities, in stable name order. */
+  /** All registered capabilities, in stable name order. ("Stable"
+    * means the ORDER is deterministic per build, not that the p-number
+    * sequence is gapless: p127 was renamed to p126 mid-round-9 and the
+    * number was retired rather than reused — reusing a retired number
+    * would silently re-key historical bench/correctness artifacts.)
+    */
   def allDefs: Seq[QueryDef] =
     (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++
       queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++
       queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++
-      queries17)
+      queries17 ++ queries18)
       .sortBy(_.name)
 
   private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
@@ -35,6 +40,7 @@ object SparkEntry {
   private def queries15: Seq[QueryDef] = _root_.graft.queries.Pipeline7.defs
   private def queries16: Seq[QueryDef] = _root_.graft.queries.Pipeline8.defs
   private def queries17: Seq[QueryDef] = _root_.graft.queries.Pipeline9.defs
+  private def queries18: Seq[QueryDef] = _root_.graft.queries.Pipeline10.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01 (scan + filter + hash aggregate) always yields its six

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Tenth pipeline batch — the classical n-gram LM evaluation and
+  * data-audit operators still missing after round 9 completed the
+  * unigram-LM training loop: Kneser–Ney smoothed bigram cross-entropy
+  * (the canonical n-gram smoothing — Kneser & Ney 1995, Chen & Goodman
+  * 1999, public), BLEU-style clipped n-gram precision (Papineni et al.
+  * 2002), a confident-learning label-noise audit (Northcutt et al.
+  * 2021) over the p58 token classifier, and the SentencePiece-marker
+  * tokenization round-trip losslessness audit (Kudo & Richardson
+  * 2018's ▁ convention). All integer-exact on both engines: rational
+  * discounts cross-multiplied (the p140 PAV discipline), logs through
+  * the shared square-and-extract ilog2 quantizer (the p136 ladder).
+  */
+object Pipeline10 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // INTERPOLATED KNESER-NEY BIGRAM CROSS-ENTROPY PER SOURCE (the
+      // canonical n-gram smoothing p52's add-1 bigram score is the
+      // strawman of): train on the even-doc split, evaluate held-out
+      // odd docs per source — the LM-quality read a mixture planner
+      // sets next to p136's KL and p142's unigram tiers. Discount is
+      // the rational D = 3/4, cross-multiplied so no division happens
+      // before the final quotient:
+      //   p(w|v) = [max(4·c(vw) − 3, 0)·B' + 3·N1(v)·(Nw + 1)]
+      //            / (4·c(v)·B')                  for seen context v,
+      //   p(w|v) = (Nw + 1) / B'                  for unseen context,
+      // with N1(v) = distinct continuations of v, Nw = distinct
+      // contexts of w (the KN continuation count), B = distinct train
+      // bigram types, V = train vocab, B' = B + V. The add-1
+      // continuation makes the model EXACTLY normalized over the
+      // train vocab: Σ_w (Nw + 1) = B + V = B', so the seen-context
+      // mass telescopes to 1 — a real probability simplex, not an
+      // approximation. Cross-entropy in millibits/token via the shared
+      // ilog2 quantizer: xent = Σ k·(lg den − lg num)·1000 DIV
+      // (65536·n), per-term signed (quantization can dip a hair
+      // negative at p = 1; both engines truncate identically — the
+      // p136 precedent). oov_ppm counts held-out tokens outside the
+      // train vocab (they score through Nw = 0, the standard leak).
+      // Scale shape: model stats are train-global, so num/den are
+      // computed ONCE per distinct held-out bigram TYPE (dictionary
+      // discipline — encode once, join the per-source counts back);
+      // everything is partial-aggregable count shuffles, and the gram
+      // frames are corpus-order at 100 TB (the p135/p136 honesty
+      // note), never collected or broadcast. Magnitude contract:
+      // num ≤ 4·c(v)·B' ≤ 4·N·(B+V) — BIGINT binds around N ≈ 10^9
+      // tokens per training slice; past that, rescale the
+      // cross-multiplication (divide B' out of both sides) before
+      // widening types.
+      "p144_kneser_ney",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .select($"source", split($"text", " ").as("ws"))
+          .select($"source", explode(expr("""CASE WHEN size(ws) >= 2
+            THEN transform(sequence(1, size(ws) - 1),
+              i -> struct(element_at(ws, i) AS prev,
+                          element_at(ws, i + 1) AS cur))
+            ELSE array() END""")).as("bg"))
+          .select($"source", $"bg.prev", $"bg.cur")
+        val train = bigrams(docs.filter($"doc_id" % 2 === 0))
+        val bc = train.groupBy($"prev", $"cur").agg(count(lit(1)).as("cvw"))
+          // read by four model-stat branches — one shuffle, then reuse
+          .persist()
+        val cc = bc.groupBy($"prev")
+          .agg(sum($"cvw").as("cv"), count(lit(1)).as("n1v"))
+        val nw = bc.groupBy($"cur").agg(count(lit(1)).as("nw"))
+        val bTypes = bc.agg(count(lit(1)).as("b"))
+        val vocab = docs.filter($"doc_id" % 2 === 0)
+          .select(explode(split($"text", " ")).as("w"))
+          .agg(count_distinct($"w").as("v"))
+        val consts = bTypes.crossJoin(vocab)
+          .select(($"b" + $"v").as("bp"))
+        val ho = bigrams(docs.filter($"doc_id" % 2 === 1))
+          .groupBy($"source", $"prev", $"cur").agg(count(lit(1)).as("k"))
+        // model terms per distinct held-out bigram TYPE (train-global,
+        // source-independent — compute once, join per-source counts)
+        val types = ho.select($"prev", $"cur").distinct()
+          .join(bc, Seq("prev", "cur"), "left")
+          .join(cc, Seq("prev"), "left")
+          .join(nw, Seq("cur"), "left")
+          .crossJoin(broadcast(consts))
+          .select($"prev", $"cur",
+            when(coalesce($"cv", lit(0L)) > 0,
+              greatest(lit(4) * coalesce($"cvw", lit(0L)) - 3, lit(0L))
+                * $"bp"
+                + lit(3) * $"n1v" * (coalesce($"nw", lit(0L)) + 1))
+              .otherwise(coalesce($"nw", lit(0L)) + 1).as("num"),
+            when(coalesce($"cv", lit(0L)) > 0, lit(4) * $"cv" * $"bp")
+              .otherwise($"bp").as("den"),
+            coalesce($"nw", lit(0L)).as("nwv"))
+          .select($"prev", $"cur", $"nwv",
+            (ilog2_fix($"den") - ilog2_fix($"num")).as("bits_fix"))
+        ho.join(types, Seq("prev", "cur"))
+          .groupBy($"source")
+          .agg(sum($"k").as("n_bigrams"),
+            sum($"k" * $"bits_fix").as("bsum"),
+            sum(when($"nwv" === 0, $"k").otherwise(0L)).as("n_oov"))
+          .select($"source", $"n_bigrams",
+            expr("bsum * 1000 DIV (65536 * n_bigrams)").as("xent_millibits"),
+            expr("n_oov * 1000000 DIV n_bigrams").as("oov_ppm"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |docs AS MATERIALIZED (
+              |  SELECT doc_id, source, string_split(text, ' ') AS ws
+              |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+              |trbi AS MATERIALIZED (
+              |  SELECT ws[i] AS prev, ws[i + 1] AS cur
+              |  FROM docs, LATERAL unnest(generate_series(1, len(ws) - 1))
+              |    AS u(i)
+              |  WHERE doc_id % 2 = 0),
+              |bc AS MATERIALIZED (
+              |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cvw
+              |  FROM trbi GROUP BY 1, 2),
+              |cc AS MATERIALIZED (
+              |  SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv,
+              |    CAST(COUNT(*) AS BIGINT) AS n1v
+              |  FROM bc GROUP BY 1),
+              |nw AS MATERIALIZED (
+              |  SELECT cur, CAST(COUNT(*) AS BIGINT) AS nw
+              |  FROM bc GROUP BY 1),
+              |consts AS (
+              |  SELECT (SELECT COUNT(*) FROM bc) +
+              |    (SELECT COUNT(DISTINCT w) FROM
+              |      (SELECT unnest(ws) AS w FROM docs WHERE doc_id % 2 = 0))
+              |    AS bp),
+              |ho AS MATERIALIZED (
+              |  SELECT source, ws[i] AS prev, ws[i + 1] AS cur,
+              |    CAST(COUNT(*) AS BIGINT) AS k
+              |  FROM docs, LATERAL unnest(generate_series(1, len(ws) - 1))
+              |    AS u(i)
+              |  WHERE doc_id % 2 = 1
+              |  GROUP BY 1, 2, 3),
+              |types AS MATERIALIZED (
+              |  SELECT t.prev, t.cur, COALESCE(nw.nw, 0) AS nwv,
+              |    CASE WHEN COALESCE(cc.cv, 0) > 0
+              |      THEN GREATEST(4 * COALESCE(bc.cvw, 0) - 3, 0) * c.bp
+              |        + 3 * cc.n1v * (COALESCE(nw.nw, 0) + 1)
+              |      ELSE COALESCE(nw.nw, 0) + 1 END AS num,
+              |    CASE WHEN COALESCE(cc.cv, 0) > 0 THEN 4 * cc.cv * c.bp
+              |      ELSE c.bp END AS den
+              |  FROM (SELECT DISTINCT prev, cur FROM ho) t
+              |  LEFT JOIN bc ON bc.prev = t.prev AND bc.cur = t.cur
+              |  LEFT JOIN cc ON cc.prev = t.prev
+              |  LEFT JOIN nw ON nw.cur = t.cur
+              |  CROSS JOIN consts c),
+              |tnum AS MATERIALIZED (
+              |  SELECT prev, cur, num AS x FROM types),
+              |${Pipeline9.ilogCtes("tnum", "prev, cur", "a")},
+              |tden AS MATERIALIZED (
+              |  SELECT prev, cur, den AS x FROM types),
+              |${Pipeline9.ilogCtes("tden", "prev, cur", "b")},
+              |bits AS MATERIALIZED (
+              |  SELECT t.prev, t.cur, t.nwv, dl.lgf - nl.lgf AS bits_fix
+              |  FROM types t
+              |  JOIN alg nl ON nl.prev = t.prev AND nl.cur = t.cur
+              |  JOIN blg dl ON dl.prev = t.prev AND dl.cur = t.cur)
+              |SELECT ho.source,
+              |  CAST(SUM(ho.k) AS BIGINT) AS n_bigrams,
+              |  CAST(SUM(ho.k * b.bits_fix) * 1000
+              |    // (65536 * SUM(ho.k)) AS BIGINT) AS xent_millibits,
+              |  CAST(SUM(CASE WHEN b.nwv = 0 THEN ho.k ELSE 0 END) * 1000000
+              |    // SUM(ho.k) AS BIGINT) AS oov_ppm
+              |FROM ho JOIN bits b ON b.prev = ho.prev AND b.cur = ho.cur
+              |GROUP BY ho.source
+              |ORDER BY ho.source""".stripMargin))
+  )
+}
