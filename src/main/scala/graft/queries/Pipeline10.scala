@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
 object Pipeline10 {
   import graft.Tables.t
 
+  /** round(2^16 / ln 2) = fixed-point log2(e), the constant that turns
+    * BLEU's e-based brevity penalty into base-2 fixed point: computed
+    * ONCE here (one JVM, one math.log call site) and injected as a
+    * LITERAL into both engines — the p121 discount-table discipline,
+    * so no runtime transcendental exists in either plan.
+    */
+  private val Lg2eFix: Long = math.round(65536.0 / math.log(2.0))
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -173,6 +181,165 @@ object Pipeline10 {
               |    // SUM(ho.k) AS BIGINT) AS oov_ppm
               |FROM ho JOIN bits b ON b.prev = ho.prev AND b.cur = ho.cur
               |GROUP BY ho.source
-              |ORDER BY ho.source""".stripMargin))
+              |ORDER BY ho.source""".stripMargin)),
+
+    QueryDef(
+      // BLEU-2 DECONTAMINATION SCORING (Papineni et al. 2002 with the
+      // Lin & Och 2004 add-one smoothing — both public): the
+      // PRECISION-oriented contamination read next to p128's
+      // recall-oriented ROUGE-L — a corpus doc that mostly COPIES an
+      // eval doc scores high even when the eval doc has extra content
+      // (ROUGE-L's recall denominator dilutes exactly that case).
+      // Candidates come from the p23/p53 shared-3-shingle machinery
+      // (eval set = doc_id % 37 = 0, the p53 convention); each
+      // (corpus, eval) pair scores smoothed BLEU-2 with the corpus doc
+      // as hypothesis. Reported in fixed-point −log2 (monotone in
+      // BLEU, so ranking is EXACT):
+      //   −lg2 BLEU = bp + (lg(d1) − lg(n1) + lg(d2) − lg(n2)) DIV 2,
+      //   n_k = clipped k-gram matches + 1, d_k = k-gram total + 1,
+      //   bp  = 0 if c ≥ r else (r − c)·round(2^16/ln 2) DIV c
+      // — every log through the shared ilog2 quantizer, the base-e
+      // brevity penalty carried by the Lg2eFix literal, no float in
+      // either plan. Scale shape: candidate pairs ride the
+      // decontamination candidate discipline (never all-pairs); the
+      // scoring is (pair × hyp-token) count joins — partial-aggregable
+      // — and the final TakeOrdered(20) never materializes the pair
+      // list anywhere.
+      "p145_bleu_decontam",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        import graft.operators.Dedup
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val ev = docs.filter($"doc_id" % 37 === 0)
+        val co = docs.filter($"doc_id" % 37 =!= 0)
+        val pairs = Dedup.explodedShingles(co, "doc_id", "text")
+          .select($"id".as("cid"), $"shingle")
+          .join(Dedup.explodedShingles(ev, "doc_id", "text")
+            .select($"id".as("eid"), $"shingle"), "shingle")
+          .select($"cid", $"eid").distinct()
+        def grams(df: org.apache.spark.sql.DataFrame, idAs: String, n: Int) =
+          df.select($"doc_id".as(idAs), split($"text", " ").as("ws"))
+            .select(col(idAs), explode(
+              if (n == 1) $"ws"
+              else expr("""CASE WHEN size(ws) >= 2
+                THEN transform(sequence(1, size(ws) - 1),
+                  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+                ELSE array() END""")).as("g"))
+            .groupBy(col(idAs), $"g").agg(count(lit(1)).as(s"c_$idAs"))
+        def clippedSum(n: Int, out: String) = {
+          val h = grams(co, "cid", n)
+          val r = grams(ev, "eid", n).withColumnRenamed("c_eid", "cr")
+          pairs.join(h, "cid")
+            .join(r, Seq("eid", "g"), "left")
+            .groupBy($"cid", $"eid")
+            .agg(sum(least($"c_cid", coalesce($"cr", lit(0L)))).as(out))
+        }
+        val m1 = clippedSum(1, "m1")
+        val m2 = clippedSum(2, "m2")
+        val hlen = co.select($"doc_id".as("cid"),
+          size(split($"text", " ")).cast("long").as("c"))
+        val rlen = ev.select($"doc_id".as("eid"),
+          size(split($"text", " ")).cast("long").as("r"))
+        // LEFT join: a 1-token hypothesis has no bigrams at all, so the
+        // pair would vanish from m2 — it must score with m2 = 0
+        m1.join(m2, Seq("cid", "eid"), "left")
+          .withColumn("m2", coalesce($"m2", lit(0L)))
+          .join(hlen, "cid").join(rlen, "eid")
+          .withColumn("bp_fix",
+            when($"c" >= $"r", lit(0L))
+              .otherwise(expr(s"(r - c) * ${Lg2eFix}L DIV c")))
+          .withColumn("prec_fix",
+            (ilog2_fix($"c" + 1) - ilog2_fix($"m1" + 1)
+              + ilog2_fix(greatest($"c" - 1, lit(0L)) + 1)
+              - ilog2_fix($"m2" + 1)))
+          .select($"cid", $"eid", $"c" .as("hyp_tokens"),
+            $"r".as("ref_tokens"), $"m1".as("clip1"), $"m2".as("clip2"),
+            expr("bp_fix + prec_fix DIV 2").as("neg_lbleu_fix"))
+          .orderBy($"neg_lbleu_fix", $"cid", $"eid")
+          .limit(20)
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |docs AS MATERIALIZED (
+              |  SELECT doc_id, text, string_split(text, ' ') AS ws
+              |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+              |sh AS MATERIALIZED (
+              |  SELECT doc_id AS id, unnest(CASE WHEN len(ws) >= 3
+              |    THEN list_distinct(list_transform(
+              |      generate_series(1, len(ws) - 2),
+              |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              |    ELSE [text] END) AS shingle
+              |  FROM docs),
+              |pairs AS MATERIALIZED (
+              |  SELECT DISTINCT c.id AS cid, e.id AS eid
+              |  FROM sh c JOIN sh e USING (shingle)
+              |  WHERE c.id % 37 <> 0 AND e.id % 37 = 0),
+              |hu AS MATERIALIZED (
+              |  SELECT cid, g, CAST(COUNT(*) AS BIGINT) AS ch
+              |  FROM (SELECT doc_id AS cid, unnest(ws) AS g FROM docs
+              |        WHERE doc_id % 37 <> 0) GROUP BY 1, 2),
+              |ru AS MATERIALIZED (
+              |  SELECT eid, g, CAST(COUNT(*) AS BIGINT) AS cr
+              |  FROM (SELECT doc_id AS eid, unnest(ws) AS g FROM docs
+              |        WHERE doc_id % 37 = 0) GROUP BY 1, 2),
+              |hb AS MATERIALIZED (
+              |  SELECT cid, g, CAST(COUNT(*) AS BIGINT) AS ch
+              |  FROM (SELECT doc_id AS cid, ws[i] || ' ' || ws[i+1] AS g
+              |        FROM docs,
+              |          LATERAL unnest(generate_series(1, len(ws) - 1))
+              |            AS u(i)
+              |        WHERE doc_id % 37 <> 0) GROUP BY 1, 2),
+              |rb AS MATERIALIZED (
+              |  SELECT eid, g, CAST(COUNT(*) AS BIGINT) AS cr
+              |  FROM (SELECT doc_id AS eid, ws[i] || ' ' || ws[i+1] AS g
+              |        FROM docs,
+              |          LATERAL unnest(generate_series(1, len(ws) - 1))
+              |            AS u(i)
+              |        WHERE doc_id % 37 = 0) GROUP BY 1, 2),
+              |m1 AS MATERIALIZED (
+              |  SELECT p.cid, p.eid,
+              |    CAST(SUM(LEAST(hu.ch, COALESCE(ru.cr, 0))) AS BIGINT) AS m1
+              |  FROM pairs p JOIN hu USING (cid)
+              |  LEFT JOIN ru ON ru.eid = p.eid AND ru.g = hu.g
+              |  GROUP BY 1, 2),
+              |m2 AS MATERIALIZED (
+              |  SELECT p.cid, p.eid,
+              |    CAST(SUM(LEAST(hb.ch, COALESCE(rb.cr, 0))) AS BIGINT) AS m2
+              |  FROM pairs p JOIN hb USING (cid)
+              |  LEFT JOIN rb ON rb.eid = p.eid AND rb.g = hb.g
+              |  GROUP BY 1, 2),
+              |vals AS MATERIALIZED (
+              |  SELECT m1.cid, m1.eid,
+              |    CAST(len(hd.ws) AS BIGINT) AS c,
+              |    CAST(len(rd.ws) AS BIGINT) AS r,
+              |    m1.m1, COALESCE(m2.m2, 0) AS m2,
+              |    m1.m1 + 1 AS n1, CAST(len(hd.ws) AS BIGINT) + 1 AS d1,
+              |    COALESCE(m2.m2, 0) + 1 AS n2,
+              |    GREATEST(CAST(len(hd.ws) AS BIGINT) - 1, 0) + 1 AS d2
+              |  FROM m1 LEFT JOIN m2 ON m2.cid = m1.cid AND m2.eid = m1.eid
+              |  JOIN docs hd ON hd.doc_id = m1.cid
+              |  JOIN docs rd ON rd.doc_id = m1.eid),
+              |sn1 AS MATERIALIZED (SELECT cid, eid, n1 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sn1", "cid, eid", "e")},
+              |sd1 AS MATERIALIZED (SELECT cid, eid, d1 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sd1", "cid, eid", "f")},
+              |sn2 AS MATERIALIZED (SELECT cid, eid, n2 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sn2", "cid, eid", "g")},
+              |sd2 AS MATERIALIZED (SELECT cid, eid, d2 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sd2", "cid, eid", "h")}
+              |SELECT v.cid, v.eid, v.c AS hyp_tokens, v.r AS ref_tokens,
+              |  v.m1 AS clip1, v.m2 AS clip2,
+              |  CAST((CASE WHEN v.c >= v.r THEN 0
+              |        ELSE (v.r - v.c) * $Lg2eFix // v.c END)
+              |    + ((f1.lgf - e1.lgf) + (h1.lgf - g1.lgf)) // 2
+              |    AS BIGINT) AS neg_lbleu_fix
+              |FROM vals v
+              |JOIN elg e1 ON e1.cid = v.cid AND e1.eid = v.eid
+              |JOIN flg f1 ON f1.cid = v.cid AND f1.eid = v.eid
+              |JOIN glg g1 ON g1.cid = v.cid AND g1.eid = v.eid
+              |JOIN hlg h1 ON h1.cid = v.cid AND h1.eid = v.eid
+              |ORDER BY neg_lbleu_fix, v.cid, v.eid
+              |LIMIT 20""".stripMargin))
   )
 }
