@@ -340,6 +340,239 @@ object Pipeline10 {
               |JOIN glg g1 ON g1.cid = v.cid AND g1.eid = v.eid
               |JOIN hlg h1 ON h1.cid = v.cid AND h1.eid = v.eid
               |ORDER BY neg_lbleu_fix, v.cid, v.eid
-              |LIMIT 20""".stripMargin))
+              |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // CONFIDENT-LEARNING LABEL-NOISE AUDIT (Northcutt, Jiang & Chuang
+      // 2021's confident joint — public): which (given label, suspected
+      // true label) cells the p58 token classifier's own scores put the
+      // held-out docs in. Per class j the confidence threshold is the
+      // MEAN self-class score t_j = floor(Σ score_j / n_j) over docs
+      // labeled j; a doc is confidently assigned to the highest-scoring
+      // class whose threshold it clears (ties by class asc, the
+      // argmax convention of classifyByTokens), and off-diagonal cells
+      // are the suspected label errors — the audit a labeling pipeline
+      // runs BEFORE training on its own silver labels. All integer:
+      // the scores are p58's integer-ppm mean likelihoods, thresholds
+      // are floor means, the comparison is >=; noise_ppm rides every
+      // row (the p131 summary-column convention). Scale shape: the
+      // classifier is the p58/p131 dictionary-discipline machinery;
+      // thresholds are a class-count frame (broadcast); the argmax
+      // window partitions by doc over class-count-sized groups — never
+      // a corpus-wide window; the joint is k² rows.
+      "p146_confident_learning",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.operators.TextAnalysis.classifierScores(
+          t(s, dir, "documents"), "doc_id", "text", "lang",
+          $"doc_id" % 2 === 0)
+        val thr = scored.filter($"__c" === $"lang")
+          .groupBy($"__c")
+          .agg(expr("sum(__score) DIV count(1)").as("t"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"__score".desc, $"__c")
+        val conf = scored.join(broadcast(thr), "__c")
+          .filter($"__score" >= $"t")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"__c")
+          .persist() // joint + the 1-row totals both read it
+        val tot = conf.agg(count(lit(1)).as("n_assigned"),
+          sum(when($"lang" =!= $"__c", 1L).otherwise(0L)).as("n_off"))
+        conf.groupBy($"lang", $"__c")
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(tot))
+          .select($"lang".as("given_label"), $"__c".as("suspected_label"),
+            $"n_docs", ($"lang" =!= $"__c").as("offdiag"),
+            expr("n_off * 1000000 DIV n_assigned").as("noise_ppm"))
+          .orderBy($"given_label", $"suspected_label")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, doc_id % 2 = 0 AS tr,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |tc AS (SELECT lang AS c, t, COUNT(*) AS tc
+             |       FROM toks WHERE tr GROUP BY c, t),
+             |nc AS (SELECT lang AS c, COUNT(*) AS nc
+             |       FROM toks WHERE tr GROUP BY c),
+             |v AS (SELECT COUNT(DISTINCT t) AS v FROM toks WHERE tr),
+             |model AS (
+             |  SELECT c, t, ((tc + 1) * 1000000) // (nc + v.v) AS l
+             |  FROM tc JOIN nc USING (c) CROSS JOIN v),
+             |cls AS (SELECT c, 1000000 // (nc + v.v) AS l0
+             |        FROM nc CROSS JOIN v),
+             |sc AS (
+             |  SELECT doc_id, lang, cls.c,
+             |    CAST(SUM(COALESCE(model.l, cls.l0)) // COUNT(*) AS BIGINT)
+             |      AS score
+             |  FROM toks CROSS JOIN cls
+             |  LEFT JOIN model ON model.c = cls.c AND model.t = toks.t
+             |  WHERE NOT toks.tr
+             |  GROUP BY doc_id, lang, cls.c),
+             |thr AS (
+             |  SELECT c, CAST(SUM(score) // COUNT(*) AS BIGINT) AS t
+             |  FROM sc WHERE c = lang GROUP BY c),
+             |qual AS (
+             |  SELECT sc.doc_id, sc.lang, sc.c,
+             |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+             |                       ORDER BY sc.score DESC, sc.c) AS rn
+             |  FROM sc JOIN thr USING (c) WHERE sc.score >= thr.t),
+             |conf AS (SELECT doc_id, lang, c FROM qual WHERE rn = 1),
+             |tot AS (
+             |  SELECT COUNT(*) AS n_assigned,
+             |    SUM(CASE WHEN lang <> c THEN 1 ELSE 0 END) AS n_off
+             |  FROM conf)
+             |SELECT lang AS given_label, c AS suspected_label,
+             |  COUNT(*) AS n_docs, (lang <> c) AS offdiag,
+             |  CAST(MIN(tot.n_off) * 1000000 // MIN(tot.n_assigned)
+             |    AS BIGINT) AS noise_ppm
+             |FROM conf CROSS JOIN tot
+             |GROUP BY lang, c
+             |ORDER BY given_label, suspected_label""".stripMargin)),
+
+    QueryDef(
+      // TOKENIZER BOUNDARY-AGREEMENT AUDIT (segmentation-boundary Dice
+      // between the WordPiece greedy MaxMatch p114 and the unigram-LM
+      // Viterbi p120, over the SAME corpus): where do the two families
+      // cut words differently, and by how much corpus mass? The
+      // telemetry a tokenizer migration reads before swapping families
+      // — every disagreeing cut invalidates cached token ids and
+      // shifts fertility. Per word: cut positions are the cumulative
+      // EFFECTIVE piece lengths except the final one (## continuation
+      // markers stripped); [UNK] words on either side are excluded
+      // (no boundary semantics). Corpus-level Dice =
+      // 2·Σ cnt·|∩| · 10^6 DIV Σ cnt·(|A|+|B|) rides every row (the
+      // p131 summary convention); per-word Dice defines the empty-∪
+      // case (two single-piece words) as perfect 10^6. Top-20 words by
+      // cnt-weighted disagreement (cnt·(|A|+|B|−2|∩|) DESC, word) —
+      // TakeOrdered. Scale shape: the p114/p120 dictionary discipline
+      // (encode each distinct word once, HOF cumsums inside the row,
+      // counts weight the corpus aggregate) — no corpus-sized shuffle
+      // beyond the word count itself.
+      "p147_boundary_agreement",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        val unk = lit(graft.functions.WordPieceTable.Unk)
+        def cutsExpr(p: String, eff: String) =
+          expr(s"""CASE WHEN size($p) >= 2
+            THEN transform(sequence(1, size($p) - 1),
+              i -> aggregate(slice($p, 1, i), CAST(0 AS BIGINT),
+                (a, x) -> a + $eff))
+            ELSE CAST(array() AS ARRAY<BIGINT>) END""")
+        val enc = words
+          .withColumn("wp",
+            graft.functions.MatchFunctions.wordpieces($"word",
+              Pipeline7.WpVocab))
+          .withColumn("ug",
+            graft.functions.UnigramFunctions.unigram_pieces($"word",
+              Pipeline7.UgVocab))
+          .filter(element_at($"wp", 1) =!= unk &&
+            element_at($"ug", 1) =!= unk)
+          .withColumn("bw", cutsExpr("wp",
+            "length(x) - CASE WHEN substring(x, 1, 2) = '##' THEN 2 ELSE 0 END"))
+          .withColumn("bu", cutsExpr("ug", "length(x)"))
+          .select($"word", $"cnt",
+            size($"bw").cast("long").as("na"),
+            size($"bu").cast("long").as("nb"),
+            size(array_intersect($"bw", $"bu")).cast("long").as("inter"))
+          .persist() // corpus totals + the top-20 both read it
+        val tot = enc.agg(
+          sum($"cnt" * $"inter").as("si"),
+          sum($"cnt" * ($"na" + $"nb")).as("sd"))
+          .select(expr("2 * si * 1000000 DIV greatest(sd, 1)")
+            .as("corpus_dice_ppm"))
+        enc.crossJoin(broadcast(tot))
+          .select($"word", $"cnt", $"na".as("n_wp_cuts"),
+            $"nb".as("n_ug_cuts"), $"inter".as("n_shared"),
+            when($"na" + $"nb" === 0, lit(1000000L))
+              .otherwise(expr("2 * inter * 1000000 DIV (na + nb)"))
+              .as("dice_word_ppm"),
+            $"corpus_dice_ppm",
+            ($"cnt" * ($"na" + $"nb" - lit(2) * $"inter")).as("disagreement"))
+          .orderBy($"disagreement".desc, $"word")
+          .limit(20)
+          .drop("disagreement")
+      },
+      Some {
+        val wpVals = Pipeline7.WpVocab.map(p => s"('$p')").mkString(", ")
+        s"""WITH RECURSIVE vocab(piece, cost) AS
+           |  (VALUES ${Pipeline7.ugVocabValues}),
+           |wpv(piece) AS (VALUES $wpVals),
+           |vw AS (
+           |  SELECT piece,
+           |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+           |         ELSE piece END AS eff,
+           |    (piece LIKE '##%') AS cont
+           |  FROM wpv),
+           |wc AS MATERIALIZED (
+           |  SELECT word, COUNT(*) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+           |        FROM documents)
+           |  GROUP BY 1),
+           |pos AS MATERIALIZED (
+           |  SELECT word, CAST(unnest(generate_series(1, length(word)))
+           |    AS INT) AS p
+           |  FROM wc),
+           |wm AS MATERIALIZED (
+           |  SELECT pos.word, pos.p,
+           |    max(length(v.eff)) AS jl,
+           |    max_by(v.piece, length(v.eff)) AS pc
+           |  FROM pos JOIN vw v
+           |    ON v.cont = (pos.p > 1)
+           |   AND substr(pos.word, pos.p, length(v.eff)) = v.eff
+           |  GROUP BY 1, 2),
+           |wwalk(word, pos, pieces) AS (
+           |  SELECT word, CAST(1 AS INT), CAST([] AS VARCHAR[]) FROM wc
+           |  UNION ALL
+           |  SELECT k.word,
+           |    CAST(CASE WHEN m.jl IS NULL THEN length(k.word) + 1
+           |              ELSE k.pos + m.jl END AS INT),
+           |    CASE WHEN m.jl IS NULL THEN ['[UNK]']
+           |         ELSE list_append(k.pieces, m.pc) END
+           |  FROM wwalk k LEFT JOIN wm m ON m.word = k.word AND m.p = k.pos
+           |  WHERE k.pos <= length(k.word)),
+           |wenc AS MATERIALIZED (
+           |  SELECT w.word, k.pieces AS wp
+           |  FROM wc w JOIN wwalk k ON k.word = w.word
+           |  WHERE k.pos > length(k.word)),
+           |${Pipeline7.ugEncodeCtes("vocab", "y")},
+           |cuts AS MATERIALIZED (
+           |  SELECT w.word, w.cnt,
+           |    list_transform(generate_series(1, len(we.wp) - 1),
+           |      i -> list_sum(list_transform(we.wp[1:i],
+           |        x -> CAST(length(x) - CASE WHEN x[1:2] = '##'
+           |          THEN 2 ELSE 0 END AS BIGINT)))) AS bw,
+           |    list_transform(generate_series(1, len(ye.pieces) - 1),
+           |      i -> list_sum(list_transform(ye.pieces[1:i],
+           |        x -> CAST(length(x) AS BIGINT)))) AS bu
+           |  FROM wc w
+           |  JOIN wenc we ON we.word = w.word
+           |  JOIN yenc ye ON ye.word = w.word
+           |  WHERE we.wp[1] <> '[UNK]' AND ye.pieces[1] <> '[UNK]'),
+           |m AS MATERIALIZED (
+           |  SELECT word, cnt,
+           |    CAST(len(bw) AS BIGINT) AS na,
+           |    CAST(len(bu) AS BIGINT) AS nb,
+           |    CAST(len(list_intersect(bw, bu)) AS BIGINT) AS inter
+           |  FROM cuts),
+           |tot AS (
+           |  SELECT CAST(2 * SUM(cnt * inter) * 1000000
+           |    // GREATEST(SUM(cnt * (na + nb)), 1) AS BIGINT)
+           |    AS corpus_dice_ppm
+           |  FROM m)
+           |SELECT word, cnt, na AS n_wp_cuts, nb AS n_ug_cuts,
+           |  inter AS n_shared,
+           |  CAST(CASE WHEN na + nb = 0 THEN 1000000
+           |       ELSE 2 * inter * 1000000 // (na + nb) END AS BIGINT)
+           |    AS dice_word_ppm,
+           |  tot.corpus_dice_ppm
+           |FROM m CROSS JOIN tot
+           |ORDER BY cnt * (na + nb - 2 * inter) DESC, word
+           |LIMIT 20""".stripMargin
+      })
   )
 }
