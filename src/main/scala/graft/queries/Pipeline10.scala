@@ -573,6 +573,113 @@ object Pipeline10 {
            |FROM m CROSS JOIN tot
            |ORDER BY cnt * (na + nb - 2 * inter) DESC, word
            |LIMIT 20""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // QUALITY-SIGNAL AGREEMENT AUDIT (Kendall's tau-a between two of
+      // the engine's own selection signals — rank correlation, Kendall
+      // 1938, public): does the heuristic quality score (p03) rank
+      // documents the way the bigram-LM fluency score (p52) does? Two
+      // signals that DISAGREE select different corpora, and a pipeline
+      // should know that before committing a filter threshold — this is
+      // the pairwise-rank read p63's calibration curve doesn't give.
+      // Sample: the 64 lowest md5(doc_id) docs per source (deterministic,
+      // scale-invariant — the sample is the SAME docs at every SF where
+      // they exist) via rankWithinKey, never a corpus-wide window; only
+      // docs with >= 2 tokens participate (the LM score needs a bigram).
+      // Per source over the <= 64·63/2 pairs: concordant / discordant /
+      // tied counts and tau_a_ppm = (C − D)·10^6 DIV n_pairs. Integer
+      // end-to-end: lm_score is integer by construction; the float
+      // quality routes through round(q·10^6) ONCE — the underlying
+      // double is engine-identical (the p03 hash precedent), so its
+      // rounding is too. Scale shape: the corpus-scale work is the LM
+      // model build (partial-aggregable count shuffles) and the
+      // rank-sample pass; the pair join runs on 64-row-per-source
+      // frames.
+      "p148_signal_agreement",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{RankOps, TextAnalysis}
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val lm = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+          .select($"doc_id", $"lm_score")
+        val sample = RankOps.rankWithinKey(
+            docs.select($"doc_id", $"source",
+              round(TextAnalysis.qualityScore($"text") * 1000000)
+                .cast("long").as("q")),
+            "source", Seq(md5($"doc_id".cast("string"))))
+          .filter($"rank_in_key" <= 64)
+          .join(lm, "doc_id") // inner: drops <2-token docs, documented
+          .select($"source", $"doc_id", $"q", $"lm_score")
+        val a = sample.select($"source", $"doc_id".as("ida"),
+          $"q".as("qa"), $"lm_score".as("la"))
+        val b = sample.select($"source", $"doc_id".as("idb"),
+          $"q".as("qb"), $"lm_score".as("lb"))
+        a.join(b, Seq("source")).filter($"ida" < $"idb")
+          .select($"source",
+            (($"qa" - $"qb") * ($"la" - $"lb")).as("prod"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"prod" > 0, 1L).otherwise(0L)).as("concordant"),
+            sum(when($"prod" < 0, 1L).otherwise(0L)).as("discordant"),
+            sum(when($"prod" === 0, 1L).otherwise(0L)).as("ties"))
+          .select($"source", $"n_pairs", $"concordant", $"discordant",
+            $"ties",
+            expr("(concordant - discordant) * 1000000 DIV n_pairs")
+              .as("tau_a_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH docs AS MATERIALIZED (
+             |  SELECT doc_id, source, text, string_split(text, ' ') AS ts
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |bi AS MATERIALIZED (
+             |  SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+             |  FROM docs, LATERAL unnest(generate_series(1, len(ts) - 1))
+             |    AS u(i)),
+             |bc AS (SELECT prev, cur, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+             |cc AS (SELECT prev, COUNT(*) AS cc FROM bi GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT t) AS v
+             |      FROM (SELECT unnest(ts) AS t FROM docs)),
+             |lm AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CAST(SUM(((bc.bc + 1) * 1000000000) // (cc.cc + v.v))
+             |      // COUNT(*) AS BIGINT) AS lm_score
+             |  FROM bi JOIN bc USING (prev, cur) JOIN cc USING (prev)
+             |  CROSS JOIN v
+             |  GROUP BY doc_id),
+             |q AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    CAST(round((least(len(ts) / 100.0, 1.0) * 0.4
+             |      + (CASE WHEN (CAST(length(text) - len(ts) + 1 AS DOUBLE)
+             |                    / len(ts)) BETWEEN 3.0 AND 8.0
+             |              THEN 1.0 ELSE 0.5 END) * 0.4
+             |      + (1.0 - least((CAST(length(regexp_replace(text,
+             |            '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |          / length(text)) * 10.0, 1.0)) * 0.2) * 1000000)
+             |      AS BIGINT) AS q,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+             |  FROM docs),
+             |sample AS MATERIALIZED (
+             |  SELECT q.source, q.doc_id, q.q, lm.lm_score
+             |  FROM q JOIN lm USING (doc_id) WHERE q.rk <= 64),
+             |pairs AS (
+             |  SELECT a.source, (a.q - b.q) * (a.lm_score - b.lm_score)
+             |    AS prod
+             |  FROM sample a JOIN sample b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id)
+             |SELECT source, COUNT(*) AS n_pairs,
+             |  CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS concordant,
+             |  CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS discordant,
+             |  CAST(SUM(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS ties,
+             |  CAST((SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+             |    - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) * 1000000
+             |    // COUNT(*) AS BIGINT) AS tau_a_ppm
+             |FROM pairs GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }
