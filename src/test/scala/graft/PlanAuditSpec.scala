@@ -777,4 +777,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"fit sums must partial-aggregate:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("p144 KN model: partial aggregation, persisted bc reused, no product") {
+    val p = plan("p144_kneser_ney")
+    // per-source rollup and every model-stat count must map-side combine
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    // the persisted bigram-count frame feeds cc/nw/B and the type join
+    // from ONE materialization — at least two InMemoryTableScans, or
+    // the persist() is decorative
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"bc persist not reused:\n$p")
+    // every join is keyed (the only nested-loop joins are 1-row
+    // broadcast cross joins of the consts/vocab scalars)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("p145 BLEU: candidate pairs via shingle equi-join, top-20 TakeOrdered") {
+    val p = plan("p145_bleu_decontam")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"top-k must never global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay shingle-keyed:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("p146 confident joint: argmax pruned pre-shuffle, windows per doc only") {
+    val p = plan("p146_confident_learning")
+    // rank<=1 filter must push WindowGroupLimit below the exchange so
+    // only per-doc leaders shuffle, not every qualified (doc, class)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the one Window partitions by doc_id (class-count-sized groups);
+    // a corpus-wide or class-wide window would be a funnel
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("p147 boundary agreement: dictionary discipline, no window, TakeOrdered") {
+    val p = plan("p147_boundary_agreement")
+    // encode-once-per-distinct-word: the cut/intersect HOFs run after
+    // the word groupBy, never per corpus row, and nothing needs a window
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"enc persist must feed totals AND top-20 from one materialization:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("p148 tau: pair join equi-keyed on source, sample rank range-partitioned") {
+    val p = plan("p148_signal_agreement")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join must be keyed, never a product:\n$p")
+    assert(p.contains("__pid"),
+      s"rankWithinKey's range-partition sample missing:\n$p")
+    assert(p.contains("partial_sum"), p)
+    spark.catalog.clearCache()
+  }
 }
