@@ -680,6 +680,110 @@ object Pipeline10 {
              |    - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) * 1000000
              |    // COUNT(*) AS BIGINT) AS tau_a_ppm
              |FROM pairs GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // K-CENTER CORESET SELECTION (greedy farthest-point traversal —
+      // Gonzalez 1985's 2-approximation, the coreset selector of
+      // Sener & Savarese ICLR'18, both public): pick 8 embedding
+      // vectors that COVER the corpus — each next center is the vector
+      // farthest (max-min squared L2) from the centers so far. The
+      // complement of the density-seeking selectors already here
+      // (k-means p47, SemDeDup p99): k-center hunts the SPARSE corners
+      // a mean-seeking pass ignores, which is what an active-labeling
+      // or eval-set-seeding budget wants. EXACT: distances are
+      // decimal-exact cell sums ((18,9) cells, (38,18) d²), the argmax
+      // tiebreaks on vec_id, so the greedy trajectory is
+      // engine-identical; the oracle unrolls the 8 steps as chained
+      // argmax/running-min CTEs. radius_b6 for step t is the coverage
+      // radius of the first t−1 centers (the selected point's min-d²),
+      // rounded per the house float recipe at OUTPUT only — selection
+      // compares unrounded decimals. Seed = vec_id 0, the corpus's
+      // query-vector convention. Scale shape: per step one
+      // partial-aggregable (vec × new-centers) distance sum and a
+      // 1-row TakeOrdered collect — driver traffic is k rows total
+      // (the fittedKmeans artifact discipline); nothing corpus-sized
+      // ever reaches the driver.
+      "p149_kcenter_coreset",
+      (s, dir) => {
+        import s.implicits._
+        val D = org.apache.spark.sql.types.DecimalType(18, 9)
+        val cells = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding"))
+          .select($"vec_id", $"pos".as("dim"), $"col".cast(D).as("x"))
+          .persist() // 7 greedy steps re-read it
+        var centers = Vector(0L)
+        val picked = scala.collection.mutable.ArrayBuffer(
+          (1L, 0L, java.math.BigDecimal.ZERO))
+        for (t <- 2 to 8) {
+          val cc = cells.filter($"vec_id".isin(centers: _*))
+            .select($"vec_id".as("cid"), $"dim", $"x".as("cx"))
+          val top = cells.filter(!$"vec_id".isin(centers: _*))
+            .join(broadcast(cc), "dim")
+            .groupBy($"vec_id", $"cid")
+            .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
+            .groupBy($"vec_id").agg(min($"d2").as("mind"))
+            .orderBy($"mind".desc, $"vec_id").limit(1)
+            .collect()(0)
+          centers :+= top.getLong(0)
+          picked += ((t.toLong, top.getLong(0), top.getDecimal(1)))
+        }
+        cells.unpersist()
+        // radius as floor(d² · 10^6) — an EXACT integer of the exact
+        // decimal, because the round-6 double form hit a half-way tie
+        // at sf0.1 (2.1171075 rounded differently across engines)
+        picked.toSeq
+          .toDF("step", "center_id", "radius")
+          .select($"step", $"center_id",
+            floor($"radius" * 1000000).cast("long").as("radius_micro"))
+          .orderBy($"step")
+      },
+      Some {
+        // step t: pick_t = argmax of mind_{t-1}; mind_t = running min
+        // with the distances to pick_t, pick_t's own row dropped
+        // Every pk reference is a JOIN, never a scalar subquery, and
+        // every chained CTE is MATERIALIZED: scalar-subquery references
+        // defeat DuckDB 1.0's CTE materialization, re-expanding
+        // mind_{t-1} inside each of its three per-step consumers —
+        // measured minutes (super-exponential past step 3) for the
+        // scalar form vs 0.16s for this join form
+        val steps = (2 to 8).map { t =>
+          val p = t - 1
+          s"""pk$t AS MATERIALIZED (SELECT vec_id, mind FROM mind$p
+             |         ORDER BY mind DESC, vec_id LIMIT 1),
+             |dn$t AS MATERIALIZED (
+             |  SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d2
+             |  FROM pk$t p
+             |  JOIN cells b ON b.vec_id = p.vec_id
+             |  JOIN cells a ON a.dim = b.dim AND a.vec_id <> p.vec_id
+             |  GROUP BY a.vec_id),
+             |mind$t AS MATERIALIZED (
+             |  SELECT m.vec_id, LEAST(m.mind, d.d2) AS mind
+             |  FROM mind$p m JOIN dn$t d USING (vec_id) CROSS JOIN pk$t p
+             |  WHERE m.vec_id <> p.vec_id)"""
+            .stripMargin
+        }.mkString(",\n")
+        val out = (2 to 8).map(t =>
+          s"SELECT $t AS step, vec_id AS center_id, mind AS r FROM pk$t")
+          .mkString("\nUNION ALL ")
+        s"""WITH cells AS MATERIALIZED (
+           |  SELECT vec_id, i AS dim,
+           |    CAST(embedding[i] AS DECIMAL(18,9)) AS x
+           |  FROM embeddings,
+           |    unnest(generate_series(1, len(embedding))) AS g(i)),
+           |mind1 AS MATERIALIZED (
+           |  SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS mind
+           |  FROM cells a JOIN cells b ON b.dim = a.dim AND b.vec_id = 0
+           |  WHERE a.vec_id <> 0
+           |  GROUP BY 1),
+           |$steps
+           |SELECT CAST(step AS BIGINT) AS step,
+           |  CAST(center_id AS BIGINT) AS center_id,
+           |  CAST(FLOOR(r * 1000000) AS BIGINT) AS radius_micro
+           |FROM (SELECT 1 AS step, 0 AS center_id,
+           |        CAST(0 AS DECIMAL(38,18)) AS r
+           |      UNION ALL $out)
+           |ORDER BY step""".stripMargin
+      })
   )
 }
