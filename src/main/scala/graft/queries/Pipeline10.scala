@@ -784,6 +784,160 @@ object Pipeline10 {
            |        CAST(0 AS DECIMAL(38,18)) AS r
            |      UNION ALL $out)
            |ORDER BY step""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // SELF-BLEU DIVERSITY PER SOURCE (Zhu et al. 2018's Texygen
+      // diversity metric, public — low self-BLEU = diverse corpus,
+      // high = the source repeats itself): mean pairwise smoothed
+      // BLEU-2 over a per-source sample, where "mean" is taken in the
+      // p145 fixed-point −log2 space — the arithmetic mean of −log2
+      // BLEU is EXACTLY the geometric mean of BLEU, the right
+      // aggregate for a product-form metric. The mixture-planning
+      // companion to p139's burstiness: burstiness reads within-doc
+      // clumping, self-BLEU reads across-doc redundancy. Sample: the
+      // 32 lowest-md5 docs per source (the p148 determinism), ALL
+      // ordered pairs a→b (BLEU is hypothesis/reference asymmetric);
+      // near-dup pairs counted at neg < 6554 (BLEU > ~0.93, the
+      // threshold constant pinned in both engines). Integer
+      // end-to-end via the p145 machinery. Scale shape: grams are
+      // computed once per sampled doc (32·sources rows), the pair
+      // frame is sample²-bounded, and nothing corpus-sized shuffles
+      // beyond the rank-sample pass.
+      "p150_self_bleu",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        import graft.operators.RankOps
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        val sample = RankOps.rankWithinKey(
+            docs.select($"doc_id", $"source", $"text"),
+            "source", Seq(md5($"doc_id".cast("string"))))
+          .filter($"rank_in_key" <= 32)
+          .select($"doc_id", $"source", $"text")
+          .persist() // grams ×2 orders + lens + pair frame
+        def grams(n: Int) = sample
+          .select($"doc_id", $"source", split($"text", " ").as("ws"))
+          .select($"doc_id", $"source", explode(
+            if (n == 1) $"ws"
+            else expr("""CASE WHEN size(ws) >= 2
+              THEN transform(sequence(1, size(ws) - 1),
+                i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+              ELSE array() END""")).as("g"))
+          .groupBy($"doc_id", $"source", $"g")
+          .agg(count(lit(1)).as("c"))
+        val pairs = sample.select($"source", $"doc_id".as("ida"))
+          .join(sample.select($"source", $"doc_id".as("idb")), "source")
+          .filter($"ida" =!= $"idb")
+        def clipped(n: Int, out: String) = {
+          val h = grams(n).select($"doc_id".as("ida"), $"g", $"c")
+          val r = grams(n).select($"doc_id".as("idb"),
+            $"g", $"c".as("cr"))
+          pairs.join(h, "ida")
+            .join(r, Seq("idb", "g"), "left")
+            .groupBy($"source", $"ida", $"idb")
+            .agg(sum(least($"c", coalesce($"cr", lit(0L)))).as(out))
+        }
+        val lens = sample.select($"doc_id",
+          size(split($"text", " ")).cast("long").as("len"))
+        clipped(1, "m1")
+          .join(clipped(2, "m2"), Seq("source", "ida", "idb"), "left")
+          .withColumn("m2", coalesce($"m2", lit(0L)))
+          .join(lens.select($"doc_id".as("ida"), $"len".as("c")), "ida")
+          .join(lens.select($"doc_id".as("idb"), $"len".as("r")), "idb")
+          .withColumn("bp_fix",
+            when($"c" >= $"r", lit(0L))
+              .otherwise(expr(s"(r - c) * ${Lg2eFix}L DIV c")))
+          .withColumn("prec_fix",
+            ilog2_fix($"c" + 1) - ilog2_fix($"m1" + 1)
+              + ilog2_fix(greatest($"c" - 1, lit(0L)) + 1)
+              - ilog2_fix($"m2" + 1))
+          .select($"source", $"ida",
+            expr("bp_fix + prec_fix DIV 2").as("neg"))
+          .groupBy($"source")
+          .agg(countDistinct($"ida").as("n_docs"),
+            count(lit(1)).as("n_pairs"),
+            expr("sum(neg) DIV count(1)").as("mean_neg_lbleu_fix"),
+            sum(when($"neg" < 6554, 1L).otherwise(0L)).as("n_neardup_pairs"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |docs AS MATERIALIZED (
+              |  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+              |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+              |sample AS MATERIALIZED (
+              |  SELECT doc_id, source, ws FROM docs WHERE rk <= 32),
+              |hu AS MATERIALIZED (
+              |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, unnest(ws) AS g FROM sample)
+              |  GROUP BY 1, 2),
+              |hb AS MATERIALIZED (
+              |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+              |        FROM sample,
+              |          LATERAL unnest(generate_series(1, len(ws) - 1))
+              |            AS u(i))
+              |  GROUP BY 1, 2),
+              |pairs AS MATERIALIZED (
+              |  SELECT a.source, a.doc_id AS ida, b.doc_id AS idb
+              |  FROM sample a JOIN sample b
+              |    ON a.source = b.source AND a.doc_id <> b.doc_id),
+              |m1 AS MATERIALIZED (
+              |  SELECT p.source, p.ida, p.idb,
+              |    CAST(SUM(LEAST(h.c, COALESCE(r.cr, 0))) AS BIGINT) AS m1
+              |  FROM pairs p
+              |  JOIN hu h ON h.doc_id = p.ida
+              |  LEFT JOIN (SELECT doc_id, g, c AS cr FROM hu) r
+              |    ON r.doc_id = p.idb AND r.g = h.g
+              |  GROUP BY 1, 2, 3),
+              |m2 AS MATERIALIZED (
+              |  SELECT p.source, p.ida, p.idb,
+              |    CAST(SUM(LEAST(h.c, COALESCE(r.cr, 0))) AS BIGINT) AS m2
+              |  FROM pairs p
+              |  JOIN hb h ON h.doc_id = p.ida
+              |  LEFT JOIN (SELECT doc_id, g, c AS cr FROM hb) r
+              |    ON r.doc_id = p.idb AND r.g = h.g
+              |  GROUP BY 1, 2, 3),
+              |vals AS MATERIALIZED (
+              |  SELECT m1.source, m1.ida, m1.idb,
+              |    m1.m1 + 1 AS n1,
+              |    CAST(len(ha.ws) AS BIGINT) + 1 AS d1,
+              |    COALESCE(m2.m2, 0) + 1 AS n2,
+              |    GREATEST(CAST(len(ha.ws) AS BIGINT) - 1, 0) + 1 AS d2,
+              |    CAST(len(ha.ws) AS BIGINT) AS c,
+              |    CAST(len(hbk.ws) AS BIGINT) AS r
+              |  FROM m1
+              |  LEFT JOIN m2 ON m2.ida = m1.ida AND m2.idb = m1.idb
+              |  JOIN sample ha ON ha.doc_id = m1.ida
+              |  JOIN sample hbk ON hbk.doc_id = m1.idb),
+              |sn1 AS MATERIALIZED (SELECT ida, idb, n1 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sn1", "ida, idb", "e")},
+              |sd1 AS MATERIALIZED (SELECT ida, idb, d1 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sd1", "ida, idb", "f")},
+              |sn2 AS MATERIALIZED (SELECT ida, idb, n2 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sn2", "ida, idb", "g")},
+              |sd2 AS MATERIALIZED (SELECT ida, idb, d2 AS x FROM vals),
+              |${Pipeline9.ilogCtes("sd2", "ida, idb", "h")},
+              |scored AS MATERIALIZED (
+              |  SELECT v.source, v.ida,
+              |    (CASE WHEN v.c >= v.r THEN 0
+              |          ELSE (v.r - v.c) * $Lg2eFix // v.c END)
+              |    + ((f1.lgf - e1.lgf) + (h1.lgf - g1.lgf)) // 2 AS neg
+              |  FROM vals v
+              |  JOIN elg e1 ON e1.ida = v.ida AND e1.idb = v.idb
+              |  JOIN flg f1 ON f1.ida = v.ida AND f1.idb = v.idb
+              |  JOIN glg g1 ON g1.ida = v.ida AND g1.idb = v.idb
+              |  JOIN hlg h1 ON h1.ida = v.ida AND h1.idb = v.idb)
+              |SELECT source,
+              |  CAST(COUNT(DISTINCT ida) AS BIGINT) AS n_docs,
+              |  COUNT(*) AS n_pairs,
+              |  CAST(SUM(neg) // COUNT(*) AS BIGINT) AS mean_neg_lbleu_fix,
+              |  CAST(SUM(CASE WHEN neg < 6554 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_neardup_pairs
+              |FROM scored GROUP BY source
+              |ORDER BY source""".stripMargin))
   )
 }
