@@ -938,6 +938,96 @@ object Pipeline10 {
               |  CAST(SUM(CASE WHEN neg < 6554 THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_neardup_pairs
               |FROM scored GROUP BY source
-              |ORDER BY source""".stripMargin))
+              |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // EMBEDDING HUBNESS AUDIT (k-occurrence skew — Radovanović,
+      // Nanopoulos & Ivanović JMLR 2010, public): in high-dimensional
+      // spaces a few "hub" points show up in everyone's k-NN lists
+      // while antihubs appear in none — hubness silently corrupts
+      // every k-NN-based op downstream (the ANN retrieval p10/p11/p16,
+      // SemDeDup p99, hard negatives p72), so an embedding-quality
+      // gate measures it BEFORE committing a space. Deterministic
+      // 128-vector sample (lowest md5, the p148 convention — a
+      // TakeOrdered, never a corpus window), exact decimal all-pairs
+      // distances inside the sample, k = 5 nearest per point with a
+      // vec_id tiebreak, then N5(x) = how many points list x among
+      // their 5 — the k-occurrence whose spread IS the hubness
+      // signal. Output: top-20 hubs plus the exact integer moment
+      // sums (Σ N5² , Σ N5³ — Σ N5 = 128·5 is constant by
+      // construction) and max, from which any skew statistic derives
+      // offline. Scale shape: everything past the TakeOrdered sample
+      // is 128-bounded (the window partitions are 127 rows); nothing
+      // corpus-sized shuffles.
+      "p151_hubness_audit",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val D = org.apache.spark.sql.types.DecimalType(18, 9)
+        val sample = t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+          .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+          .limit(128)
+        val cells = sample
+          .select($"vec_id", posexplode($"embedding"))
+          .select($"vec_id", $"pos".as("dim"), $"col".cast(D).as("x"))
+          .persist() // both sides of the pair join
+        val d2 = cells.select($"vec_id".as("a"), $"dim", $"x".as("xa"))
+          .join(cells.select($"vec_id".as("b"), $"dim", $"x".as("xb")),
+            "dim")
+          .filter($"a" =!= $"b")
+          .groupBy($"a", $"b")
+          .agg(sum(($"xa" - $"xb") * ($"xa" - $"xb")).as("d2"))
+        // sample-bounded window: 128 partitions of 127 rows each
+        val top5 = d2.withColumn("rn", row_number().over(
+            Window.partitionBy($"a").orderBy($"d2".asc, $"b".asc)))
+          .filter($"rn" <= 5)
+        val n5 = sample.select($"vec_id")
+          .join(top5.groupBy($"b").agg(count(lit(1)).as("n5")),
+            $"vec_id" === $"b", "left")
+          .select($"vec_id", coalesce($"n5", lit(0L)).as("n5"))
+        val moments = n5.agg(
+          sum($"n5" * $"n5").as("sum_n5_sq"),
+          sum($"n5" * $"n5" * $"n5").as("sum_n5_cu"),
+          max($"n5").as("max_n5"))
+        n5.crossJoin(broadcast(moments))
+          .orderBy($"n5".desc, $"vec_id")
+          .limit(20)
+      },
+      Some("""WITH sample AS MATERIALIZED (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 128),
+             |cells AS MATERIALIZED (
+             |  SELECT vec_id, i AS dim,
+             |    CAST(embedding[i] AS DECIMAL(18,9)) AS x
+             |  FROM sample,
+             |    unnest(generate_series(1, len(embedding))) AS g(i)),
+             |d2 AS MATERIALIZED (
+             |  SELECT a.vec_id AS a, b.vec_id AS b,
+             |    SUM((a.x - b.x) * (a.x - b.x)) AS d2
+             |  FROM cells a JOIN cells b
+             |    ON b.dim = a.dim AND a.vec_id <> b.vec_id
+             |  GROUP BY 1, 2),
+             |top5 AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT a, b,
+             |      row_number() OVER (PARTITION BY a
+             |        ORDER BY d2 ASC, b ASC) AS rn
+             |    FROM d2) WHERE rn <= 5),
+             |n5 AS MATERIALIZED (
+             |  SELECT s.vec_id,
+             |    CAST(COALESCE(k.n5, 0) AS BIGINT) AS n5
+             |  FROM sample s LEFT JOIN
+             |    (SELECT b, COUNT(*) AS n5 FROM top5 GROUP BY b) k
+             |    ON k.b = s.vec_id),
+             |mo AS (
+             |  SELECT CAST(SUM(n5 * n5) AS BIGINT) AS sum_n5_sq,
+             |    CAST(SUM(n5 * n5 * n5) AS BIGINT) AS sum_n5_cu,
+             |    CAST(MAX(n5) AS BIGINT) AS max_n5
+             |  FROM n5)
+             |SELECT vec_id, n5, mo.sum_n5_sq, mo.sum_n5_cu, mo.max_n5
+             |FROM n5 CROSS JOIN mo
+             |ORDER BY n5 DESC, vec_id
+             |LIMIT 20""".stripMargin))
   )
 }
