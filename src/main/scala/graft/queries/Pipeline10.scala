@@ -768,7 +768,7 @@ object Pipeline10 {
           .mkString("\nUNION ALL ")
         s"""WITH cells AS MATERIALIZED (
            |  SELECT vec_id, i AS dim,
-           |    CAST(embedding[i] AS DECIMAL(18,9)) AS x
+           |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
            |  FROM embeddings,
            |    unnest(generate_series(1, len(embedding))) AS g(i)),
            |mind1 AS MATERIALIZED (
@@ -999,7 +999,7 @@ object Pipeline10 {
              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 128),
              |cells AS MATERIALIZED (
              |  SELECT vec_id, i AS dim,
-             |    CAST(embedding[i] AS DECIMAL(18,9)) AS x
+             |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
              |  FROM sample,
              |    unnest(generate_series(1, len(embedding))) AS g(i)),
              |d2 AS MATERIALIZED (
@@ -1028,6 +1028,113 @@ object Pipeline10 {
              |SELECT vec_id, n5, mo.sum_n5_sq, mo.sum_n5_cu, mo.max_n5
              |FROM n5 CROSS JOIN mo
              |ORDER BY n5 DESC, vec_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // CLASS-SEPARABILITY AUDIT (Fisher's trace criterion
+      // J = tr(S_B)/tr(S_W) — Fisher 1936 / Fukunaga's classic form,
+      // public): does the embedding space actually SEPARATE the labels
+      // a selector is about to trust? The global companion to p151's
+      // hubness and p31's centroids: scatter decomposes exactly as
+      //   tr(S_W) = Σ_c (n_c·Σ‖x‖²_c − ‖Σx_c‖²) / n_c,
+      //   tr(S_B) = Σ_c ‖Σx_c‖²/n_c − ‖Σx‖²/N,
+      // so everything derives from per-class sum vectors and
+      // sum-of-squares — ONE partial-aggregable corpus pass to a
+      // label-count frame. EXACT: decimal cell sums; each per-class
+      // term is floored to integer MICRO units before its single
+      // integer division by n_c (per-factor quantization, the
+      // p136 discipline — both engines floor identically), and
+      // j_ppm = between·10⁶ DIV within on the quantized totals.
+      // Output: per label (n, within_micro, between_micro) plus the
+      // global j_ppm riding every row (the p131 summary convention).
+      // Exactness scheme: cells quantize to integer NANO units — the
+      // (18,9)-decimal ×10⁹ shift is exact (the scale is consumed, no
+      // rounding exists to diverge) — so squares/sums live in
+      // DECIMAL(38,0) integers with HUGEINT-class headroom, and the
+      // only lossy steps are the two documented floor divisions
+      // (X DIV 10¹²) DIV n ≡ X DIV (10¹²·n), identical on both
+      // engines. This sidesteps the decimal-precision ceiling a
+      // (38,18)·10⁶ multiply would hit.
+      "p152_class_separability",
+      (s, dir) => {
+        import s.implicits._
+        val D = org.apache.spark.sql.types.DecimalType(18, 9)
+        val DI = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cells = t(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding"))
+          .select($"label", $"pos".as("dim"),
+            ($"col".cast(D) * lit(1000000000L)).cast("long").as("xi"))
+        // per (label, dim): Σx and Σx² — the one corpus-scale shuffle
+        val byDim = cells.groupBy($"label", $"dim")
+          .agg(sum($"xi").as("sxi"),
+            sum($"xi".cast(DI) * $"xi").as("sxx"))
+          .persist() // class terms + the global term both read it
+        val perClass = byDim.groupBy($"label")
+          .agg(sum($"sxx").as("ssq"),
+            sum($"sxi".cast(DI) * $"sxi").as("nrm2"))
+        val counts = t(s, dir, "embeddings")
+          .groupBy($"label").agg(count(lit(1)).as("n"))
+        val cls = perClass.join(counts, "label")
+          .select($"label", $"n",
+            expr("""((ssq * n - nrm2) DIV 1000000000000L) DIV n""")
+              .as("within_micro"),
+            expr("(nrm2 DIV 1000000000000L) DIV n")
+              .as("between_term_micro"))
+          .persist() // output + both totals
+        val glob = byDim.groupBy($"dim").agg(sum($"sxi").as("gsx"))
+          .agg(sum($"gsx".cast(DI) * $"gsx").as("gn2"))
+          .crossJoin(broadcast(
+            t(s, dir, "embeddings").agg(count(lit(1)).as("nn"))))
+          .select(expr("(gn2 DIV 1000000000000L) DIV nn")
+            .as("grand_micro"))
+        val tot = cls.agg(sum($"within_micro").as("w"),
+            sum($"between_term_micro").as("bt"))
+          .crossJoin(broadcast(glob))
+          .select(expr("(bt - grand_micro) * 1000000 DIV greatest(w, 1)")
+            .as("j_ppm"))
+        cls.crossJoin(broadcast(tot))
+          .select($"label", $"n", $"within_micro", $"between_term_micro",
+            $"j_ppm")
+          .orderBy($"label")
+      },
+      Some("""WITH cells AS MATERIALIZED (
+             |  SELECT label, i AS dim,
+             |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * 1000000000
+             |      AS BIGINT) AS xi
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS g(i)),
+             |bydim AS MATERIALIZED (
+             |  SELECT label, dim, CAST(SUM(xi) AS BIGINT) AS sxi,
+             |    CAST(SUM(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx
+             |  FROM cells GROUP BY 1, 2),
+             |perclass AS (
+             |  SELECT label, SUM(sxx) AS ssq,
+             |    SUM(CAST(sxi AS HUGEINT) * sxi) AS nrm2
+             |  FROM bydim GROUP BY 1),
+             |counts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+             |           FROM embeddings GROUP BY 1),
+             |cls AS MATERIALIZED (
+             |  SELECT p.label, c.n,
+             |    CAST(((p.ssq * c.n - p.nrm2) // 1000000000000) // c.n
+             |      AS BIGINT) AS within_micro,
+             |    CAST((p.nrm2 // 1000000000000) // c.n AS BIGINT)
+             |      AS between_term_micro
+             |  FROM perclass p JOIN counts c USING (label)),
+             |gstat AS (
+             |  SELECT CAST((gn2 // 1000000000000)
+             |      // (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+             |      AS grand_micro
+             |  FROM (SELECT SUM(CAST(gsx AS HUGEINT) * gsx) AS gn2
+             |        FROM (SELECT dim, CAST(SUM(sxi) AS BIGINT) AS gsx
+             |              FROM bydim GROUP BY dim))),
+             |tot AS (
+             |  SELECT CAST((SUM(c.between_term_micro) - g.grand_micro)
+             |    * 1000000 // GREATEST(SUM(c.within_micro), 1) AS BIGINT)
+             |    AS j_ppm
+             |  FROM cls c CROSS JOIN gstat g
+             |  GROUP BY g.grand_micro)
+             |SELECT label, n, within_micro, between_term_micro, tot.j_ppm
+             |FROM cls CROSS JOIN tot
+             |ORDER BY label""".stripMargin))
   )
 }
