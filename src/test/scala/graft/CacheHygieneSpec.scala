@@ -200,4 +200,25 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
   }
+
+  test("round-10 persists (calibration bins, KN bc, sample/cell frames) " +
+      "are dropped by the per-query clear") {
+    // p131/p133/p140 gained bin/explode persists this round; p144
+    // persists the train bigram counts; p150/p151/p152 persist sample,
+    // cell and class frames. Every one is scoped to the query — the
+    // Verify/Bench per-query clearCache must drop them all.
+    for (q <- Seq("p131_calibration_real", "p133_heaps_law",
+        "p140_isotonic_calibration", "p144_kneser_ney",
+        "p148_signal_agreement", "p150_self_bleu", "p151_hubness_audit",
+        "p152_class_separability", "p149_kcenter_coreset")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      assert(leaked.isEmpty,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+  }
 }
