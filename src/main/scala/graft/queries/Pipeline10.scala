@@ -1135,6 +1135,67 @@ object Pipeline10 {
              |  GROUP BY g.grand_micro)
              |SELECT label, n, within_micro, between_term_micro, tot.j_ppm
              |FROM cls CROSS JOIN tot
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    QueryDef(
+      // L-DIVERSITY AUDIT (Machanavajjhala et al. ICDE 2006, public —
+      // the release gate k-anonymity alone cannot provide): a class
+      // can be k-anonymous yet leak its members' SENSITIVE attribute
+      // when every member shares it. Quasi-identifiers are p124's
+      // (source, length bucket); the sensitive attribute is lang.
+      // Per class: size, l = distinct langs (distinct l-diversity),
+      // and the dominant-lang share in integer ppm (homogeneity — the
+      // practical attack surface even at l >= 2). Per-source rollup
+      // reports classes/rows failing l >= 3 and the worst homogeneity.
+      // Scale shape: one (source, bucket, lang) count shuffle, then
+      // identifier-domain-sized rollups — the p124 discipline; the
+      // dominant share needs no window (max_by over the class
+      // dictionary).
+      "p153_l_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val cells = t(s, dir, "documents")
+          .select($"source", expr("n_chars DIV 100").as("bucket"), $"lang")
+          .groupBy($"source", $"bucket", $"lang")
+          .agg(count(lit(1)).as("c"))
+        val classes = cells.groupBy($"source", $"bucket")
+          .agg(sum($"c").as("n"),
+            count(lit(1)).as("l"),
+            max($"c").as("top_c"))
+          .select($"source", $"bucket", $"n", $"l",
+            expr("top_c * 1000000 DIV n").as("top_share_ppm"))
+        classes.groupBy($"source")
+          .agg(count(lit(1)).as("n_classes"),
+            sum($"n").as("n_rows"),
+            sum(when($"l" < 3, 1L).otherwise(0L)).as("n_lowl_classes"),
+            sum(when($"l" < 3, $"n").otherwise(0L)).as("n_lowl_rows"),
+            min($"l").as("min_l"),
+            max($"top_share_ppm").as("worst_homogeneity_ppm"))
+          .select($"source", $"n_classes", $"n_rows", $"n_lowl_classes",
+            $"n_lowl_rows", $"min_l", $"worst_homogeneity_ppm",
+            expr("n_lowl_rows * 1000000 DIV n_rows").as("risk_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, n_chars // 100 AS bucket, lang,
+             |    COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2, 3),
+             |cls AS (
+             |  SELECT source, bucket, SUM(c) AS n, COUNT(*) AS l,
+             |    MAX(c) * 1000000 // SUM(c) AS top_share_ppm
+             |  FROM cells GROUP BY 1, 2)
+             |SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_lowl_classes,
+             |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_lowl_rows,
+             |  CAST(MIN(l) AS BIGINT) AS min_l,
+             |  CAST(MAX(top_share_ppm) AS BIGINT) AS worst_homogeneity_ppm,
+             |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) * 1000000
+             |    // SUM(n) AS BIGINT) AS risk_ppm
+             |FROM cls GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }
