@@ -1196,6 +1196,144 @@ object Pipeline10 {
              |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) * 1000000
              |    // SUM(n) AS BIGINT) AS risk_ppm
              |FROM cls GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // LM-QUALITY DRIFT PER INGEST HOUR (the p144 Kneser-Ney model
+      // run as a MONITOR — the p126 fertility-drift companion at the
+      // language-model level): train once on the even-doc split
+      // ("yesterday's model"), then score each synthetic ingest hour's
+      // held-out arrivals — a rising cross-entropy or OOV rate is the
+      // earliest signal that incoming data drifted away from what the
+      // models were fit on. Same model, same integer discipline as
+      // p144 (HUGEINT-safe cross-multiplied KN, shared ilog2 ladder),
+      // keyed by the deterministic doc_id-derived ingest hour (the
+      // p126 convention). Scale shape: identical to p144 — the bits
+      // table is computed once per distinct held-out bigram TYPE and
+      // hour-keyed counts join back; everything partial-aggregable.
+      "p154_perplexity_drift",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .select($"w", split($"text", " ").as("ws"))
+          .select($"w", explode(expr("""CASE WHEN size(ws) >= 2
+            THEN transform(sequence(1, size(ws) - 1),
+              i -> struct(element_at(ws, i) AS prev,
+                          element_at(ws, i + 1) AS cur))
+            ELSE array() END""")).as("bg"))
+          .select($"w", $"bg.prev", $"bg.cur")
+        val train = bigrams(docs.filter($"doc_id" % 2 === 0)
+          .withColumn("w", lit(0L)))
+        val bc = train.groupBy($"prev", $"cur").agg(count(lit(1)).as("cvw"))
+          .persist()
+        val cc = bc.groupBy($"prev")
+          .agg(sum($"cvw").as("cv"), count(lit(1)).as("n1v"))
+        val nw = bc.groupBy($"cur").agg(count(lit(1)).as("nw"))
+        val consts = bc.agg(count(lit(1)).as("b"))
+          .crossJoin(docs.filter($"doc_id" % 2 === 0)
+            .select(explode(split($"text", " ")).as("t"))
+            .agg(count_distinct($"t").as("v")))
+          .select(($"b" + $"v").as("bp"))
+        val ho = bigrams(docs.filter($"doc_id" % 2 === 1)
+            .withColumn("w", expr(
+              "date_trunc('hour', timestamp_seconds(" +
+                "1767225600 + (doc_id * 97) % 172800))")))
+          .groupBy($"w", $"prev", $"cur").agg(count(lit(1)).as("k"))
+        val types = ho.select($"prev", $"cur").distinct()
+          .join(bc, Seq("prev", "cur"), "left")
+          .join(cc, Seq("prev"), "left")
+          .join(nw, Seq("cur"), "left")
+          .crossJoin(broadcast(consts))
+          .select($"prev", $"cur",
+            when(coalesce($"cv", lit(0L)) > 0,
+              greatest(lit(4) * coalesce($"cvw", lit(0L)) - 3, lit(0L))
+                * $"bp"
+                + lit(3) * $"n1v" * (coalesce($"nw", lit(0L)) + 1))
+              .otherwise(coalesce($"nw", lit(0L)) + 1).as("num"),
+            when(coalesce($"cv", lit(0L)) > 0, lit(4) * $"cv" * $"bp")
+              .otherwise($"bp").as("den"),
+            coalesce($"nw", lit(0L)).as("nwv"))
+          .select($"prev", $"cur", $"nwv",
+            (ilog2_fix($"den") - ilog2_fix($"num")).as("bits_fix"))
+        ho.join(types, Seq("prev", "cur"))
+          .groupBy($"w")
+          .agg(sum($"k").as("n_bigrams"),
+            sum($"k" * $"bits_fix").as("bsum"),
+            sum(when($"nwv" === 0, $"k").otherwise(0L)).as("n_oov"))
+          .select($"w", $"n_bigrams",
+            expr("bsum * 1000 DIV (65536 * n_bigrams)").as("xent_millibits"),
+            expr("n_oov * 1000000 DIV n_bigrams").as("oov_ppm"))
+          .orderBy($"w")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |docs AS MATERIALIZED (
+              |  SELECT doc_id, string_split(text, ' ') AS ws,
+              |    date_trunc('hour',
+              |      to_timestamp(1767225600 + (doc_id * 97) % 172800)
+              |        ::TIMESTAMP) AS w
+              |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+              |trbi AS MATERIALIZED (
+              |  SELECT ws[i] AS prev, ws[i + 1] AS cur
+              |  FROM docs, LATERAL unnest(generate_series(1, len(ws) - 1))
+              |    AS u(i)
+              |  WHERE doc_id % 2 = 0),
+              |bc AS MATERIALIZED (
+              |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cvw
+              |  FROM trbi GROUP BY 1, 2),
+              |cc AS MATERIALIZED (
+              |  SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv,
+              |    CAST(COUNT(*) AS BIGINT) AS n1v
+              |  FROM bc GROUP BY 1),
+              |nw AS MATERIALIZED (
+              |  SELECT cur, CAST(COUNT(*) AS BIGINT) AS nw
+              |  FROM bc GROUP BY 1),
+              |consts AS (
+              |  SELECT (SELECT COUNT(*) FROM bc) +
+              |    (SELECT COUNT(DISTINCT t) FROM
+              |      (SELECT unnest(ws) AS t FROM docs WHERE doc_id % 2 = 0))
+              |    AS bp),
+              |ho AS MATERIALIZED (
+              |  SELECT w, ws[i] AS prev, ws[i + 1] AS cur,
+              |    CAST(COUNT(*) AS BIGINT) AS k
+              |  FROM docs, LATERAL unnest(generate_series(1, len(ws) - 1))
+              |    AS u(i)
+              |  WHERE doc_id % 2 = 1
+              |  GROUP BY 1, 2, 3),
+              |types AS MATERIALIZED (
+              |  SELECT t.prev, t.cur, COALESCE(nw.nw, 0) AS nwv,
+              |    CASE WHEN COALESCE(cc.cv, 0) > 0
+              |      THEN GREATEST(4 * COALESCE(bc.cvw, 0) - 3, 0) * c.bp
+              |        + 3 * cc.n1v * (COALESCE(nw.nw, 0) + 1)
+              |      ELSE COALESCE(nw.nw, 0) + 1 END AS num,
+              |    CASE WHEN COALESCE(cc.cv, 0) > 0 THEN 4 * cc.cv * c.bp
+              |      ELSE c.bp END AS den
+              |  FROM (SELECT DISTINCT prev, cur FROM ho) t
+              |  LEFT JOIN bc ON bc.prev = t.prev AND bc.cur = t.cur
+              |  LEFT JOIN cc ON cc.prev = t.prev
+              |  LEFT JOIN nw ON nw.cur = t.cur
+              |  CROSS JOIN consts c),
+              |tnum AS MATERIALIZED (
+              |  SELECT prev, cur, num AS x FROM types),
+              |${Pipeline9.ilogCtes("tnum", "prev, cur", "a")},
+              |tden AS MATERIALIZED (
+              |  SELECT prev, cur, den AS x FROM types),
+              |${Pipeline9.ilogCtes("tden", "prev, cur", "b")},
+              |bits AS MATERIALIZED (
+              |  SELECT t.prev, t.cur, t.nwv, dl.lgf - nl.lgf AS bits_fix
+              |  FROM types t
+              |  JOIN alg nl ON nl.prev = t.prev AND nl.cur = t.cur
+              |  JOIN blg dl ON dl.prev = t.prev AND dl.cur = t.cur)
+              |SELECT ho.w,
+              |  CAST(SUM(ho.k) AS BIGINT) AS n_bigrams,
+              |  CAST(SUM(ho.k * b.bits_fix) * 1000
+              |    // (65536 * SUM(ho.k)) AS BIGINT) AS xent_millibits,
+              |  CAST(SUM(CASE WHEN b.nwv = 0 THEN ho.k ELSE 0 END) * 1000000
+              |    // SUM(ho.k) AS BIGINT) AS oov_ppm
+              |FROM ho JOIN bits b ON b.prev = ho.prev AND b.cur = ho.cur
+              |GROUP BY ho.w
+              |ORDER BY ho.w""".stripMargin))
   )
 }
