@@ -82,4 +82,64 @@ object TokenStreams {
       .groupBy(window(col("ts"), windowDur))
       .agg(count(lit(1)).as("n_new_types"))
       .select(col("window.start").as("w_start"), col("n_new_types"))
+
+  /** Per-window Kneser-Ney cross-entropy of a document stream under a
+    * FROZEN model — the streaming face of p154's perplexity drift:
+    * score incoming data hourly under yesterday's model and alert on
+    * the earliest sign the ingest distribution moved. The model rides
+    * as three STATIC dictionary frames (the p144 stats: bigram counts
+    * `bc(prev, cur, cvw)`, context stats `cc(prev, cv, n1v)`,
+    * continuation counts `nw(cur, nw)`) plus the scalar normalizer
+    * `bp = B + V` — stream-static left joins, the model-artifact
+    * discipline with the artifact as a join table instead of a plan
+    * literal (a gram dictionary is too big to be a literal).
+    *
+    * Shape: bigrams explode map-side; the KN num/den and the ilog2
+    * bits evaluate PER INSTANCE in-stream (the fertilityStream
+    * tradeoff: no distinct-type collapse without state — still
+    * stateless, still O(batch); bits for a repeated type recompute
+    * identically, so stream == batch EXACTLY at any micro-batch
+    * boundary placement). Only (ts, bits, is_oov) reach the one
+    * stateful operator, a watermarked tumbling-window sum.
+    */
+  def xentDriftStream(
+      docs: DataFrame, // (ts timestamp, text string, ...)
+      bc: DataFrame, // (prev, cur, cvw) — static
+      cc: DataFrame, // (prev, cv, n1v) — static
+      nw: DataFrame, // (cur, nw) — static
+      bp: Long,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.UnigramFunctions.ilog2_fix
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), split(col("text"), " ").as("ws"))
+      .select(col("ts"), explode(expr("""CASE WHEN size(ws) >= 2
+        THEN transform(sequence(1, size(ws) - 1),
+          i -> struct(element_at(ws, i) AS prev,
+                      element_at(ws, i + 1) AS cur))
+        ELSE array() END""")).as("bg"))
+      .select(col("ts"), col("bg.prev"), col("bg.cur"))
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(cc, Seq("prev"), "left")
+      .join(nw, Seq("cur"), "left")
+      .select(col("ts"),
+        coalesce(col("nw"), lit(0L)).as("nwv"),
+        when(coalesce(col("cv"), lit(0L)) > 0,
+          greatest(lit(4) * coalesce(col("cvw"), lit(0L)) - 3, lit(0L))
+            * bp
+            + lit(3) * col("n1v") * (coalesce(col("nw"), lit(0L)) + 1))
+          .otherwise(coalesce(col("nw"), lit(0L)) + 1).as("num"),
+        when(coalesce(col("cv"), lit(0L)) > 0,
+          lit(4) * col("cv") * bp).otherwise(lit(bp)).as("den"))
+      .select(col("ts"), col("nwv"),
+        (ilog2_fix(col("den")) - ilog2_fix(col("num"))).as("bits_fix"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits_fix")).as("bsum"),
+        sum(when(col("nwv") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("window.start").as("w_start"), col("n_bigrams"),
+        expr("bsum * 1000 DIV (65536 * n_bigrams)").as("xent_millibits"),
+        expr("n_oov * 1000000 DIV n_bigrams").as("oov_ppm"))
+  }
 }

@@ -151,4 +151,81 @@ class TokenStreamsSpec extends AnyFunSuite {
         s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
     spark.catalog.clearCache()
   }
+
+  test("xent drift: stream == the p154 batch entry under ragged splits") {
+    import spark.implicits._
+    // the frozen model: EXACTLY p154's even-split KN stats
+    val all = graft.Tables.t(spark, sf, "documents")
+      .filter($"text".isNotNull && $"text" =!= "")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(split($"text", " ").as("ws"))
+      .select(explode(expr("""CASE WHEN size(ws) >= 2
+        THEN transform(sequence(1, size(ws) - 1),
+          i -> struct(element_at(ws, i) AS prev,
+                      element_at(ws, i + 1) AS cur))
+        ELSE array() END""")).as("bg"))
+      .select($"bg.prev", $"bg.cur")
+    val bc = bigrams(all.filter($"doc_id" % 2 === 0))
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("cvw"))
+      .localCheckpoint(true)
+    val cc = bc.groupBy($"prev")
+      .agg(sum($"cvw").as("cv"), count(lit(1)).as("n1v"))
+      .localCheckpoint(true)
+    val nw = bc.groupBy($"cur").agg(count(lit(1)).as("nw"))
+      .localCheckpoint(true)
+    val bp = bc.count() +
+      all.filter($"doc_id" % 2 === 0)
+        .select(explode(split($"text", " ")).as("t"))
+        .agg(countDistinct($"t")).collect()(0).getLong(0)
+    // batch truth = the oracle-gated p154 entry itself
+    val expected = graft.SparkEntry
+      .queries("p154_perplexity_drift")(spark, sf)
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(expected.size >= 4, s"fixture too sparse: ${expected.size}")
+
+    val docs = all.filter($"doc_id" % 2 === 1)
+      .withColumn("ts", expr(
+        "timestamp_seconds(1767225600 + (doc_id * 97) % 172800)"))
+      .select($"ts", $"doc_id", $"text")
+    val dir = Files.createTempDirectory("xentstream-docs").toString
+    val ckpt = Files.createTempDirectory("xentstream-ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = TokenStreams.xentDriftStream(stream, bc, cc, nw, bp,
+        windowDur = "1 hour", watermark = "960 hours")
+      .writeStream.format("memory").queryName("xent_drift")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // ragged doc_id bands, never window-aligned
+      Seq(0L -> 77L, 77L -> 230L, 230L -> 411L, 411L -> 100000L)
+        .foreach { case (lo, hi) =>
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      val sentinelTs = 1767225600L + 2000L * 3600
+      Seq((new java.sql.Timestamp(sentinelTs * 1000), 999999L, "the end"))
+        .toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("xent_drift")
+      .filter($"w_start" < new java.sql.Timestamp(
+        (1767225600L + 1999L * 3600) * 1000))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"stream xent drift diverged from the p154 batch entry:\n" +
+        s"  stream: ${got.toSeq.sortBy(_._1.getTime)}\n" +
+        s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
+    spark.catalog.clearCache()
+  }
 }
