@@ -713,7 +713,78 @@ object Relational7 {
              |      CAST(date_part('second', ts) AS DOUBLE)) AS t
              |  FROM events)
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      // BENFORD FIRST-DIGIT AUDIT (Benford 1938 / Newcomb 1881,
+      // public — the data-forensics screen for fabricated or
+      // double-counted financial columns): order totals spanning two+
+      // orders of magnitude should lead with digit d at frequency
+      // log10(1 + 1/d); a synthetic or corrupted feed drifts.
+      // Exactness: the first digit comes from INTEGER CENTS (the q01
+      // money discipline — double routes through DECIMAL(18,2) once)
+      // rendered via integer→string, which both engines print
+      // identically (a double→string leading digit would be at the
+      // mercy of each engine's float formatter); multiplying by 100
+      // cannot change a leading digit. The Benford expectations ride
+      // as round(10^6·log10(1+1/d)) LITERALS (the p121 discount-table
+      // discipline — no runtime log in either plan), and the
+      // total-variation distance Σ|obs−exp| DIV 2 rides every row.
+      // Scale shape: one partial-aggregable digit count (9 groups),
+      // then digit-dictionary arithmetic.
+      "q104_benford_audit",
+      (s, dir) => {
+        import s.implicits._
+        val benford = (1 to 9).map(d =>
+          (d.toLong, math.round(1e6 * math.log10(1.0 + 1.0 / d))))
+        val obs = t(s, dir, "orders")
+          .select(substring(
+            expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT) AS STRING)"), 1, 1).cast("long").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        val withExp = benford.toDF("digit", "benford_ppm")
+          .join(obs, Seq("digit"), "left")
+          .select($"digit",
+            coalesce($"n_obs", lit(0L)).as("n_obs"), $"benford_ppm")
+        val tot = withExp.agg(sum($"n_obs").as("n"))
+        val rows = withExp.crossJoin(broadcast(tot))
+          .select($"digit", $"n_obs",
+            expr("n_obs * 1000000 DIV n").as("obs_ppm"), $"benford_ppm",
+            expr("abs(n_obs * 1000000 DIV n - benford_ppm)").as("gap_ppm"))
+          .persist() // output + the tvd summary
+        val tvd = rows.agg(
+          expr("sum(gap_ppm) DIV 2").as("tvd_ppm"))
+        rows.crossJoin(broadcast(tvd))
+          .orderBy($"digit")
+      },
+      Some {
+        val benfordVals = (1 to 9).map(d =>
+          s"($d, ${math.round(1e6 * math.log10(1.0 + 1.0 / d))})")
+          .mkString(", ")
+        s"""WITH benford(digit, benford_ppm) AS (VALUES $benfordVals),
+           |obs AS (
+           |  SELECT CAST(substr(CAST(CAST(
+           |      CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |    CAST(COUNT(*) AS BIGINT) AS n_obs
+           |  FROM orders GROUP BY 1),
+           |w AS (
+           |  SELECT b.digit, COALESCE(o.n_obs, 0) AS n_obs, b.benford_ppm
+           |  FROM benford b LEFT JOIN obs o USING (digit)),
+           |tot AS (SELECT SUM(n_obs) AS n FROM w),
+           |rows_ AS (
+           |  SELECT w.digit, w.n_obs,
+           |    CAST(w.n_obs * 1000000 // tot.n AS BIGINT) AS obs_ppm,
+           |    CAST(w.benford_ppm AS BIGINT) AS benford_ppm,
+           |    CAST(ABS(w.n_obs * 1000000 // tot.n - w.benford_ppm)
+           |      AS BIGINT) AS gap_ppm
+           |  FROM w CROSS JOIN tot),
+           |tvd AS (SELECT CAST(SUM(gap_ppm) // 2 AS BIGINT) AS tvd_ppm
+           |        FROM rows_)
+           |SELECT digit, n_obs, obs_ppm, benford_ppm, gap_ppm, tvd.tvd_ppm
+           |FROM rows_ CROSS JOIN tvd
+           |ORDER BY digit""".stripMargin
+      })
   )
 
   /** Shared verbatim by the Spark entry and the DuckDB oracle — the
