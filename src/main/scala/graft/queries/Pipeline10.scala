@@ -1334,6 +1334,108 @@ object Pipeline10 {
               |    // SUM(ho.k) AS BIGINT) AS oov_ppm
               |FROM ho JOIN bits b ON b.prev = ho.prev AND b.cur = ho.cur
               |GROUP BY ho.w
-              |ORDER BY ho.w""".stripMargin))
+              |ORDER BY ho.w""".stripMargin)),
+
+    QueryDef(
+      // QUALITY-THRESHOLD SENSITIVITY CURVE (the operational readout
+      // before committing a filter cutoff — what p33's single
+      // percentile cut and p63's calibration lead to): at each decile
+      // threshold of the quality score, how many documents and tokens
+      // survive, and how far does the per-source TOKEN MIX drift from
+      // the unfiltered baseline? A threshold that silently starves one
+      // source is a mixture decision, not just a quality decision.
+      // Integer end-to-end: quality routes through round(q·10^6) once
+      // (the p148 precedent — the underlying double is
+      // engine-identical), docs bucket by decile, and every curve
+      // point is a SUFFIX sum over the 10-bucket × source dictionary —
+      // one corpus pass, then dictionary arithmetic; the worst
+      // per-source share shift is an exact |ppm − ppm| max. Scale
+      // shape: one (source, bucket) aggregate shuffles; the 10×10
+      // threshold×bucket expansion never touches the corpus.
+      "p155_threshold_sensitivity",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis
+        val scored = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source",
+            round(TextAnalysis.qualityScore($"text") * 1000000)
+              .cast("long").as("qppm"),
+            TextAnalysis.tokenCount($"text").cast("long").as("ntok"))
+          .select($"source",
+            least(expr("qppm DIV 100000"), lit(9L)).as("bucket"), $"ntok")
+        val cell = scored.groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("nd"), sum($"ntok").as("nt"))
+          .persist() // 10 thresholds × baseline all read it
+        val thr = (0 to 9).map(_.toLong).toDF("t")
+        val keptSrc = thr.join(cell, $"bucket" >= $"t")
+          .groupBy($"t", $"source")
+          .agg(sum($"nd").as("nd"), sum($"nt").as("nt"))
+        val keptTot = keptSrc.groupBy($"t")
+          .agg(sum($"nd").as("n_docs_kept"), sum($"nt").as("tok_kept"))
+        val base = cell.groupBy($"source").agg(sum($"nt").as("bnt"))
+          .crossJoin(broadcast(cell.agg(sum($"nt").as("btot"))))
+          .select($"source", expr("bnt * 1000000 DIV btot").as("base_ppm"))
+        val shift = keptSrc.join(keptTot, "t")
+          .join(broadcast(base), "source")
+          .select($"t",
+            abs(expr("nt * 1000000 DIV tok_kept") - $"base_ppm")
+              .as("shift_ppm"))
+          .groupBy($"t").agg(max($"shift_ppm").as("worst_shift_ppm"))
+        val total = cell.agg(sum($"nt").as("btot"))
+        keptTot.join(shift, "t")
+          .crossJoin(broadcast(total))
+          .select(($"t" * 100000L).as("threshold_ppm"),
+            $"n_docs_kept", $"tok_kept",
+            expr("tok_kept * 1000000 DIV btot").as("kept_token_ppm"),
+            $"worst_shift_ppm")
+          .orderBy($"threshold_ppm")
+      },
+      Some("""WITH scored AS (
+             |  SELECT source,
+             |    LEAST(CAST(round((least(len(ts) / 100.0, 1.0) * 0.4
+             |      + (CASE WHEN (CAST(length(text) - len(ts) + 1 AS DOUBLE)
+             |                    / len(ts)) BETWEEN 3.0 AND 8.0
+             |              THEN 1.0 ELSE 0.5 END) * 0.4
+             |      + (1.0 - least((CAST(length(regexp_replace(text,
+             |            '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             |          / length(text)) * 10.0, 1.0)) * 0.2) * 1000000)
+             |      AS BIGINT) // 100000, 9) AS bucket,
+             |    CAST(len(ts) AS BIGINT) AS ntok
+             |  FROM (SELECT source, text, string_split(text, ' ') AS ts
+             |        FROM documents
+             |        WHERE text IS NOT NULL AND text <> '')),
+             |cell AS (
+             |  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS nd,
+             |    CAST(SUM(ntok) AS BIGINT) AS nt
+             |  FROM scored GROUP BY 1, 2),
+             |thr(t) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)),
+             |keptsrc AS (
+             |  SELECT thr.t, c.source, SUM(c.nd) AS nd, SUM(c.nt) AS nt
+             |  FROM thr JOIN cell c ON c.bucket >= thr.t
+             |  GROUP BY 1, 2),
+             |kepttot AS (
+             |  SELECT t, CAST(SUM(nd) AS BIGINT) AS n_docs_kept,
+             |    CAST(SUM(nt) AS BIGINT) AS tok_kept
+             |  FROM keptsrc GROUP BY 1),
+             |base AS (
+             |  SELECT source,
+             |    CAST(SUM(nt) * 1000000 //
+             |      (SELECT SUM(nt) FROM cell) AS BIGINT) AS base_ppm
+             |  FROM cell GROUP BY 1),
+             |shift AS (
+             |  SELECT k.t,
+             |    CAST(MAX(ABS(k.nt * 1000000 // kt.tok_kept - b.base_ppm))
+             |      AS BIGINT) AS worst_shift_ppm
+             |  FROM keptsrc k JOIN kepttot kt USING (t)
+             |  JOIN base b USING (source)
+             |  GROUP BY 1)
+             |SELECT CAST(t * 100000 AS BIGINT) AS threshold_ppm,
+             |  kt.n_docs_kept, kt.tok_kept,
+             |  CAST(kt.tok_kept * 1000000 //
+             |    (SELECT SUM(nt) FROM cell) AS BIGINT) AS kept_token_ppm,
+             |  s.worst_shift_ppm
+             |FROM kepttot kt JOIN shift s USING (t)
+             |ORDER BY threshold_ppm""".stripMargin))
   )
 }
