@@ -210,7 +210,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     for (q <- Seq("p131_calibration_real", "p133_heaps_law",
         "p140_isotonic_calibration", "p144_kneser_ney",
         "p148_signal_agreement", "p150_self_bleu", "p151_hubness_audit",
-        "p152_class_separability", "p149_kcenter_coreset")) {
+        "p152_class_separability", "p149_kcenter_coreset",
+        "p153_l_diversity", "p154_perplexity_drift",
+        "q104_benford_audit")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
