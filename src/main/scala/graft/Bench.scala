@@ -22,16 +22,24 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (utime+stime+cutime+cstime, ppid) from one /proc/<pid>/stat.
+  /** (utime+stime, cutime+cstime, ppid) from one /proc/<pid>/stat.
     * comm (field 2) is parenthesized and may contain spaces: parse
     * after the LAST ')'; post-paren tokens start at field 3 (state),
     * so utime/stime/cutime/cstime (fields 14-17) are indices 11-14
-    * and ppid (field 4) is index 1. */
-  private def pidJiffies(pid: String): (Long, Long) = {
+    * and ppid (field 4) is index 1. Own and reaped-children jiffies
+    * are returned SEPARATELY: an ancestor's cutime/cstime includes
+    * every reaped descendant — including SIBLING processes under the
+    * same shell/harness chain (a second sbt, another harness command)
+    * that exit mid-run. Folding those into "self" would erase real
+    * contention from the external-CPU delta, the anti-conservative
+    * direction — so callers count children-time as self ONLY for this
+    * JVM (whose reaped children are genuinely ours). */
+  private def pidJiffies(pid: String): (Long, Long, Long) = {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
     val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-    (rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong,
+    (rest(11).toLong + rest(12).toLong,
+      rest(13).toLong + rest(14).toLong,
       rest(1).toLong)
   }
 
@@ -43,10 +51,10 @@ object Bench {
   private val selfTreePids: Seq[String] = {
     val chain = scala.collection.mutable.ArrayBuffer("self")
     try {
-      var pid = pidJiffies("self")._2
+      var pid = pidJiffies("self")._3
       while (pid > 1 && chain.size < 32) {
         chain += pid.toString
-        pid = pidJiffies(pid.toString)._2
+        pid = pidJiffies(pid.toString)._3
       }
     } catch { case _: Throwable => () }
     chain.toSeq
@@ -74,9 +82,18 @@ object Bench {
       val busy = f(1).toLong + f(2).toLong + f(3).toLong +
         f(6).toLong + f(7).toLong + f(8).toLong
       // a vanished ancestor (shell replaced mid-run) contributes 0 —
-      // its CPU then reads as external, the conservative direction
+      // its CPU then reads as external, the conservative direction.
+      // Ancestors count OWN time only (utime+stime): their
+      // cutime/cstime absorbs every reaped descendant, including
+      // SIBLINGS of our chain (a second sbt, another harness command)
+      // that exit mid-run — counting that as self would erase real
+      // contention. Only this JVM's reaped children ("self"._2) are
+      // genuinely ours.
       val mine = selfTreePids.map { p =>
-        try pidJiffies(p)._1 catch { case _: Throwable => 0L }
+        try {
+          val j = pidJiffies(p)
+          if (p == "self") j._1 + j._2 else j._1
+        } catch { case _: Throwable => 0L }
       }.sum
       (busy, mine)
     } catch { case _: Throwable => (-1L, -1L) }

@@ -216,18 +216,22 @@ object UnigramTable {
   * Z ≤ 2^9 · (2^8)^10 · B-homogenization ≤ 2^89; num·10^6 ≤ 2^113 <
   * 2^127), while this side computes in BigInt and never overflows.
   *
-  * Length UNIT contract (the family's UTF-16 convention, see
-  * [[MultiMatch]]): word length and piece matching here count UTF-16
-  * code units, while a Spark `length(word)` prefilter and the DuckDB
-  * ladder's `length()`/`substr()` count Unicode code points. The three
-  * agree exactly on BMP text (every fixture; pinned by the astral fuzz
-  * suite), and diverge on supplementary-plane text — a word of six
-  * astral characters is 12 units here (gated out at lenCap 10) but 6
-  * code points to both SQL engines. The oracle hash gate therefore
-  * binds on BMP corpora; astral-bearing callers must prefilter on a
-  * UTF-16 length or accept the unit-gated semantics (outputs remain
-  * well-formed UTF-16 either way — a piece can only match a whole
-  * number of code points when the vocabulary is itself well-formed).
+  * Length UNIT contract: this expression counts Unicode CODE POINTS —
+  * word length (the lenCap gate), piece length (the homogenization
+  * bound), and lattice positions all step by code point, exactly the
+  * unit a Spark `length(word)` prefilter and the DuckDB ladder's
+  * `length()`/`substr()` count. This deliberately departs from the
+  * matcher/Viterbi family's UTF-16 convention ([[MultiMatch]],
+  * [[UnigramPieces]] — where positions are offsets INTO the string and
+  * units are the natural coordinate): the E-step's oracle is a
+  * length-INDEXED CTE ladder, so its length unit must be the SQL
+  * engines' unit or astral text diverges cross-engine (it did, pre-r11:
+  * a six-emoji word was 12 units here — gated out — but 6 characters
+  * to both SQL engines). On BMP text the units coincide and nothing
+  * changed; on astral text the lattice now matches the ladder, and the
+  * astral fuzz suite pins it. Surrogate halves can never match: slicing
+  * is at code-point boundaries, so every emitted piece is well-formed
+  * UTF-16 whenever the vocabulary is.
   *
   * Scale shape: intended call site is the DISTINCT word dictionary
   * (p114/p120 discipline) — the O(n · maxLen) lattice never runs on
@@ -247,11 +251,15 @@ case class UnigramEStep(child: Expression, weights: Seq[(String, Long)],
   // 10-char word reaches ~2^320: exact here in BigInt but an overflow
   // error in the oracle's HUGEINT ladder, a cross-engine divergence.
   // The bound caps at 2^32 (len ≥ 4) because maxPieceLen ≤ 4 in the
-  // ladder contract; all callers length-homogenize and comply.
-  require(weights.forall(p => p._2 >= 1L &&
-      p._2 <= (1L << (8 * math.min(p._1.length, 4)))),
+  // ladder contract; all callers length-homogenize and comply. len_p
+  // is in CODE POINTS (the expression's length unit — see the
+  // Scaladoc's unit contract).
+  require(weights.forall { p =>
+    val cps = p._1.codePointCount(0, p._1.length)
+    p._2 >= 1L && p._2 <= (1L << (8 * math.min(cps, 4)))
+  },
     "lattice weights must be length-homogenized: 1 <= V_p <= 256^min(len_p,4)" +
-      " (the oracle's HUGEINT headroom proof)")
+      " with len_p in code points (the oracle's HUGEINT headroom proof)")
   require(lenCap >= 1 && lenCap <= 10,
     "lenCap must be in [1, 10] (the oracle's ladder depth)")
 
@@ -290,7 +298,9 @@ case class UnigramEStep(child: Expression, weights: Seq[(String, Long)],
 }
 
 /** Length-indexed lattice weights (the [[UnigramTable]] layout with
-  * Long weights) plus the E-step length cap.
+  * Long weights, but keyed by CODE-POINT length — the E-step's length
+  * unit, see [[UnigramEStep]]'s unit contract) plus the E-step length
+  * cap.
   */
 final class UnigramLatticeTable(
     val byLen: Array[java.util.HashMap[String, java.lang.Long]],
@@ -300,31 +310,48 @@ object UnigramLattice {
   private val Ppm = BigInt(1000000)
 
   def build(weights: Seq[(String, Long)], lenCap: Int): UnigramLatticeTable = {
-    val maxLen = weights.map(_._1.length).max
+    def cps(p: String): Int = p.codePointCount(0, p.length)
+    val maxLen = weights.map(p => cps(p._1)).max
     val byLen = new Array[java.util.HashMap[String, java.lang.Long]](maxLen + 1)
     weights.foreach { case (p, v) =>
-      if (byLen(p.length) == null)
-        byLen(p.length) = new java.util.HashMap[String, java.lang.Long]()
-      byLen(p.length).put(p, v)
+      val l = cps(p)
+      if (byLen(l) == null)
+        byLen(l) = new java.util.HashMap[String, java.lang.Long]()
+      byLen(l).put(p, v)
     }
     new UnigramLatticeTable(byLen, maxLen, lenCap)
   }
 
-  private def weightAt(t: UnigramLatticeTable, s: String, pos: Int,
-      l: Int): Long = {
+  /** Weight of the piece spanning code points [pos, pos+l) of s, where
+    * `offs` maps code-point index → UTF-16 offset. 0 when absent. */
+  private def weightAt(t: UnigramLatticeTable, s: String, offs: Array[Int],
+      pos: Int, l: Int): Long = {
     val m = t.byLen(l)
     if (m == null) 0L
     else {
-      val v = m.get(s.substring(pos, pos + l))
+      val v = m.get(s.substring(offs(pos), offs(pos + l)))
       if (v == null) 0L else v.longValue()
     }
   }
 
   def estep(t: UnigramLatticeTable, word: UTF8String): ArrayData = {
     val s = word.toString
-    val n = s.length
+    // every position/length below is in CODE POINTS (the SQL engines'
+    // length()/substr() unit — the expression's documented contract);
+    // offs(i) is the UTF-16 offset where code point i starts, so a
+    // lattice edge can never slice through a surrogate pair
+    val n = s.codePointCount(0, s.length)
     if (n == 0 || n > t.lenCap)
       return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var ui = 0
+    while (ci < n) {
+      offs(ci) = ui
+      ui += Character.charCount(s.codePointAt(ui))
+      ci += 1
+    }
+    offs(n) = s.length
     // forward: A(j) = total lattice weight of segmentations of s[0..j)
     val fwd = Array.fill(n + 1)(BigInt(0))
     fwd(0) = BigInt(1)
@@ -333,7 +360,7 @@ object UnigramLattice {
       var l = math.min(t.maxLen, j)
       while (l >= 1) {
         if (fwd(j - l).signum > 0) {
-          val v = weightAt(t, s, j - l, l)
+          val v = weightAt(t, s, offs, j - l, l)
           if (v > 0L) fwd(j) += fwd(j - l) * v
         }
         l -= 1
@@ -351,7 +378,7 @@ object UnigramLattice {
       var l = math.min(t.maxLen, n - i)
       while (l >= 1) {
         if (bwd(i + l).signum > 0) {
-          val v = weightAt(t, s, i, l)
+          val v = weightAt(t, s, offs, i, l)
           if (v > 0L) bwd(i) += bwd(i + l) * v
         }
         l -= 1
@@ -367,9 +394,9 @@ object UnigramLattice {
         var l = math.min(t.maxLen, n - i)
         while (l >= 1) {
           if (bwd(i + l).signum > 0) {
-            val v = weightAt(t, s, i, l)
+            val v = weightAt(t, s, offs, i, l)
             if (v > 0L) {
-              val p = s.substring(i, i + l)
+              val p = s.substring(offs(i), offs(i + l))
               val prev = num.get(p)
               val term = fwd(i) * v * bwd(i + l)
               num.put(p, if (prev == null) term else prev + term)

@@ -499,9 +499,10 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000): DataFrame = {
-    val (sh, pairs) = ngramJaccardPairsWithCache(
+    val (caches, pairs) = ngramJaccardPairsWithCache(
       df, idCol, textCol, minJaccard, maxShingleDf)
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     pairs
   }
 
@@ -515,10 +516,11 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       maxShingleDf: Int = 10000)(use: DataFrame => T): T = {
-    val (sh, pairs) = ngramJaccardPairsWithCache(
+    val (caches, pairs) = ngramJaccardPairsWithCache(
       df, idCol, textCol, minJaccard, maxShingleDf)
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try use(pairs) finally sh.unpersist()
+    caches.foreach(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try use(pairs) finally caches.foreach(_.unpersist())
   }
 
   private def ngramJaccardPairsWithCache(
@@ -526,17 +528,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       minJaccard: Double,
-      maxShingleDf: Int): (DataFrame, DataFrame) = {
+      maxShingleDf: Int): (Seq[DataFrame], DataFrame) = {
     // the exploded-shingle frame feeds three consumers (per-doc counts,
     // shingle DF counts, candidate join) and Spark does not reuse the
     // exchange across them — persist it once (MLlib-style)
     val sh = explodedShingles(df, idCol, textCol)
+    // both candidate-join sides read the DF-capped frame: cache it too
+    // (it is strictly smaller than sh — singletons and hot shingles
+    // dropped) or the cap join executes twice. Measured 4.3s -> 3.4s on
+    // the incremental sibling at sf0.1.
     val filtered = dfCapFiltered(sh, maxShingleDf)
     val common = filtered.select(col("id").as("id_a"), col("shingle"))
       .join(filtered.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    (sh, scoreJaccard(common, perDocShingleCounts(sh), minJaccard))
+    (Seq(sh, filtered),
+      scoreJaccard(common, perDocShingleCounts(sh), minJaccard))
   }
 
   /** Per-doc distinct-shingle counts — the Jaccard denominators (always
@@ -601,7 +608,13 @@ object Dedup {
         explode(shinglesWithDupes(col(textCol))).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the DF-capped frame feeds BOTH candidate-join sides; its input
+    // exchanges are reused but the cap join itself would execute twice
+    // unpersisted. It is strictly smaller than sh (singletons and hot
+    // shingles dropped — at scale most shingles are singletons), so the
+    // second persist is cheaper storage than the first.
     val filtered = dfCapFiltered(sh, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSide = filtered.filter(col("is_new"))
       .select(col("shingle"), col("id").as("n_id"))
     val allSide = filtered

@@ -40,4 +40,25 @@ object ScaleGuards {
     df.crossJoin(broadcast(guard)).filter(col("__g") === 1L)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Guard `df` on the row count of a SEPARATE witness frame: identity
+    * while `count(witness) <= budget`, `raise_error` naming `what` and
+    * `remedy` past it. Two shapes the self-count guard can't express:
+    * a DICTIONARY assumption (witness = the distinct key frame whose
+    * boundedness the plan's prose claims — p39's source labels) and a
+    * VIOLATION assumption (witness = the rows breaking a per-row bound,
+    * budget = 0 — p48's over-long documents). The witness aggregate is
+    * a 1-row broadcast riding the plan like [[cardinalityGuard]]'s.
+    */
+  def witnessGuard(df: DataFrame, witness: DataFrame, what: String,
+      budget: Long, remedy: String): DataFrame = {
+    val guard = witness.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > budget,
+          raise_error(concat(
+            lit(s"$what: witness cardinality "), col("__n"),
+            lit(s" exceeds budget=$budget — $remedy"))))
+        .otherwise(lit(1L)).as("__g"))
+    df.crossJoin(broadcast(guard)).filter(col("__g") === 1L)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -388,10 +388,24 @@ object TextAnalysis {
       idCol: String,
       srcCol: String,
       textCol: String,
-      k: Int = 8): org.apache.spark.sql.DataFrame = {
+      k: Int = 8,
+      maxDocTokens: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val base = tokenized(df, idCol, textCol)
+    val base0 = tokenized(df, idCol, textCol)
       .select(col(idCol), col(srcCol), col("__ts"))
+    // The span merge windows PARTITION BY document — bounded by doc
+    // length, which the prose calls fine. Make the bound a contract: a
+    // pathological unsplit document (a concatenated dump, a 10 GB
+    // crawl artifact) would funnel its whole positional-gram list
+    // through one window partition, so past `maxDocTokens` tokens the
+    // guard raises with the remedy named (budget = 0: ANY violator).
+    val base = graft.operators.ScaleGuards.witnessGuard(
+      base0, base0.filter(size(col("__ts")) > maxDocTokens),
+      what = s"crossSourceLeakSpans($idCol)", budget = 0L,
+      remedy = s"split documents past $maxDocTokens tokens before " +
+        "span analysis (the per-doc span-merge window is " +
+        "doc-length-bounded; pre-chunk the outliers and merge spans " +
+        "across chunk seams downstream)")
     val pos = positionalGrams(base, idCol, k, extraCols = Seq(srcCol))
     val gramLeak = pos.select(col("__gram"), col(srcCol)).distinct()
       .groupBy(col("__gram"))
@@ -457,10 +471,23 @@ object TextAnalysis {
       srcCol: String,
       textCol: String,
       n: Int = 8,
-      maxDocDf: Int = 50): org.apache.spark.sql.DataFrame = {
+      maxDocDf: Int = 50,
+      maxSources: Long = 4096L): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && maxDocDf >= 1, "n/maxDocDf must be >= 1")
     val toks = tokens(col(textCol))
-    val docGrams = df
+    // The plan's boundedness rests on the source DICTIONARY: the output
+    // is one row per source PAIR and each gram's collect_set is
+    // source-bounded, both fine for catalog-style labels (web/book/
+    // code) and quadratic death for corpus-order labels (a URL-domain
+    // srcCol at 100 TB). Enforce the assumption in-plan instead of in
+    // prose: past `maxSources` the guard raises with the remedy named.
+    val guarded = graft.operators.ScaleGuards.witnessGuard(
+      df, df.select(col(srcCol)).distinct(),
+      what = s"crossSourceNgramLeak($srcCol)", budget = maxSources,
+      remedy = "the pair matrix is sources^2 — roll corpus-order " +
+        "source labels up to a bounded family (domain -> registrar, " +
+        "shard -> dataset) before the leak audit")
+    val docGrams = guarded
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol), col(srcCol).as("__src"),
         explode(wordGrams(toks, col(textCol), n)).as("__gram"))

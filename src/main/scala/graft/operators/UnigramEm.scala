@@ -50,7 +50,10 @@ object UnigramEm {
     seedVocab.flatMap { case (p, _) =>
       soft.get(p).filter(_ > 0L).map { ef =>
         val w2 = (BigInt(ef) * 256 / total).toLong.max(1L)
-        p -> (w2 * (1L << (8 * (p.length - 1))))
+        // homogenization length in CODE POINTS — the E-step's length
+        // unit (see UnigramEStep's unit contract); identical on the
+        // BMP vocabularies every current caller uses
+        p -> (w2 * (1L << (8 * (p.codePointCount(0, p.length) - 1))))
       }
     }
   }

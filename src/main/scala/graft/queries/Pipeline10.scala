@@ -715,18 +715,28 @@ object Pipeline10 {
         var centers = Vector(0L)
         val picked = scala.collection.mutable.ArrayBuffer(
           (1L, 0L, java.math.BigDecimal.ZERO))
-        for (t <- 2 to 8) {
+        // The loop stops early when the candidate set exhausts (fewer
+        // than 8 vectors in the corpus — a tiny SF or filtered
+        // fixture): an empty argmax means every vector is already a
+        // center, and indexing collect()(0) would throw at
+        // plan-construction time.
+        var exhausted = false
+        for (t <- 2 to 8 if !exhausted) {
           val cc = cells.filter($"vec_id".isin(centers: _*))
             .select($"vec_id".as("cid"), $"dim", $"x".as("cx"))
-          val top = cells.filter(!$"vec_id".isin(centers: _*))
+          val tops = cells.filter(!$"vec_id".isin(centers: _*))
             .join(broadcast(cc), "dim")
             .groupBy($"vec_id", $"cid")
             .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
             .groupBy($"vec_id").agg(min($"d2").as("mind"))
             .orderBy($"mind".desc, $"vec_id").limit(1)
-            .collect()(0)
-          centers :+= top.getLong(0)
-          picked += ((t.toLong, top.getLong(0), top.getDecimal(1)))
+            .collect()
+          if (tops.isEmpty) exhausted = true
+          else {
+            val top = tops(0)
+            centers :+= top.getLong(0)
+            picked += ((t.toLong, top.getLong(0), top.getDecimal(1)))
+          }
         }
         cells.unpersist()
         // radius as floor(d² · 10^6) — an EXACT integer of the exact

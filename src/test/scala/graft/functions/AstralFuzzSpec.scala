@@ -23,11 +23,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * well-formed vocabulary, every emitted piece is well-formed, astral
   * input or not. [UNK] fallbacks are trivially well-formed.
   *
-  * Unit-boundary divergence, pinned explicitly rather than hidden: the
-  * UnigramEStep lenCap gate counts UTF-16 units while Spark
-  * `length()` / DuckDB `length()` count code points, so the oracle
-  * hash gate binds on BMP corpora (every fixture) — see the lenCap
-  * Scaladoc contract in UnigramExpressions.scala.
+  * Unit boundaries: the matcher/Viterbi members keep the family's
+  * UTF-16 convention (positions are offsets INTO the string), while
+  * UnigramEStep counts CODE POINTS — its oracle is a length-indexed
+  * CTE ladder, so its unit must be the SQL engines' `length()`/
+  * `substr()` unit or astral text diverges cross-engine (it did,
+  * pre-r11; the lenCap test below pins the fixed semantics).
   */
 class AstralFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -133,20 +134,18 @@ class AstralFuzzSpec extends AnyFunSuite {
   }
 
   test("unigram_estep fuzz: lattice == exhaustive on astral words under " +
-      "the UTF-16 lenCap; emitted pieces well-formed") {
+      "the code-point lenCap; emitted pieces well-formed") {
     val rnd = new scala.util.Random(60902)
     val lenCap = 10
     for (round <- 0 until 300) {
-      // cap the UTF-16 length, not the code-point count: that is the
-      // documented gate unit
-      var word = randStr(rnd, rnd.nextInt(7))
-      while (word.length > lenCap) word = word.substring(0, word.length - 2)
-      if (!wellFormed(word)) word = word.dropRight(1)
+      // the gate counts CODE POINTS: up to 9 astral chars (18 UTF-16
+      // units) all pass lenCap 10 — no unit-trimming needed
+      val word = randStr(rnd, rnd.nextInt(10))
       val weights = rnd.shuffle(
         (1 to 2).flatMap(len => Seq.fill(5)(randStr(rnd, len))).distinct
           .toList).take(3 + rnd.nextInt(8))
-        // length-homogenized bound: V_p <= 256^min(len,4); astral
-        // 1-codepoint pieces are LENGTH-2 in units, so 256^2 applies
+        // length-homogenized bound: V_p <= 256^min(cps,4) with length
+        // in code points — a 1-codepoint astral piece caps at 256
         .map(p => p -> (1L + rnd.nextInt(255)))
       val arr = UnigramLattice.estep(
         UnigramLattice.build(weights, lenCap), UTF8String.fromString(word))
@@ -162,25 +161,40 @@ class AstralFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("the lenCap gate counts UTF-16 units — the documented divergence " +
-      "from a code-point length, pinned not hidden") {
-    val e6 = Seq.fill(6)(new String(Character.toChars(0x1F600))).mkString
+  test("the lenCap gate counts CODE POINTS — the unit Spark length() " +
+      "and the DuckDB ladder count, pinned on astral text") {
+    val g = new String(Character.toChars(0x1F600))
+    val e6 = Seq.fill(6)(g).mkString
     assert(e6.length == 12 && e6.codePointCount(0, e6.length) == 6)
-    val weights = Seq(new String(Character.toChars(0x1F600)) -> 100L)
+    val weights = Seq(g -> 100L)
+    // 6 code points <= lenCap 10 → COMPUTED (pre-r11 the UTF-16 gate
+    // saw 12 units and returned empty while both SQL engines called
+    // this word 6 characters long — the divergence class this unit
+    // change closes): one piece, used 6 times in the single coverable
+    // segmentation, eppm = 6 · 10^6
     val out = UnigramLattice.estep(
       UnigramLattice.build(weights, 10), UTF8String.fromString(e6))
-    // 12 units > lenCap 10 → EMPTY here, even though both SQL engines
-    // would call this word 6 characters long — the reason the oracle
-    // hash gate binds on BMP corpora (see the lenCap Scaladoc)
-    assert(out.numElements() == 0)
-    // at 5 astral chars (10 units) the gate passes and the lattice is
-    // exact: one piece, eppm = 5 uses / 1 segmentation... per-word
-    // expectation is ppm of lattice mass through each edge
-    val e5 = Seq.fill(5)(new String(Character.toChars(0x1F600))).mkString
-    val out5 = UnigramLattice.estep(
-      UnigramLattice.build(weights, 10), UTF8String.fromString(e5))
-    assert(out5.numElements() == 1)
-    assert(out5.getStruct(0, 2).getLong(1) == 5000000L)
+    assert(out.numElements() == 1)
+    assert(out.getStruct(0, 2).getLong(1) == 6000000L)
+    // 11 code points > lenCap 10 → gated out, same as 11 BMP chars
+    val e11 = Seq.fill(11)(g).mkString
+    val out11 = UnigramLattice.estep(
+      UnigramLattice.build(weights, 10), UTF8String.fromString(e11))
+    assert(out11.numElements() == 0)
+    // a 2-codepoint astral piece indexes at lattice length 2, and a
+    // mixed word walks the boundaries exactly
+    val w2 = Seq(g + g -> 200L, g -> 16L, "a" -> 10L)
+    val outm = UnigramLattice.estep(
+      UnigramLattice.build(w2, 10), UTF8String.fromString(s"a$g$g"))
+    // segs: a+😀+😀 (10·16·16=2560) and a+😀😀 (10·200=2000), Z=4560
+    val got = (0 until outm.numElements()).map { i =>
+      val r = outm.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getLong(1))
+    }
+    assert(got == Seq(
+      ("a", 1000000L),
+      (g, 2L * 2560 * 1000000 / 4560),
+      (g + g, 2000L * 1000000 / 4560)))
   }
 
   test("codegen path through a DataFrame handles astral text (matches " +

@@ -48,4 +48,68 @@ class ScaleGuardsSpec extends AnyFunSuite {
         .groupBy($"k").agg(sum($"v")).collect()
     }
   }
+
+  test("witnessGuard: identity while the witness fits; raises with the " +
+      "remedy when it doesn't — and the witness never joins the data") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val okW = Seq("s1", "s2").toDF("src")
+    val g = ScaleGuards.witnessGuard(df, okW, "dict", 2L, "roll up")
+    assert(g.columns.toSeq == df.columns.toSeq)
+    assert(g.count() == 2L)
+    val badW = Seq("s1", "s2", "s3").toDF("src")
+    val e = intercept[Exception] {
+      ScaleGuards.witnessGuard(df, badW, "p39 source dict", 2L,
+        "roll sources up to a bounded family").count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("p39 source dict"), msg.take(300))
+    assert(msg.contains("exceeds budget=2"), msg.take(300))
+    assert(msg.contains("bounded family"), msg.take(300))
+  }
+
+  test("p39's source-dictionary guard: corpus-order source labels " +
+      "fail fast instead of forming a sources^2 matrix") {
+    import spark.implicits._
+    // every doc its own source: 5 > the tiny budget
+    val docs = (1 to 5).map(i =>
+      (i.toLong, s"src$i", "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.crossSourceNgramLeak(docs, "doc_id", "source", "text",
+        n = 8, maxDocDf = 50, maxSources = 3L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("crossSourceNgramLeak"), msg.take(300))
+    assert(msg.contains("roll corpus-order"), msg.take(300))
+    // under budget: identical output to the unguarded shape
+    val ok = TextAnalysis.crossSourceNgramLeak(docs, "doc_id", "source",
+      "text", n = 8, maxDocDf = 50, maxSources = 5L)
+      .orderBy($"src_a", $"src_b").collect()
+    // 9 tokens -> two 8-gram windows per doc, both shared by all pairs
+    assert(ok.length == 10 && ok.forall(_.getLong(2) == 2L))
+  }
+
+  test("p48's doc-length guard: an over-long document fails fast " +
+      "instead of funneling one span-merge window") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, "web", long), (2L, "book", long))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.crossSourceLeakSpans(docs, "doc_id", "source", "text",
+        k = 8, maxDocTokens = 30L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("crossSourceLeakSpans"), msg.take(300))
+    assert(msg.contains("pre-chunk the outliers"), msg.take(300))
+    // within the bound the full-leak fixture reports full-depth spans
+    val ok = TextAnalysis.crossSourceLeakSpans(docs, "doc_id", "source",
+      "text", k = 8, maxDocTokens = 40L)
+      .orderBy($"doc_id").collect()
+    assert(ok.length == 2 && ok.forall(_.getLong(3) == 40L))
+  }
 }

@@ -9,13 +9,19 @@ Round 10 closes the hole: graft.Bench now samples NON-SELF CPU
 (Δ/proc/stat busy − Δ/proc/self CPU, in cores) inside every query's
 timed bracket and records the max as `ext_cpu_max`. This script is the
 round-close step: it copies target/bench-full-rNN.json to the repo
-root ONLY if
+root ONLY if the in-run contention evidence is VALID and clean:
 
-  1. the run's before-sample load1 is below --max-load (box idle at
-     start — external processes, since the Spark session doesn't exist
-     yet), AND
-  2. the max in-run non-self CPU is below --max-ext cores (no external
-     work competed with ANY timed window).
+  1. ext_cpu_max exists, is non-negative (the -1.0 sentinel means no
+     query ran >=1s or /proc sampling failed — no evidence, so no
+     stamp), and is below --max-ext cores (no external work competed
+     with ANY timed window), AND
+  2. ext_cpu_avg, when present, is valid and below --max-ext/3
+     (no sustained external CPU across the run).
+
+The before-sample load1 check (--max-load) is ADVISORY ONLY: it
+false-positives on 1-min-EMA residue from a just-finished prior run of
+our own and false-negatives on mid-run spikes, so it prints a note but
+never gates — the in-run samples are strictly better evidence.
 
 On rejection it re-runs the bench once via sbt (disable with
 --no-retry) and re-checks the fresh artifact, so an unattended
@@ -59,6 +65,12 @@ def check(src, max_load, max_ext):
     if ext is None:
         return (f"{src} carries no ext_cpu_max — re-run with the r10+ "
                 "graft.Bench (in-run sampling)")
+    # -1.0 is Bench's explicit NO-EVIDENCE sentinel (no query >=1s, or
+    # /proc sampling failed). It must REFUSE, not pass: an artifact with
+    # zero valid in-run samples cannot be stamped as provably clean.
+    if ext < 0:
+        return (f"{src} ext_cpu_max={ext} — no valid in-run samples "
+                "(sentinel); cannot certify the run as uncontended")
     if ext >= max_ext:
         worst = sorted(
             ((q, v.get("ext_cpu", -1.0), v.get("sec", 0.0))
@@ -73,6 +85,9 @@ def check(src, max_load, max_ext):
     # robustness). Threshold = max_ext / 3: sustained 0.5-core external
     # work inflates a 32-thread suite measurably.
     avg = j.get("ext_cpu_avg")
+    if avg is not None and avg < 0:
+        return (f"{src} ext_cpu_avg={avg} — no valid in-run samples "
+                "(sentinel); cannot certify the run as uncontended")
     if avg is not None and avg >= max_ext / 3:
         return (f"{src} ext_cpu_avg={avg} >= {max_ext / 3:.2f} — "
                 "sustained external CPU across the run")
