@@ -666,10 +666,13 @@ object Relational7 {
 
     QueryDef(
       // TIME data type (new in Spark 4.1, behind spark.sql.timeType
-      // .enabled; cast-from-timestamp is NOT yet wired in 4.1, so the
-      // time-of-day derives via make_time over the extracted h/m/s —
-      // whole seconds on both engines, since the two truncate
-      // fractional seconds differently). Exercises TIME construction,
+      // .enabled; cast-from-timestamp is NOT wired as of 4.1.2 —
+      // re-probed on the shipped jars: CAST(TIMESTAMP AS TIME) fails
+      // analysis with DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION — so
+      // the time-of-day derives via make_time over the extracted
+      // h/m/s, whole seconds on both engines, since the two truncate
+      // fractional seconds differently. Revisit if the runtime moves
+      // past 4.1.2). Exercises TIME construction,
       // literals, ordering (min/max), and range comparison — the
       // wall-clock-of-day analytics (business-hours windows, shift
       // buckets) that timestamps answer awkwardly across days. TIME
