@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Eleventh pipeline batch — audit-surface completions, all
+  * integer-exact on both engines (the p124/p153 release-gate family and
+  * the p136 quantizer-ladder discipline):
+  *
+  *  - t-closeness (Li, Li & Venkatasubramanian ICDE 2007, public): the
+  *    privacy gate PAST l-diversity — a class can be diverse yet still
+  *    leak when its sensitive-attribute DISTRIBUTION deviates from the
+  *    corpus's. For a categorical attribute the earth-mover distance
+  *    reduces to total variation, which is exact integer arithmetic.
+  *  - PSI drift (population stability index — the standard model-ops
+  *    distribution-shift score, public): Σ (p−q)·ln(p/q) between the
+  *    baseline and current bin shares, made EXACT by scoring in ppm
+  *    shares and the shared square-and-extract log2 quantizer instead
+  *    of libm logs.
+  *  - Flesch–Kincaid readability (Kincaid et al. 1975, public): the
+  *    grade-level quality signal every curriculum/mixing planner wants
+  *    next to the Gopher-style stats — exact via integer milli-grades
+  *    and a regex vowel-run syllable count both engines replay.
+  *  - HITS hubs/authorities (Kleinberg 1999, public): the bipartite
+  *    centrality complement of p49's PageRank — replayed EXACTLY by
+  *    integer max-normalized iterations as chained CTEs.
+  */
+object Pipeline11 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // T-CLOSENESS AUDIT: per quasi-identifier class (p124's
+      // (source, length-bucket) convention), the total-variation
+      // distance between the class's lang distribution and the
+      // corpus-global one, in ppm — the release gate past p153's
+      // l-diversity (a class can hold 3 distinct langs and still be
+      // 95% one of them while the corpus is uniform; t-closeness is
+      // what catches that). EXACT: tv = Σ_lang |c_l·N − g_l·n| ·10^6
+      // DIV (2·n·N) — one cross-multiplied absolute sum, ONE floor
+      // division at the end, mirrored. Products ride DECIMAL(38,0) /
+      // HUGEINT (c·N reaches N² ≈ 10^18 at 10^9 docs — the p152
+      // wide-integer discipline), so the arithmetic is exact at any
+      // corpus size. Scale shape: one (source, bucket, lang) count
+      // shuffle; the class × lang expansion is (identifier domain ×
+      // lang dictionary)-sized, broadcast-joined; rollup per source.
+      "p156_t_closeness",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val cells = docs
+          .groupBy($"source", expr("n_chars DIV 100").as("bucket"), $"lang")
+          .agg(count(lit(1)).as("c"))
+        val classes = cells.groupBy($"source", $"bucket")
+          .agg(sum($"c").as("n"))
+        val global = docs.groupBy($"lang").agg(count(lit(1)).as("g"))
+        val corpus = docs.agg(count(lit(1)).as("nn"))
+        val tcls = classes.crossJoin(broadcast(global))
+          .join(cells, Seq("source", "bucket", "lang"), "left")
+          .crossJoin(broadcast(corpus))
+          .select($"source", $"bucket", $"n", $"nn",
+            abs(coalesce($"c", lit(0L)).cast("decimal(38,0)") * $"nn" -
+              $"g".cast("decimal(38,0)") * $"n").as("term"))
+          .groupBy($"source", $"bucket", $"n", $"nn")
+          .agg(sum($"term").as("emd_num"))
+          .select($"source", $"bucket", $"n",
+            expr("CAST((emd_num * 1000000) DIV " +
+              "(CAST(nn AS DECIMAL(38,0)) * n * 2) AS BIGINT)").as("t_ppm"))
+        tcls.groupBy($"source")
+          .agg(count(lit(1)).as("n_classes"),
+            sum($"n").as("n_rows"),
+            max($"t_ppm").as("worst_t_ppm"),
+            sum(when($"t_ppm" > 300000, 1L).otherwise(0L))
+              .as("n_wide_classes"),
+            sum(when($"t_ppm" > 300000, $"n").otherwise(0L))
+              .as("n_wide_rows"))
+          .select($"source", $"n_classes", $"n_rows", $"worst_t_ppm",
+            $"n_wide_classes", $"n_wide_rows",
+            expr("n_wide_rows * 1000000 DIV n_rows").as("risk_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, n_chars // 100 AS bucket, lang,
+             |    COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2, 3),
+             |cls AS (SELECT source, bucket, SUM(c) AS n
+             |        FROM cells GROUP BY 1, 2),
+             |gl AS (SELECT lang, COUNT(*) AS g FROM documents GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nn FROM documents),
+             |term AS (
+             |  SELECT cl.source, cl.bucket, cl.n, t.nn,
+             |    ABS(CAST(COALESCE(ce.c, 0) AS HUGEINT) * t.nn
+             |        - CAST(gl.g AS HUGEINT) * cl.n) AS term
+             |  FROM cls cl CROSS JOIN gl CROSS JOIN tot t
+             |  LEFT JOIN cells ce ON ce.source = cl.source
+             |    AND ce.bucket = cl.bucket AND ce.lang = gl.lang),
+             |tp AS (
+             |  SELECT source, bucket, n,
+             |    CAST(SUM(term) * 1000000
+             |      // (CAST(MAX(nn) AS HUGEINT) * n * 2) AS BIGINT)
+             |      AS t_ppm
+             |  FROM term GROUP BY 1, 2, 3)
+             |SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(MAX(t_ppm) AS BIGINT) AS worst_t_ppm,
+             |  CAST(SUM(CASE WHEN t_ppm > 300000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_wide_classes,
+             |  CAST(SUM(CASE WHEN t_ppm > 300000 THEN n ELSE 0 END)
+             |    AS BIGINT) AS n_wide_rows,
+             |  CAST(SUM(CASE WHEN t_ppm > 300000 THEN n ELSE 0 END)
+             |    * 1000000 // SUM(n) AS BIGINT) AS risk_ppm
+             |FROM tp GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // PSI DISTRIBUTION-DRIFT SCORE per source: the population
+      // stability index between the even-doc baseline ("yesterday")
+      // and the odd-doc current slice over length-decile bins — the
+      // model-ops drift gate that complements p146's KS (KS reads the
+      // worst single gap; PSI weights every bin's shift by its log
+      // ratio, the industry 0.1/0.25 alert convention). EXACT:
+      // shares in ppm (floor DIV, clamped at 1 ppm so the log is
+      // defined — GREATEST spelled in both engines), log2 via the
+      // shared square-and-extract quantizer, so psi_fix =
+      // Σ (p−q)·(lg p − lg q) is integer-identical cross-engine (in
+      // ppm·2⁻¹⁶ log2 units; ln-PSI = psi_fix·ln2/(65536·10^6)).
+      // Every term is ≥ 0: the quantizer is monotone, so (p−q) and
+      // (lg p − lg q) never disagree in sign — the DIV-floor
+      // asymmetry on negatives can't bite. Scale shape: bin counts
+      // and totals are two partial-aggregable shuffles over
+      // (source × bucket)-sized frames; the quantizer is map-side.
+      "p157_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val binc = t(s, dir, "documents")
+          .select($"source", expr("n_chars DIV 100").as("bucket"),
+            ($"doc_id" % 2 === 0).as("is_base"))
+          .groupBy($"source", $"bucket", $"is_base")
+          .agg(count(lit(1)).as("c"))
+        val shares = binc
+          .join(binc.groupBy($"source", $"is_base")
+            .agg(sum($"c").as("nt")), Seq("source", "is_base"))
+          .select($"source", $"bucket", $"is_base",
+            greatest(expr("c * 1000000 DIV nt"), lit(1L)).as("ppm"))
+        val base = shares.filter($"is_base")
+          .select($"source", $"bucket", $"ppm".as("p"))
+        val cur = shares.filter(!$"is_base")
+          .select($"source", $"bucket", $"ppm".as("q"))
+        // a bin present in only one half scores against the 1-ppm
+        // clamp on the other side (full outer, the PSI convention for
+        // new/vanished bins)
+        val terms = base.join(cur, Seq("source", "bucket"), "full")
+          .select($"source", $"bucket",
+            coalesce($"p", lit(1L)).as("p"), coalesce($"q", lit(1L)).as("q"))
+          .select($"source", $"bucket",
+            (($"p" - $"q") *
+              (ilog2_fix($"p") - ilog2_fix($"q"))).as("term"))
+        terms.groupBy($"source")
+          .agg(count(lit(1)).as("n_bins"),
+            sum($"term").as("psi_fix"),
+            max($"term").as("worst_bin_fix"))
+          .select($"source", $"n_bins", $"psi_fix",
+            expr("psi_fix DIV 65536").as("psi_micro_log2"),
+            $"worst_bin_fix")
+          .orderBy($"source")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |binc AS (
+              |  SELECT source, n_chars // 100 AS bucket,
+              |    doc_id % 2 = 0 AS is_base, COUNT(*) AS c
+              |  FROM documents GROUP BY 1, 2, 3),
+              |st AS (SELECT source, is_base, SUM(c) AS nt
+              |       FROM binc GROUP BY 1, 2),
+              |sh AS (
+              |  SELECT b.source, b.bucket, b.is_base,
+              |    GREATEST(b.c * 1000000 // s.nt, 1) AS ppm
+              |  FROM binc b JOIN st s USING (source, is_base)),
+              |pb AS MATERIALIZED (
+              |  SELECT COALESCE(p.source, q.source) AS source,
+              |    COALESCE(p.bucket, q.bucket) AS bucket,
+              |    COALESCE(p.ppm, 1) AS p, COALESCE(q.ppm, 1) AS q
+              |  FROM (SELECT source, bucket, ppm FROM sh WHERE is_base) p
+              |  FULL JOIN (SELECT source, bucket, ppm FROM sh
+              |             WHERE NOT is_base) q
+              |    ON q.source = p.source AND q.bucket = p.bucket),
+              |psrc AS MATERIALIZED (
+              |  SELECT source, bucket, p AS x FROM pb),
+              |qsrc AS MATERIALIZED (
+              |  SELECT source, bucket, q AS x FROM pb),
+              |${Pipeline9.ilogCtes("psrc", "source, bucket", "p")},
+              |${Pipeline9.ilogCtes("qsrc", "source, bucket", "q")},
+              |term AS (
+              |  SELECT pb.source, pb.bucket,
+              |    (pb.p - pb.q) * (pl.lgf - ql.lgf) AS term
+              |  FROM pb
+              |  JOIN plg pl ON pl.source = pb.source
+              |    AND pl.bucket = pb.bucket
+              |  JOIN qlg ql ON ql.source = pb.source
+              |    AND ql.bucket = pb.bucket)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+              |  CAST(SUM(term) AS BIGINT) AS psi_fix,
+              |  CAST(SUM(term) // 65536 AS BIGINT) AS psi_micro_log2,
+              |  CAST(MAX(term) AS BIGINT) AS worst_bin_fix
+              |FROM term GROUP BY source
+              |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // FLESCH-KINCAID READING GRADE per source, integer-exact: the
+      // readability tier a curriculum planner orders training phases
+      // by (simple → hard) and a quality gate screens on — computed
+      // as milli-grades with every division a mirrored floor DIV.
+      // Syllables = vowel-RUN count ([aeiouy]+, the classic
+      // approximation), counted by length difference between
+      // replacing each run with one '#' and deleting it — pure
+      // regexp_replace arithmetic both engines execute identically on
+      // this lowercase-ASCII corpus. The corpus has no sentence
+      // punctuation, so the sentence unit is the fixed 16-token
+      // chunk, S = ceil(W/16) (the p58-family windowing convention) —
+      // documented, deterministic, identical on both engines. The
+      // per-doc grade sum stays NON-NEGATIVE (raw = 390·W DIV S +
+      // 11800·Y DIV W, offset −15590 applied after the mean) so the
+      // DIV-vs-floor asymmetry on negatives never appears in a
+      // division. Scale shape: map-side scoring, one source-keyed
+      // partial-aggregable rollup.
+      "p158_readability",
+      (s, dir) => {
+        import s.implicits._
+        val scored = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source",
+            size(split($"text", " ")).cast("long").as("w"),
+            (length(regexp_replace($"text", "[aeiouy]+", "#")) -
+              length(regexp_replace($"text", "[aeiouy]+", "")))
+              .cast("long").as("y"))
+          .select($"source", $"w", $"y",
+            expr("390 * w DIV ((w + 15) DIV 16) + 11800 * y DIV w")
+              .as("raw"))
+        scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"raw").as("sraw"),
+            min($"raw").as("minraw"),
+            max($"raw").as("maxraw"),
+            sum(when($"raw" > 27590, 1L).otherwise(0L)).as("hard"))
+          .select($"source", $"n_docs",
+            expr("sraw DIV n_docs - 15590").as("mean_fk_milli"),
+            ($"minraw" - 15590).as("min_fk_milli"),
+            ($"maxraw" - 15590).as("max_fk_milli"),
+            // grade > 12 (raw > 12000 + 15590): the "hard text" share
+            expr("hard * 1000000 DIV n_docs").as("hard_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, len(string_split(text, ' ')) AS w,
+             |    length(regexp_replace(text, '[aeiouy]+', '#', 'g'))
+             |      - length(regexp_replace(text, '[aeiouy]+', '', 'g'))
+             |      AS y
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |f AS (
+             |  SELECT source,
+             |    390 * w // ((w + 15) // 16) + 11800 * y // w AS raw
+             |  FROM d)
+             |SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(raw) // COUNT(*) - 15590 AS BIGINT)
+             |    AS mean_fk_milli,
+             |  CAST(MIN(raw) - 15590 AS BIGINT) AS min_fk_milli,
+             |  CAST(MAX(raw) - 15590 AS BIGINT) AS max_fk_milli,
+             |  CAST(SUM(CASE WHEN raw > 27590 THEN 1 ELSE 0 END)
+             |    * 1000000 // COUNT(*) AS BIGINT) AS hard_ppm
+             |FROM f GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      // HITS HUBS/AUTHORITIES over the customer→supplier commerce
+      // graph, ORACLE-EXACT (the p49 PageRank discipline applied to
+      // Kleinberg's bipartite centrality): customers are pure hubs,
+      // suppliers pure authorities, so two half-iterations alternate
+      // a_k = Eᵀh_{k-1}, h_k = E·a_k, each max-normalized to the
+      // integer milli scale (v·1000 DIV max — floor division, the
+      // exact-replay normalizer where a float L2 norm would ride
+      // libm). Two full rounds; top-20 authorities by (score, key).
+      // Scale shape: each half-iteration is ONE edge-keyed
+      // partial-aggregable shuffle + a 1-row max broadcast — node
+      // frames only, the graph's payload never moves; degree skew
+      // reduces map-side like any count.
+      "p159_hits_authorities",
+      (s, dir) => {
+        import s.implicits._
+        val eu = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
+          .distinct()
+          // three half-iterations re-read the edge frame; lazy
+          // persisting form, cache dropped by the caller's per-query
+          // clearCache (the ngramJaccardPairs contract)
+          .persist()
+        // each score frame feeds its own max aggregate AND the next
+        // half-iteration: persist it (node-dictionary-sized) or the
+        // recomputation DOUBLES per level — measured 5.2s -> 3.8s at
+        // sf0.1 (a1 was evaluated 8x through the a2 chain unpersisted;
+        // the remaining cost is the edge build itself, shared with p49)
+        def normalized(scores0: org.apache.spark.sql.DataFrame,
+            valCol: String): org.apache.spark.sql.DataFrame = {
+          val scores = scores0.persist()
+          scores.crossJoin(broadcast(
+              scores.agg(max(col(valCol)).as("mx"))))
+            .select(scores.columns.filterNot(_ == valCol).map(col) :+
+              expr(s"$valCol * 1000 DIV mx").as(valCol): _*)
+        }
+        val a1 = normalized(
+          eu.groupBy($"sp").agg((count(lit(1)) * 1000L).as("a")), "a")
+        val h1 = normalized(
+          eu.join(a1, Seq("sp")).groupBy($"c").agg(sum($"a").as("h")), "h")
+        val a2 = normalized(
+          eu.join(h1, Seq("c")).groupBy($"sp").agg(sum($"h").as("a")), "a")
+        a2.select($"sp".cast("long").as("supp_key"),
+            $"a".cast("long").as("auth_milli"))
+          .orderBy($"auth_milli".desc, $"supp_key")
+          .limit(20)
+      },
+      Some("""WITH eu AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a1 AS (SELECT sp, 1000 * COUNT(*) AS a FROM eu GROUP BY sp),
+             |a1m AS (SELECT MAX(a) AS m FROM a1),
+             |a1n AS (SELECT sp, a * 1000 // m AS a FROM a1, a1m),
+             |h1 AS (SELECT eu.c, SUM(a1n.a) AS h
+             |       FROM eu JOIN a1n USING (sp) GROUP BY eu.c),
+             |h1m AS (SELECT MAX(h) AS m FROM h1),
+             |h1n AS (SELECT c, h * 1000 // m AS h FROM h1, h1m),
+             |a2 AS (SELECT eu.sp, SUM(h1n.h) AS a
+             |       FROM eu JOIN h1n USING (c) GROUP BY eu.sp),
+             |a2m AS (SELECT MAX(a) AS m FROM a2),
+             |a2n AS (SELECT sp, a * 1000 // m AS a FROM a2, a2m)
+             |SELECT CAST(sp AS BIGINT) AS supp_key,
+             |  CAST(a AS BIGINT) AS auth_milli
+             |FROM a2n
+             |ORDER BY auth_milli DESC, supp_key
+             |LIMIT 20""".stripMargin))
+  )
+}

@@ -223,4 +223,22 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
   }
+
+  test("round-11 persists (Jaccard cap-join frame, HITS score frames) " +
+      "are dropped by the per-query clear") {
+    // p37/p07 gained the DF-capped shingle persist this round; p159
+    // persists the edge frame plus one frame per normalized
+    // half-iteration
+    for (q <- Seq("p37_incremental_dedup", "p07_ngram_jaccard",
+        "p159_hits_authorities")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.filter {
+        case (id, _) => !before.contains(id)
+      }
+      assert(leaked.isEmpty,
+        s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
+    }
+  }
 }
