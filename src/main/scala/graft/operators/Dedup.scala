@@ -628,6 +628,59 @@ object Dedup {
     scoreJaccard(common, perDocShingleCounts(sh.select("id", "shingle")), minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the doc-in-doc signal
+    * Jaccard structurally misses: a 30-shingle quote embedded verbatim
+    * in a 300-shingle article scores containment 1.0 but Jaccard 0.1,
+    * under every pair threshold. containment(a ⊂ b) = |Sa∩Sb| / |Sa|
+    * (Broder 1997's second resemblance measure, public) is the dedup
+    * criterion for quote inclusion, page-within-crawl and
+    * version-supersets. Output is ORIENTED: id_in is the contained
+    * side (the higher-containment orientation; equal sizes fall back
+    * to id order), with both set sizes, the containment and the
+    * Jaccard in exact integer ppm — floor divisions mirrored in the
+    * oracle, so the entry hash-gates at any scale.
+    *
+    * Same inverted-index shape and DF-cap semantics as
+    * [[ngramJaccardPairs]] (ids-only candidate pairs, denominators
+    * over UNFILTERED shingle sets); same lazy cache contract.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainmentPpm: Long,
+      maxShingleDf: Int = 10000): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = dfCapFiltered(sh, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = filtered.select(col("id").as("id_a"), col("shingle"))
+      .join(filtered.select(col("id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val nsh = perDocShingleCounts(sh)
+    common
+      .join(nsh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(nsh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("ca", expr("common * 1000000 DIV n_a"))
+      .withColumn("cb", expr("common * 1000000 DIV n_b"))
+      .select(
+        when(col("ca") >= col("cb"), col("id_a")).otherwise(col("id_b"))
+          .as("id_in"),
+        when(col("ca") >= col("cb"), col("id_b")).otherwise(col("id_a"))
+          .as("id_of"),
+        when(col("ca") >= col("cb"), col("n_a")).otherwise(col("n_b"))
+          .as("n_in"),
+        when(col("ca") >= col("cb"), col("n_b")).otherwise(col("n_a"))
+          .as("n_of"),
+        greatest(col("ca"), col("cb")).as("cont_ppm"),
+        expr("common * 1000000 DIV (n_a + n_b - common)").as("jacc_ppm"))
+      .filter(col("cont_ppm") >= minContainmentPpm)
+  }
+
   /** 64-bit SimHash over token hashes: bit b is the sign of the sum of
     * (+1/-1) votes from each token's hash bit b. Expression form — prefer
     * [[simhashSignatures]] in pipelines (single token-hash evaluation).

@@ -341,6 +341,146 @@ object Pipeline11 {
              |  CAST(a AS BIGINT) AS auth_milli
              |FROM a2n
              |ORDER BY auth_milli DESC, supp_key
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      // ASYMMETRIC CONTAINMENT DEDUP (Broder 1997's second resemblance
+      // measure, public): doc-in-doc pairs — a quote embedded verbatim
+      // in a much larger article scores containment 1.0 while its
+      // Jaccard sits under every p07-family threshold. The fixture
+      // carries 25 fully-contained pairs at sf0.01 that NO symmetric
+      // entry reports; this is the operator that catches
+      // quote-inclusion, page-within-crawl and version-superset dups.
+      // Output is oriented (id_in = the contained side) with exact
+      // integer ppm containment and Jaccard — floor divisions
+      // mirrored, so the entry hash-gates at any scale. Scale shape:
+      // the p07 inverted index (DF-capped, ids-only candidate pairs,
+      // singleton shingles pruned); the orientation pick is
+      // integer-compare map-side, no extra shuffle.
+      "p160_containment_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+            "doc_id", "text", minContainmentPpm = 250000L,
+            maxShingleDf = Pipeline.JaccardMaxDf)
+          .orderBy($"id_in", $"id_of")
+      },
+      Some(s"""WITH ${Pipeline.jaccardCommonCtes},
+              |sc AS (
+              |  SELECT id_a, id_b, n_common,
+              |    na.n_sh AS n_a, nb.n_sh AS n_b,
+              |    n_common * 1000000 // na.n_sh AS ca,
+              |    n_common * 1000000 // nb.n_sh AS cb
+              |  FROM common
+              |  JOIN nsh na ON na.id = id_a
+              |  JOIN nsh nb ON nb.id = id_b)
+              |SELECT
+              |  CASE WHEN ca >= cb THEN id_a ELSE id_b END AS id_in,
+              |  CASE WHEN ca >= cb THEN id_b ELSE id_a END AS id_of,
+              |  CAST(CASE WHEN ca >= cb THEN n_a ELSE n_b END AS BIGINT)
+              |    AS n_in,
+              |  CAST(CASE WHEN ca >= cb THEN n_b ELSE n_a END AS BIGINT)
+              |    AS n_of,
+              |  CAST(GREATEST(ca, cb) AS BIGINT) AS cont_ppm,
+              |  CAST(n_common * 1000000 // (n_a + n_b - n_common)
+              |    AS BIGINT) AS jacc_ppm
+              |FROM sc
+              |WHERE GREATEST(ca, cb) >= 250000
+              |ORDER BY id_in, id_of""".stripMargin)),
+
+    QueryDef(
+      // MAUVE-STYLE DIVERGENCE FRONTIER (Pillutla et al. NeurIPS 2021,
+      // public — the two-corpus distributional-similarity score): the
+      // even-id embedding half plays the "model sample" P, the odd
+      // half the "reference" Q; both histogram over the SHARED k-means
+      // quantization (the memoized k=4/iters=3 model p47/p99/p107
+      // read), and the score is the pair of KL divergences to the
+      // mixture M = (P+Q)/2 — the frontier point at mixture weight
+      // 1/2. EXACT: cluster shares in ppm clamped ≥ 1, M by integer
+      // mean (clamped), logs through the shared ilog2 quantizer,
+      // per-cluster signed terms p·(lg p − lg m) (quantization can dip
+      // a term slightly negative — the p136 precedent; no division
+      // ever sees a negative). Scale shape: histograms are ONE
+      // cluster-keyed count shuffle over the assignment frame; the
+      // k-row dictionary does everything else map-side.
+      "p161_mauve_frontier",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val counts = Pipeline.fittedKmeansAssigned(s, dir, 4, 3)
+          .select($"cluster".cast("long").as("cluster"),
+            ($"vec_id" % 2 === 0).as("is_p"))
+          .groupBy($"cluster", $"is_p").agg(count(lit(1)).as("c"))
+        val shares = counts
+          .join(counts.groupBy($"is_p").agg(sum($"c").as("nt")),
+            Seq("is_p"))
+          .select($"cluster", $"is_p",
+            greatest(expr("c * 1000000 DIV nt"), lit(1L)).as("ppm"))
+        val pq = shares.filter($"is_p")
+          .select($"cluster", $"ppm".as("p"))
+          .join(shares.filter(!$"is_p")
+            .select($"cluster", $"ppm".as("q")), Seq("cluster"), "full")
+          .select($"cluster",
+            coalesce($"p", lit(1L)).as("p"), coalesce($"q", lit(1L)).as("q"))
+          .select($"cluster", $"p", $"q",
+            greatest(expr("(p + q) DIV 2"), lit(1L)).as("m"))
+        val terms = pq.select($"cluster", $"p", $"q", $"m",
+          ($"p" * (ilog2_fix($"p") - ilog2_fix($"m"))).as("kp_term"),
+          ($"q" * (ilog2_fix($"q") - ilog2_fix($"m"))).as("kq_term"))
+        terms.crossJoin(broadcast(terms.agg(
+            sum($"kp_term").as("kl_p_fix"), sum($"kq_term").as("kl_q_fix"))))
+          .select($"cluster", $"p", $"q", $"m", $"kp_term", $"kq_term",
+            $"kl_p_fix", $"kl_q_fix")
+          .orderBy($"cluster")
+      },
+      Some {
+        val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)
+        s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+           |$ctes,
+           |cnt AS (
+           |  SELECT CAST(cell AS BIGINT) AS cluster,
+           |    vec_id % 2 = 0 AS is_p, COUNT(*) AS c
+           |  FROM $asg GROUP BY 1, 2),
+           |tt AS (SELECT is_p, SUM(c) AS nt FROM cnt GROUP BY 1),
+           |shr AS (
+           |  SELECT cluster, is_p,
+           |    GREATEST(c * 1000000 // nt, 1) AS ppm
+           |  FROM cnt JOIN tt USING (is_p)),
+           |pq AS MATERIALIZED (
+           |  SELECT COALESCE(pp.cluster, qq.cluster) AS cluster,
+           |    COALESCE(pp.ppm, 1) AS p, COALESCE(qq.ppm, 1) AS q,
+           |    GREATEST((COALESCE(pp.ppm, 1) + COALESCE(qq.ppm, 1)) // 2,
+           |      1) AS m
+           |  FROM (SELECT cluster, ppm FROM shr WHERE is_p) pp
+           |  FULL JOIN (SELECT cluster, ppm FROM shr WHERE NOT is_p) qq
+           |    ON qq.cluster = pp.cluster),
+           |lsrc AS MATERIALIZED (
+           |  SELECT cluster, 'p' AS wh, p AS x FROM pq
+           |  UNION ALL SELECT cluster, 'q', q FROM pq
+           |  UNION ALL SELECT cluster, 'm', m FROM pq),
+           |${Pipeline9.ilogCtes("lsrc", "cluster, wh", "l")},
+           |lg3 AS (
+           |  SELECT cluster,
+           |    MAX(CASE WHEN wh = 'p' THEN lgf END) AS lp,
+           |    MAX(CASE WHEN wh = 'q' THEN lgf END) AS lq,
+           |    MAX(CASE WHEN wh = 'm' THEN lgf END) AS lm
+           |  FROM llg GROUP BY cluster),
+           |term AS (
+           |  SELECT pq.cluster, pq.p, pq.q, pq.m,
+           |    pq.p * (g.lp - g.lm) AS kp_term,
+           |    pq.q * (g.lq - g.lm) AS kq_term
+           |  FROM pq JOIN lg3 g USING (cluster)),
+           |tot AS (
+           |  SELECT CAST(SUM(kp_term) AS BIGINT) AS kl_p_fix,
+           |    CAST(SUM(kq_term) AS BIGINT) AS kl_q_fix
+           |  FROM term)
+           |SELECT cluster, CAST(p AS BIGINT) AS p, CAST(q AS BIGINT) AS q,
+           |  CAST(m AS BIGINT) AS m,
+           |  CAST(kp_term AS BIGINT) AS kp_term,
+           |  CAST(kq_term AS BIGINT) AS kq_term,
+           |  tot.kl_p_fix, tot.kl_q_fix
+           |FROM term CROSS JOIN tot
+           |ORDER BY cluster""".stripMargin
+      })
   )
 }
