@@ -481,6 +481,130 @@ object Pipeline11 {
            |  tot.kl_p_fix, tot.kl_q_fix
            |FROM term CROSS JOIN tot
            |ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    QueryDef(
+      // DOMINANT PRINCIPAL DIRECTION of the embedding corpus via EXACT
+      // integer power iteration (the PCA-lite every embedding-quality
+      // audit wants: a corpus whose top direction eats most of the
+      // variance is anisotropic/collapsed — Ethayarajh 2019's finding,
+      // public — and mean-centering + top-direction removal is the
+      // standard embedding post-process). Centering WITHOUT division:
+      // iterate on the SCATTER matrix M = n·Σxxᵀ − SSᵀ (= n²·Cov, and
+      // positive scaling does not move eigenvectors). Everything is
+      // integer end-to-end: components quantize to micro-units
+      // x_u = floor(x·10⁶) FIRST (one FLOOR both engines own), so
+      // every downstream sum/product is exact integer — no decimal
+      // ladder semantics to mismatch. Two iterations from the all-ones
+      // vector; normalization is max-|component| to milli scale with
+      // the SIGN-SAFE floor (negate-divide-negate, because DIV
+      // truncates toward zero while // floors — on negatives they
+      // disagree, so neither ever sees one). Scale shape: the 64×64
+      // cell frame builds MAP-SIDE from each row's own array (4096
+      // partial-aggregable cells, the p152 scatter discipline);
+      // iterations run on the 4096-row dictionary; sums ride
+      // DECIMAL(38,0)/HUGEINT (n·Σx_u² reaches ~10¹⁸ at sf0.1 —
+      // BIGINT would already be on the edge, and 100 TB is ~10²⁴).
+      "p162_principal_direction",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "embeddings")
+          .filter($"embedding".isNotNull)
+          .withColumn("xu", expr(
+            "transform(embedding, x -> " +
+              "CAST(FLOOR(CAST(x AS DECIMAL(18,9)) * 1000000) AS BIGINT))"))
+          .persist() // three corpus reads: n, per-dim sums, pair cells
+        val nn = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+        val sx = base
+          .select(posexplode($"xu").as(Seq("d", "x")))
+          .groupBy($"d").agg(sum($"x").cast("decimal(38,0)").as("sx"))
+        // pair cells via a SELF-JOIN on vec_id, not a nested
+        // transform/flatten lambda: higher-order functions are
+        // CodegenFallback (interpreted, one GenericInternalRow per
+        // struct — measured 8s for the 8.2M structs at sf0.1) while
+        // the join + hash aggregate stay inside whole-stage codegen.
+        // The join fans each vector's 64 rows to 4096 pair rows that
+        // reduce map-side into the 4096-cell dictionary. Exactness at
+        // scale WITHOUT a per-row decimal accumulator (measured ~1s of
+        // the stage): TWO-LEVEL sum — long partials per 4096-vector
+        // id-group (|x_u| ≤ 10⁶ ⇒ group partial ≤ 4096·10¹² ≈ 4·10¹⁵,
+        // long-safe), then the group partials sum in DECIMAL(38,0),
+        // which is what 10⁹-vector totals need (the packedBins
+        // prefix-sum discipline applied to a matrix sum).
+        val elx = base.select($"vec_id",
+          expr("vec_id DIV 4096").as("g"),
+          posexplode($"xu").as(Seq("d", "x")))
+        val sxx = elx.as("a").join(elx.as("b"), "vec_id")
+          .groupBy($"a.g".as("g"), $"a.d".as("di"), $"b.d".as("dj"))
+          .agg(sum($"a.x" * $"b.x").as("ps"))
+          .groupBy($"di", $"dj")
+          .agg(sum($"ps".cast("decimal(38,0)")).as("sxx"))
+        val m = sxx
+          .join(sx.select($"d".as("di"), $"sx".as("sxi")), Seq("di"))
+          .join(sx.select($"d".as("dj"), $"sx".as("sxj")), Seq("dj"))
+          .crossJoin(broadcast(nn))
+          .select($"di", $"dj", ($"n" * $"sxx" - $"sxi" * $"sxj").as("m"))
+          .persist() // both iterations read the 4096-cell dictionary
+        def step(v: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val w = m.join(v.select($"d".as("dj"), $"v"), Seq("dj"))
+            .groupBy($"di".as("d"))
+            .agg(sum($"m" * $"v").as("w"))
+            .persist() // feeds its own max-abs AND the normalize
+          w.crossJoin(broadcast(
+              w.agg(greatest(max(abs($"w")), lit(1L).cast("decimal(38,0)"))
+                .as("mx"))))
+            .select($"d", expr(
+              "CASE WHEN w < 0 THEN -(((-w) * 1000) DIV mx) " +
+                "ELSE (w * 1000) DIV mx END").as("v"))
+        }
+        val v0 = sx.select($"d", lit(1000L).cast("decimal(38,0)").as("v"))
+        val v1 = step(v0)
+        val v2 = step(v1.select($"d", $"v".cast("decimal(38,0)").as("v")))
+        v1.select($"d".cast("long").as("dim"),
+            $"v".cast("long").as("v1_milli"))
+          .join(v2.select($"d".cast("long").as("dim"),
+            $"v".cast("long").as("v2_milli")), Seq("dim"))
+          .orderBy($"dim")
+      },
+      Some("""WITH el AS (
+             |  SELECT vec_id,
+             |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
+             |    CAST(FLOOR(CAST(unnest(embedding) AS DECIMAL(18,9))
+             |      * 1000000) AS BIGINT) AS xu
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+             |       FROM el),
+             |sx AS (SELECT d, CAST(SUM(xu) AS HUGEINT) AS sx
+             |       FROM el GROUP BY d),
+             |sxx AS (
+             |  SELECT a.d AS di, b.d AS dj,
+             |    CAST(SUM(CAST(a.xu AS HUGEINT) * b.xu) AS HUGEINT) AS sxx
+             |  FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+             |m AS MATERIALIZED (
+             |  SELECT s.di, s.dj, nn.n * s.sxx - a.sx * b.sx AS m
+             |  FROM sxx s
+             |  JOIN sx a ON a.d = s.di
+             |  JOIN sx b ON b.d = s.dj, nn),
+             |v0 AS (SELECT d, CAST(1000 AS HUGEINT) AS v FROM sx),
+             |w1 AS (SELECT m.di AS d, SUM(m.m * v.v) AS w
+             |       FROM m JOIN v0 v ON v.d = m.dj GROUP BY 1),
+             |w1m AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w1),
+             |v1 AS (SELECT d,
+             |    CASE WHEN w < 0 THEN -(((-w) * 1000) // mx)
+             |         ELSE (w * 1000) // mx END AS v
+             |  FROM w1, w1m),
+             |w2 AS (SELECT m.di AS d, SUM(m.m * v.v) AS w
+             |       FROM m JOIN v1 v ON v.d = m.dj GROUP BY 1),
+             |w2m AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w2),
+             |v2 AS (SELECT d,
+             |    CASE WHEN w < 0 THEN -(((-w) * 1000) // mx)
+             |         ELSE (w * 1000) // mx END AS v
+             |  FROM w2, w2m)
+             |SELECT CAST(v1.d AS BIGINT) AS dim,
+             |  CAST(v1.v AS BIGINT) AS v1_milli,
+             |  CAST(v2.v AS BIGINT) AS v2_milli
+             |FROM v1 JOIN v2 USING (d)
+             |ORDER BY dim""".stripMargin))
   )
 }

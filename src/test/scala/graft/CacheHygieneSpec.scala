@@ -230,7 +230,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // persists the edge frame plus one frame per normalized
     // half-iteration
     for (q <- Seq("p37_incremental_dedup", "p07_ngram_jaccard",
-        "p159_hits_authorities")) {
+        "p159_hits_authorities", "p162_principal_direction")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
