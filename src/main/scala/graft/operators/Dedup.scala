@@ -726,10 +726,14 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
+    // both candidate-join sides read the chunked frame: persist it
+    // (ids+signatures only) or the 64-vote signature aggregation runs
+    // twice. Lazy cache contract (Verify/Bench clearCache per query).
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),

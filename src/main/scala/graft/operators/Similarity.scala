@@ -680,9 +680,14 @@ object Similarity {
       planes: Int = 5,
       tables: Int = 12): DataFrame = {
     import graft.functions.VectorFunctions.vec_cosine
+    // both candidate-join sides read the sketch frame: persist it
+    // (ids+sketches only — payload-free) or the planes×tables native
+    // dot products run twice per vector. Lazy cache contract, same as
+    // ngramJaccardPairs (Verify/Bench clearCache per query).
     val sk = emb.select(col(idCol).as("id"),
         posexplode(lshSketches(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sk.select(col("tbl"), col("sketch"), col("id").as("id_a"))
       .join(sk.select(col("tbl"), col("sketch"), col("id").as("id_b")),
         Seq("tbl", "sketch"))
