@@ -605,6 +605,96 @@ object Pipeline11 {
              |  CAST(v1.v AS BIGINT) AS v1_milli,
              |  CAST(v2.v AS BIGINT) AS v2_milli
              |FROM v1 JOIN v2 USING (d)
-             |ORDER BY dim""".stripMargin))
+             |ORDER BY dim""".stripMargin)),
+
+    QueryDef(
+      // HOURLY PSI DRIFT (p157 run as a MONITOR — the p154/p126
+      // convention applied to the distribution-shift score): baseline
+      // bucket shares from the even-doc split ("yesterday"), PSI per
+      // synthetic ingest hour over the odd-doc arrivals. Buckets are
+      // the CLOSED 10-bucket domain least(9, n_chars DIV 100) — the
+      // fixed dictionary that lets the streaming twin
+      // (TokenStreams.psiDriftStream, pinned stream == batch against
+      // THIS entry) compute the whole score inside one watermarked
+      // windowed aggregation. Absent buckets score through the 1-ppm
+      // clamp on either side. Same exactness as p157: ppm floor
+      // shares, shared ilog2 ladders, every term ≥ 0. Scale shape:
+      // one (hour, bucket) count shuffle; the hour × 10-bucket spine
+      // is dictionary-sized.
+      "p163_psi_drift_hourly",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnigramFunctions.ilog2_fix
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", expr("least(9L, n_chars DIV 100)").as("bucket"))
+        val base = docs.filter($"doc_id" % 2 === 0)
+        val buckets = (0L to 9L).toDF("b")
+        val bq = buckets
+          .join(base.groupBy($"bucket".as("b"))
+            .agg(count(lit(1)).as("bc")), Seq("b"), "left")
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("bn"))))
+          .select($"b",
+            greatest(expr("coalesce(bc, 0) * 1000000 DIV bn"), lit(1L))
+              .as("q"))
+        val cnt = docs.filter($"doc_id" % 2 === 1)
+          .withColumn("w", expr(
+            "date_trunc('hour', timestamp_seconds(" +
+              "1767225600 + (doc_id * 97) % 172800))"))
+          .groupBy($"w", $"bucket").agg(count(lit(1)).as("c"))
+        val cell = cnt.groupBy($"w").agg(sum($"c").as("n"))
+          .crossJoin(broadcast(buckets))
+          .join(cnt.select($"w", $"bucket".as("b"), $"c"),
+            Seq("w", "b"), "left")
+          .select($"w", $"b", $"n",
+            greatest(expr("coalesce(c, 0) * 1000000 DIV n"), lit(1L))
+              .as("p"))
+        cell.join(broadcast(bq), Seq("b"))
+          .select($"w", $"n",
+            (($"p" - $"q") * (ilog2_fix($"p") - ilog2_fix($"q")))
+              .as("term"))
+          .groupBy($"w")
+          .agg(max($"n").as("n_docs"), sum($"term").as("psi_fix"))
+          .select($"w".as("w_start"), $"n_docs", $"psi_fix",
+            expr("psi_fix DIV 65536").as("psi_micro_log2"))
+          .orderBy($"w_start")
+      },
+      Some(s"""WITH pw2(k, v) AS (VALUES ${Pipeline9.pw2Values}),
+              |d AS (SELECT doc_id, LEAST(9, n_chars // 100) AS bucket
+              |      FROM documents),
+              |bb AS (SELECT bucket, COUNT(*) AS bc FROM d
+              |       WHERE doc_id % 2 = 0 GROUP BY 1),
+              |bt AS (SELECT COUNT(*) AS bn FROM d WHERE doc_id % 2 = 0),
+              |sp(b) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)),
+              |bq AS (
+              |  SELECT sp.b,
+              |    GREATEST(COALESCE(bb.bc, 0) * 1000000 // bt.bn, 1) AS q
+              |  FROM sp CROSS JOIN bt LEFT JOIN bb ON bb.bucket = sp.b),
+              |cnt AS (
+              |  SELECT date_trunc('hour',
+              |      to_timestamp(1767225600 + (doc_id * 97) % 172800)
+              |        ::TIMESTAMP) AS w,
+              |    bucket, COUNT(*) AS c
+              |  FROM d WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+              |ht AS (SELECT w, SUM(c) AS n FROM cnt GROUP BY 1),
+              |cell AS MATERIALIZED (
+              |  SELECT ht.w, sp.b, ht.n,
+              |    GREATEST(COALESCE(c.c, 0) * 1000000 // ht.n, 1) AS p
+              |  FROM ht CROSS JOIN sp
+              |  LEFT JOIN cnt c ON c.w = ht.w AND c.bucket = sp.b),
+              |psrc AS MATERIALIZED (SELECT w, b, p AS x FROM cell),
+              |${Pipeline9.ilogCtes("psrc", "w, b", "p")},
+              |qsrc AS MATERIALIZED (SELECT b, q AS x FROM bq),
+              |${Pipeline9.ilogCtes("qsrc", "b", "q")},
+              |term AS (
+              |  SELECT cell.w, cell.n,
+              |    (cell.p - bq.q) * (pl.lgf - ql.lgf) AS term
+              |  FROM cell JOIN bq USING (b)
+              |  JOIN plg pl ON pl.w = cell.w AND pl.b = cell.b
+              |  JOIN qlg ql ON ql.b = cell.b)
+              |SELECT w AS w_start, CAST(MAX(n) AS BIGINT) AS n_docs,
+              |  CAST(SUM(term) AS BIGINT) AS psi_fix,
+              |  CAST(SUM(term) // 65536 AS BIGINT) AS psi_micro_log2
+              |FROM term GROUP BY w
+              |ORDER BY w_start""".stripMargin))
   )
 }

@@ -142,4 +142,46 @@ object TokenStreams {
         expr("bsum * 1000 DIV (65536 * n_bigrams)").as("xent_millibits"),
         expr("n_oov * 1000000 DIV n_bigrams").as("oov_ppm"))
   }
+
+  /** Per-window PSI of a document stream against a FROZEN baseline —
+    * the streaming face of p163's hourly drift monitor: the
+    * distribution-shift score every ingest pipeline alarms on, scored
+    * as data arrives. The bucket domain is CLOSED (least(9, n_chars
+    * DIV 100) — ten buckets), which is what makes the whole score fit
+    * ONE watermarked windowed aggregation: per window, ten conditional
+    * counts pivot map-side, and the PSI formula (ppm shares clamped
+    * ≥ 1, the shared ilog2 quantizer, Σ (p−q)(lg p − lg q)) evaluates
+    * as a row-local expression over those ten columns — no second
+    * stateful operator, no stream-stream join. The baseline rides as
+    * ten ppm LITERALS (each ≥ 1 — the caller clamps, the same values
+    * p163's batch side derives from the even-doc split), so stream ==
+    * batch EXACTLY at any micro-batch boundary placement
+    * (TokenStreamsSpec pins it against the oracle-gated p163 entry).
+    */
+  def psiDriftStream(
+      docs: DataFrame, // (ts timestamp, n_chars long, ...)
+      baselinePpm: Seq[Long],
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.UnigramFunctions.ilog2_fix
+    require(baselinePpm.length == 10 && baselinePpm.forall(_ >= 1L),
+      "baselinePpm must be ten clamped (>= 1) ppm shares, buckets 0-9")
+    val aggs = count(lit(1)).as("n") +: (0 until 10).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val counts = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("least(9L, n_chars DIV 100)").as("bucket"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until 10).map { b =>
+      val p = greatest(expr(s"c$b * 1000000 DIV n"), lit(1L))
+      val q = lit(baselinePpm(b))
+      (p - q) * (ilog2_fix(p) - ilog2_fix(q))
+    }.reduce(_ + _)
+    counts
+      .select(col("window.start").as("w_start"), col("n").as("n_docs"),
+        psi.as("psi_fix"))
+      .select(col("w_start"), col("n_docs"), col("psi_fix"),
+        expr("psi_fix DIV 65536").as("psi_micro_log2"))
+  }
 }

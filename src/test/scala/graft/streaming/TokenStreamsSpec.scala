@@ -228,4 +228,70 @@ class TokenStreamsSpec extends AnyFunSuite {
         s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
     spark.catalog.clearCache()
   }
+
+  test("psi drift: stream == the p163 batch entry under ragged splits") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // frozen baseline: EXACTLY p163's even-split bucket shares
+    val all = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"n_chars",
+        expr("least(9L, n_chars DIV 100)").as("bucket"))
+    val base = all.filter($"doc_id" % 2 === 0)
+    val bn = base.count()
+    val bcnt = base.groupBy($"bucket").agg(count(lit(1)).as("bc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baselinePpm = (0L to 9L).map(b =>
+      math.max(bcnt.getOrElse(b, 0L) * 1000000L / bn, 1L))
+    // batch truth = the oracle-gated p163 entry itself
+    val expected = graft.SparkEntry
+      .queries("p163_psi_drift_hourly")(spark, sf)
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(expected.size >= 4, s"fixture too sparse: ${expected.size}")
+
+    val docs = all.filter($"doc_id" % 2 === 1)
+      .withColumn("ts", expr(
+        "timestamp_seconds(1767225600 + (doc_id * 97) % 172800)"))
+      .select($"ts", $"doc_id", $"n_chars")
+    val dir = Files.createTempDirectory("psistream-docs").toString
+    val ckpt = Files.createTempDirectory("psistream-ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = TokenStreams.psiDriftStream(stream, baselinePpm,
+        windowDur = "1 hour", watermark = "960 hours")
+      .writeStream.format("memory").queryName("psi_drift")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // ragged doc_id bands, never window-aligned
+      Seq(0L -> 61L, 61L -> 207L, 207L -> 399L, 399L -> 100000L)
+        .foreach { case (lo, hi) =>
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      // sentinel far past the watermark so every real window emits
+      val sentinelTs = 1767225600L + 2000L * 3600
+      Seq((new java.sql.Timestamp(sentinelTs * 1000), 999999L, 150L))
+        .toDF("ts", "doc_id", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("psi_drift")
+      .filter($"w_start" < new java.sql.Timestamp(
+        (1767225600L + 1999L * 3600) * 1000))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"stream psi drift diverged from the p163 batch entry:\n" +
+        s"  stream: ${got.toSeq.sortBy(_._1.getTime)}\n" +
+        s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
+    spark.catalog.clearCache()
+  }
 }
