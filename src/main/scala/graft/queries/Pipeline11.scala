@@ -695,6 +695,167 @@ object Pipeline11 {
               |  CAST(SUM(term) AS BIGINT) AS psi_fix,
               |  CAST(SUM(term) // 65536 AS BIGINT) AS psi_micro_log2
               |FROM term GROUP BY w
-              |ORDER BY w_start""".stripMargin))
+              |ORDER BY w_start""".stripMargin)),
+
+    QueryDef(
+      // SPLIT-CONFORMAL COVERAGE AUDIT (Vovk et al.; Lei et al. JASA
+      // 2018, public — the distribution-free uncertainty wrapper every
+      // model-serving gate wants): calibrate a per-lang nonconformity
+      // threshold on the even-doc split at α = 0.1, then measure
+      // EMPIRICAL coverage on the odd docs — the audit that a claimed
+      // "90% interval" actually covers 90%. The underlying model is
+      // deliberately the simplest thing possible (the per-lang integer
+      // mean of n_chars; conformal's point is that the GUARANTEE holds
+      // for any model). EXACT: scores are integer |n_chars − mean|,
+      // q̂ = the k-th smallest calibration score with k =
+      // ceil((n_cal+1)·0.9) — an integer RANK SELECTION via
+      // rankWithinKey, no percentile buffer — clamped to n_cal (the
+      // documented small-calibration caveat: the finite-sample
+      // guarantee needs n_cal ≥ 9; below it the threshold is the max
+      // score). Scale shape: one (lang) mean aggregate, the
+      // three-level rank machinery, one test-side count — no window
+      // ever holds a whole lang.
+      "p164_conformal_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        val mu = docs.filter($"doc_id" % 2 === 0)
+          .groupBy($"lang")
+          .agg(expr("sum(n_chars) DIV count(1)").as("mu"),
+            count(lit(1)).as("n_cal"))
+        val calScores = docs.filter($"doc_id" % 2 === 0)
+          .join(broadcast(mu), Seq("lang"))
+          .select($"lang", $"doc_id", abs($"n_chars" - $"mu").as("sc"))
+        val qhat = graft.operators.RankOps
+          .rankWithinKey(calScores, "lang",
+            Seq(col("sc"), col("doc_id")), "r")
+          .join(broadcast(mu), Seq("lang"))
+          .filter($"r" ===
+            expr("least(((n_cal + 1) * 9 + 9) DIV 10, n_cal)"))
+          .select($"lang", $"sc".as("qhat"))
+        docs.filter($"doc_id" % 2 === 1)
+          .join(broadcast(mu), Seq("lang"))
+          .join(broadcast(qhat), Seq("lang"))
+          .select($"lang", $"n_cal", $"qhat",
+            when(abs($"n_chars" - $"mu") <= $"qhat", 1L).otherwise(0L)
+              .as("cov"))
+          .groupBy($"lang")
+          .agg(max($"n_cal").as("n_cal"), max($"qhat").as("qhat"),
+            count(lit(1)).as("n_test"), sum($"cov").as("covered"))
+          .select($"lang", $"n_cal", $"qhat", $"n_test", $"covered",
+            expr("covered * 1000000 DIV n_test").as("coverage_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+             |mu AS (
+             |  SELECT lang, SUM(n_chars) // COUNT(*) AS mu,
+             |    COUNT(*) AS n_cal
+             |  FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+             |cal AS (
+             |  SELECT d.lang, ABS(d.n_chars - mu.mu) AS sc,
+             |    ROW_NUMBER() OVER (PARTITION BY d.lang
+             |      ORDER BY ABS(d.n_chars - mu.mu), d.doc_id) AS r
+             |  FROM d JOIN mu USING (lang) WHERE doc_id % 2 = 0),
+             |qh AS (
+             |  SELECT cal.lang, cal.sc AS qhat
+             |  FROM cal JOIN mu USING (lang)
+             |  WHERE r = LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+             |tst AS (
+             |  SELECT d.lang,
+             |    CASE WHEN ABS(d.n_chars - mu.mu) <= qh.qhat
+             |      THEN 1 ELSE 0 END AS cov
+             |  FROM d JOIN mu USING (lang) JOIN qh USING (lang)
+             |  WHERE doc_id % 2 = 1)
+             |SELECT t.lang, CAST(MAX(mu.n_cal) AS BIGINT) AS n_cal,
+             |  CAST(MAX(qh.qhat) AS BIGINT) AS qhat,
+             |  COUNT(*) AS n_test,
+             |  CAST(SUM(cov) AS BIGINT) AS covered,
+             |  CAST(SUM(cov) * 1000000 // COUNT(*) AS BIGINT)
+             |    AS coverage_ppm
+             |FROM tst t JOIN mu ON mu.lang = t.lang
+             |JOIN qh ON qh.lang = t.lang
+             |GROUP BY t.lang
+             |ORDER BY t.lang""".stripMargin)),
+
+    QueryDef(
+      // VOCABULARY CONCENTRATION per source: the Gini coefficient of
+      // the token-frequency distribution plus head-90 coverage (how
+      // many vocabulary types cover 90% of token mass) — the
+      // concentration read next to Zipf's slope (p132): a source whose
+      // Gini spikes or whose head-90 collapses to a handful of types
+      // is template/boilerplate-dominated long before a dup detector
+      // names the template. EXACT: Gini from the rank identity
+      // G = (2·Σ i·c_i − (n+1)·T) / (n·T) over ascending-count ranks —
+      // one rankWithinKey (the three-level no-window machinery) and
+      // one aggregate; head-90 via prefixSumWithinKey over descending
+      // counts and an integer ceil threshold. Products ride
+      // DECIMAL(38,0)/HUGEINT (i·c and n·T are corpus² at 100 TB).
+      // Scale shape: token counts are one partial-aggregable shuffle;
+      // rank and prefix machinery never hold a whole source in one
+      // task; everything after is source-dictionary-sized.
+      "p165_vocab_gini",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "documents")
+          .filter($"text".isNotNull && $"text" =!= "")
+          .select($"source", explode(split($"text", " ")).as("t"))
+          .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+          .persist() // rank, prefix and totals all read it
+        val st = c.groupBy($"source")
+          .agg(sum($"c").as("tt"), count(lit(1)).as("n"))
+        val sic = graft.operators.RankOps
+          .rankWithinKey(c, "source", Seq(col("c"), col("t")), "i")
+          .groupBy($"source")
+          .agg(sum($"i".cast("decimal(38,0)") * $"c").as("sic"))
+        val m90 = graft.operators.RankOps
+          .prefixSumWithinKey(c, Seq("source"),
+            Seq(col("c").desc, col("t")), col("c"), "cum")
+          .join(broadcast(st), Seq("source"))
+          .groupBy($"source")
+          .agg((sum(when($"cum" < expr("(9 * tt + 9) DIV 10"), 1L)
+            .otherwise(0L)) + 1L).as("m90"))
+        st.join(sic, Seq("source")).join(m90, Seq("source"))
+          .select($"source", $"tt".as("total_tokens"),
+            $"n".as("n_vocab"),
+            expr("CAST((2 * sic - (CAST(n AS DECIMAL(38,0)) + 1) * tt)" +
+              " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * tt) AS BIGINT)")
+              .as("gini_ppm"),
+            $"m90".as("head90"),
+            expr("m90 * 1000000 DIV n").as("head90_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |c AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, SUM(c) AS tt, COUNT(*) AS n
+             |       FROM c GROUP BY 1),
+             |r AS (
+             |  SELECT source, c,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, t)
+             |      AS i
+             |  FROM c),
+             |g AS (SELECT source, SUM(CAST(i AS HUGEINT) * c) AS sic
+             |      FROM r GROUP BY 1),
+             |dsc AS (
+             |  SELECT source, c,
+             |    SUM(c) OVER (PARTITION BY source ORDER BY c DESC, t)
+             |      AS cum
+             |  FROM c),
+             |h AS (
+             |  SELECT dsc.source,
+             |    SUM(CASE WHEN cum < (9 * st.tt + 9) // 10
+             |      THEN 1 ELSE 0 END) + 1 AS m90
+             |  FROM dsc JOIN st USING (source) GROUP BY 1)
+             |SELECT s.source, CAST(s.tt AS BIGINT) AS total_tokens,
+             |  CAST(s.n AS BIGINT) AS n_vocab,
+             |  CAST((2 * g.sic - (CAST(s.n AS HUGEINT) + 1) * s.tt)
+             |    * 1000000 // (CAST(s.n AS HUGEINT) * s.tt) AS BIGINT)
+             |    AS gini_ppm,
+             |  CAST(h.m90 AS BIGINT) AS head90,
+             |  CAST(h.m90 * 1000000 // s.n AS BIGINT) AS head90_ppm
+             |FROM st s JOIN g USING (source) JOIN h USING (source)
+             |ORDER BY s.source""".stripMargin))
   )
 }

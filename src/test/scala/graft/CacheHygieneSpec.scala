@@ -230,7 +230,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     // persists the edge frame plus one frame per normalized
     // half-iteration
     for (q <- Seq("p37_incremental_dedup", "p07_ngram_jaccard",
-        "p159_hits_authorities", "p162_principal_direction")) {
+        "p159_hits_authorities", "p162_principal_direction",
+        "p165_vocab_gini", "p17_neardup_lsh", "p09_simhash")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()
