@@ -856,6 +856,85 @@ object Pipeline11 {
              |  CAST(h.m90 AS BIGINT) AS head90,
              |  CAST(h.m90 * 1000000 // s.n AS BIGINT) AS head90_ppm
              |FROM st s JOIN g USING (source) JOIN h USING (source)
-             |ORDER BY s.source""".stripMargin))
+             |ORDER BY s.source""".stripMargin)),
+
+    QueryDef(
+      // K-FOLD ASSIGNMENT BALANCE AUDIT: the check a cross-validation
+      // or train/val/test split runs before it is trusted — folds must
+      // be deterministic (re-derivable from keys on any engine, stable
+      // under repartitioning: the p19 hash-sampling rationale) AND
+      // balanced in size and label mix, or every downstream metric
+      // carries split bias. Fold = arithmetic on the first two md5 hex
+      // chars (ascii()·16 + ascii(), mod 5 — engine-portable where a
+      // 64-bit multiplicative hash is not: DuckDB errors on BIGINT
+      // overflow where Spark wraps). Per fold: size and its corpus
+      // share, mean doc length, and the WORST per-lang composition
+      // drift vs the corpus in ppm — cross-multiplied |c·N − g·n|
+      // exact integers (the p156 discipline, DECIMAL(38,0)/HUGEINT).
+      // Scale shape: one (fold, lang) count shuffle; everything after
+      // is (5 × langs)-dictionary-sized.
+      "p166_fold_balance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select(expr("pmod(ascii(substring(md5(CAST(doc_id AS STRING))" +
+            ", 1, 1)) * 16 + ascii(substring(md5(CAST(doc_id AS STRING))" +
+            ", 2, 1)), 5)").as("fold"),
+            $"lang", $"n_chars")
+        val cells = docs.groupBy($"fold", $"lang")
+          .agg(count(lit(1)).as("c"), sum($"n_chars").as("ch"))
+        val folds = cells.groupBy($"fold")
+          .agg(sum($"c").as("n"), sum($"ch").as("chars"))
+        val gl = cells.groupBy($"lang").agg(sum($"c").as("g"))
+        val tot = cells.agg(sum($"c").as("nn"))
+        val drift = folds.crossJoin(broadcast(gl))
+          .join(cells.select($"fold", $"lang", $"c"),
+            Seq("fold", "lang"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"fold", $"nn",
+            abs(coalesce($"c", lit(0L)).cast("decimal(38,0)") * $"nn" -
+              $"g".cast("decimal(38,0)") * $"n").as("num"),
+            ($"nn".cast("decimal(38,0)") * $"n").as("den"))
+          .groupBy($"fold", $"nn")
+          .agg(max(expr("CAST(num * 1000000 DIV den AS BIGINT)"))
+            .as("worst_lang_drift_ppm"))
+        folds.join(drift, Seq("fold"))
+          .select($"fold", $"n".as("n_docs"),
+            expr("n * 1000000 DIV nn").as("share_ppm"),
+            expr("chars DIV n").as("mean_chars"),
+            $"worst_lang_drift_ppm")
+          .orderBy($"fold")
+      },
+      Some("""WITH d AS (
+             |  SELECT (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+             |      * 16
+             |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+             |      % 5 AS fold,
+             |    lang, n_chars
+             |  FROM documents),
+             |cells AS (SELECT fold, lang, COUNT(*) AS c,
+             |    SUM(n_chars) AS ch
+             |  FROM d GROUP BY 1, 2),
+             |folds AS (SELECT fold, SUM(c) AS n, SUM(ch) AS chars
+             |          FROM cells GROUP BY 1),
+             |gl AS (SELECT lang, SUM(c) AS g FROM cells GROUP BY 1),
+             |tot AS (SELECT SUM(c) AS nn FROM cells),
+             |drift AS (
+             |  SELECT f.fold, MAX(t.nn) AS nn,
+             |    MAX(ABS(CAST(COALESCE(ce.c, 0) AS HUGEINT) * t.nn
+             |        - CAST(gl.g AS HUGEINT) * f.n)
+             |      * 1000000 // (CAST(t.nn AS HUGEINT) * f.n))
+             |      AS worst_lang_drift_ppm
+             |  FROM folds f CROSS JOIN gl CROSS JOIN tot t
+             |  LEFT JOIN cells ce ON ce.fold = f.fold
+             |    AND ce.lang = gl.lang
+             |  GROUP BY f.fold)
+             |SELECT f.fold, CAST(f.n AS BIGINT) AS n_docs,
+             |  CAST(f.n * 1000000 // dr.nn AS BIGINT) AS share_ppm,
+             |  CAST(f.chars // f.n AS BIGINT) AS mean_chars,
+             |  CAST(dr.worst_lang_drift_ppm AS BIGINT)
+             |    AS worst_lang_drift_ppm
+             |FROM folds f JOIN drift dr USING (fold)
+             |ORDER BY f.fold""".stripMargin))
   )
 }
