@@ -836,4 +836,69 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
     spark.catalog.clearCache()
   }
+
+  test("p160 containment: inverted-index equi-joins, never a product; " +
+      "cap and orientation by aggregation, not a window") {
+    val p = plan("p160_containment_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must stay an equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"DF cap and orientation are aggregations + map-side compares:\n$p")
+  }
+
+  test("p162 principal direction: pair cells reduce by partial " +
+      "aggregation; no window, no unbroadcast product") {
+    val p = plan("p162_principal_direction")
+    // the 1-row n/max normalizer frames legitimately ride a
+    // BroadcastNestedLoopJoin-Cross (a crossJoin against a broadcast
+    // single row — the ScaleGuards shape); what must NEVER appear is
+    // an unbroadcast CartesianProduct
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast crosses are allowed:\n$p")
+    assert(!p.contains("Window"),
+      s"the two-level sum is aggregation-only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cell sums must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the 1-row max and n frames must broadcast:\n$p")
+  }
+
+  test("p159 HITS: normalizers ride 1-row broadcast crosses; " +
+      "edge-score joins are equi-joins") {
+    val p = plan("p159_hits_authorities")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast crosses are allowed:\n$p")
+    // the edge->score joins themselves must be hash/sort equi-joins
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"edge-score joins must be equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no window in the iteration:\n$p")
+  }
+
+  test("p164 conformal: rank selection never uses an unpartitioned " +
+      "window; dictionaries broadcast") {
+    val p = plan("p164_conformal_coverage")
+    // rankWithinKey's internal windows are partitioned (by __pid/key);
+    // an UNPARTITIONED window would read "Window [...]" with an empty
+    // partition spec — assert the funnel shape is absent
+    assert(!p.contains("SinglePartition"),
+      s"no stage may funnel to a single partition:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the lang-dictionary mu/qhat frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
+  }
+
+  test("p165 vocab gini: the rank/prefix machinery keeps windows " +
+      "partitioned; token counts partial-aggregate") {
+    val p = plan("p165_vocab_gini")
+    assert(!p.contains("SinglePartition"),
+      s"no stage may funnel to a single partition:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
+  }
 }
