@@ -753,20 +753,29 @@ object Relational4 {
         val hourly = t(s, dir, "events")
           .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
           .agg(count(lit(1)).as("n_events"),
-            sum($"value".cast(D18)).cast("double").as("hour_sum"))
+            sum($"value".cast(D18)).cast("double").as("hour_sum"),
+            sum($"value".cast(D18)).as("hour_sum_dec"))
         val grid = hourly.groupBy($"event_type")
           .agg(min($"h").as("h0"), max($"h").as("h1"))
           .select($"event_type",
             explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
         val w = Window.partitionBy($"event_type").orderBy($"h")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // the carried-forward average is EXACT integer e4 units
+        // (centi-sum · 100 DIV n): the round-11 sf0.1 replay caught the
+        // old round(double/n, 4) off by one unit in the 4th digit on 4
+        // rows — the two engines' double-rounding functions disagree on
+        // half-way values, the only float left in the entry. Integer
+        // floor units are identical at any scale.
         grid.join(hourly, Seq("event_type", "h"), "left")
           .select($"event_type", $"h",
             coalesce($"n_events", lit(0L)).as("n_events"),
             round(coalesce($"hour_sum", lit(0.0)), 2).as("hour_sum"),
-            when($"n_events" > 0, $"hour_sum" / $"n_events").as("__avg"))
-          .withColumn("filled_avg",
-            round(last($"__avg", ignoreNulls = true).over(w), 4))
+            when($"n_events" > 0,
+              expr("CAST(hour_sum_dec * 100 AS BIGINT) * 100" +
+                " DIV n_events")).as("__avg"))
+          .withColumn("filled_avg_e4",
+            last($"__avg", ignoreNulls = true).over(w))
           .drop("__avg")
           .orderBy($"event_type", $"h")
       },
@@ -774,7 +783,8 @@ object Relational4 {
              |  SELECT event_type, date_trunc('hour', ts) AS h,
              |    COUNT(*) AS n_events,
              |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             |      AS hour_sum
+             |      AS hour_sum,
+             |    SUM(CAST(value AS DECIMAL(18,2))) AS hour_sum_dec
              |  FROM events GROUP BY 1, 2),
              |bounds AS (
              |  SELECT event_type, min(h) AS h0, max(h) AS h1
@@ -787,14 +797,16 @@ object Relational4 {
              |  SELECT g.event_type, g.h,
              |    COALESCE(n_events, 0) AS n_events,
              |    ROUND(COALESCE(hour_sum, 0.0), 2) AS hour_sum,
-             |    CASE WHEN n_events > 0 THEN hour_sum / n_events END AS avg0
+             |    CASE WHEN n_events > 0
+             |      THEN CAST(hour_sum_dec * 100 AS BIGINT) * 100
+             |        // n_events END AS avg0
              |  FROM grid g LEFT JOIN hourly USING (event_type, h))
              |SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events,
              |  hour_sum,
-             |  ROUND(last_value(avg0 IGNORE NULLS) OVER (
+             |  CAST(last_value(avg0 IGNORE NULLS) OVER (
              |    PARTITION BY event_type ORDER BY h
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-             |    AS filled_avg
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS filled_avg_e4
              |FROM j
              |ORDER BY event_type, h""".stripMargin)),
 

@@ -29,22 +29,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, canon, frame_repr  # noqa: E402
 
 # Entries whose OUTPUT rounds a DOUBLE-derived quantity that lands
-# within ~1 ulp of a rounding half-way point at sf0.1 (different
-# summation trees across engines tip the last printed digit). Derived
-# EMPIRICALLY, not guessed: the full 258-entry replay at sf0.1 was run
-# with this list EMPTY and exactly these three diverged — each by one
-# unit in the last rounded digit on a handful of rows (p109 3/1025,
-# p12 6/920, q54 4/3600) — while the other 255 replay hash-identical.
-# Their correctness remains pinned by the sf0.01/sf0.001 gates, where
-# no value straddles a rounding point.
+# within ~1 ulp of a rounding half-way point at sf0.1 (the engines'
+# decimal-sum ladders and double-rounding functions differ in the last
+# bit). Derived EMPIRICALLY, not guessed: the full replay at sf0.1 was
+# run with this list EMPTY and exactly three entries diverged — each by
+# one unit in the last rounded digit on a handful of rows (p109 3/1025,
+# p12 6/920, q54 4/3600). q54 was then FIXED (its gap-filled average
+# moved to exact integer e4 units — round 11) and left the list; the
+# two cosine entries remain excluded because making them scale-exact
+# would mean changing the shared dec_cosine kernel's documented
+# per-add (38,17) ladder under dozens of green consumers. Their
+# correctness stays pinned by the sf0.01/sf0.001 gates, where no value
+# straddles a rounding point.
 FLOAT_ORDER_SENSITIVE = {
     # round(double cosine, 6): sf0.1 puts a few pairs a half-ulp from
     # the 1e-6 boundary
     "p12_embedding_neardup",
     # exact_c6 companion column: same 1e-6 cosine boundary class
     "p109_ivf_batch_bitext",
-    # round(double sum/count, 4) gap-filled hourly average
-    "q54_resample_gapfill",
 }
 
 
