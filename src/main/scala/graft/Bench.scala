@@ -230,7 +230,12 @@ object Bench {
       else extValid.map(r => r._7 * r._2).sum /
         math.max(extValid.map(_._2).sum, 1e-9)
     println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir,
-      Some((loadBefore, loadAfter)), extMax))
+      Some((loadBefore, loadAfter)), extMax,
+      // per-query ext only for >= 1s windows: sub-second windows span a
+      // handful of jiffies and a single GC tick reads as a phantom core
+      // (the extMax filter's rationale, applied per entry)
+      results.filter(r => r._2 >= 1.0 && r._7 >= 0)
+        .map(r => (r._1, r._7))))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
     val detail = results.map { case (k, v, ok, sw, sr, sp, ext) =>
@@ -282,7 +287,8 @@ object Bench {
     */
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String,
       load: Option[(Double, Double)] = None,
-      extMax: Double = -1.0): String = {
+      extMax: Double = -1.0,
+      extPerQuery: Seq[(String, Double)] = Nil): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // per-query stdout values cap at 3 chars: one decimal under 10s
@@ -338,8 +344,27 @@ object Bench {
     val extPart =
       if (extMax < 0) ""
       else s""""extmax":${"%.1f".formatLocal(java.util.Locale.ROOT, extMax)},"""
+    // per-query contention, CONTENDED ENTRIES ONLY (>= 0.5 non-self
+    // cores during a >= 1s window): a clean run pays ~0 chars, a
+    // contended driver run names exactly which timings to discount —
+    // the r11 lesson, where a 391.7s driver run vs a 328.4s stamp was
+    // only diagnosable because the out-of-band stamp existed. Capped
+    // at 8 names + a count so a fully-loaded box cannot blow the tail
+    // window; full per-query ext is in bench-full.json regardless.
+    val extHot = extPerQuery.filter(_._2 >= 0.5).sortBy(-_._2)
+    val extQPart =
+      if (extHot.isEmpty) ""
+      else {
+        val shown = extHot.take(8).map { case (k, v) =>
+          "\"" + short(k) + "\":" +
+            "%.1f".formatLocal(java.util.Locale.ROOT, v)
+        }.mkString("{", ",", "}")
+        val more =
+          if (extHot.size > 8) s""","ext_more":${extHot.size - 8}""" else ""
+        s""""ext":$shown$more,"""
+      }
     def line(qsPart: String, failedPart: String, ptr: String = "") =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$extPart$failedPart$ptr,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$extPart$extQPart$failedPart$ptr,"sf":"$sfShort"}"""
     // The driver reads the LAST ~2000 chars of output; sbt appends a
     // ~75-char [success] line after ours, so 1850 leaves real margin.
     // The degrade ladder (each tier drops stdout detail that survives

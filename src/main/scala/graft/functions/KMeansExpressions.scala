@@ -261,6 +261,151 @@ case class DecVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** EXACT micro-cosine `floor(1e6 * cos(a, b))` as a LONG — the
+  * scale-exact replacement for `floor(dec_cosine(a, b) * 1e6)`.
+  *
+  * Why the double form is not scale-exact — TWO cross-engine gaps,
+  * both observed at sf0.1 (6/920 p12 rows, 3/1025 p109 rows — the
+  * round-11 exclusion list this kernel empties):
+  *  - ELEMENT QUANTIZATION: `CAST(float AS DECIMAL(18,9))` is not the
+  *    same value on both engines. Spark rounds the float's exact
+  *    double value; DuckDB goes through the float's SHORTEST decimal
+  *    repr (~9 significant digits), so per-element decimals differ by
+  *    up to 1e-9 and 64-dim sums by ~1e-8 — masked by a 1e-6 render
+  *    except within ~1e-8 of a boundary (measured: 95598/128000
+  *    fixture elements differ). Even `CAST(CAST(x AS DOUBLE) AS
+  *    DECIMAL)` differs on ties (DuckDB half-even vs Spark HALF_UP).
+  *  - SUM/CAST ulp: the decimal sums cast to DOUBLE lose below the
+  *    53rd bit, one more last-ulp coin flip.
+  *
+  * The portable pipeline — every step either pure integer arithmetic
+  * or a SINGLE tie-free function of an IEEE double both engines
+  * compute bit-identically:
+  *  1. each element quantizes as xe9 = floor(double(x) * 1e9) — the
+  *     multiply is the same IEEE op on the same double everywhere, and
+  *     floor has no tie mode (unlike round: half-up vs half-even);
+  *  2. dot18/nx18/ny18 = exact integer sums of xe9*ye9 products
+  *     (e18 units; BigInteger here, HUGEINT in the SQL replay);
+  *  3. each sum floor-divides by 1e9 back to e9 units (X, N, M) —
+  *     exact integer division, so the ladder's squares stay under
+  *     ~1e33 for unit-scale embeddings (inside HUGEINT);
+  *  4. the result is floor(1e6 * X / sqrt(N*M)), computed exactly via
+  *     the identity floor(A/sqrt(B)) = isqrt(floor(A^2/B)) for A >= 0
+  *     (and -ceil for A < 0, with the perfect-square test deciding the
+  *     ceil increment) — BigInteger, no precision cap. The SQL replay
+  *     has no isqrt: it takes a double floor GUESS g (error << 1 unit)
+  *     and fixes it up with the sign-aware squared comparison
+  *     k <= 1e6*X/sqrt(N*M)  <=>  k^2*N*M <= 1e12*X^2 (k,X >= 0) —
+  *     [[graft.queries.Pipeline.exactC6Ctes]] emits it.
+  *
+  * NULL mirrors [[DecVecCosine]]: length mismatch, a null element, or
+  * a non-finite element nulls the result; a norm that quantizes to
+  * ZERO (all |components| < 1e-9 quantized) also nulls (cosine
+  * undefined — that band is quantization noise). Note floor's one
+  * asymmetry: a component in (-1e-9, 0) quantizes to -1e-9, not 0, so
+  * an all-negative-epsilon vector has a nonzero quantized norm.
+  */
+case class DecVecCosineE6(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import java.math.{BigInteger => JBI}
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dec_cosine_e6 expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private val E6 = JBI.valueOf(1000000L)
+  private val E9 = JBI.valueOf(1000000000L)
+
+  /** floor division by 1e9 (floor, not truncation — matches the SQL
+    * replay's `CASE WHEN v >= 0 THEN v // 1e9 ELSE -((-v + 1e9-1) //
+    * 1e9) END` with nonnegative `//` operands only).
+    */
+  private def floorDivE9(v: JBI): JBI = {
+    val Array(q, r) = v.divideAndRemainder(E9)
+    if (v.signum() < 0 && r.signum() != 0) q.subtract(JBI.ONE) else q
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    // element quantization + exact integer sums: products fit a Long
+    // (|xe9| <= ~2^45 for |x| <= 3e4), but the 64-term sums may not at
+    // extreme magnitudes — accumulate the sums in BigInteger via
+    // per-element exact longs
+    var dot = JBI.ZERO
+    var na = JBI.ZERO
+    var nb = JBI.ZERO
+    i = 0
+    while (i < n) {
+      val fa = a.getFloat(i).toDouble
+      val fb = b.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(fa) || java.lang.Double.isInfinite(fa) ||
+          java.lang.Double.isNaN(fb) || java.lang.Double.isInfinite(fb))
+        return null
+      val xa = JBI.valueOf(math.floor(fa * 1e9).toLong)
+      val xb = JBI.valueOf(math.floor(fb * 1e9).toLong)
+      dot = dot.add(xa.multiply(xb))
+      na = na.add(xa.multiply(xa))
+      nb = nb.add(xb.multiply(xb))
+      i += 1
+    }
+    val x = floorDivE9(dot)
+    val nq = floorDivE9(na) // nonnegative: floor == plain divide
+    val mq = floorDivE9(nb)
+    if (nq.signum() == 0 || mq.signum() == 0) return null
+    val bb = nq.multiply(mq)
+    val aa = x.multiply(E6)
+    val a2 = aa.multiply(aa)
+    val m = a2.divide(bb).sqrt()
+    val k =
+      if (x.signum() >= 0) m
+      else if (a2 == m.multiply(m).multiply(bb)) m.negate()
+      else m.add(JBI.ONE).negate()
+    java.lang.Long.valueOf(k.longValueExact())
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decCosineE6", this,
+      classOf[DecVecCosineE6].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $ref.compute($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((Long) $res).longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object KMeansFunctions {
   def kmeans_energies(
       vec: Column,
@@ -272,4 +417,8 @@ object KMeansFunctions {
   def dec_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(
       DecVecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dec_cosine_e6(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DecVecCosineE6(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

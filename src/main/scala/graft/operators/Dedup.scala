@@ -197,7 +197,9 @@ object Dedup {
     * Shape at 100 TB: gram hashing is map-side; the only non-map step is
     * the selection window PARTITIONED BY document — bounded by document
     * length, never corpus size (the p45 span-merge class, not a
-    * corpus-keyed funnel).
+    * corpus-keyed funnel), and since round 12 that bound is a CONTRACT:
+    * a document past `maxDocTokens` tokens trips an in-plan
+    * witnessGuard with the chunking remedy named (ScaleGuardsSpec).
     *
     * Returns (id, sel_pos, fp) — one row per selected window position,
     * deduplicated: consecutive windows usually re-select the same gram.
@@ -207,13 +209,53 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 4,
-      w: Int = 4): DataFrame = {
+      w: Int = 4,
+      maxDocTokens: Long = 1L << 20): DataFrame = {
+    val (fps, witness) = winnowedCore(df, idCol, textCol, k, w, maxDocTokens)
+    winnowGuard(fps, witness, idCol, maxDocTokens)
+  }
+
+  /** The doc-length contract of the winnowing family (the p48
+    * pattern): a pathological unsplit document (a concatenated dump, a
+    * multi-GB crawl artifact) funnels its whole gram stream through
+    * ONE selection-window partition, so past `maxDocTokens` the plan
+    * raises with the remedy named (budget = 0: ANY violator). The
+    * witness is one extra split+size map pass — no explode, no
+    * shuffle. Applied ONCE on the frame the caller consumes:
+    * [[winnowedPairs]] guards its own OUTPUT instead of the
+    * fingerprint frame, which its self-join would replan (witness +
+    * 1-row reduce) once per occurrence — measured as the round-12 p61
+    * guard overhead before this split.
+    */
+  private def winnowGuard(guarded: DataFrame, witness: DataFrame,
+      idCol: String, maxDocTokens: Long): DataFrame =
+    graft.operators.ScaleGuards.witnessGuard(
+      guarded, witness,
+      what = s"winnowedFingerprints($idCol)", budget = 0L,
+      remedy = s"split documents past $maxDocTokens tokens before " +
+        "fingerprinting (the per-doc selection window is " +
+        "doc-length-bounded; pre-chunk the outliers — winnowing's " +
+        "local guarantee survives chunking at w+k-1 overlap)")
+
+  /** Unguarded selection core + the guard witness frame — see
+    * [[winnowedFingerprints]] for semantics and [[winnowGuard]] for
+    * why the guard attaches at the consumer.
+    */
+  private def winnowedCore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      maxDocTokens: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val ts = split(col(textCol), " ")
-    val grams = df
+    val base = df
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol), ts.as("__ts"))
       .filter(size(col("__ts")) >= k)
+    val witness = base.filter(size(col("__ts")) > maxDocTokens)
+    val grams = base
       .select(col(idCol), (size(col("__ts")) - (k - 1)).as("__ngrams"),
         posexplode(transform(
           sequence(lit(1), size(col("__ts")) - (k - 1)),
@@ -226,7 +268,7 @@ object Dedup {
           .as("__skey"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    grams
+    val fps = grams
       .withColumn("__sel", min(col("__skey")).over(win))
       // only positions that START a full window select; the final
       // (possibly truncated) start is ngrams - w + 1, floored at 1 so a
@@ -237,6 +279,7 @@ object Dedup {
           .as("sel_pos"),
         substring(col("__sel"), 1, 32).as("fp"))
       .distinct()
+    (fps, witness)
   }
 
   /** Candidate near-dup pairs from shared winnowed fingerprints: the
@@ -255,19 +298,25 @@ object Dedup {
       k: Int = 4,
       w: Int = 4,
       maxFpDf: Int = 1000,
-      minShared: Int = 2): DataFrame = {
-    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+      minShared: Int = 2,
+      maxDocTokens: Long = 1L << 20): DataFrame = {
+    // unguarded core + ONE output guard: the self-join below consumes
+    // the fingerprint frame four times, and a guard riding it would
+    // replan the witness per occurrence (see [[winnowGuard]])
+    val (fps0, witness) =
+      winnowedCore(df, idCol, textCol, k, w, maxDocTokens)
+    val fps = fps0.select(col(idCol).as("id"), col("fp")).distinct()
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df").between(2, maxFpDf))
         .select("fp"),
       Seq("fp"))
-    kept.select(col("id").as("id_a"), col("fp"))
+    val pairs = kept.select(col("id").as("id_a"), col("fp"))
       .join(kept.select(col("id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    winnowGuard(pairs, witness, idCol, maxDocTokens)
   }
 
   /** Bloom-prefiltered decontamination — the scale path when the eval

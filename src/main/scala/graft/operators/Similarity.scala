@@ -52,6 +52,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.KMeansFunctions.dec_cosine(a, b)
 
+  /** EXACT micro-cosine `floor(1e6 * cos(a, b))` as a LONG — the
+    * scale-exact render/decide kernel
+    * ([[graft.functions.DecVecCosineE6]]). Every rendered or
+    * compared micro-cosine goes through this, never through
+    * `floor(cosine * 1e6)`: the double form's DECIMAL->DOUBLE cast
+    * can land one ulp apart across engines, and a value within that
+    * ulp of an integer then renders a different last digit under a
+    * different summation tree (the round-11 sf0.1 exclusion class).
+    */
+  def cosineE6(a: Column, b: Column): Column =
+    graft.functions.KMeansFunctions.dec_cosine_e6(a, b)
+
   /** Exact top-k nearest neighbours of `queryId` by cosine. */
   def bruteForceTopK(
       emb: DataFrame,
@@ -72,28 +84,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** [[bruteForceTopK]] with selection on the ROUNDED similarity
-    * (`digits`), vec-id tie-break — the ordering the DuckDB ANN oracles
-    * use (`ORDER BY round(sim, 6) DESC, vec_id`). Selecting on the raw
-    * double instead can flip the k-boundary row whenever ranks k and
-    * k+1 round to the same value (the q45 last-ulp flake class), so
-    * every oracle-compared exact top-k must come through here.
+  /** [[bruteForceTopK]] with selection AND render on the EXACT integer
+    * micro-cosine ([[cosineE6]], vec-id tie-break) — the ordering the
+    * DuckDB ANN oracles replay via the exactC6Ctes ladder. Selecting
+    * on the raw double can flip the k-boundary row whenever ranks k
+    * and k+1 agree to the last ulp (the q45 flake class), and even the
+    * rounded-double form it replaces was only boundary-stable while no
+    * value sat within the engines' ~1e-8 element-quantization drift of
+    * a rounding point (the round-12 p12/p109 lesson) — the integer
+    * kernel removes the band entirely, so every oracle-compared exact
+    * top-k must come through here. Output: (idCol, sim_e6 LONG).
     */
-  def bruteForceTopKRounded(
+  def bruteForceTopKE6(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       queryId: Long,
-      k: Int,
-      digits: Int = 6): DataFrame = {
+      k: Int): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"))
     emb.crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine(col(vecCol), col("q_vec")), digits).as("sim"))
-      .filter(col("sim").isNotNull)
-      .orderBy(col("sim").desc, col(idCol))
+        cosineE6(col(vecCol), col("q_vec")).as("sim_e6"))
+      .filter(col("sim_e6").isNotNull)
+      .orderBy(col("sim_e6").desc, col(idCol))
       .limit(k)
   }
 
@@ -304,8 +319,7 @@ object Similarity {
     surv.join(bSide, Seq("cid"))
       .join(aSide, Seq("aid"))
       .select(col("aid"), col("cid"),
-        floor(cosine(col("avec"), col("cvec")) * 1000000)
-          .cast("long").as("c6"))
+        cosineE6(col("avec"), col("cvec")).as("c6"))
       .groupBy(col("aid"))
       .agg(max(struct(col("c6"), (-col("cid")).as("nid"))).as("b"))
       .select(col("aid"), (-col("b.nid")).as("cid"), col("b.c6").as("c6"))
@@ -550,15 +564,17 @@ object Similarity {
   /** All pairs with cosine >= `minSim` — exact. Quadratic by definition,
     * so this is the small-corpus tool (documented cap ~1M vectors: the
     * corpus is broadcast once per executor); [[nearDupPairsLsh]] is the
-    * 100 TB path.
+    * 100 TB path. Output: (id_a, id_b, sim_e6) with sim_e6 the EXACT
+    * integer micro-cosine ([[cosineE6]]) — both the threshold decide
+    * and the rendered value are scale-exact integers.
     *
     * Two-pass evaluation: a primitive-array double prefilter (broadcast
     * corpus + mapPartitions, ~raw-FLOP speed) prunes the n^2 candidate
-    * space with a safety margin; the exact DECIMAL cosine then re-filters
-    * survivors at the true threshold, so the result is bit-identical to a
-    * single exact pass. The declarative zip_with form costs ~300x raw
-    * FLOPs here (per-pair array allocation + boxing) — measured 79s vs
-    * ~2s at 2k x 64 dims.
+    * space with a safety margin; the exact integer micro-cosine then
+    * re-filters survivors at the true threshold, so the result is
+    * bit-identical to a single exact pass. The declarative zip_with
+    * form costs ~300x raw FLOPs here (per-pair array allocation +
+    * boxing) — measured 79s vs ~2s at 2k x 64 dims.
     */
   def nearDupPairsExact(
       emb: DataFrame,
@@ -617,10 +633,16 @@ object Similarity {
       .toDF("id_a", "id_b")
     val a = emb.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("vec_a"))
     val b = emb.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("vec_b"))
+    // the decide and the render are the EXACT integer micro-cosine:
+    // `sim_e6 >= round(minSim * 1e6)` is the rational threshold
+    // minSimE6/1e6 compared in exact arithmetic (floor(1e6 c) >= t
+    // <=> c >= t/1e6 for integer t), so pair membership can never
+    // straddle a double ulp at any scale
+    val minSimE6 = Math.round(minSim * 1e6)
     candidates.join(broadcast(a), Seq("id_a")).join(broadcast(b), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("sim"))
-      .filter(col("sim") >= minSim)
+        cosineE6(col("vec_a"), col("vec_b")).as("sim_e6"))
+      .filter(col("sim_e6") >= minSimE6)
   }
 
   /** Multi-table sign-LSH sketch: `tables` independent sketches of
@@ -696,11 +718,15 @@ object Similarity {
       .distinct()
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // same exact-integer decide/render as [[nearDupPairsExact]] — the
+    // "bit-identical to a single exact pass" contract holds at every
+    // scale because no double sits on the decided or rendered value
+    val minSimE6 = Math.round(minSim * 1e6)
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .filter(vec_cosine(col("vec_a"), col("vec_b")) >= minSim - 1e-6)
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("sim"))
-      .filter(col("sim") >= minSim)
+        cosineE6(col("vec_a"), col("vec_b")).as("sim_e6"))
+      .filter(col("sim_e6") >= minSimE6)
   }
 
   /** Deterministic +-1 weight matrix for [[signProjection]] — exposed
@@ -752,14 +778,16 @@ object Similarity {
     emb.select((col(idCol) +: projections): _*)
   }
 
-  /** Cosine similarity as a micro-unit integer (round to 6 decimals,
-    * scale by 1e6): the [[cosine]] decimal kernel is already bit-stable
-    * across engines, and integerizing makes downstream argmax/compare
-    * logic EXACTLY replayable — no float near-tie can reorder a greedy
-    * selection between Spark and an oracle replay.
+  /** Cosine similarity as a micro-unit integer — the EXACT floor
+    * kernel [[cosineE6]] since round 12 (previously a double
+    * round-to-6: bit-stable only while no score sat within the
+    * engines' ~1e-8 element-quantization drift of a half-way point —
+    * the p12/p109 class). Integer scores make downstream
+    * argmax/compare logic EXACTLY replayable at any scale — no float
+    * near-tie can reorder a greedy selection between Spark and an
+    * oracle replay.
     */
-  private def sim6(a: Column, b: Column): Column =
-    round(round(cosine(a, b), 6) * lit(1000000), 0).cast("long")
+  private def sim6(a: Column, b: Column): Column = cosineE6(a, b)
 
   /** MMR (maximal-marginal-relevance) diverse top-k selection — the
     * data-selection step after dedup: pick k documents that are both
@@ -979,14 +1007,17 @@ object Similarity {
       .filter(col("__g") === 1L)
     // two-kernel pair evaluation (the p72 discipline): the native float
     // vec_dot prunes at a safety margin; only survivors pay the exact
-    // decimal cosine that DECIDES (measured ~30x at sf0.1)
+    // integer micro-cosine that DECIDES (measured ~30x at sf0.1).
+    // The threshold compares as the exact rational round(t*1e6)/1e6 —
+    // no double near-tie can flip pair membership at any scale
+    val thresholdE6 = Math.round(threshold * 1e6)
     val dropped = blocked.as("a").join(blocked.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.__sub") === col("b.__sub") &&
           col("a.__id") < col("b.__id"))
       .filter(vec_dot(col("a.__vec"), col("b.__vec")) >=
         lit(threshold - 1e-6) * sqrt(col("a.__n2") * col("b.__n2")))
-      .filter(cosine(col("a.__vec"), col("b.__vec")) >= threshold)
+      .filter(cosineE6(col("a.__vec"), col("b.__vec")) >= thresholdE6)
       .select(col("b.__id").as("__id")).distinct()
     blocked.join(dropped.withColumn("__d", lit(1)), Seq("__id"), "left")
       .groupBy(col("cluster"))

@@ -391,8 +391,15 @@ object TextAnalysis {
       k: Int = 8,
       maxDocTokens: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // persisted: THREE consumers read the tokenized frame — the
+    // violation witness below, the positional-gram pass, and the final
+    // per-doc length projection. Unpersisted, each re-runs the
+    // tokenizer over the whole corpus (measured +1.3s at sf0.1 when
+    // the round-11 witness guard added the third pass). Lazy cache
+    // contract: Verify/Bench clearCache per query (CacheHygieneSpec).
     val base0 = tokenized(df, idCol, textCol)
       .select(col(idCol), col(srcCol), col("__ts"))
+      .persist()
     // The span merge windows PARTITION BY document — bounded by doc
     // length, which the prose calls fine. Make the bound a contract: a
     // pathological unsplit document (a concatenated dump, a 10 GB

@@ -48,8 +48,8 @@ object Pipeline {
       .join(approx.select($"vec_id"), Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("__ov"))
     exact.crossJoin(broadcast(ov))
-      .select($"vec_id", $"sim", ($"__ov" >= minOverlap).as(gateName))
-      .orderBy($"sim".desc, $"vec_id")
+      .select($"vec_id", $"sim_e6", ($"__ov" >= minOverlap).as(gateName))
+      .orderBy($"sim_e6".desc, $"vec_id")
   }
 
   /** Cross-entry memo for the ANN family's exact ground truth: p10's
@@ -74,7 +74,7 @@ object Pipeline {
     annExactMemo match {
       case Some((k, df)) if k == key => df
       case _ =>
-        val exact = Similarity.bruteForceTopKRounded(
+        val exact = Similarity.bruteForceTopKE6(
             t(s, dir, "embeddings"), "vec_id", "embedding", 0, 10)
           .localCheckpoint(true)
         annExactMemo = Some((key, exact))
@@ -140,25 +140,37 @@ object Pipeline {
       }
     }
 
+  /** The brute-force query-0 dense top-10 as exact-integer CTEs —
+    * [[Similarity.bruteForceTopKE6]]'s DuckDB replay. Emits CTEs
+    * ending in `dtop` (vec_id, sim_e6, ORDER-ready); shared by the
+    * four ANN entries ([[annOracleSql]]) and every oracle that ranks
+    * against the memoized dense ground truth (p100/p104/p121), so the
+    * ladder lands in exactly one place.
+    */
+  private[queries] val denseTop10Ctes: String =
+    s"""dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |del AS (SELECT e.vec_id,
+       |         ${quantE9("unnest(e.embedding)")} AS x,
+       |         ${quantE9("unnest(dq.qe)")} AS y
+       |       FROM embeddings e CROSS JOIN dq),
+       |dsum AS (SELECT vec_id, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+       |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+       |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+       |      FROM del WHERE vec_id <> 0 GROUP BY vec_id),
+       |${exactC6Ctes("dc6", "dsum", Seq("vec_id"))},
+       |dtop AS (SELECT vec_id, c6 AS sim_e6 FROM dc6
+       |         ORDER BY c6 DESC, vec_id LIMIT 10)""".stripMargin
+
   /** The one DuckDB brute-force-cosine oracle all four ANN entries
     * share (p10 plain; p11/p16/p46 add their literal-TRUE gate) — a
     * threshold or cast fix lands in exactly one place.
     */
   private[queries] def annOracleSql(gate: Option[String]): String = {
     val gateSel = gate.map(g => s",\n  TRUE AS $g").getOrElse("")
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |el AS (SELECT e.vec_id,
-       |         CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-       |         CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
-       |       FROM embeddings e CROSS JOIN q),
-       |s AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-       |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-       |             CAST(SUM(y*y) AS DOUBLE) AS ny
-       |      FROM el GROUP BY vec_id)
-       |SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim$gateSel
-       |FROM s WHERE vec_id <> 0
-       |ORDER BY sim DESC, vec_id
-       |LIMIT 10""".stripMargin
+    s"""WITH $denseTop10Ctes
+       |SELECT vec_id, sim_e6$gateSel
+       |FROM dtop
+       |ORDER BY sim_e6 DESC, vec_id""".stripMargin
   }
 
   /** Cross-entry memo for the Jaccard PAIR stage itself — the upstream
@@ -215,6 +227,68 @@ object Pipeline {
        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
        |  FROM flt a JOIN flt b USING (shingle)
        |  WHERE a.id < b.id GROUP BY a.id, b.id)""".stripMargin
+
+  /** The element-quantization SQL of the exact micro-cosine pipeline:
+    * xe9 = floor(double(x) * 1e9) — the ONE float step, and it is
+    * portable because both engines evaluate the identical IEEE
+    * multiply on the identical double and `floor` has no tie mode
+    * (`CAST(float AS DECIMAL(18,9))` is NOT portable: DuckDB rounds
+    * the float's shortest ~9-digit repr, Spark the exact double —
+    * 95598/128000 fixture elements differ; see
+    * [[graft.functions.DecVecCosineE6]]).
+    */
+  private[queries] def quantE9(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000000000.0) AS BIGINT)"
+
+  /** The DuckDB replay of [[graft.functions.DecVecCosineE6]] — the
+    * EXACT micro-cosine `c6 = floor(1e6 * dot / sqrt(nx * ny))` over
+    * [[quantE9]]-quantized elements, pure integer arithmetic after the
+    * quantization. `src` must expose the key columns `keys` plus the
+    * exact integer sums `dot18/nx18/ny18` in e18 units
+    * (`SUM(CAST(xe9 AS HUGEINT) * ye9)` over quantE9 elements). Emits
+    * three CTE bodies; the LAST, named `name`, has (keys..., c6).
+    *
+    * Mechanics (the kernel's Scaladoc, in SQL): each sum floor-divides
+    * by 1e9 back to e9 integers X/N/M (the `//` operands are kept
+    * nonnegative so truncation == floor); zero-quantized norms drop
+    * (cosine undefined — kernel returns NULL). A double floor GUESS g
+    * (error << 1 unit: the operands are exact integers cast once) is
+    * then fixed up by the sign-aware squared predicate
+    * `k <= 1e6*X/sqrt(N*M)` — all products stay under ~1e33 for
+    * unit-scale embeddings, inside HUGEINT. `c6 = g - 1 + [le(g)] +
+    * [le(g+1)]` (le is monotone decreasing in k, so the sum form is
+    * the fix-up).
+    */
+  private[queries] def exactC6Ctes(
+      name: String, src: String, keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    def le(k: String): String =
+      s"""(CASE WHEN ($k) <= 0 AND xq >= 0 THEN TRUE
+         |          WHEN ($k) > 0 AND xq < 0 THEN FALSE
+         |          WHEN ($k) > 0 THEN
+         |            CAST($k AS HUGEINT)*($k)*nq*mq
+         |              <= CAST(1000000000000 AS HUGEINT)*xq*xq
+         |          ELSE
+         |            CAST($k AS HUGEINT)*($k)*nq*mq
+         |              >= CAST(1000000000000 AS HUGEINT)*xq*xq END)""".stripMargin
+    s"""${name}_q AS (
+       |  SELECT $ks,
+       |    CASE WHEN dot18 >= 0 THEN dot18 // 1000000000
+       |         ELSE -((-dot18 + 999999999) // 1000000000) END AS xq,
+       |    nx18 // 1000000000 AS nq,
+       |    ny18 // 1000000000 AS mq
+       |  FROM $src),
+       |${name}_g AS (
+       |  SELECT *, CAST(floor(1000000.0 * CAST(xq AS DOUBLE) /
+       |      sqrt(CAST(nq AS DOUBLE) * CAST(mq AS DOUBLE))) AS BIGINT) AS gg
+       |  FROM ${name}_q WHERE nq > 0 AND mq > 0),
+       |$name AS (
+       |  SELECT $ks,
+       |    gg - 1
+       |      + CASE WHEN ${le("gg")} THEN 1 ELSE 0 END
+       |      + CASE WHEN ${le("gg + 1")} THEN 1 ELSE 0 END AS c6
+       |  FROM ${name}_g)""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -513,24 +587,30 @@ object Pipeline {
       Some(annOracleSql(Some("ivf_overlap_ok")))),
 
     QueryDef(
+      // exact near-dup baseline, SCALE-EXACT end to end: both the
+      // rendered similarity and the threshold decide are the integer
+      // micro-cosine (Similarity.cosineE6 — no double on the value
+      // path), so the result replays hash-identically at every SF.
+      // `sim_e6 >= 400000` IS `cosine >= 0.4` compared as the exact
+      // rational 2/5 (floor(1e6 c) >= t <=> c >= t/1e6, t integer).
       "p12_embedding_neardup",
       (s, dir) => {
         import s.implicits._
         Similarity.nearDupPairsExact(t(s, dir, "embeddings"), "vec_id",
             "embedding", minSim = 0.4)
-          .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |         CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+      Some(s"""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         ${quantE9("unnest(a.embedding)")} AS x,
+             |         ${quantE9("unnest(b.embedding)")} AS y
              |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-             |s AS (SELECT id_a, id_b, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY id_a, id_b)
-             |SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-             |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4
+             |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |      FROM el GROUP BY id_a, id_b),
+             |${exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))}
+             |SELECT id_a, id_b, c6 AS sim_e6
+             |FROM pc6 WHERE c6 >= 400000
              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
@@ -545,19 +625,19 @@ object Pipeline {
         import s.implicits._
         Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
             "embedding", minSim = 0.5, planes = 5, tables = 24)
-          .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |         CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
-             |         CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+      Some(s"""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         ${quantE9("unnest(a.embedding)")} AS x,
+             |         ${quantE9("unnest(b.embedding)")} AS y
              |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-             |s AS (SELECT id_a, id_b, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |             CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |             CAST(SUM(y*y) AS DOUBLE) AS ny
-             |      FROM el GROUP BY id_a, id_b)
-             |SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-             |FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.5
+             |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |      FROM el GROUP BY id_a, id_b),
+             |${exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))}
+             |SELECT id_a, id_b, c6 AS sim_e6
+             |FROM pc6 WHERE c6 >= 500000
              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(

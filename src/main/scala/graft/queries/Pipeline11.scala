@@ -300,18 +300,15 @@ object Pipeline11 {
           // clearCache (the ngramJaccardPairs contract)
           .persist()
         // each score frame feeds its own max aggregate AND the next
-        // half-iteration: persist it (node-dictionary-sized) or the
-        // recomputation DOUBLES per level — measured 5.2s -> 3.8s at
-        // sf0.1 (a1 was evaluated 8x through the a2 chain unpersisted;
-        // the remaining cost is the edge build itself, shared with p49)
+        // half-iteration: the shared operator persists it
+        // (node-dictionary-sized) or the recomputation DOUBLES per
+        // level — measured 5.2s -> 3.8s at sf0.1 (a1 was evaluated 8x
+        // through the a2 chain unpersisted; the remaining cost is the
+        // edge build itself, shared with p49). The golden spec drives
+        // the SAME operator, so helper drift cannot dodge it.
         def normalized(scores0: org.apache.spark.sql.DataFrame,
-            valCol: String): org.apache.spark.sql.DataFrame = {
-          val scores = scores0.persist()
-          scores.crossJoin(broadcast(
-              scores.agg(max(col(valCol)).as("mx"))))
-            .select(scores.columns.filterNot(_ == valCol).map(col) :+
-              expr(s"$valCol * 1000 DIV mx").as(valCol): _*)
-        }
+            valCol: String): org.apache.spark.sql.DataFrame =
+          graft.operators.GraphOps.maxNormalizedMilli(scores0, valCol)
         val a1 = normalized(
           eu.groupBy($"sp").agg((count(lit(1)) * 1000L).as("a")), "a")
         val h1 = normalized(
@@ -573,8 +570,8 @@ object Pipeline11 {
              |    CAST(FLOOR(CAST(unnest(embedding) AS DECIMAL(18,9))
              |      * 1000000) AS BIGINT) AS xu
              |  FROM embeddings WHERE embedding IS NOT NULL),
-             |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
-             |       FROM el),
+             |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n
+             |       FROM embeddings WHERE embedding IS NOT NULL),
              |sx AS (SELECT d, CAST(SUM(xu) AS HUGEINT) AS sx
              |       FROM el GROUP BY d),
              |sxx AS (

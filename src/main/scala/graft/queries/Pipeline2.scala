@@ -1823,19 +1823,23 @@ object Pipeline2 {
     * linear in k.
     */
   private def mmrOracleSql(k: Int): String = {
-    val sim6 =
-      "CAST(round(round(dot / (sqrt(nx) * sqrt(ny)), 6) * 1000000, 0) AS BIGINT)"
+    // scores are the EXACT integer micro-cosine since round 12 — the
+    // exactC6Ctes ladder replays Similarity.cosineE6 (the old
+    // double-round form was boundary-stable only by luck of the
+    // fixtures; see the kernel's Scaladoc)
     def simCtes(r: Int) =
       s"""pe$r AS MATERIALIZED (SELECT embedding AS pe FROM embeddings
          |  WHERE vec_id = (SELECT vec_id FROM pick$r)),
          |el$r AS (SELECT e.vec_id,
-         |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-         |    CAST(unnest(p.pe) AS DECIMAL(18,9)) AS y
+         |    ${Pipeline.quantE9("unnest(e.embedding)")} AS x,
+         |    ${Pipeline.quantE9("unnest(p.pe)")} AS y
          |  FROM embeddings e CROSS JOIN pe$r p WHERE e.vec_id <> 0),
-         |s$r AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-         |    CAST(SUM(x*x) AS DOUBLE) AS nx, CAST(SUM(y*y) AS DOUBLE) AS ny
+         |s$r AS (SELECT vec_id, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+         |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+         |    SUM(CAST(y AS HUGEINT) * y) AS ny18
          |  FROM el$r GROUP BY vec_id),
-         |sim$r AS MATERIALIZED (SELECT vec_id, $sim6 AS s6 FROM s$r)"""
+         |${Pipeline.exactC6Ctes(s"c6l$r", s"s$r", Seq("vec_id"))},
+         |sim$r AS MATERIALIZED (SELECT vec_id, c6 AS s6 FROM c6l$r)"""
         .stripMargin
     val rounds = (2 to k).map { r =>
       val msFrom =
@@ -1860,13 +1864,15 @@ object Pipeline2 {
     }.mkString("\nUNION ALL ")
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |elq AS (SELECT e.vec_id,
-       |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-       |    CAST(unnest(q.qe) AS DECIMAL(18,9)) AS y
+       |    ${Pipeline.quantE9("unnest(e.embedding)")} AS x,
+       |    ${Pipeline.quantE9("unnest(q.qe)")} AS y
        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
-       |sq AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-       |    CAST(SUM(x*x) AS DOUBLE) AS nx, CAST(SUM(y*y) AS DOUBLE) AS ny
+       |sq AS (SELECT vec_id, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+       |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+       |    SUM(CAST(y AS HUGEINT) * y) AS ny18
        |  FROM elq GROUP BY vec_id),
-       |cand AS MATERIALIZED (SELECT vec_id, $sim6 AS rel6 FROM sq),
+       |${Pipeline.exactC6Ctes("c6lq", "sq", Seq("vec_id"))},
+       |cand AS MATERIALIZED (SELECT vec_id, c6 AS rel6 FROM c6lq),
        |pick1 AS MATERIALIZED (
        |  SELECT vec_id, rel6 FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
        |$rounds

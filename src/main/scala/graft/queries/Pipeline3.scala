@@ -107,38 +107,36 @@ object Pipeline3 {
           .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
           .join(broadcast(anchors.select($"a_id", $"a_vec")), Seq("a_id"))
           .select($"a_id", $"a_label", $"vec_id",
-            round(Similarity.cosine($"embedding", $"a_vec"), 6).as("sim"))
+            Similarity.cosineE6($"embedding", $"a_vec").as("sim_e6"))
           .groupBy($"a_id", $"a_label")
-          .agg(max(struct($"sim", (-$"vec_id").as("nid"))).as("b"))
+          .agg(max(struct($"sim_e6", (-$"vec_id").as("nid"))).as("b"))
           .select($"a_id", $"a_label", (-$"b.nid").as("neg_id"),
-            $"b.sim".as("neg_sim"))
+            $"b.sim_e6".as("neg_sim_e6"))
           .orderBy($"a_id")
       },
-      Some("""WITH a AS (
+      Some(s"""WITH a AS (
              |  SELECT vec_id AS a_id, label AS a_label,
              |         embedding AS a_vec
              |  FROM embeddings WHERE vec_id < 20),
              |el AS (
              |  SELECT a.a_id, a.a_label, e.vec_id,
-             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(a.a_vec) AS DECIMAL(18,9)) AS y
+             |    ${Pipeline.quantE9("unnest(e.embedding)")} AS x,
+             |    ${Pipeline.quantE9("unnest(a.a_vec)")} AS y
              |  FROM embeddings e CROSS JOIN a
              |  WHERE e.label <> a.a_label),
              |s AS (
              |  SELECT a_id, a_label, vec_id,
-             |    CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM el GROUP BY a_id, a_label, vec_id
-             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
+             |    SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |    SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |  FROM el GROUP BY a_id, a_label, vec_id),
+             |${Pipeline.exactC6Ctes("hc6", "s", Seq("a_id", "a_label", "vec_id"))},
              |r AS (
-             |  SELECT a_id, a_label, vec_id,
-             |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim,
+             |  SELECT a_id, a_label, vec_id, c6,
              |    row_number() OVER (PARTITION BY a_id
-             |      ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
-             |               vec_id) AS rn
-             |  FROM s)
-             |SELECT a_id, a_label, vec_id AS neg_id, sim AS neg_sim
+             |      ORDER BY c6 DESC, vec_id) AS rn
+             |  FROM hc6)
+             |SELECT a_id, a_label, vec_id AS neg_id, c6 AS neg_sim_e6
              |FROM r WHERE rn = 1
              |ORDER BY a_id""".stripMargin)),
 

@@ -211,7 +211,10 @@ object Pipeline4 {
       // oracle so the cap is part of the contract, not an
       // approximation), a gram-keyed equi-join carrying ids only, and a
       // partial-aggregable max(struct) argmax — no window, no pair
-      // blow-up beyond the capped posting lists. Integer-ppm scoring.
+      // blow-up beyond the capped posting lists, and the eval-side
+      // fan-out bound is witness-guarded in-plan since round 12 (the
+      // guard is a no-op under budget, so the oracle is unaffected).
+      // Integer-ppm scoring.
       "p82_containment_decon",
       (s, dir) => {
         import s.implicits._
@@ -223,8 +226,23 @@ object Pipeline4 {
           .select($"doc_id", $"source",
             explode(wordGrams($"tk", $"text", 3)).as("gram"))
           .distinct()
-        val eval = grams.filter($"source" === "src0")
+        val eval0 = grams.filter($"source" === "src0")
           .select($"doc_id".as("e_id"), $"gram")
+        // the train side is DF-capped at 50 below, so per-gram pair
+        // fan-out is eval_df x 50 — bounded ONLY if no eval gram is
+        // itself corpus-order. That was prose; contract it (the
+        // p39/p48 witnessGuard pattern): an eval gram in > 2^20
+        // benchmark docs would fan out > 50M candidate pairs from one
+        // key, so the plan raises with the remedy named. The witness
+        // is one partial-aggregable count over the (small) eval side.
+        val eval = graft.operators.ScaleGuards.witnessGuard(
+          eval0,
+          eval0.groupBy($"gram").agg(count(lit(1)).as("df"))
+            .filter($"df" > (1L << 20)),
+          what = "p82 eval posting lists", budget = 0L,
+          remedy = "stop-list benchmark boilerplate grams or raise the " +
+            "gram order (the train side is DF-capped at 50; an eval " +
+            "gram in >2^20 eval docs fans out >50M pairs from one key)")
         val train = grams.filter($"source" =!= "src0")
           .select($"doc_id".as("t_id"), $"gram")
         val okGrams = train.groupBy($"gram")

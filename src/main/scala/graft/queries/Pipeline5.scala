@@ -831,17 +831,22 @@ object Pipeline5 {
            |  SELECT a.vec_id AS ida, b.vec_id AS idb
            |  FROM $asg a JOIN $asg b
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |elq9 AS (
+           |  SELECT vec_id,
+           |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
+           |    ${Pipeline.quantE9("unnest(embedding)")} AS xq
+           |  FROM embeddings WHERE embedding IS NOT NULL),
            |cs AS (
            |  SELECT pr.ida, pr.idb,
-           |    CAST(SUM(x.x * y.x) AS DOUBLE) AS dot,
-           |    CAST(SUM(x.x * x.x) AS DOUBLE) AS nx,
-           |    CAST(SUM(y.x * y.x) AS DOUBLE) AS ny
-           |  FROM pr JOIN el x ON x.vec_id = pr.ida
-           |          JOIN el y ON y.vec_id = pr.idb AND y.d = x.d
+           |    SUM(CAST(x.xq AS HUGEINT) * y.xq) AS dot18,
+           |    SUM(CAST(x.xq AS HUGEINT) * x.xq) AS nx18,
+           |    SUM(CAST(y.xq AS HUGEINT) * y.xq) AS ny18
+           |  FROM pr JOIN elq9 x ON x.vec_id = pr.ida
+           |          JOIN elq9 y ON y.vec_id = pr.idb AND y.d = x.d
            |  GROUP BY pr.ida, pr.idb),
+           |${Pipeline.exactC6Ctes("sc6", "cs", Seq("ida", "idb"))},
            |drp AS (
-           |  SELECT DISTINCT idb AS id FROM cs
-           |  WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.45)
+           |  SELECT DISTINCT idb AS id FROM sc6 WHERE c6 >= 450000)
            |SELECT a.cell AS cluster,
            |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
            |  CAST(COUNT(d.id) AS BIGINT) AS n_dropped,

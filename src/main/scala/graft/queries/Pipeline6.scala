@@ -48,7 +48,7 @@ object Pipeline6 {
           .select($"doc_id", $"lr")
         val dense = Pipeline.annExactTop10(s, dir)
           .withColumn("dr",
-            row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
+            row_number().over(Window.orderBy($"sim_e6".desc, $"vec_id")))
           .select($"vec_id".as("doc_id"), $"dr")
         val ids = lex.select($"doc_id")
           .unionAll(dense.select($"doc_id")).distinct()
@@ -72,22 +72,9 @@ object Pipeline6 {
              |    row_number() OVER (ORDER BY score DESC, doc_id) AS lr
              |  FROM (SELECT doc_id, score FROM bm
              |        ORDER BY score DESC, doc_id LIMIT 20)),
-             |dq AS (SELECT embedding AS qe FROM embeddings
-             |       WHERE vec_id = 0),
-             |del AS (SELECT e.vec_id,
-             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(dq.qe) AS DECIMAL(18,9)) AS y
-             |  FROM embeddings e CROSS JOIN dq),
-             |dsum AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM del GROUP BY vec_id),
-             |dtop AS (SELECT vec_id,
-             |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-             |  FROM dsum WHERE vec_id <> 0
-             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |${Pipeline.denseTop10Ctes},
              |dense AS (SELECT vec_id AS doc_id,
-             |    row_number() OVER (ORDER BY sim DESC, vec_id) AS dr
+             |    row_number() OVER (ORDER BY sim_e6 DESC, vec_id) AS dr
              |  FROM dtop),
              |ids AS (SELECT doc_id FROM lex
              |        UNION SELECT doc_id FROM dense)
@@ -161,22 +148,17 @@ object Pipeline6 {
       Some(s"""WITH $bitextXOracleCtes,
              |yel AS (
              |  SELECT y.cid AS pid, a.vec_id AS cid,
-             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS y
+             |    ${Pipeline.quantE9("unnest(e.embedding)")} AS x,
+             |    ${Pipeline.quantE9("unnest(a.embedding)")} AS y
              |  FROM (SELECT DISTINCT cid FROM xknn) y
              |  JOIN embeddings e ON e.vec_id = y.cid
              |  CROSS JOIN ea a),
              |ycs AS (
-             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM yel GROUP BY pid, cid
-             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
-             |yc6 AS (
-             |  SELECT pid, cid,
-             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
-             |      AS BIGINT) AS c6
-             |  FROM ycs),
+             |  SELECT pid, cid, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |    SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |  FROM yel GROUP BY pid, cid),
+             |${Pipeline.exactC6Ctes("yc6", "ycs", Seq("pid", "cid"))},
              |yknn AS (
              |  SELECT pid, cid, c6 FROM (
              |    SELECT *, row_number() OVER (PARTITION BY pid
@@ -380,7 +362,7 @@ object Pipeline6 {
         val emb = t(s, dir, "embeddings")
         val dense = Pipeline.annExactTop10(s, dir)
           .withColumn("rank",
-            row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
+            row_number().over(Window.orderBy($"sim_e6".desc, $"vec_id")))
           .select($"vec_id", $"rank")
         val qlab = emb.filter($"vec_id" === 0).select($"label".as("qlab"))
         val rel = emb.select($"vec_id", $"label")
@@ -401,22 +383,9 @@ object Pipeline6 {
             $"mrr_scaled")
           .orderBy($"k")
       },
-      Some("""WITH dq AS (SELECT embedding AS qe FROM embeddings
-             |       WHERE vec_id = 0),
-             |del AS (SELECT e.vec_id,
-             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(dq.qe) AS DECIMAL(18,9)) AS y
-             |  FROM embeddings e CROSS JOIN dq),
-             |dsum AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM del GROUP BY vec_id),
-             |dtop AS (SELECT vec_id,
-             |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-             |  FROM dsum WHERE vec_id <> 0
-             |  ORDER BY sim DESC, vec_id LIMIT 10),
+      Some(s"""WITH ${Pipeline.denseTop10Ctes},
              |dr AS (SELECT vec_id,
-             |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+             |    row_number() OVER (ORDER BY sim_e6 DESC, vec_id) AS rank
              |  FROM dtop),
              |ql AS (SELECT label FROM embeddings WHERE vec_id = 0),
              |rel AS (
@@ -478,8 +447,7 @@ object Pipeline6 {
           .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
           .join(broadcast(anchors.select($"a_id", $"a_vec")), Seq("a_id"))
           .select($"a_id", $"same", $"vec_id",
-            floor(Similarity.cosine($"embedding", $"a_vec") * 1000000)
-              .cast("long").as("c6"))
+            Similarity.cosineE6($"embedding", $"a_vec").as("c6"))
           .groupBy($"a_id", $"same")
           .agg(max(struct($"c6", (-$"vec_id").as("nid"))).as("b"))
         best.groupBy($"a_id").agg(
@@ -492,34 +460,28 @@ object Pipeline6 {
             ($"pos_c6" - $"neg_c6").as("margin_c6"))
           .orderBy($"a_id")
       },
-      Some("""WITH a AS (
+      Some(s"""WITH a AS (
              |  SELECT vec_id AS a_id, label AS a_label,
              |         embedding AS a_vec
              |  FROM embeddings WHERE vec_id < 20),
              |el AS (
              |  SELECT a.a_id, e.vec_id,
              |    e.label = a.a_label AS same,
-             |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(a.a_vec) AS DECIMAL(18,9)) AS y
+             |    ${Pipeline.quantE9("unnest(e.embedding)")} AS x,
+             |    ${Pipeline.quantE9("unnest(a.a_vec)")} AS y
              |  FROM embeddings e CROSS JOIN a
              |  WHERE e.vec_id <> a.a_id),
              |cs AS (
-             |  SELECT a_id, vec_id, same,
-             |    CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM el GROUP BY a_id, vec_id, same
-             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
-             |c6 AS (
-             |  SELECT a_id, vec_id, same,
-             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
-             |      AS BIGINT) AS c6
-             |  FROM cs),
+             |  SELECT a_id, vec_id, same, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |    SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |  FROM el GROUP BY a_id, vec_id, same),
+             |${Pipeline.exactC6Ctes("cx6", "cs", Seq("a_id", "vec_id", "same"))},
              |r AS (
              |  SELECT a_id, vec_id, same, c6,
              |    row_number() OVER (PARTITION BY a_id, same
              |      ORDER BY c6 DESC, vec_id) AS rn
-             |  FROM c6),
+             |  FROM cx6),
              |pv AS (
              |  SELECT a_id,
              |    MAX(CASE WHEN same THEN vec_id END) AS pos_id,
@@ -594,8 +556,7 @@ object Pipeline6 {
         val approx1 = cvecs.join(broadcast(surv), Seq("cid"))
           .join(broadcast(probes), Seq("pid"))
           .select($"pid", $"cid",
-            floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
-              .cast("long").as("c6"))
+            Similarity.cosineE6($"cvec", $"pvec").as("c6"))
           .groupBy($"pid")
           .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
           .select($"pid", (-$"b.nid").as("approx_id"))
@@ -641,11 +602,17 @@ object Pipeline6 {
         // re-split keeps firing live here, while data drift at scale
         // moves the cap instead of tripping the guard (the derivation
         // arithmetic is pinned in SemanticDedupBoundedSpec; the oracle
-        // replays the same integer ceiling division)
-        val cap = Similarity.derivedCellCap(emb.count(), k = 4)
+        // replays the same integer ceiling division). N comes from the
+        // MEMOIZED assignment frame the dedup reads anyway — counting
+        // the localCheckpoint is a cached-frame count, where
+        // emb.count() was a second full corpus scan per invocation
+        // (round-11 bench: +0.9s). Assignment drops null vectors, so
+        // the oracle counts the same non-null universe.
+        val assigned = Pipeline.fittedKmeansAssigned(s, dir, 4, 3)
+        val cap = Similarity.derivedCellCap(assigned.count(), k = 4)
         Similarity.semanticDedupBounded(emb, "vec_id", "embedding",
           model, 0.45, cellCap = cap,
-          preAssigned = Some(Pipeline.fittedKmeansAssigned(s, dir, 4, 3)))
+          preAssigned = Some(assigned))
       },
       Some {
         val (ctes, asg) = graft.operators.KMeansOp.assignCtes(4, 3)
@@ -655,7 +622,7 @@ object Pipeline6 {
         s"""WITH $ctes,
            |cap AS (
            |  SELECT GREATEST(64, (COUNT(*) + 255) // 256) AS cap
-           |  FROM embeddings),
+           |  FROM embeddings WHERE embedding IS NOT NULL),
            |sz AS (SELECT cell, COUNT(*) AS c FROM $asg GROUP BY cell),
            |ms AS (
            |  SELECT cell,
@@ -681,17 +648,22 @@ object Pipeline6 {
            |  FROM bits a JOIN bits b
            |    ON a.cell = b.cell AND a.sub = b.sub
            |      AND a.vec_id < b.vec_id),
+           |elq9 AS (
+           |  SELECT vec_id,
+           |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
+           |    ${Pipeline.quantE9("unnest(embedding)")} AS xq
+           |  FROM embeddings WHERE embedding IS NOT NULL),
            |cs AS (
            |  SELECT pr.ida, pr.idb,
-           |    CAST(SUM(x.x * y.x) AS DOUBLE) AS dot,
-           |    CAST(SUM(x.x * x.x) AS DOUBLE) AS nx,
-           |    CAST(SUM(y.x * y.x) AS DOUBLE) AS ny
-           |  FROM pr JOIN el x ON x.vec_id = pr.ida
-           |          JOIN el y ON y.vec_id = pr.idb AND y.d = x.d
+           |    SUM(CAST(x.xq AS HUGEINT) * y.xq) AS dot18,
+           |    SUM(CAST(x.xq AS HUGEINT) * x.xq) AS nx18,
+           |    SUM(CAST(y.xq AS HUGEINT) * y.xq) AS ny18
+           |  FROM pr JOIN elq9 x ON x.vec_id = pr.ida
+           |          JOIN elq9 y ON y.vec_id = pr.idb AND y.d = x.d
            |  GROUP BY pr.ida, pr.idb),
+           |${Pipeline.exactC6Ctes("sc6", "cs", Seq("ida", "idb"))},
            |drp AS (
-           |  SELECT DISTINCT idb AS id FROM cs
-           |  WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.45)
+           |  SELECT DISTINCT idb AS id FROM sc6 WHERE c6 >= 450000)
            |SELECT b.cell AS cluster,
            |  CAST(COUNT(DISTINCT b.sub) AS BIGINT) AS n_subcells,
            |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -846,7 +818,7 @@ object Pipeline6 {
           .select($"pid".as("a_id"), $"exact_id", $"exact_c6", $"ivf_ok")
           .orderBy($"a_id")
       },
-      Some("""WITH fea AS (
+      Some(s"""WITH fea AS (
              |  SELECT vec_id, embedding FROM embeddings
              |  WHERE label % 2 = 0),
              |feb AS (
@@ -854,20 +826,15 @@ object Pipeline6 {
              |  WHERE label % 2 = 1),
              |fel AS (
              |  SELECT a.vec_id AS pid, b.vec_id AS cid,
-             |    CAST(unnest(a.embedding) AS DECIMAL(18,9)) AS x,
-             |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+             |    ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+             |    ${Pipeline.quantE9("unnest(b.embedding)")} AS y
              |  FROM fea a CROSS JOIN feb b),
              |fcs AS (
-             |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
-             |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-             |    CAST(SUM(y*y) AS DOUBLE) AS ny
-             |  FROM fel GROUP BY pid, cid
-             |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
-             |fc6 AS (
-             |  SELECT pid, cid,
-             |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
-             |      AS BIGINT) AS c6
-             |  FROM fcs),
+             |  SELECT pid, cid, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+             |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+             |    SUM(CAST(y AS HUGEINT) * y) AS ny18
+             |  FROM fel GROUP BY pid, cid),
+             |${Pipeline.exactC6Ctes("fc6", "fcs", Seq("pid", "cid"))},
              |fr AS (
              |  SELECT *, row_number() OVER (PARTITION BY pid
              |    ORDER BY c6 DESC, cid) AS rn FROM fc6)
@@ -1045,7 +1012,7 @@ object Pipeline6 {
     * and p106's exact-NN select, one text for both.
     */
   private val bitextXOracleCtes: String =
-    """pa AS (
+    s"""pa AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  WHERE label % 2 = 0 ORDER BY vec_id LIMIT 16),
       |ea AS (SELECT vec_id, embedding FROM embeddings
@@ -1054,20 +1021,15 @@ object Pipeline6 {
       |       WHERE label % 2 = 1),
       |xel AS (
       |  SELECT p.vec_id AS pid, b.vec_id AS cid,
-      |    CAST(unnest(p.embedding) AS DECIMAL(18,9)) AS x,
-      |    CAST(unnest(b.embedding) AS DECIMAL(18,9)) AS y
+      |    ${Pipeline.quantE9("unnest(p.embedding)")} AS x,
+      |    ${Pipeline.quantE9("unnest(b.embedding)")} AS y
       |  FROM pa p CROSS JOIN eb b),
       |xcs AS (
-      |  SELECT pid, cid, CAST(SUM(x*y) AS DOUBLE) AS dot,
-      |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-      |    CAST(SUM(y*y) AS DOUBLE) AS ny
-      |  FROM xel GROUP BY pid, cid
-      |  HAVING SUM(x*x) > 0 AND SUM(y*y) > 0),
-      |xc6 AS (
-      |  SELECT pid, cid,
-      |    CAST(floor(dot / (sqrt(nx) * sqrt(ny)) * 1000000)
-      |      AS BIGINT) AS c6
-      |  FROM xcs),
+      |  SELECT pid, cid, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+      |    SUM(CAST(x AS HUGEINT) * x) AS nx18,
+      |    SUM(CAST(y AS HUGEINT) * y) AS ny18
+      |  FROM xel GROUP BY pid, cid),
+      |${Pipeline.exactC6Ctes("xc6", "xcs", Seq("pid", "cid"))},
       |xr AS (
       |  SELECT *, row_number() OVER (PARTITION BY pid
       |    ORDER BY c6 DESC, cid) AS rn FROM xc6),
@@ -1105,8 +1067,7 @@ object Pipeline6 {
     c.join(broadcast(cands), Seq("cid"))
       .join(broadcast(p), Seq("pid"))
       .select($"pid", $"cid",
-        floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
-          .cast("long").as("c6"))
+        Similarity.cosineE6($"cvec", $"pvec").as("c6"))
       .groupBy($"pid")
       .agg(max(struct($"c6", (-$"cid").as("nid"))).as("b"))
       .select($"pid", (-$"b.nid").as("exact_id"), $"b.c6".as("exact_c6"))
@@ -1166,19 +1127,17 @@ object Pipeline6 {
     val cands = scored.join(broadcast(f4), Seq("pid"))
       .filter($"fs" >= $"f4" - 5e-6)
       .select($"pid", $"cid")
-    // micro-cosine: FLOOR of the bit-identical double cosine scaled by
-    // 1e6 — NOT round(·, 6): Spark's round applies HALF_UP to the
-    // double's exact decimal expansion while DuckDB rounds the scaled
-    // double, and the two disagree on half-way neighbourhoods (a c6-
-    // by-one difference shifts the margin sums — observed at sf0.01).
-    // Both engines build the cosine from exact decimal sums cast to
-    // double and the same IEEE op sequence, so cos, cos * 1e6, and its
-    // floor are bit-identical cross-engine.
+    // micro-cosine: the EXACT integer floor(1e6 c) kernel
+    // (Similarity.cosineE6) — never floor of the double cosine: the
+    // double form's DECIMAL->DOUBLE cast can differ by one ulp across
+    // engines/summation trees, and a c6-by-one difference shifts the
+    // margin sums (the round-11 sf0.1 exclusion class; an earlier
+    // round(·, 6) variant diverged the same way at sf0.01). The exact
+    // kernel's integer ladder replays in SQL via Pipeline.exactC6Ctes.
     val exact = c.join(broadcast(cands), Seq("cid"))
       .join(broadcast(p), Seq("pid"))
       .select($"pid", $"cid",
-        floor(Similarity.cosine($"cvec", $"pvec") * 1000000)
-          .cast("long").as("c6"))
+        Similarity.cosineE6($"cvec", $"pvec").as("c6"))
     exact.withColumn("rk", row_number().over(
         Window.partitionBy($"pid").orderBy($"c6".desc, $"cid")))
       .filter($"rk" <= 4)

@@ -858,7 +858,7 @@ object Pipeline7 {
         val emb = t(s, dir, "embeddings")
         val dense = Pipeline.annExactTop10(s, dir)
           .withColumn("rank",
-            row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
+            row_number().over(Window.orderBy($"sim_e6".desc, $"vec_id")))
           .select($"vec_id", $"rank")
         val qlab = emb.filter($"vec_id" === 0).select($"label".as("qlab"))
         val disc = typedLit(NdcgDisc)
@@ -919,22 +919,9 @@ object Pipeline7 {
           .orderBy($"k")
       },
       Some(s"""WITH disc(rank, d) AS (VALUES $ndcgDiscValues),
-              |dq AS (SELECT embedding AS qe FROM embeddings
-              |       WHERE vec_id = 0),
-              |del AS (SELECT e.vec_id,
-              |    CAST(unnest(e.embedding) AS DECIMAL(18,9)) AS x,
-              |    CAST(unnest(dq.qe) AS DECIMAL(18,9)) AS y
-              |  FROM embeddings e CROSS JOIN dq),
-              |dsum AS (SELECT vec_id, CAST(SUM(x*y) AS DOUBLE) AS dot,
-              |    CAST(SUM(x*x) AS DOUBLE) AS nx,
-              |    CAST(SUM(y*y) AS DOUBLE) AS ny
-              |  FROM del GROUP BY vec_id),
-              |dtop AS (SELECT vec_id,
-              |    round(dot / (sqrt(nx) * sqrt(ny)), 6) AS sim
-              |  FROM dsum WHERE vec_id <> 0
-              |  ORDER BY sim DESC, vec_id LIMIT 10),
+              |${Pipeline.denseTop10Ctes},
               |dr AS (SELECT vec_id,
-              |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+              |    row_number() OVER (ORDER BY sim_e6 DESC, vec_id) AS rank
               |  FROM dtop),
               |ql AS (SELECT label AS qlab FROM embeddings WHERE vec_id = 0),
               |cells AS (

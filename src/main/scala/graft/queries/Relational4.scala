@@ -766,14 +766,20 @@ object Relational4 {
         // old round(double/n, 4) off by one unit in the 4th digit on 4
         // rows — the two engines' double-rounding functions disagree on
         // half-way values, the only float left in the entry. Integer
-        // floor units are identical at any scale.
+        // units are identical at any scale — via the SIGN-SAFE
+        // negate-divide-negate (the p162 form): Spark DIV truncates
+        // toward zero while DuckDB // floors, so a negative hour sum
+        // must never reach either operator directly.
         grid.join(hourly, Seq("event_type", "h"), "left")
           .select($"event_type", $"h",
             coalesce($"n_events", lit(0L)).as("n_events"),
             round(coalesce($"hour_sum", lit(0.0)), 2).as("hour_sum"),
             when($"n_events" > 0,
-              expr("CAST(hour_sum_dec * 100 AS BIGINT) * 100" +
-                " DIV n_events")).as("__avg"))
+              expr("CASE WHEN hour_sum_dec < 0 THEN " +
+                "-((CAST((-hour_sum_dec) * 100 AS BIGINT) * 100)" +
+                " DIV n_events) " +
+                "ELSE CAST(hour_sum_dec * 100 AS BIGINT) * 100" +
+                " DIV n_events END")).as("__avg"))
           .withColumn("filled_avg_e4",
             last($"__avg", ignoreNulls = true).over(w))
           .drop("__avg")
@@ -797,9 +803,13 @@ object Relational4 {
              |  SELECT g.event_type, g.h,
              |    COALESCE(n_events, 0) AS n_events,
              |    ROUND(COALESCE(hour_sum, 0.0), 2) AS hour_sum,
-             |    CASE WHEN n_events > 0
-             |      THEN CAST(hour_sum_dec * 100 AS BIGINT) * 100
-             |        // n_events END AS avg0
+             |    CASE WHEN n_events > 0 THEN
+             |      CASE WHEN hour_sum_dec < 0 THEN
+             |        -((CAST((-hour_sum_dec) * 100 AS BIGINT) * 100)
+             |          // n_events)
+             |      ELSE CAST(hour_sum_dec * 100 AS BIGINT) * 100
+             |        // n_events END
+             |    END AS avg0
              |  FROM grid g LEFT JOIN hourly USING (event_type, h))
              |SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events,
              |  hour_sum,

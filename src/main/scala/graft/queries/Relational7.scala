@@ -667,12 +667,14 @@ object Relational7 {
     QueryDef(
       // TIME data type (new in Spark 4.1, behind spark.sql.timeType
       // .enabled; cast-from-timestamp is NOT wired as of 4.1.2 —
-      // re-probed on the shipped jars: CAST(TIMESTAMP AS TIME) fails
-      // analysis with DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION — so
-      // the time-of-day derives via make_time over the extracted
+      // re-probed each round on the shipped jars, last in round 12
+      // (2026-08-16, spark-sql 4.1.2/Scala 2.13.17): CAST(TIMESTAMP
+      // AS TIME) still fails analysis with
+      // DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION — so the
+      // time-of-day derives via make_time over the extracted
       // h/m/s, whole seconds on both engines, since the two truncate
-      // fractional seconds differently. Revisit if the runtime moves
-      // past 4.1.2). Exercises TIME construction,
+      // fractional seconds differently. Revisit when the runtime
+      // moves past 4.1.2). Exercises TIME construction,
       // literals, ordering (min/max), and range comparison — the
       // wall-clock-of-day analytics (business-hours windows, shift
       // buckets) that timestamps answer awkwardly across days. TIME

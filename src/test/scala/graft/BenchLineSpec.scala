@@ -76,6 +76,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("extmax"), line)
   }
 
+  test("per-query ext: clean runs pay no chars, contended entries are " +
+      "named worst-first, the cap keeps a loaded box inside the window") {
+    val results = Seq(("q01_x", 2.0, true), ("q02_y", 3.0, true))
+    val clean = Bench.renderLine(results, "/tmp/sf",
+      extPerQuery = Seq(("q01_x", 0.1), ("q02_y", 0.4)))
+    assert(!clean.contains("\"ext\""), clean)
+    val hot = Bench.renderLine(results, "/tmp/sf",
+      extPerQuery = Seq(("q01_x", 0.7), ("q02_y", 2.3)))
+    assert(hot.contains(""""ext":{"q02":2.3,"q01":0.7},"""), hot)
+    assert(!hot.contains("ext_more"), hot)
+    // 12 contended entries: 8 shown + a count, line stays bounded
+    val many = (1 to 12).map(i => (f"q$i%02d_z", 1.0 + i / 10.0))
+    val capped = Bench.renderLine(results, "/tmp/sf", extPerQuery = many)
+    assert(capped.contains(""""ext_more":4"""), capped)
+    assert(capped.split("\"ext\":\\{")(1).takeWhile(_ != '}')
+      .count(_ == ':') == 8, capped)
+  }
+
   test("line is well-formed for the driver's parser") {
     val results = Seq(("q01_pricing_summary", 1.234567, true), ("p08_minhash_lsh", 0.5, false))
     val line = Bench.renderLine(results, "/tmp/sf")

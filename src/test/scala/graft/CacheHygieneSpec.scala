@@ -224,14 +224,19 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("round-11 persists (Jaccard cap-join frame, HITS score frames) " +
-      "are dropped by the per-query clear") {
-    // p37/p07 gained the DF-capped shingle persist this round; p159
+  test("round-11/12 persists (Jaccard cap-join frame, HITS score " +
+      "frames, containment index, leak-span tokenization) are dropped " +
+      "by the per-query clear") {
+    // p37/p07 gained the DF-capped shingle persist in round 11; p159
     // persists the edge frame plus one frame per normalized
-    // half-iteration
+    // half-iteration; p160's containmentPairs persists the exploded
+    // shingles and the DF-capped frame it rides; p48 persists the
+    // tokenized frame its witness guard + gram pass + length
+    // projection share (round 12)
     for (q <- Seq("p37_incremental_dedup", "p07_ngram_jaccard",
         "p159_hits_authorities", "p162_principal_direction",
-        "p165_vocab_gini", "p17_neardup_lsh", "p09_simhash")) {
+        "p165_vocab_gini", "p17_neardup_lsh", "p09_simhash",
+        "p160_containment_dedup", "p48_leak_spans")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, sf).count()
       spark.catalog.clearCache()

@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // memo materializes: the brute-force scan itself must broadcast the
     // 1-row query vector and TakeOrder the top-k — never shuffle the
     // corpus
-    val p = graft.operators.Similarity.bruteForceTopKRounded(
+    val p = graft.operators.Similarity.bruteForceTopKE6(
         graft.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding",
         0, 10)
       .queryExecution.executedPlan.toString
@@ -410,11 +410,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(winSpecs.nonEmpty, s"selection must use a frame window:\n$p")
     assert(winSpecs.forall(l => l.contains("doc_id") && !l.contains("fp")),
       s"selection windows must partition by doc_id, never fingerprint:\n$p")
-    assert(!p.contains("SinglePartition"),
-      s"no single-partition exchange may appear:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    // exactly ONE single-partition reduce is allowed: the round-12
+    // doc-length witnessGuard's 1-row count aggregate (a broadcast
+    // guard, not a data-path funnel). Count DISTINCT plan_ids — the
+    // pre-AQE text prints a shared exchange subtree once per tree
+    // position, but one plan_id is one physical exchange
+    val spIds = "Exchange SinglePartition[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(spIds.size <= 1,
+      s"only the witness-count guard may reduce to one partition:\n$p")
+    assert(!p.contains("CartesianProduct"),
       s"the fingerprint self-join must stay an equi-join:\n$p")
+    // nested loops are allowed ONLY in the guard shape (BuildRight,
+    // Cross against the 1-row witness-count aggregate — the p99/p107
+    // precedent); the fingerprint self-join itself must stay equi
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(l.contains("BuildRight, Cross"),
+        s"non-guard nested loop: $l\n$p")
+    }
   }
 
   test("q73 spatial radius join is a cell equi-join, never a cartesian") {

@@ -59,13 +59,11 @@ class Pipeline11OpsSpec extends AnyFunSuite {
     // a2: s1=2750, s2=1000, s3=1000; max 2750 -> a2n: s1=1000, s2=363, s3=363
     val eu = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L), (3L, 30L))
       .toDF("c", "sp")
+    // the PRODUCTION normalizer, not an inline copy — drift in the
+    // shared operator must fail this golden, not only the oracle gate
     def normalized(scores0: org.apache.spark.sql.DataFrame,
-        valCol: String): org.apache.spark.sql.DataFrame = {
-      val scores = scores0.persist()
-      scores.crossJoin(broadcast(scores.agg(max(col(valCol)).as("mx"))))
-        .select(scores.columns.filterNot(_ == valCol).map(col) :+
-          expr(s"$valCol * 1000 DIV mx").as(valCol): _*)
-    }
+        valCol: String): org.apache.spark.sql.DataFrame =
+      GraphOps.maxNormalizedMilli(scores0, valCol)
     val a1 = normalized(
       eu.groupBy(col("sp")).agg((count(lit(1)) * 1000L).as("a")), "a")
     val h1 = normalized(

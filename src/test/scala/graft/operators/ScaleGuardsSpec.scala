@@ -112,4 +112,52 @@ class ScaleGuardsSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect()
     assert(ok.length == 2 && ok.forall(_.getLong(3) == 40L))
   }
+
+  test("p61's winnowing doc-length guard: an over-long document fails " +
+      "fast instead of funneling one selection window") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.winnowedFingerprints(docs, "doc_id", "text",
+        k = 4, w = 4, maxDocTokens = 30L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("winnowedFingerprints"), msg.take(300))
+    assert(msg.contains("w+k-1 overlap"), msg.take(300))
+    // within the bound: identical output to the unguarded shape — two
+    // identical docs share every selected fingerprint
+    val ok = Dedup.winnowedPairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 2).collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 1L &&
+      ok.head.getLong(1) == 2L)
+  }
+
+  test("p82's eval posting-list guard: a corpus-order eval gram fails " +
+      "fast instead of fanning out eval_df x train_df pairs") {
+    import spark.implicits._
+    // the guard sits inline in the p82 entry; drive it through the
+    // same witnessGuard shape the entry builds (budget 0, df witness)
+    val eval = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"))
+      .toDF("e_id", "gram")
+    val guarded = ScaleGuards.witnessGuard(
+      eval,
+      eval.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1L),
+      what = "p82 eval posting lists", budget = 0L,
+      remedy = "stop-list benchmark boilerplate grams")
+    val e = intercept[Exception] { guarded.count() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("p82 eval posting lists"), msg.take(300))
+    assert(msg.contains("stop-list"), msg.take(300))
+    // under the bound the guard is the identity
+    val ok = ScaleGuards.witnessGuard(
+      eval,
+      eval.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" > 2L),
+      what = "p82 eval posting lists", budget = 0L, remedy = "unused")
+    assert(ok.count() == 3L)
+  }
 }

@@ -28,26 +28,22 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, canon, frame_repr  # noqa: E402
 
-# Entries whose OUTPUT rounds a DOUBLE-derived quantity that lands
-# within ~1 ulp of a rounding half-way point at sf0.1 (the engines'
-# decimal-sum ladders and double-rounding functions differ in the last
-# bit). Derived EMPIRICALLY, not guessed: the full replay at sf0.1 was
-# run with this list EMPTY and exactly three entries diverged — each by
-# one unit in the last rounded digit on a handful of rows (p109 3/1025,
-# p12 6/920, q54 4/3600). q54 was then FIXED (its gap-filled average
-# moved to exact integer e4 units — round 11) and left the list; the
-# two cosine entries remain excluded because making them scale-exact
-# would mean changing the shared dec_cosine kernel's documented
-# per-add (38,17) ladder under dozens of green consumers. Their
-# correctness stays pinned by the sf0.01/sf0.001 gates, where no value
-# straddles a rounding point.
-FLOAT_ORDER_SENSITIVE = {
-    # round(double cosine, 6): sf0.1 puts a few pairs a half-ulp from
-    # the 1e-6 boundary
-    "p12_embedding_neardup",
-    # exact_c6 companion column: same 1e-6 cosine boundary class
-    "p109_ivf_batch_bitext",
-}
+# EMPTY since round 12. History: the round-11 replay (run with this
+# list empty) found exactly three divergent entries, each one unit off
+# in the last rendered digit on a handful of rows (p109 3/1025,
+# p12 6/920, q54 4/3600). q54 was fixed in round 11 (gap-filled
+# average moved to exact integer e4 units); p12/p109 were excluded
+# with a "double-rounding boundary" diagnosis. Round 12 chased the
+# real cause — CAST(float AS DECIMAL(18,9)) itself is not portable
+# (DuckDB rounds the float's shortest ~9-digit repr, Spark the exact
+# double: 95598/128000 fixture elements differ, sums drift ~1e-8) —
+# and replaced the whole micro-cosine render/decide path with the
+# exact integer kernel dec_cosine_e6 (floor-quantized e9 elements,
+# integer sums, isqrt floor; DuckDB replays it via the
+# Pipeline.exactC6Ctes guess+fix-up ladder). Every entry now replays
+# hash-exact at every scale; a red row here is a bug, never "expected
+# float noise".
+FLOAT_ORDER_SENSITIVE = set()
 
 
 def main(sf_dir: str, out_dir: str, artifact: str) -> int:
