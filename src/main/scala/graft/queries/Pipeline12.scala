@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Twelfth pipeline batch — the round-12 exact-integer audit
+  * completions built on the [[graft.functions.DecVecCosineE6]] /
+  * quantE9 discipline (no float anywhere on a rendered or compared
+  * value):
+  *
+  *  - cross-fold semantic contamination: p166 gives deterministic
+  *    folds and p12 the exact near-dup pair set; a split is only
+  *    trustworthy when the two COMPOSE cleanly — a semantic duplicate
+  *    straddling train/validation folds leaks the answer key even
+  *    when every fold is size- and label-balanced.
+  *  - linear-kernel MMD drift (Gretton et al. JMLR 2012, public):
+  *    MMD² under the linear kernel is ||mean_P − mean_Q||², which
+  *    over quantized integer embeddings is EXACT cross-multiplied
+  *    arithmetic — the embedding-space complement of the token-space
+  *    drift monitors (p62 L2, p146 KS, p157 PSI).
+  */
+object Pipeline12 {
+  import graft.Tables.t
+
+  /** The p166 fold convention applied to vec_id: arithmetic on the
+    * first two md5 hex chars, mod 5 — engine-portable where a 64-bit
+    * multiplicative hash is not.
+    */
+  private def foldOf(idSql: String): String =
+    s"pmod(ascii(substring(md5(CAST($idSql AS STRING)), 1, 1)) * 16" +
+      s" + ascii(substring(md5(CAST($idSql AS STRING)), 2, 1)), 5)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // CROSS-FOLD SEMANTIC CONTAMINATION AUDIT: the check that p166's
+      // balance audit is NOT — balanced folds can still leak when a
+      // near-duplicate pair straddles two folds (the eval half answers
+      // the train half). Folds are the deterministic md5-arithmetic
+      // assignment (the p166/p19 portability convention, on vec_id);
+      // pairs are the EXACT integer micro-cosine near-dups at
+      // sim_e6 >= 400000 (p12's set — scale-exact since round 12, so
+      // this composition hash-gates at every SF). Output: one row per
+      // unordered fold pair with its pair count plus each pair class's
+      // share of all near-dup pairs in ppm; off-diagonal rows ARE the
+      // contamination. Scale shape: the pair set comes from the
+      // near-dup family (LSH-banded at 100 TB — the exact companion
+      // here is the oracle-checkable fixture path); fold assignment is
+      // one map-side expression per pair side, and everything after is
+      // a 15-row fold-pair dictionary.
+      "p167_crossfold_contamination",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.operators.Similarity.nearDupPairsExact(
+          t(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.4)
+        val withFolds = pairs.select(
+          expr(foldOf("id_a")).as("fa"),
+          expr(foldOf("id_b")).as("fb"))
+          .select(least($"fa", $"fb").as("fold_a"),
+            greatest($"fa", $"fb").as("fold_b"))
+        val counts = withFolds.groupBy($"fold_a", $"fold_b")
+          .agg(count(lit(1)).as("n_pairs"))
+        val tot = counts.agg(sum($"n_pairs").as("nn"))
+        counts.crossJoin(broadcast(tot))
+          .select($"fold_a", $"fold_b", $"n_pairs",
+            expr("n_pairs * 1000000 DIV nn").as("share_ppm"),
+            ($"fold_a" =!= $"fold_b").as("cross_fold"))
+          .orderBy($"fold_a", $"fold_b")
+      },
+      Some {
+        // DuckDB % matches Spark pmod on nonnegative operands; the md5
+        // char arithmetic is nonnegative by construction
+        def fold(id: String) =
+          s"((ascii(substr(md5(CAST($id AS VARCHAR)), 1, 1)) * 16" +
+            s" + ascii(substr(md5(CAST($id AS VARCHAR)), 2, 1))) % 5)"
+        s"""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+           |         ${Pipeline.quantE9("unnest(b.embedding)")} AS y
+           |       FROM embeddings a JOIN embeddings b
+           |         ON a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+           |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+           |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+           |      FROM el GROUP BY id_a, id_b),
+           |${Pipeline.exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))},
+           |pf AS (
+           |  SELECT LEAST(${fold("id_a")}, ${fold("id_b")}) AS fold_a,
+           |    GREATEST(${fold("id_a")}, ${fold("id_b")}) AS fold_b
+           |  FROM pc6 WHERE c6 >= 400000),
+           |cnt AS (SELECT fold_a, fold_b, COUNT(*) AS n_pairs
+           |        FROM pf GROUP BY 1, 2),
+           |tt AS (SELECT SUM(n_pairs) AS nn FROM cnt)
+           |SELECT fold_a, fold_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(n_pairs * 1000000 // nn AS BIGINT) AS share_ppm,
+           |  fold_a <> fold_b AS cross_fold
+           |FROM cnt, tt
+           |ORDER BY fold_a, fold_b""".stripMargin
+      }),
+
+    QueryDef(
+      // EMBEDDING-SPACE MMD DRIFT (linear kernel): for every unordered
+      // label pair, MMD² = ||mean_a − mean_b||² — the embedding-space
+      // drift score next to the token-space monitors (p62/p146/p157):
+      // two sources can match every token statistic and still embed
+      // into different regions. EXACT cross-multiplied integers over
+      // quantE9 elements: with per-label per-dim sums S and counts n,
+      // ||S_a/n_a − S_b/n_b||² = Σ_d (S_ad·n_b − S_bd·n_a)² / (n_a·n_b)²,
+      // every product inside DECIMAL(38,0)/HUGEINT (term ≤ ~6e30 at
+      // fixture scale; 10⁹-vector corpora stay under 10³⁸ because S
+      // grows linearly while the render divides the square back out),
+      // rendered as mmd2_e12 = V DIV (D·10⁶) (quantized e9 units make
+      // the e18-unit numerator exact; one floor division at the end).
+      // Scale shape: ONE corpus pass folds to the (label × dim) sum
+      // dictionary (partial-aggregable longs then decimal — the p162
+      // two-level discipline is unnecessary here: per-dim sums are
+      // linear, not squared); the pair expansion is an equi-join of
+      // that dictionary with itself on dim; nothing corpus-sized
+      // shuffles and no window exists.
+      "p168_embedding_mmd_drift",
+      (s, dir) => {
+        import s.implicits._
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = t(s, dir, "embeddings").filter($"embedding".isNotNull)
+        val cells = base
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .select($"label", $"dim",
+            floor($"v".cast("double") * lit(1e9)).cast("long").as("xe9"))
+          .groupBy($"label", $"dim")
+          .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
+        val a = cells.select($"label".as("label_a"), $"dim",
+          $"sx".as("sa"), $"n".cast(D38).as("na"))
+        val b = cells.select($"label".as("label_b"), $"dim",
+          $"sx".as("sb"), $"n".cast(D38).as("nb"))
+        a.join(b, Seq("dim")).filter($"label_a" < $"label_b")
+          .groupBy($"label_a", $"label_b")
+          .agg(
+            max($"na").as("na"), max($"nb").as("nb"),
+            sum(($"sa" * $"nb" - $"sb" * $"na") *
+              ($"sa" * $"nb" - $"sb" * $"na")).as("v"))
+          .select($"label_a", $"label_b",
+            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+            expr("v DIV (na * na * nb * nb * 1000000)").as("mmd2_e12"))
+          .orderBy($"label_a", $"label_b")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT label,
+             |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             |    ${Pipeline.quantE9("unnest(embedding)")} AS xe9
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |sums AS (
+             |  SELECT label, dim, CAST(SUM(xe9) AS HUGEINT) AS sx,
+             |    CAST(COUNT(*) AS HUGEINT) AS n
+             |  FROM cells GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    MAX(a.n) AS na, MAX(b.n) AS nb,
+             |    SUM((a.sx * b.n - b.sx * a.n) * (a.sx * b.n - b.sx * a.n))
+             |      AS v
+             |  FROM sums a JOIN sums b
+             |    ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b,
+             |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(v // (na * na * nb * nb * 1000000) AS BIGINT)
+             |    AS mmd2_e12
+             |FROM pairs
+             |ORDER BY label_a, label_b""".stripMargin))
+  )
+}

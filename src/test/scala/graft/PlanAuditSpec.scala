@@ -914,4 +914,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
   }
+
+  test("p167 cross-fold contamination: fold arithmetic is map-side; " +
+      "only the 1-row total broadcasts") {
+    val p = plan("p167_crossfold_contamination")
+    // the pair set rides the near-dup family; past it the plan is one
+    // fold-pair aggregation plus a 1-row total cross (the ScaleGuards
+    // broadcast shape) — never an unbroadcast product or a window
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast crosses are allowed:\n$p")
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(l.contains("BuildRight, Cross"),
+        s"non-total nested loop: $l")
+    }
+    assert(!p.contains("Window"), s"counts aggregate, never window:\n$p")
+  }
+
+  test("p168 MMD drift: one corpus pass to the (label x dim) " +
+      "dictionary, pair expansion by dim equi-join, no window") {
+    val p = plan("p168_embedding_mmd_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the label-pair expansion must ride the dim equi-join:\n$p")
+    assert(!p.contains("Window"), s"aggregation-only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (label, dim) sums must partial-aggregate map-side:\n$p")
+  }
 }
