@@ -164,6 +164,83 @@ object Pipeline12 {
              |  CAST(v // (na * na * nb * nb * 1000000) AS BIGINT)
              |    AS mmd2_e12
              |FROM pairs
-             |ORDER BY label_a, label_b""".stripMargin))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    QueryDef(
+      // HOURLY MMD DRIFT (p168 run as a MONITOR — the p154/p163
+      // convention applied to embedding space): baseline mean from the
+      // even-vec split ("yesterday's corpus"), per synthetic ingest
+      // hour the linear-kernel MMD² of that hour's arrivals (odd vecs,
+      // the p110/p163 deterministic timestamp convention) against it —
+      // the alarm that a crawl started embedding somewhere new even
+      // when every token statistic holds. Same exact integers as p168:
+      // Σ_d (S_wd·n_b − B_d·n_w)² DIV ((n_w·n_b)²·10⁶) over quantE9
+      // elements. The streaming twin
+      // (EmbedStreams.mmdDriftStream, pinned stream == batch against
+      // THIS entry) computes the identical score inside one
+      // watermarked windowed aggregation — the fixed embedding width
+      // is the closed domain that pivots the per-dim sums into
+      // columns. Scale shape: one (hour × dim) sum shuffle
+      // (partial-aggregable longs; the hour × 64 spine is
+      // dictionary-sized), the baseline a 64-row broadcast.
+      "p169_mmd_drift_hourly",
+      (s, dir) => {
+        import s.implicits._
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val emb = t(s, dir, "embeddings").filter($"embedding".isNotNull)
+        def quant = transform($"embedding",
+          x => floor(x.cast("double") * lit(1e9)).cast("long"))
+        val bcells = emb.filter($"vec_id" % 2 === 0)
+          .select(posexplode(quant).as(Seq("dim", "xe9")))
+          .groupBy($"dim")
+          .agg(sum($"xe9").cast(D38).as("b"), count(lit(1)).as("bn0"))
+        val bn = bcells.agg(max($"bn0").cast(D38).as("bn"))
+        val cells = emb.filter($"vec_id" % 2 === 1)
+          .withColumn("w", expr(
+            "date_trunc('hour', timestamp_seconds(" +
+              "1767225600 + (vec_id * 97) % 172800))"))
+          .select($"w", posexplode(quant).as(Seq("dim", "xe9")))
+          .groupBy($"w", $"dim")
+          .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
+        cells.join(broadcast(bcells.select($"dim", $"b")), Seq("dim"))
+          .crossJoin(broadcast(bn))
+          .select($"w", $"n", $"bn",
+            (($"sx" * $"bn" - $"b" * $"n".cast(D38)) *
+              ($"sx" * $"bn" - $"b" * $"n".cast(D38))).as("term"))
+          .groupBy($"w")
+          .agg(max($"n").as("n_vecs"), max($"bn").as("bnn"),
+            sum($"term").as("v"))
+          .select($"w".as("w_start"), $"n_vecs",
+            expr("v DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs" +
+              " * bnn * bnn * 1000000)").as("mmd2_e12"))
+          .orderBy($"w_start")
+      },
+      Some(s"""WITH cells0 AS (
+             |  SELECT vec_id,
+             |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             |    ${Pipeline.quantE9("unnest(embedding)")} AS xe9
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |bl AS (
+             |  SELECT dim, CAST(SUM(xe9) AS HUGEINT) AS b,
+             |    CAST(COUNT(*) AS HUGEINT) AS bn
+             |  FROM cells0 WHERE vec_id % 2 = 0 GROUP BY 1),
+             |cells AS (
+             |  SELECT date_trunc('hour',
+             |      to_timestamp(1767225600 + (vec_id * 97) % 172800)
+             |        ::TIMESTAMP) AS w,
+             |    dim, CAST(SUM(xe9) AS HUGEINT) AS sx,
+             |    CAST(COUNT(*) AS HUGEINT) AS n
+             |  FROM cells0 WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+             |hh AS (
+             |  SELECT c.w, MAX(c.n) AS n, MAX(bl.bn) AS bn,
+             |    SUM((c.sx * bl.bn - bl.b * c.n)
+             |      * (c.sx * bl.bn - bl.b * c.n)) AS v
+             |  FROM cells c JOIN bl USING (dim)
+             |  GROUP BY c.w)
+             |SELECT w AS w_start, CAST(n AS BIGINT) AS n_vecs,
+             |  CAST(v // (n * n * bn * bn * 1000000) AS BIGINT)
+             |    AS mmd2_e12
+             |FROM hh
+             |ORDER BY w_start""".stripMargin))
   )
 }

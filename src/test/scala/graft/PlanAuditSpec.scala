@@ -940,4 +940,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"the (label, dim) sums must partial-aggregate map-side:\n$p")
   }
+
+  test("p169 hourly MMD: (hour x dim) sums partial-aggregate; the " +
+      "baseline joins broadcast; no window") {
+    val p = plan("p169_mmd_drift_hourly")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row baseline-count broadcast cross is allowed:\n$p")
+    p.split("\n").filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(l.contains("BuildRight, Cross"),
+        s"non-baseline nested loop: $l")
+    }
+    assert(!p.contains("Window"), s"aggregation-only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (hour, dim) sums must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 64-row baseline must broadcast:\n$p")
+  }
 }
