@@ -241,6 +241,67 @@ object Pipeline12 {
              |  CAST(v // (n * n * bn * bn * 1000000) AS BIGINT)
              |    AS mmd2_e12
              |FROM hh
-             |ORDER BY w_start""".stripMargin))
+             |ORDER BY w_start""".stripMargin)),
+
+    QueryDef(
+      // SEMANTIC DUP CLUSTER INVENTORY: the p24 pairs->clusters
+      // composition run on the EMBEDDING near-dup graph — transitive
+      // closure over the exact sim_e6 >= 400000 pair set (p12's,
+      // scale-exact), one row per non-trivial cluster with its size
+      // and LABEL mix. Clusters spanning labels are the actionable
+      // rows: a near-identical vector pair with different labels is
+      // either a labeling error or a leak, and neither pairwise lists
+      // (p12) nor per-label stats (p168) surface the transitive case.
+      // Scale shape: the pair graph is id-only (the CC operator's
+      // pointer-doubling machinery, checkpointed — the p24/p96 path);
+      // the label join-back touches only clustered ids; output is
+      // cluster-count-sized. Oracle: recursive min-reachable-id CTE
+      // over the same exact pair set.
+      "p170_semantic_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val pairs = graft.operators.Similarity.nearDupPairsExact(
+          emb, "vec_id", "embedding", minSim = 0.4)
+        val labels = graft.operators.Dedup.connectedComponents(pairs)
+        labels.join(emb.select($"vec_id".as("id"), $"label"), Seq("id"))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct($"label").as("n_labels"),
+            min($"id").as("min_id"), max($"id").as("max_id"))
+          .select($"cluster_id", $"n_members", $"n_labels",
+            ($"n_labels" > 1).as("cross_label"), $"min_id", $"max_id")
+          .orderBy($"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE el AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+           |         ${Pipeline.quantE9("unnest(b.embedding)")} AS y
+           |       FROM embeddings a JOIN embeddings b
+           |         ON a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+           |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+           |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+           |      FROM el GROUP BY id_a, id_b),
+           |${Pipeline.exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))},
+           |pp AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM pc6 WHERE c6 >= 400000),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM pp
+           |  UNION ALL SELECT id_b, id_a FROM pp),
+           |reach AS (
+           |  SELECT src AS id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst AS id, r.lbl AS lbl
+           |  FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id, MIN(lbl) AS cluster_id
+           |       FROM reach GROUP BY id)
+           |SELECT cl.cluster_id, COUNT(*) AS n_members,
+           |  CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+           |  COUNT(DISTINCT e.label) > 1 AS cross_label,
+           |  MIN(cl.id) AS min_id, MAX(cl.id) AS max_id
+           |FROM cl JOIN embeddings e ON e.vec_id = cl.id
+           |GROUP BY cl.cluster_id
+           |ORDER BY cl.cluster_id""".stripMargin))
   )
 }
