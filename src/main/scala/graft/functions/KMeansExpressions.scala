@@ -360,8 +360,19 @@ case class DecVecCosineE6(left: Expression, right: Expression)
       if (java.lang.Double.isNaN(fa) || java.lang.Double.isInfinite(fa) ||
           java.lang.Double.isNaN(fb) || java.lang.Double.isInfinite(fb))
         return null
-      val xa = JBI.valueOf(math.floor(fa * 1e9).toLong)
-      val xb = JBI.valueOf(math.floor(fb * 1e9).toLong)
+      val qa = math.floor(fa * 1e9)
+      val qb = math.floor(fb * 1e9)
+      // |x·1e9| past Long range: .toLong would SATURATE silently
+      // (wrong cosine on Spark) while the DuckDB replay's
+      // CAST(... AS BIGINT) raises — null the result instead so both
+      // engines agree on out-of-spec magnitudes (9.223372036854776E18
+      // is exactly 2⁶³ as a double; floor values strictly below it
+      // convert exactly, and -2⁶³ itself is a valid Long)
+      if (qa >= 9.223372036854776e18 || qa < -9.223372036854776e18 ||
+          qb >= 9.223372036854776e18 || qb < -9.223372036854776e18)
+        return null
+      val xa = JBI.valueOf(qa.toLong)
+      val xb = JBI.valueOf(qb.toLong)
       dot = dot.add(xa.multiply(xb))
       na = na.add(xa.multiply(xa))
       nb = nb.add(xb.multiply(xb))

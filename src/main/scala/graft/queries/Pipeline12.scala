@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *    when every fold is size- and label-balanced.
   *  - linear-kernel MMD drift (Gretton et al. JMLR 2012, public):
   *    MMD² under the linear kernel is ||mean_P − mean_Q||², which
-  *    over quantized integer embeddings is EXACT cross-multiplied
-  *    arithmetic — the embedding-space complement of the token-space
-  *    drift monitors (p62 L2, p146 KS, p157 PSI).
+  *    over quantized integer embeddings is integer arithmetic on
+  *    e12-quantized per-dim means (sign-safe trunc division; the
+  *    quantization unit is the documented price for an overflow
+  *    bound independent of group size) — the embedding-space
+  *    complement of the token-space drift monitors (p62 L2, p146 KS,
+  *    p157 PSI).
   */
 object Pipeline12 {
   import graft.Tables.t
@@ -44,8 +47,9 @@ object Pipeline12 {
       // unordered fold pair with its pair count plus each pair class's
       // share of all near-dup pairs in ppm; off-diagonal rows ARE the
       // contamination. Scale shape: the pair set comes from the
-      // near-dup family (LSH-banded at 100 TB — the exact companion
-      // here is the oracle-checkable fixture path); fold assignment is
+      // near-dup family — p172 (Pipeline13) is the LSH-banded DEFAULT
+      // a 100 TB user reaches first; this exact companion is the
+      // broadcast-capped fixture path; fold assignment is
       // one map-side expression per pair side, and everything after is
       // a 15-row fold-pair dictionary.
       "p167_crossfold_contamination",
@@ -102,14 +106,22 @@ object Pipeline12 {
       // label pair, MMD² = ||mean_a − mean_b||² — the embedding-space
       // drift score next to the token-space monitors (p62/p146/p157):
       // two sources can match every token statistic and still embed
-      // into different regions. EXACT cross-multiplied integers over
-      // quantE9 elements: with per-label per-dim sums S and counts n,
-      // ||S_a/n_a − S_b/n_b||² = Σ_d (S_ad·n_b − S_bd·n_a)² / (n_a·n_b)²,
-      // every product inside DECIMAL(38,0)/HUGEINT (term ≤ ~6e30 at
-      // fixture scale; 10⁹-vector corpora stay under 10³⁸ because S
-      // grows linearly while the render divides the square back out),
-      // rendered as mmd2_e12 = V DIV (D·10⁶) (quantized e9 units make
-      // the e18-unit numerator exact; one floor division at the end).
+      // into different regions. Integer arithmetic over quantE9
+      // elements with per-dim means QUANTIZED to e12 units before the
+      // square: m_e12 = trunc(S_e9·10³ / n) via the sign-safe
+      // negate-divide-negate (the p162/q54 form — Spark DIV truncates,
+      // DuckDB // floors, so a negative sum never reaches either
+      // operator directly), then MMD²_e12 = Σ_d (m_ad − m_bd)² DIV
+      // 10¹². The mean quantization unit is 10⁻¹² per coordinate — the
+      // documented, bounded price for an overflow shape INDEPENDENT of
+      // group size: the old cross-multiplied form (S_a·n_b − S_b·n_a)²
+      // scales as (n_a·n_b·Δ_e9)² and blows past DECIMAL(38,0)/HUGEINT
+      // at ~10⁶ vectors per group under real drift, while here every
+      // squared term is ≤ (2·A·10¹²)² for element bound A, so V ≤
+      // dims·4·A²·10²⁴ — under 10³⁸ for any dims·A² ≤ 2.5·10¹², i.e.
+      // every real embedding table at ANY corpus size (the scaled
+      // sums S·10³ stay linear in n and fit DECIMAL(38,0) to n·A ≤
+      // 10²⁶ vectors).
       // Scale shape: ONE corpus pass folds to the (label × dim) sum
       // dictionary (partial-aggregable longs then decimal — the p162
       // two-level discipline is unnecessary here: per-dim sums are
@@ -127,19 +139,20 @@ object Pipeline12 {
             floor($"v".cast("double") * lit(1e9)).cast("long").as("xe9"))
           .groupBy($"label", $"dim")
           .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
-        val a = cells.select($"label".as("label_a"), $"dim",
-          $"sx".as("sa"), $"n".cast(D38).as("na"))
-        val b = cells.select($"label".as("label_b"), $"dim",
-          $"sx".as("sb"), $"n".cast(D38).as("nb"))
+        val means = cells.select($"label", $"dim", $"n",
+          expr("CASE WHEN sx >= 0 THEN (sx * 1000) DIV n" +
+            " ELSE -(((-sx) * 1000) DIV n) END").as("m"))
+        val a = means.select($"label".as("label_a"), $"dim",
+          $"m".as("ma"), $"n".as("na"))
+        val b = means.select($"label".as("label_b"), $"dim",
+          $"m".as("mb"), $"n".as("nb"))
         a.join(b, Seq("dim")).filter($"label_a" < $"label_b")
           .groupBy($"label_a", $"label_b")
-          .agg(
-            max($"na").as("na"), max($"nb").as("nb"),
-            sum(($"sa" * $"nb" - $"sb" * $"na") *
-              ($"sa" * $"nb" - $"sb" * $"na")).as("v"))
-          .select($"label_a", $"label_b",
-            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
-            expr("v DIV (na * na * nb * nb * 1000000)").as("mmd2_e12"))
+          .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+            sum(($"ma".cast(D38) - $"mb") *
+              ($"ma".cast(D38) - $"mb")).as("v"))
+          .select($"label_a", $"label_b", $"n_a", $"n_b",
+            expr("v DIV 1000000000000").as("mmd2_e12"))
           .orderBy($"label_a", $"label_b")
       },
       Some(s"""WITH cells AS (
@@ -151,17 +164,21 @@ object Pipeline12 {
              |  SELECT label, dim, CAST(SUM(xe9) AS HUGEINT) AS sx,
              |    CAST(COUNT(*) AS HUGEINT) AS n
              |  FROM cells GROUP BY 1, 2),
+             |means AS (
+             |  SELECT label, dim, n,
+             |    CASE WHEN sx >= 0 THEN (sx * 1000) // n
+             |         ELSE -(((-sx) * 1000) // n) END AS m
+             |  FROM sums),
              |pairs AS (
              |  SELECT a.label AS label_a, b.label AS label_b,
              |    MAX(a.n) AS na, MAX(b.n) AS nb,
-             |    SUM((a.sx * b.n - b.sx * a.n) * (a.sx * b.n - b.sx * a.n))
-             |      AS v
-             |  FROM sums a JOIN sums b
+             |    SUM((a.m - b.m) * (a.m - b.m)) AS v
+             |  FROM means a JOIN means b
              |    ON a.dim = b.dim AND a.label < b.label
              |  GROUP BY 1, 2)
              |SELECT label_a, label_b,
              |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-             |  CAST(v // (na * na * nb * nb * 1000000) AS BIGINT)
+             |  CAST(v // 1000000000000 AS BIGINT)
              |    AS mmd2_e12
              |FROM pairs
              |ORDER BY label_a, label_b""".stripMargin)),
@@ -173,8 +190,10 @@ object Pipeline12 {
       // hour the linear-kernel MMD² of that hour's arrivals (odd vecs,
       // the p110/p163 deterministic timestamp convention) against it —
       // the alarm that a crawl started embedding somewhere new even
-      // when every token statistic holds. Same exact integers as p168:
-      // Σ_d (S_wd·n_b − B_d·n_w)² DIV ((n_w·n_b)²·10⁶) over quantE9
+      // when every token statistic holds. Same e12-quantized integer
+      // means as p168 (the n-independent overflow shape): per dim
+      // m_e12 = trunc(S_e9·10³/n) sign-safely, then
+      // MMD²_e12 = Σ_d (m_wd − m_bd)² DIV 10¹² over quantE9
       // elements. The streaming twin
       // (EmbedStreams.mmdDriftStream, pinned stream == batch against
       // THIS entry) computes the identical score inside one
@@ -194,7 +213,9 @@ object Pipeline12 {
           .select(posexplode(quant).as(Seq("dim", "xe9")))
           .groupBy($"dim")
           .agg(sum($"xe9").cast(D38).as("b"), count(lit(1)).as("bn0"))
-        val bn = bcells.agg(max($"bn0").cast(D38).as("bn"))
+        val bmeans = bcells.select($"dim",
+          expr("CASE WHEN b >= 0 THEN (b * 1000) DIV bn0" +
+            " ELSE -(((-b) * 1000) DIV bn0) END").as("mb"))
         val cells = emb.filter($"vec_id" % 2 === 1)
           .withColumn("w", expr(
             "date_trunc('hour', timestamp_seconds(" +
@@ -202,17 +223,17 @@ object Pipeline12 {
           .select($"w", posexplode(quant).as(Seq("dim", "xe9")))
           .groupBy($"w", $"dim")
           .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
-        cells.join(broadcast(bcells.select($"dim", $"b")), Seq("dim"))
-          .crossJoin(broadcast(bn))
-          .select($"w", $"n", $"bn",
-            (($"sx" * $"bn" - $"b" * $"n".cast(D38)) *
-              ($"sx" * $"bn" - $"b" * $"n".cast(D38))).as("term"))
+        val wmeans = cells.select($"w", $"n", $"dim",
+          expr("CASE WHEN sx >= 0 THEN (sx * 1000) DIV n" +
+            " ELSE -(((-sx) * 1000) DIV n) END").as("mw"))
+        wmeans.join(broadcast(bmeans), Seq("dim"))
+          .select($"w", $"n",
+            (($"mw".cast(D38) - $"mb") *
+              ($"mw".cast(D38) - $"mb")).as("term"))
           .groupBy($"w")
-          .agg(max($"n").as("n_vecs"), max($"bn").as("bnn"),
-            sum($"term").as("v"))
+          .agg(max($"n").as("n_vecs"), sum($"term").as("v"))
           .select($"w".as("w_start"), $"n_vecs",
-            expr("v DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs" +
-              " * bnn * bnn * 1000000)").as("mmd2_e12"))
+            expr("v DIV 1000000000000").as("mmd2_e12"))
           .orderBy($"w_start")
       },
       Some(s"""WITH cells0 AS (
@@ -224,6 +245,10 @@ object Pipeline12 {
              |  SELECT dim, CAST(SUM(xe9) AS HUGEINT) AS b,
              |    CAST(COUNT(*) AS HUGEINT) AS bn
              |  FROM cells0 WHERE vec_id % 2 = 0 GROUP BY 1),
+             |blm AS (
+             |  SELECT dim, CASE WHEN b >= 0 THEN (b * 1000) // bn
+             |       ELSE -(((-b) * 1000) // bn) END AS mb
+             |  FROM bl),
              |cells AS (
              |  SELECT date_trunc('hour',
              |      to_timestamp(1767225600 + (vec_id * 97) % 172800)
@@ -231,14 +256,18 @@ object Pipeline12 {
              |    dim, CAST(SUM(xe9) AS HUGEINT) AS sx,
              |    CAST(COUNT(*) AS HUGEINT) AS n
              |  FROM cells0 WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+             |cm AS (
+             |  SELECT w, n, dim,
+             |    CASE WHEN sx >= 0 THEN (sx * 1000) // n
+             |         ELSE -(((-sx) * 1000) // n) END AS mw
+             |  FROM cells),
              |hh AS (
-             |  SELECT c.w, MAX(c.n) AS n, MAX(bl.bn) AS bn,
-             |    SUM((c.sx * bl.bn - bl.b * c.n)
-             |      * (c.sx * bl.bn - bl.b * c.n)) AS v
-             |  FROM cells c JOIN bl USING (dim)
-             |  GROUP BY c.w)
+             |  SELECT cm.w, MAX(cm.n) AS n,
+             |    SUM((cm.mw - blm.mb) * (cm.mw - blm.mb)) AS v
+             |  FROM cm JOIN blm USING (dim)
+             |  GROUP BY cm.w)
              |SELECT w AS w_start, CAST(n AS BIGINT) AS n_vecs,
-             |  CAST(v // (n * n * bn * bn * 1000000) AS BIGINT)
+             |  CAST(v // 1000000000000 AS BIGINT)
              |    AS mmd2_e12
              |FROM hh
              |ORDER BY w_start""".stripMargin)),
@@ -256,7 +285,10 @@ object Pipeline12 {
       // pointer-doubling machinery, checkpointed — the p24/p96 path);
       // the label join-back touches only clustered ids; output is
       // cluster-count-sized. Oracle: recursive min-reachable-id CTE
-      // over the same exact pair set.
+      // over the same exact pair set. The pair SOURCE here is the
+      // broadcast-capped exact companion — p171 (Pipeline13) is the
+      // LSH-banded DEFAULT a 100 TB user reaches first, gated against
+      // the same exact twin.
       "p170_semantic_clusters",
       (s, dir) => {
         import s.implicits._

@@ -19,27 +19,36 @@ object EmbedStreams {
     * FROZEN baseline — the streaming face of p169's hourly drift
     * monitor (and the embedding-space sibling of
     * [[TokenStreams.psiDriftStream]]): MMD² under the linear kernel is
-    * ||mean_window − mean_baseline||², exact cross-multiplied integers
-    * over e9-quantized elements (the dec_cosine_e6 quantization:
+    * ||mean_window − mean_baseline||², integer arithmetic over
+    * e9-quantized elements (the dec_cosine_e6 quantization:
     * floor(double·1e9), the one IEEE op both engines and both
-    * execution modes evaluate identically).
+    * execution modes evaluate identically) with per-dim means
+    * quantized to e12 units before the square — the p168/p169
+    * n-INDEPENDENT overflow shape: the old cross-multiplied form
+    * (S_wd·n_b − B_d·n_w)² scales as (n_w·n_b·Δ)² and overflows
+    * DECIMAL(38,0) at ~10⁶ rows per side under real drift, while
+    * every squared mean-difference here is bounded by the element
+    * magnitude alone, at any window size.
     *
     * The embedding width is the closed domain: per window, `dims`
-    * conditional sums pivot map-side (one `sum(xe9[d])` column each)
-    * plus the row count, and the MMD formula evaluates as a row-local
-    * DECIMAL expression over those columns against the baseline sums
-    * riding as LITERALS — so stream == batch EXACTLY at any
-    * micro-batch boundary placement (EmbedStreamsSpec pins it against
-    * the oracle-gated p169 entry). A ragged vector shorter than
-    * `dims` sums only its existing components on both sides
-    * (element_at past the end is NULL and sum skips it — the same
-    * totals the batch side's posexplode produces); vectors LONGER
-    * than `dims` are out of spec, as in lshSketches.
+    * sums pivot map-side (one `sum(xe9[d])` column each) plus the
+    * row count, each per-dim mean evaluates as a row-local sign-safe
+    * trunc division (negate-divide-negate — matching the BigInteger
+    * trunc the baseline means use below), and the score compares
+    * against the baseline means riding as LITERALS — so stream ==
+    * batch EXACTLY at any micro-batch boundary placement
+    * (EmbedStreamsSpec pins it against the oracle-gated p169 entry).
+    *
+    * CONTRACT: full-width vectors only. A vector whose length is not
+    * exactly `dims` is out of spec and DROPPED in-plan (the
+    * lshSketches stance) — a ragged vector cannot be scored against a
+    * fixed-width baseline mean without inventing a fill value, and
+    * silently summing its prefix would diverge from the batch twin's
+    * per-(window,dim) counts.
     *
     * Output per window: (w_start, n_vecs, mmd2_e12) with
-    * mmd2_e12 = Σ_d (S_wd·n_b − B_d·n_w)² DIV ((n_w·n_b)²·10⁶) —
-    * e9-quantized units make the e18-unit numerator exact; one floor
-    * division renders.
+    * mmd2_e12 = Σ_d (m_wd − m_bd)² DIV 10¹²,
+    * m_e12 = trunc(S_e9·10³ / n).
     */
   def mmdDriftStream(
       emb: DataFrame, // (ts timestamp, embedding array<float>, ...)
@@ -50,31 +59,41 @@ object EmbedStreams {
     require(baselineN >= 1, "baselineN must be >= 1")
     require(baselineSums.nonEmpty, "baselineSums must carry the dims")
     val dims = baselineSums.length
+    // baseline per-dim e12 means: BigInteger divide truncates toward
+    // zero — the same value the in-plan negate-divide-negate yields
+    val baseMeans: IndexedSeq[Long] = (0 until dims).map { d =>
+      java.math.BigInteger.valueOf(baselineSums(d))
+        .multiply(java.math.BigInteger.valueOf(1000L))
+        .divide(java.math.BigInteger.valueOf(baselineN))
+        .longValueExact()
+    }
     val quant = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1e9)).cast("long"))
     val aggs = count(lit(1)).as("n") +: (0 until dims).map(d =>
       sum(element_at(col("xe9"), d + 1)).as(s"s$d"))
     val counts = emb
       .withWatermark("ts", watermark)
-      .filter(col("embedding").isNotNull)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === lit(dims))
       .select(col("ts"), quant.as("xe9"))
       .groupBy(window(col("ts"), windowDur))
       .agg(aggs.head, aggs.tail: _*)
+    val withMeans = counts.select(
+      col("window").as("window") +: col("n").as("n_vecs") +:
+        (0 until dims).map { d =>
+          expr(s"CASE WHEN coalesce(s$d, 0) >= 0 THEN " +
+            s"(CAST(coalesce(s$d, 0) AS DECIMAL(38,0)) * 1000) DIV n " +
+            s"ELSE -(((-CAST(coalesce(s$d, 0) AS DECIMAL(38,0)))" +
+            s" * 1000) DIV n) END").as(s"m$d")
+        }: _*)
     val v = (0 until dims).map { d =>
-      val t = coalesce(col(s"s$d"), lit(0L)).cast(D38) * lit(baselineN) -
-        lit(baselineSums(d)).cast(D38) * col("n")
+      val t = col(s"m$d").cast(D38) - lit(baseMeans(d)).cast(D38)
       t * t
     }.reduce(_ + _)
-    counts
-      .select(col("window.start").as("w_start"), col("n").as("n_vecs"),
+    withMeans
+      .select(col("window.start").as("w_start"), col("n_vecs"),
         v.as("__v"))
-      // the denominator rides DECIMAL end to end: a LONG product
-      // n²·N²·10⁶ overflows past ~10⁶ rows per side
-      .withColumn("__den", col("n_vecs").cast(D38) *
-        col("n_vecs").cast(D38) *
-        lit(BigDecimal(baselineN) * BigDecimal(baselineN) *
-          BigDecimal(1000000L)).cast(D38))
       .select(col("w_start"), col("n_vecs"),
-        expr("__v DIV __den").as("mmd2_e12"))
+        expr("__v DIV 1000000000000").as("mmd2_e12"))
   }
 }

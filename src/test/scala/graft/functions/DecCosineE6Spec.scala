@@ -105,7 +105,12 @@ class DecCosineE6Spec extends AnyFunSuite {
       (Seq(Option(0.0f), Option(0.0f)), Seq(Option(1.0f), Option(1.0f))),
       // quantizes to (0, -1) e9 units -> e18 norm sum 1 floor-divides
       // to a ZERO e9 norm: still the null band
-      (Seq(Option(1e-10f), Option(-1e-10f)), Seq(Option(1.0f), Option(1.0f))))
+      (Seq(Option(1e-10f), Option(-1e-10f)), Seq(Option(1.0f), Option(1.0f))),
+      // |x·1e9| past Long range: .toLong would saturate silently while
+      // the DuckDB replay's BIGINT cast raises — the kernel nulls so
+      // both engines agree on out-of-spec magnitudes (both signs)
+      (Seq(Option(1e10f), Option(1.0f)), Seq(Option(1.0f), Option(1.0f))),
+      (Seq(Option(1.0f), Option(1.0f)), Seq(Option(-1e10f), Option(1.0f))))
     val df = rows.toDF("a", "b")
       .select(col("a").cast("array<float>").as("a"),
         col("b").cast("array<float>").as("b"))

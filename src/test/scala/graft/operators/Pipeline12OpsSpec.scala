@@ -71,18 +71,21 @@ class Pipeline12OpsSpec extends AnyFunSuite {
       (s, JBI.valueOf(vs.length.toLong))
     }
     val labels = byLabel.keys.toSeq.sorted
+    // e12-quantized per-dim means (trunc toward zero — BigInteger
+    // divide IS the sign-safe negate-divide-negate both engines run)
+    def meanE12(s: JBI, n: JBI): JBI =
+      s.multiply(JBI.valueOf(1000L)).divide(n)
     val want = (for {
       i <- labels.indices; j <- (i + 1) until labels.length
     } yield {
       val (sa, na) = sums(byLabel(labels(i)).map(_._2))
       val (sb, nb) = sums(byLabel(labels(j)).map(_._2))
       val v = sa.indices.map { d =>
-        val t = sa(d).multiply(nb).subtract(sb(d).multiply(na))
+        val t = meanE12(sa(d), na).subtract(meanE12(sb(d), nb))
         t.multiply(t)
       }.reduce(_.add(_))
-      val den = na.multiply(na).multiply(nb).multiply(nb)
-        .multiply(JBI.valueOf(1000000L))
-      ((labels(i), labels(j)), v.divide(den).longValueExact())
+      ((labels(i), labels(j)),
+        v.divide(JBI.valueOf(1000000000000L)).longValueExact())
     }).toMap
     val got = SparkEntry.queries("p168_embedding_mmd_drift")(spark, sf)
       .collect()
