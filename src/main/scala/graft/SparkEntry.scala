@@ -20,7 +20,7 @@ object SparkEntry {
     (queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++
       queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++
       queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++
-      queries17 ++ queries18 ++ queries19 ++ queries20)
+      queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21)
       .sortBy(_.name)
 
   private def queries1: Seq[QueryDef] = _root_.graft.queries.Relational.defs
@@ -43,6 +43,7 @@ object SparkEntry {
   private def queries18: Seq[QueryDef] = _root_.graft.queries.Pipeline10.defs
   private def queries19: Seq[QueryDef] = _root_.graft.queries.Pipeline11.defs
   private def queries20: Seq[QueryDef] = _root_.graft.queries.Pipeline12.defs
+  private def queries21: Seq[QueryDef] = _root_.graft.queries.Pipeline13.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01 (scan + filter + hash aggregate) always yields its six

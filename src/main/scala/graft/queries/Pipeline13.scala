@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Thirteenth pipeline batch — the SCALE-FIRST defaults for the
+  * round-12 pair-graph compositions: p170 (semantic dup cluster
+  * inventory) and p167 (cross-fold contamination) were landed over
+  * [[graft.operators.Similarity.nearDupPairsExact]] — correct, but
+  * capped at 1M vectors by its broadcast-corpus contract, so at
+  * production scale they are the documented-alternative path. These
+  * entries are the compositions a 100 TB user reaches FIRST: the
+  * SAME downstream frames fed by the LSH-banded pair graph
+  * ([[graft.operators.Similarity.nearDupPairsLsh]] at the p12/p170
+  * decide sim_e6 ≥ 400000, with 4 deterministic hyperplanes × 48
+  * OR-amplified tables — measured candidate recall 1.0 against the
+  * exact ≥0.4 pair set at sf0.001 (66/66), sf0.01 (59/59) AND sf0.1
+  * (920/920), where 40 tables is the measured edge (36 drops one
+  * sf0.1 pair) and 48 keeps margin; p17's 5×24 config misses ~6% of
+  * the [0.4,0.5) band this threshold admits), whose exact-integer
+  * verify stage makes
+  * every surviving pair bit-identical to an all-pairs exact pass.
+  * The DuckDB oracle IS the exact twin — the all-pairs recursive
+  * ladder — so a hash-green row proves end to end that the banded
+  * candidate generation lost no pair of this corpus at any tested SF
+  * (the p17 arrangement, extended through the downstream
+  * composition).
+  *
+  * Operating-point note, for the record: 0.4 is a HARD threshold for
+  * sign-LSH — the per-plane collision gap between a boundary pair
+  * (p=0.63) and an unrelated pair (p=0.5) is narrow, so the
+  * OR-amplification wide enough for lossless candidates also admits
+  * ~3 collisions per unrelated pair at 4 planes (candidates ≈
+  * n²/2⁴ per table). That is the price of hash-exactness against the
+  * exact twin at the fixture's similarity mass ([0.4,0.5)). At the
+  * production near-dup thresholds (≥0.7) the gap widens and the same
+  * operator prunes aggressively with more planes per table — the
+  * planes/tables knobs ARE the recall/cost dial, and the
+  * recall-measurement recipe above (left-semi count against an exact
+  * sample) is how a 100 TB deployment re-tunes them per corpus.
+  */
+object Pipeline13 {
+  import graft.Tables.t
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // SEMANTIC DUP CLUSTER INVENTORY, BANDED (the 100 TB default for
+      // p170): LSH-banded near-dup pairs at sim_e6 >= 400000 ->
+      // pointer-doubling connected components -> one row per
+      // non-trivial cluster with size + label mix. Identical output
+      // frame to p170; the pair source is the one that survives a
+      // 1000-executor corpus — candidate generation is a bucket
+      // self-equi-join on (table, sketch), ids-only, and the exact
+      // integer verify decides membership with no double on the value
+      // path. The oracle below is the EXACT all-pairs twin, so the
+      // hash gate proves the banded composition lossless on this
+      // corpus at every tested SF. Scale shape: sketches are
+      // payload-free (id + 48 ints per vector), CC shuffles id pairs
+      // only (checkpointed pointer doubling), the label join-back
+      // touches only clustered ids, output is cluster-count-sized.
+      "p171_semantic_clusters_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val pairs = graft.operators.Similarity.nearDupPairsLsh(
+          emb, "vec_id", "embedding", minSim = 0.4,
+          planes = 4, tables = 48)
+        val labels = graft.operators.Dedup.connectedComponents(pairs)
+        labels.join(emb.select($"vec_id".as("id"), $"label"), Seq("id"))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct($"label").as("n_labels"),
+            min($"id").as("min_id"), max($"id").as("max_id"))
+          .select($"cluster_id", $"n_members", $"n_labels",
+            ($"n_labels" > 1).as("cross_label"), $"min_id", $"max_id")
+          .orderBy($"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE el AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+           |         ${Pipeline.quantE9("unnest(b.embedding)")} AS y
+           |       FROM embeddings a JOIN embeddings b
+           |         ON a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+           |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+           |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+           |      FROM el GROUP BY id_a, id_b),
+           |${Pipeline.exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))},
+           |pp AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM pc6 WHERE c6 >= 400000),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM pp
+           |  UNION ALL SELECT id_b, id_a FROM pp),
+           |reach AS (
+           |  SELECT src AS id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.dst AS id, r.lbl AS lbl
+           |  FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id, MIN(lbl) AS cluster_id
+           |       FROM reach GROUP BY id)
+           |SELECT cl.cluster_id, COUNT(*) AS n_members,
+           |  CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+           |  COUNT(DISTINCT e.label) > 1 AS cross_label,
+           |  MIN(cl.id) AS min_id, MAX(cl.id) AS max_id
+           |FROM cl JOIN embeddings e ON e.vec_id = cl.id
+           |GROUP BY cl.cluster_id
+           |ORDER BY cl.cluster_id""".stripMargin)),
+
+    QueryDef(
+      // CROSS-FOLD SEMANTIC CONTAMINATION, BANDED (the 100 TB default
+      // for p167): the same fold-pair contamination frame, fed by the
+      // LSH-banded pair graph instead of the broadcast-capped exact
+      // one. Folds stay the deterministic md5-arithmetic assignment
+      // (engine-portable); everything after the pair set is a 15-row
+      // fold-pair dictionary. The oracle is the exact all-pairs twin
+      // at the same sim_e6 >= 400000 decide — hash-green proves the
+      // banded pair source surfaced every contaminating pair.
+      "p172_crossfold_contamination_lsh",
+      (s, dir) => {
+        import s.implicits._
+        def foldOf(idSql: String): String =
+          s"pmod(ascii(substring(md5(CAST($idSql AS STRING)), 1, 1)) * 16" +
+            s" + ascii(substring(md5(CAST($idSql AS STRING)), 2, 1)), 5)"
+        val pairs = graft.operators.Similarity.nearDupPairsLsh(
+          t(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.4,
+          planes = 4, tables = 48)
+        val withFolds = pairs.select(
+          expr(foldOf("id_a")).as("fa"),
+          expr(foldOf("id_b")).as("fb"))
+          .select(least($"fa", $"fb").as("fold_a"),
+            greatest($"fa", $"fb").as("fold_b"))
+        val counts = withFolds.groupBy($"fold_a", $"fold_b")
+          .agg(count(lit(1)).as("n_pairs"))
+        val tot = counts.agg(sum($"n_pairs").as("nn"))
+        counts.crossJoin(broadcast(tot))
+          .select($"fold_a", $"fold_b", $"n_pairs",
+            expr("n_pairs * 1000000 DIV nn").as("share_ppm"),
+            ($"fold_a" =!= $"fold_b").as("cross_fold"))
+          .orderBy($"fold_a", $"fold_b")
+      },
+      Some {
+        def fold(id: String) =
+          s"((ascii(substr(md5(CAST($id AS VARCHAR)), 1, 1)) * 16" +
+            s" + ascii(substr(md5(CAST($id AS VARCHAR)), 2, 1))) % 5)"
+        s"""WITH el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+           |         ${Pipeline.quantE9("unnest(b.embedding)")} AS y
+           |       FROM embeddings a JOIN embeddings b
+           |         ON a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+           |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+           |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+           |      FROM el GROUP BY id_a, id_b),
+           |${Pipeline.exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))},
+           |pf AS (
+           |  SELECT LEAST(${fold("id_a")}, ${fold("id_b")}) AS fold_a,
+           |    GREATEST(${fold("id_a")}, ${fold("id_b")}) AS fold_b
+           |  FROM pc6 WHERE c6 >= 400000),
+           |cnt AS (SELECT fold_a, fold_b, COUNT(*) AS n_pairs
+           |        FROM pf GROUP BY 1, 2),
+           |tt AS (SELECT SUM(n_pairs) AS nn FROM cnt)
+           |SELECT fold_a, fold_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(n_pairs * 1000000 // nn AS BIGINT) AS share_ppm,
+           |  fold_a <> fold_b AS cross_fold
+           |FROM cnt, tt
+           |ORDER BY fold_a, fold_b""".stripMargin
+      })
+  )
+}
