@@ -36,13 +36,24 @@ object Verify {
     // the oracle map depends only on SparkEntry — write it BEFORE the
     // query loop, so a fatal mid-run death (executor OOM, harness kill)
     // leaves every already-written result verifiable instead of zeroing
-    // the round for want of oracle_sql.json
+    // the round for want of oracle_sql.json. The osm oracles read
+    // Verify-staged PBF→parquet frames: substitute the absolute staging
+    // path into their read_parquet() calls here.
+    val stagingDir = Paths.get(outDir).toAbsolutePath
+      .resolve("_staging").toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(
+          graft.sources.osmpbf.OsmStaging.Token, stagingDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+    // decode the PBF fixtures once so the osm oracle SQL has frames to
+    // read (skipped when a subset run selects no osm entry)
+    if (selected.keys.exists(_.startsWith("osm")))
+      graft.sources.osmpbf.OsmStaging.stage(spark, stagingDir)
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -4,12 +4,26 @@ import graft.QueryDef
 import graft.functions.OsmFunctions
 import org.apache.spark.sql.functions._
 
-/** Queries over the OSM PBF source itself. DuckDB cannot read `.pbf`, so
-  * these carry no oracle SQL (driver records rows-only checks); their
-  * correctness gate is the golden-value ScalaTest suite against the
-  * reference fixture (OsmPbfSourceSpec / PbfDecodeSpec).
+/** Queries over the OSM PBF source itself. DuckDB cannot read `.pbf`
+  * directly, so since round 13 the oracles read the Verify-staged
+  * PBF→parquet decode ([[graft.sources.osmpbf.OsmStaging]]) — giving
+  * every osm ANALYTIC output real rows+schema+hash oracle rows. The
+  * DECODE itself stays gated non-circularly by the golden-value
+  * ScalaTest suite against the reference fixture (OsmPbfSourceSpec /
+  * PbfDecodeSpec), split-invariance property tests, and the
+  * OsmPbfWriteSpec round trip; see the OsmStaging Scaladoc for the
+  * exact division of evidence. The ONE entry that structurally cannot
+  * hash-gate is osm12 (its output carries wall-clock ms columns — the
+  * point of the entry — which no oracle can reproduce); it keeps the
+  * rows-only check plus its in-row `agree` invariants.
   */
 object OsmQueries {
+
+  /** `read_parquet` over a Verify-staged frame (OsmStaging.Token is
+    * substituted with the absolute staging dir at oracle-dump time).
+    */
+  private def T(name: String): String =
+    s"read_parquet('${graft.sources.osmpbf.OsmStaging.Token}/$name/*.parquet')"
 
   /** The reference's own test fixture (FIXTURES.md §1). */
   val fixturePath = "/root/reference/src/test/java/resources/temp.dat"
@@ -43,7 +57,14 @@ object OsmQueries {
             min($"lat").as("min_lat"), max($"lat").as("max_lat"),
             min($"lon").as("min_lon"), max($"lon").as("max_lon"))
       },
-      None),
+      // min/max over the staged doubles are the SAME stored values the
+      // entry aggregates — no arithmetic, no rounding, so the hash is
+      // engine-portable
+      Some(s"""SELECT COUNT(*) AS n_nodes,
+             |  MIN(id) AS min_id, MAX(id) AS max_id,
+             |  MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+             |  MIN(lon) AS min_lon, MAX(lon) AS max_lon
+             |FROM ${T("nodes")}""".stripMargin)),
 
     QueryDef(
       // README.md:22-35 canonical query: 2048x2048 grid density
@@ -55,7 +76,15 @@ object OsmQueries {
           .groupBy($"tile").agg(count(lit(1)).as("n"))
           .orderBy($"tile")
       },
-      None),
+      // tileId mirrored op-for-op: every step is the identical IEEE
+      // double op on the identical stored doubles, and floor has no tie
+      // mode — the quantE9 portability argument applied to tile binning
+      Some(s"""SELECT CAST(floor((lat + 90) * 2048 / 180) * 2048
+             |    + floor((lon + 180) * 2048 / 360) AS BIGINT) AS tile,
+             |  COUNT(*) AS n
+             |FROM ${T("nodes")}
+             |GROUP BY 1
+             |ORDER BY tile""".stripMargin)),
 
     QueryDef(
       // the domain join: way refs -> node coordinates (SURVEY §2.2)
@@ -72,7 +101,17 @@ object OsmQueries {
             min($"lat").as("min_lat"), max($"lat").as("max_lat"))
           .orderBy($"way_id")
       },
-      None),
+      Some(s"""WITH wn AS (
+             |  SELECT id AS way_id, unnest(nodes) AS wn
+             |  FROM ${T("ways")}),
+             |pts AS (SELECT way_id, wn.nodeId AS node_id FROM wn),
+             |j AS (
+             |  SELECT p.way_id, n.lat
+             |  FROM pts p JOIN ${T("nodes")} n ON n.id = p.node_id)
+             |SELECT way_id, COUNT(*) AS n_points,
+             |  MIN(lat) AS min_lat, MAX(lat) AS max_lat
+             |FROM j GROUP BY way_id
+             |ORDER BY way_id""".stripMargin)),
 
     QueryDef(
       "osm04_tag_frequency",
@@ -85,7 +124,13 @@ object OsmQueries {
           .orderBy($"n".desc, $"k")
           .limit(25)
       },
-      None),
+      Some(s"""WITH kv AS (
+             |  SELECT unnest(map_entries(tags)) AS e
+             |  FROM ${T("entities")})
+             |SELECT e.key AS k, COUNT(*) AS n,
+             |  CAST(COUNT(DISTINCT e.value) AS BIGINT) AS n_values
+             |FROM kv GROUP BY 1
+             |ORDER BY n DESC, k LIMIT 25""".stripMargin)),
 
     QueryDef(
       "osm05_relation_members",
@@ -97,7 +142,12 @@ object OsmQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy($"member_type", $"role")
       },
-      None),
+      Some(s"""WITH m AS (
+             |  SELECT unnest(members) AS m FROM ${T("rels")})
+             |SELECT m.memberType AS member_type, m.role AS role,
+             |  COUNT(*) AS n
+             |FROM m GROUP BY 1, 2
+             |ORDER BY member_type, role""".stripMargin)),
 
     QueryDef(
       // reference-compat flattened "k:v;" tag strings (SURVEY §1.2 quirk)
@@ -110,7 +160,15 @@ object OsmQueries {
           .orderBy($"id")
           .limit(100)
       },
-      None),
+      // map_entries preserves the parquet kv-list order on both
+      // engines, so the flattened "k:v;" string (file order, trailing
+      // ';' — the reference-compat quirk) concatenates identically
+      Some(s"""SELECT id,
+             |  array_to_string(list_transform(map_entries(tags),
+             |    e -> e.key || ':' || e.value), ';') || ';' AS tags_str
+             |FROM ${T("nodes")}
+             |WHERE len(map_entries(tags)) > 0
+             |ORDER BY id LIMIT 100""".stripMargin)),
 
     QueryDef(
       // OSMHeader surface: bbox + feature lists of a file that has one
@@ -129,7 +187,18 @@ object OsmQueries {
             $"writing_program")
           .orderBy($"file_kind")
       },
-      None),
+      // the staged header IS this entry's own decode (a 2-row frame) —
+      // the analytics here are a trivial projection, so this gate adds
+      // determinism + type-bridge coverage only; the header DECODE is
+      // pinned by OsmPbfSourceSpec's golden bbox/feature values
+      Some(s"""SELECT
+             |  CASE WHEN has_header THEN 'sample.pbf'
+             |       ELSE 'temp.dat' END AS file_kind,
+             |  has_header, bbox_left, bbox_bottom, bbox_right, bbox_top,
+             |  array_to_string(required_features, ';') AS required,
+             |  writing_program
+             |FROM ${T("header")}
+             |ORDER BY file_kind""".stripMargin)),
 
     QueryDef(
       // multi-file scan with a lat predicate: sample.pbf (UK, ~51.77)
@@ -146,12 +215,26 @@ object OsmQueries {
           .filter($"lat" > 40.0)
           .agg(
             count(lit(1)).as("n_north"),
-            round(min($"lat"), 6).as("min_lat"),
-            round(max($"lat"), 6).as("max_lat"),
-            round(min($"lon"), 6).as("min_lon"),
-            round(max($"lon"), 6).as("max_lon"))
+            // e7 integers, not round(x, 6): the decoded double is
+            // within one ulp of the e7 fixed-point raw value, so a
+            // 6-digit round can land on an exact .5 tie where the two
+            // engines' double-rounding disagree (the q54 class);
+            // round(x*1e7, 0) is tie-free (x*1e7 is never exactly .5)
+            round(min($"lat") * 1e7, 0).cast("long").as("min_lat_e7"),
+            round(max($"lat") * 1e7, 0).cast("long").as("max_lat_e7"),
+            round(min($"lon") * 1e7, 0).cast("long").as("min_lon_e7"),
+            round(max($"lon") * 1e7, 0).cast("long").as("max_lon_e7"))
       },
-      None),
+      Some(s"""WITH u AS (
+             |  SELECT lat, lon FROM ${T("sample_nodes")}
+             |  UNION ALL
+             |  SELECT lat, lon FROM ${T("nodes")})
+             |SELECT COUNT(*) AS n_north,
+             |  CAST(round(MIN(lat) * 1e7, 0) AS BIGINT) AS min_lat_e7,
+             |  CAST(round(MAX(lat) * 1e7, 0) AS BIGINT) AS max_lat_e7,
+             |  CAST(round(MIN(lon) * 1e7, 0) AS BIGINT) AS min_lon_e7,
+             |  CAST(round(MAX(lon) * 1e7, 0) AS BIGINT) AS max_lon_e7
+             |FROM u WHERE lat > 40.0""".stripMargin)),
 
     QueryDef(
       // record-key metadata columns: per-block record counts — parity
@@ -168,7 +251,12 @@ object OsmQueries {
             countDistinct($"type").as("n_kinds"))
           .orderBy($"block_offset")
       },
-      None),
+      Some(s"""SELECT block_offset, COUNT(*) AS n_records,
+             |  MAX(record_index) AS max_index,
+             |  CAST(COUNT(DISTINCT type) AS BIGINT) AS n_kinds
+             |FROM ${T("entities")}
+             |GROUP BY 1
+             |ORDER BY block_offset""".stripMargin)),
 
     QueryDef(
       // COUNT(*) aggregate pushdown: the scan answers the count from the
@@ -190,7 +278,15 @@ object OsmQueries {
           ("way", counted(Some("way"))))
           .toDF("scope", "n")
       },
-      None),
+      // the pushdown PLAN is pinned by OsmPbfCountPushdownSpec; this
+      // gate pins the pushdown COUNTS against DuckDB counting the
+      // staged decode — a varint-counter drift shows up as a mismatch
+      Some(s"""SELECT 'all' AS scope,
+             |  (SELECT COUNT(*) FROM ${T("entities")}) AS n
+             |UNION ALL SELECT 'node',
+             |  (SELECT COUNT(*) FROM ${T("nodes")})
+             |UNION ALL SELECT 'way',
+             |  (SELECT COUNT(*) FROM ${T("ways")})""".stripMargin)),
 
     QueryDef(
       // relation geometry assembly: the two-hop multipolygon join
@@ -208,19 +304,59 @@ object OsmQueries {
           .agg(
             countDistinct($"way_id").as("n_ways_resolved"),
             count(lit(1)).as("n_points"),
-            min_by(struct($"node_id", $"role"),
-              struct($"member_pos", $"pos")).getField("node_id")
+            // ring order as ONE integer key (member_pos, pos are both
+            // far below 1e6): min_by/max_by over it is the same
+            // first/last-in-ring-order pin as the old struct ordering,
+            // and DuckDB's arg_min/arg_max replay it exactly
+            min_by($"node_id",
+              $"member_pos".cast("long") * 1000000 + $"pos")
               .as("first_node"),
-            max_by(struct($"node_id", $"role"),
-              struct($"member_pos", $"pos")).getField("node_id")
+            max_by($"node_id",
+              $"member_pos".cast("long") * 1000000 + $"pos")
               .as("last_node"),
-            round(min($"lat"), 7).as("min_lat"),
-            round(max($"lat"), 7).as("max_lat"),
-            round(min($"lon"), 7).as("min_lon"),
-            round(max($"lon"), 7).as("max_lon"))
+            // e7 integers for the same tie-safety reason as osm09
+            round(min($"lat") * 1e7, 0).cast("long").as("min_lat_e7"),
+            round(max($"lat") * 1e7, 0).cast("long").as("max_lat_e7"),
+            round(min($"lon") * 1e7, 0).cast("long").as("min_lon_e7"),
+            round(max($"lon") * 1e7, 0).cast("long").as("max_lon_e7"))
           .orderBy($"relation_id")
       },
-      None),
+      Some(s"""WITH mem AS (
+             |  SELECT id AS relation_id,
+             |    CAST(generate_subscripts(members, 1) - 1 AS INT)
+             |      AS member_pos,
+             |    unnest(members) AS m
+             |  FROM ${T("rels")}),
+             |mw AS (
+             |  SELECT relation_id, member_pos, m.memberId AS way_id
+             |  FROM mem WHERE m.memberType = 'way'),
+             |wn AS (
+             |  SELECT id AS way_id, unnest(nodes) AS wn
+             |  FROM ${T("ways")}),
+             |pts AS (
+             |  SELECT way_id, wn.pos AS pos, wn.nodeId AS node_id
+             |  FROM wn),
+             |g AS (
+             |  SELECT mw.relation_id, mw.member_pos, mw.way_id,
+             |    p.pos, p.node_id, n.lat, n.lon
+             |  FROM mw
+             |  JOIN pts p ON p.way_id = mw.way_id
+             |  JOIN ${T("nodes")} n ON n.id = p.node_id)
+             |SELECT relation_id,
+             |  CAST(COUNT(DISTINCT way_id) AS BIGINT) AS n_ways_resolved,
+             |  COUNT(*) AS n_points,
+             |  arg_min(node_id,
+             |    CAST(member_pos AS BIGINT) * 1000000 + pos)
+             |    AS first_node,
+             |  arg_max(node_id,
+             |    CAST(member_pos AS BIGINT) * 1000000 + pos)
+             |    AS last_node,
+             |  CAST(round(MIN(lat) * 1e7, 0) AS BIGINT) AS min_lat_e7,
+             |  CAST(round(MAX(lat) * 1e7, 0) AS BIGINT) AS max_lat_e7,
+             |  CAST(round(MIN(lon) * 1e7, 0) AS BIGINT) AS min_lon_e7,
+             |  CAST(round(MAX(lon) * 1e7, 0) AS BIGINT) AS max_lon_e7
+             |FROM g GROUP BY relation_id
+             |ORDER BY relation_id""".stripMargin)),
 
     QueryDef(
       // MULTI-SPLIT SCALE PROOF: the reference fixture is 89 KB — a
@@ -243,6 +379,15 @@ object OsmQueries {
       // invariance + parallel-speedup evidence at a quarter the
       // sequential cost), and ONE decoded pass carries the baseline
       // coordinates AND the pushdown-blocked min/max/sum comparator.
+      //
+      // NO ORACLE, by design (the one osm entry left rows-only after
+      // the round-13 staging work): the output's `ms` column is
+      // wall-clock — the entry EXISTS to carry the pushdown-on/off and
+      // split-count timing deltas into BENCH — and no oracle can
+      // reproduce a timing. The deterministic halves are gated
+      // elsewhere: `value` agreement rides in-row as `agree` (red on
+      // any cross-mode drift), and split invariance is pinned
+      // value-level by OsmPbfMultiSplitSpec.
       "osm12_multisplit_scale",
       (s, _) => {
         import s.implicits._
@@ -336,9 +481,12 @@ object OsmQueries {
       // literal equality booleans — a decoder alone cannot vouch for an
       // encoder, but a decoder whose goldens pin the reference's own
       // bytes can, transitively, when the re-encoded file replays
-      // identically. (No DuckDB oracle — it cannot read PBF; the
-      // booleans make the rows-only check self-checking, and
-      // OsmPbfWriteSpec pins full row identity.)
+      // identically. The oracle is the p08 literal-TRUE arrangement
+      // over the staged decode: DuckDB recomputes the SOURCE-side
+      // stats and renders the back side as their equal with TRUE
+      // booleans — if the encoder ever drops or corrupts anything, the
+      // Spark side's counts/booleans diverge and the hash goes red.
+      // (OsmPbfWriteSpec still pins full row identity.)
       "osm13_write_roundtrip",
       (s, _) => {
         import s.implicits._
@@ -381,7 +529,14 @@ object OsmQueries {
               .as("sums_equal"))
           .orderBy($"type")
       },
-      None),
+      Some(s"""WITH st AS (
+             |  SELECT type, COUNT(*) AS n,
+             |    CAST(SUM(id) AS BIGINT) AS id_sum
+             |  FROM ${T("entities")} GROUP BY type)
+             |SELECT type, n AS n_src, n AS n_back,
+             |  id_sum AS id_sum_src, id_sum AS id_sum_back,
+             |  TRUE AS counts_equal, TRUE AS sums_equal
+             |FROM st ORDER BY type""".stripMargin)),
 
     QueryDef(
       // THE BRIDGE ENTRY — the reference's domain feeding the library's
@@ -390,10 +545,10 @@ object OsmQueries {
       // switched from the reference gets language-ID, token statistics
       // and dedup pressure on them with the same operators the documents
       // table gets. Per tag key: value volume, distinct ratio (dup
-      // pressure), token mass, and the dominant langId vote. Rows-only
-      // check (PBF input); the text operators themselves are oracled on
-      // the documents corpus (p01/p02) and the decode path is
-      // golden-gated — this entry pins the composition.
+      // pressure), token mass, and the dominant langId vote. Oracled
+      // over the staged decode since round 13 (the p02 langid CASE
+      // ladder + the q83 mode ladder, rebuilt over unnested map
+      // entries); the decode path stays golden-gated.
       "osm14_tag_text_stats",
       (s, _) => {
         import s.implicits._
@@ -423,7 +578,47 @@ object OsmQueries {
           .orderBy($"n_values".desc, $"k")
           .limit(25)
       },
-      None)
+      Some(s"""WITH kv AS (
+             |  SELECT unnest(map_entries(tags)) AS e
+             |  FROM ${T("entities")}),
+             |tv AS (
+             |  SELECT e.key AS k, e.value AS v
+             |  FROM kv WHERE len(e.value) > 0),
+             |base AS (
+             |  SELECT k, v, len(string_split(v, ' ')) AS toks,
+             |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+             |         WHEN s_es = m AND m > 0 THEN 'es'
+             |         WHEN s_de = m AND m > 0 THEN 'de'
+             |         WHEN s_fr = m AND m > 0 THEN 'fr'
+             |         ELSE 'unk' END AS lang
+             |  FROM (
+             |    SELECT k, v,
+             |      greatest(s_en, s_es, s_de, s_fr) AS m,
+             |      s_en, s_es, s_de, s_fr
+             |    FROM (
+             |      SELECT k, v,
+             |        len(list_filter(string_split(v,' '), t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
+             |        len(list_filter(string_split(v,' '), t -> t='el' OR t='la' OR t='de' OR t='que' OR t='y')) AS s_es,
+             |        len(list_filter(string_split(v,' '), t -> t='der' OR t='die' OR t='und' OR t='das' OR t='ist')) AS s_de,
+             |        len(list_filter(string_split(v,' '), t -> t='le' OR t='la' OR t='et' OR t='les' OR t='des')) AS s_fr
+             |      FROM tv))),
+             |stats AS (
+             |  SELECT k, COUNT(*) AS n_values,
+             |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             |    CAST(SUM(toks) AS BIGINT) AS total_tokens
+             |  FROM base GROUP BY k),
+             |lc AS (SELECT k, lang, COUNT(*) AS c FROM base GROUP BY k, lang),
+             |top AS (SELECT k, MAX(c) AS mc FROM lc GROUP BY k),
+             |dom AS (
+             |  SELECT lc.k, MIN(lc.lang) AS top_lang
+             |  FROM lc JOIN top ON top.k = lc.k AND lc.c = top.mc
+             |  GROUP BY lc.k)
+             |SELECT s.k, s.n_values, s.n_distinct, s.total_tokens,
+             |  CAST(s.n_distinct * 1000000 // s.n_values AS BIGINT)
+             |    AS distinct_ppm,
+             |  d.top_lang
+             |FROM stats s JOIN dom d ON d.k = s.k
+             |ORDER BY s.n_values DESC, s.k LIMIT 25""".stripMargin))
   )
 
   /** Per-process scratch root (pid-keyed, cleaned on JVM exit) — the
