@@ -35,6 +35,23 @@ import org.apache.spark.sql.types.DecimalType
   * dimensionality: a short vector NULL-pads the zip_with here but
   * inner-joins per-dim in the oracle — ragged corpora are out of
   * contract (the embeddings table is uniformly 64-dim).
+  *
+  * KNOWN LATENT CLASS (documented round 13, found during the round-12
+  * dec_cosine_e6 investigation): the element quantization here —
+  * `CAST(float AS DECIMAL(18,9))` on both sides — is NOT
+  * engine-portable (DuckDB rounds the float's shortest ~9-digit repr
+  * where Spark rounds the exact double; ~75% of fixture elements
+  * differ in the last digit, so energies differ ~1e-8 between
+  * engines). The gate stays green because ASSIGNMENT argmin margins
+  * are orders of magnitude above 1e-8 and every rendered statistic is
+  * rounded far coarser — but a pathological near-tie vector could in
+  * principle assign differently per engine. If a
+  * p47/p99/p107/p161 hash mismatch ever appears at a new scale, look
+  * here first; the remedy is the quantE9 discipline
+  * (floor(double·1e9) — tie-free, bit-identical on both engines)
+  * threaded through the energy kernel, the oracle CTEs and this
+  * driver arithmetic, exactly as dec_cosine_e6 did for the cosine
+  * family.
   */
 object KMeansOp {
 

@@ -79,4 +79,49 @@ class EmbedStreamsSpec extends AnyFunSuite {
         s"  batch:  ${expected.toSeq.sortBy(_._1.getTime)}")
     spark.catalog.clearCache()
   }
+
+  test("mmd drift: ragged and null vectors are DROPPED, not scored") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dims = 4
+    // baseline: two vectors of ones -> sums = n * 1e9 per dim
+    val baselineSums = Seq.fill(dims)(2000000000L)
+    val baselineN = 2L
+    val t0 = 1767225600L
+    def ts(s: Long) = new java.sql.Timestamp((t0 + s) * 1000)
+    val full = Array.fill(dims)(2.0f)
+    val ragged = Array.fill(dims - 1)(99.0f) // out of spec: dropped
+    val over = Array.fill(dims + 1)(99.0f) // out of spec: dropped
+    val rows = Seq(
+      (ts(60), 1L, full),
+      (ts(120), 2L, ragged),
+      (ts(180), 3L, over),
+      (ts(240), 4L, null.asInstanceOf[Array[Float]]),
+      // sentinel far past the watermark so the real window emits
+      (ts(4000L * 3600), 99L, Array.fill(dims)(0.0f)))
+    val dir = Files.createTempDirectory("mmdragged-vecs").toString
+    val ckpt = Files.createTempDirectory("mmdragged-ckpt").toString
+    val vecs = rows.toDF("ts", "vec_id", "embedding")
+    val stream = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EmbedStreams.mmdDriftStream(stream, baselineSums, baselineN,
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("mmd_ragged")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      vecs.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mmd_ragged")
+      .filter($"w_start" === ts(0))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // only the one full-width vector scores: n_vecs = 1, and
+    // mmd2_e12 = dims * (2e12 - 1e12)^2 / 1e12 = 4e12 — the ragged
+    // 99s would have blown the score far past this if summed
+    assert(got.toSeq == Seq((1L, dims.toLong * 1000000000000L)),
+      s"ragged/null vectors leaked into the window: ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
