@@ -7,42 +7,54 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, FloatType}
 
-/** Native kernel for [[graft.operators.KMeansOp]]'s exact-decimal
-  * cluster energies E_c = sum_d (n_c x_d - S_cd)^2 — the per-row hot
-  * path of assignment, and therefore of every Lloyd round.
+/** Native kernel for [[graft.operators.KMeansOp]]'s exact-INTEGER
+  * cluster energies E_c = sum_d (n_c x_d9 - S_cd9)^2 over
+  * quantE9-quantized elements (x9 = floor(double(x)·1e9), the
+  * dec_cosine_e6 quantization; S is the per-cluster per-dim sum of
+  * x9) — the per-row hot path of assignment, and therefore of every
+  * Lloyd round. Output units are e18 (value² × 10¹⁸).
   *
-  * The declarative form — one `aggregate(zip_with(vec, S_c, ...))` per
-  * cluster — runs on Catalyst's HigherOrderFunction INTERPRETER
-  * (CodegenFallback): every element boxes through a lambda variable and
-  * every zip allocates an intermediate array, k times per row. This
-  * expression computes all k energies in one primitive loop per row.
+  * Round-13 rework: the previous kernel reproduced the declarative
+  * DECIMAL(18,9) cast ladder rounding point for rounding point — but
+  * `CAST(float AS DECIMAL(18,9))` is itself not engine-portable
+  * (DuckDB rounds the float's shortest ~9-digit repr where Spark
+  * rounds the exact double — the documented dec_cosine_e6 finding),
+  * so the energies differed ~1e-8 between the entry and its oracle
+  * and a pathological near-tie assignment could in principle flip.
+  * Integer e9 energies are BIT-IDENTICAL across engines: the
+  * quantization is the one IEEE multiply both evaluate identically
+  * with tie-free floor, and everything after is exact integer
+  * arithmetic (BigInteger here, HUGEINT in the SQL replay). The
+  * argmin ratio E_c/n_c² is then ONE double division of identical
+  * integers — deterministic on both engines even at an exact tie.
   *
-  * BIT-IDENTICAL by construction, not by accident: every step runs the
-  * SAME Spark `Decimal` operations the declarative chain ran —
-  * `Decimal(double).changePrecision(18, 9)` for the float widening
-  * (Spark's float->decimal cast semantics, shortest-repr double
-  * rounding included), multiply/subtract on Spark Decimals, and the
-  * same (30,9) / (18,9) / (38,18) re-casts at the same points,
-  * including the per-merge (38,18) re-cast of the running sum. NULL
-  * semantics also mirror zip_with/aggregate: a null element or a
-  * length mismatch against the centroid vector nulls that cluster's
-  * energy (all of them — the same elements feed every cluster).
-  * KMeansEnergiesSpec pins equality against the declarative form on
-  * fixture and adversarial inputs; the DuckDB oracles for
-  * p47/p99/p107 re-verify it end-to-end every round.
+  * One primitive loop per row computes all k energies (the
+  * declarative aggregate(zip_with) chain runs on Catalyst's
+  * HigherOrderFunction INTERPRETER and dominated every Lloyd round).
+  * NULL semantics: a ragged vector, a null/NaN/infinite element, or
+  * an element with |x·1e9| past Long range nulls EVERY cluster's
+  * energy (the same elements feed all k sums; the Long-range null
+  * matches dec_cosine_e6's out-of-spec stance — DuckDB's BIGINT cast
+  * would raise where .toLong would silently saturate). A per-cluster
+  * energy past DECIMAL(38,0) nulls that cluster (out of the
+  * documented n·|x| bound — see KMeansOp). KMeansEnergiesSpec pins
+  * equality against the declarative integer form on fixture and
+  * adversarial inputs; the DuckDB oracles for p47/p99/p107/p161
+  * re-verify it end-to-end every round.
   */
 case class KMeansEnergies(
     child: Expression,
-    sums: Seq[Seq[BigDecimal]],
+    sums: Seq[Seq[Long]],
     counts: Seq[Long])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import java.math.{BigInteger => KJBI}
   require(sums.nonEmpty && sums.length == counts.length,
     "model shape: one (sums, count) pair per cluster")
   require(sums.forall(_.length == sums.head.length),
     "all centroid sum vectors must share one dimensionality")
 
   override def dataType: DataType =
-    ArrayType(DecimalType(38, 18), containsNull = true)
+    ArrayType(DecimalType(38, 0), containsNull = true)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -54,28 +66,15 @@ case class KMeansEnergies(
           s"kmeans_energies expects array<float>, got ${t.simpleString}")
     }
 
-  // Spark Decimal mirrors of the literal operands the declarative form
-  // used: S_cd at (38,9), n_c at (12,0)
-  @transient private lazy val sDec: Array[Array[Decimal]] =
-    sums.map(_.map { s =>
-      val d = Decimal(s)
-      d.changePrecision(38, 9)
-      d
-    }.toArray).toArray
-  @transient private lazy val nDec: Array[Decimal] =
-    counts.map { n =>
-      val d = Decimal(n)
-      d.changePrecision(12, 0)
-      d
-    }.toArray
+  @transient private lazy val sJbi: Array[Array[KJBI]] =
+    sums.map(_.map(KJBI.valueOf).toArray).toArray
+  @transient private lazy val nJbi: Array[KJBI] =
+    counts.map(KJBI.valueOf).toArray
 
   def compute(input: ArrayData): ArrayData = {
-    val k = sDec.length
-    val dims = sDec(0).length
+    val k = sJbi.length
+    val dims = sJbi(0).length
     val n = input.numElements()
-    // zip_with pads the shorter side with null and a null element nulls
-    // its term, so a ragged or null-holed vector nulls EVERY cluster's
-    // energy — same elements feed all k sums
     var broken = n != dims
     var i = 0
     while (!broken && i < n) {
@@ -83,55 +82,38 @@ case class KMeansEnergies(
       i += 1
     }
     if (broken) return new GenericArrayData(new Array[Any](k))
-    // widen each element ONCE (the declarative form re-cast it per
-    // cluster; the cast is deterministic so once is identical k times)
-    val xs = new Array[Decimal](dims)
+    // quantize each element ONCE — identical for every cluster
+    val xs = new Array[KJBI](dims)
     i = 0
     while (i < dims) {
-      val x = Decimal(input.getFloat(i).toDouble)
-      if (!x.changePrecision(18, 9))
+      val f = input.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(f) || java.lang.Double.isInfinite(f))
         return new GenericArrayData(new Array[Any](k))
-      xs(i) = x
+      val q = math.floor(f * 1e9)
+      // same Long-range null band as DecVecCosineE6 (2^63 exactly as
+      // a double; -2^63 itself is a valid Long)
+      if (q >= 9.223372036854776e18 || q < -9.223372036854776e18)
+        return new GenericArrayData(new Array[Any](k))
+      xs(i) = KJBI.valueOf(q.toLong)
       i += 1
     }
     val out = new Array[Any](k)
     var c = 0
     while (c < k) {
-      val s = sDec(c)
-      val nc = nDec(c)
-      var acc = Decimal(0)
-      acc.changePrecision(38, 18)
-      var ok = true
+      val s = sJbi(c)
+      val nc = nJbi(c)
+      var acc = KJBI.ZERO
       var d = 0
-      while (ok && d < dims) {
-        val prod = nc * xs(d)              // (12,0)*(18,9) exact
-        ok = prod.changePrecision(30, 9)   // .cast(D30)
-        if (ok) {
-          val diff = prod - s(d)           // minus the (38,9) sum
-          // Subtract's RESULT TYPE is (38,8) — precision would be 39,
-          // so Spark trades one scale digit and ROUNDS HALF_UP at
-          // scale 8 (measured: rawdiff prints as DecimalType(38,8)).
-          // The oracle keeps scale 9 here; the divergence is absorbed
-          // by the outputs' double/round(6) boundary, but THIS kernel
-          // must match the declarative Spark chain bit for bit, so it
-          // reproduces the scale-8 rounding before the (18,9) cast.
-          ok = diff.changePrecision(38, 8)
-          if (ok) ok = diff.changePrecision(18, 9) // .cast(D)
-          if (ok) {
-            val sq = diff * diff
-            ok = sq.changePrecision(38, 18) // .cast(DSum)
-            if (ok) {
-              acc = acc + sq
-              // Add's result type is (38,17) — same precision trade as
-              // the subtract — and the merge lambda re-casts to (38,18)
-              ok = acc.changePrecision(38, 17)
-              if (ok) ok = acc.changePrecision(38, 18)
-            }
-          }
-        }
+      while (d < dims) {
+        val diff = nc.multiply(xs(d)).subtract(s(d))
+        acc = acc.add(diff.multiply(diff))
         d += 1
       }
-      out(c) = if (ok) acc else null
+      // exact BigInteger energy → DECIMAL(38,0); past 1e38 the cast
+      // fails and that cluster nulls (out of the documented bound —
+      // the HUGEINT oracle would error there too)
+      val dec = Decimal(scala.math.BigDecimal(new java.math.BigDecimal(acc)))
+      out(c) = if (dec.changePrecision(38, 0)) dec else null
       c += 1
     }
     new GenericArrayData(out)
@@ -420,7 +402,7 @@ case class DecVecCosineE6(left: Expression, right: Expression)
 object KMeansFunctions {
   def kmeans_energies(
       vec: Column,
-      sums: Seq[Seq[BigDecimal]],
+      sums: Seq[Seq[Long]], // per-cluster per-dim e9 integer sums
       counts: Seq[Long]): Column =
     ColumnBridge.column(
       KMeansEnergies(ColumnBridge.expression(vec), sums, counts))

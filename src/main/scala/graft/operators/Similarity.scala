@@ -942,15 +942,14 @@ object Similarity {
       s"cellCap out of range: $cellCap")
     require(maxBits >= 0 && maxBits <= 6, s"maxBits out of range: $maxBits")
     import graft.functions.VectorFunctions.vec_dot
-    val D30 = DecimalType(30, 9)
-    val DS = DecimalType(38, 9)
+    val D38 = DecimalType(38, 0)
     // the PERSIST sits on the assignment, not downstream: the exact
-    // decimal E-expressions are the expensive per-row kernel (~4s at
+    // integer E-expressions are the expensive per-row kernel (~4s at
     // sf0.1 when computed twice — measured), and every consumer below
     // (cell sizes, guard, both pair sides, final counts) re-derives its
     // cheap projection from this one cached frame (or from the caller's
     // materialized memo — the n2 re-projection per consumer is one
-    // native float dot, noise next to the decimal kernel it avoids)
+    // native float dot, noise next to the E kernel it avoids)
     val asg = preAssigned match {
       case Some(pre) =>
         pre.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
@@ -971,16 +970,17 @@ object Similarity {
       w.otherwise(lit(maxBits))
     }
     val msel = sizes.select(col("cluster"), mExpr.as("__m"))
-    // sign bit d: n_c·x_d > S_cd, mirroring eExpr's exact cast chain;
+    // sign bit d: n_c·x_d9 > S_cd over quantE9 integers, mirroring the
+    // kernel's exact arithmetic (and the oracle's HUGEINT compare);
     // centroids are k×maxBits literal lookups (bounded codebook)
     val nArr = typedLit(model.counts.toSeq)
     def bit(d: Int): Column = {
-      val sArr = typedLit(
-        model.sums.map(s => scala.math.BigDecimal(s(d)).setScale(9)).toSeq)
+      val sArr = typedLit(model.sums.map(s => s(d)).toSeq) // e9 longs
       when(lit(d) < col("__m") &&
-          (element_at(nArr, col("cluster") + 1).cast(DecimalType(12, 0)) *
-            element_at(col("__vec"), d + 1).cast(D)).cast(D30) >
-          element_at(sArr, col("cluster") + 1).cast(DS),
+          (element_at(nArr, col("cluster") + 1).cast(D38) *
+            floor(element_at(col("__vec"), d + 1).cast("double") * lit(1e9))
+              .cast("long").cast(D38)) >
+          element_at(sArr, col("cluster") + 1).cast(D38),
         lit(1L << d)).otherwise(lit(0L))
     }
     val subExpr =

@@ -85,7 +85,7 @@ object Pipeline {
   /** Cross-entry memo for the fitted k-means model: p47 (cluster
     * stats) and p99 (semantic dedup) deliberately share one
     * (k, iters) configuration, and the model is PLAIN DATA (k x dims
-    * exact decimals + counts — no Spark resources), so one driver-loop
+    * exact e9 integer sums + counts — no Spark resources), so one driver-loop
     * fit serves both entries instead of running twice back to back in
     * an isolated-timing harness. Key replacement on (appId, sfDir)
     * change, same discipline as the memos above/below.
@@ -110,7 +110,7 @@ object Pipeline {
     }
 
   /** Cross-entry memo for the fitted model's ASSIGNMENT FRAME
-    * (vec_id, embedding, cluster, ee, n): the exact-decimal E kernel
+    * (vec_id, embedding, cluster, ee, n): the exact-integer E kernel
     * is the expensive per-row pass, and all three k-means consumers —
     * p47's cluster stats, p99's semantic dedup, p107's re-split — read
     * the IDENTICAL deterministic labels, so one executor-resident

@@ -876,16 +876,20 @@ object Pipeline2 {
     QueryDef(
       // distributed Lloyd's k-means over embeddings, ORACLE-EXACT: the
       // DuckDB oracle replays the identical iterations because
-      // centroids stay exact (decimal-sum, count) pairs and the
-      // nearest-cluster test is the cross-multiplied decimal form —
-      // the hash gate applied to an ITERATIVE ML op, not a self-gate.
-      // k=4, 3 rounds, deterministic lowest-id seeds; output is
-      // per-cluster size + mean squared distance.
+      // centroids stay exact (integer e9 sum, count) pairs over
+      // quantE9 elements and the nearest-cluster test is the
+      // cross-multiplied integer form — the hash gate applied to an
+      // ITERATIVE ML op, not a self-gate. (Round 13: the former
+      // DECIMAL(18,9) quantization was engine-divergent at the last
+      // digit — see KMeansOp's Scaladoc — and is retired; the stats
+      // now render as exact e6 integers.) k=4, 3 rounds,
+      // deterministic lowest-id seeds; output is per-cluster size +
+      // mean squared distance in e6 units.
       "p47_kmeans_clusters",
       (s, dir) =>
         // the assignment frame is the Pipeline.fittedKmeansAssigned
         // memo — p99/p107 read the identical (k=4, iters=3) labels, so
-        // the decimal E kernel runs once for all three entries
+        // the integer E kernel runs once for all three entries
         KMeansOp.clusterStatsAssigned(
           Pipeline.fittedKmeansAssigned(s, dir, 4, 3)),
       Some(KMeansOp.oracleSql(k = 4, iters = 3))),

@@ -795,8 +795,8 @@ object Pipeline5 {
     QueryDef(
       // SEMANTIC DEDUP (the SemDeDup recipe, Abbas et al. 2023, public):
       // cluster embeddings with the oracle-exact k-means, then drop
-      // every vector that has a LOWER-id near-duplicate (exact decimal
-      // cosine >= 0.45) in the SAME cluster — keep-lowest-id, the p05
+      // every vector that has a LOWER-id near-duplicate (exact integer
+      // micro-cosine >= 0.45) in the SAME cluster — keep-lowest-id, the p05
       // keep-first discipline applied semantically. ORACLE-EXACT end to
       // end: the cluster labels replay through KMeansOp.assignCtes (the
       // p47 chained-CTE machinery, here COMPOSED downstream), and the

@@ -634,8 +634,7 @@ object Pipeline6 {
            |bits AS (
            |  SELECT a.vec_id, a.cell,
            |    SUM(CASE WHEN e.d < ms.m AND
-           |          CAST(CAST(cn.n AS DECIMAL(12,0)) * e.x
-           |               AS DECIMAL(30,9)) > cn.sx
+           |          CAST(cn.n AS HUGEINT) * e.x > cn.sx
            |        THEN (CAST(1 AS BIGINT) << e.d) ELSE 0 END) AS sub
            |  FROM $asg a
            |    JOIN ms ON ms.cell = a.cell

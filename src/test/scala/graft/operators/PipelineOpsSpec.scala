@@ -199,19 +199,21 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("kmeans covers every vector; Lloyd rounds never increase inertia") {
     val emb = t(spark, sf, "embeddings")
     val n = emb.count()
-    def inertia(iters: Int): (Long, Double) = {
+    def inertia(iters: Int): (Long, Long) = {
       val stats = KMeansOp.clusterStats(emb, "vec_id", "embedding",
         k = 4, iters = iters).collect()
       (stats.map(_.getLong(1)).sum,
-        stats.map(r => r.getDouble(2) * r.getLong(1)).sum)
+        stats.map(r => r.getLong(2) * r.getLong(1)).sum)
     }
     val byRound = (0 to 3).map(inertia)
     // every round assigns every vector to exactly one cluster
     byRound.foreach { case (total, _) => assert(total == n) }
     // exact-arithmetic Lloyd's is monotone in total inertia (tolerance
-    // covers the round(mean_dist2, 6) output quantization only)
+    // covers only the e6 floor quantization of mean_dist2_e6: each
+    // cluster's floored mean understates by < 1 e6-unit, so the
+    // weighted sum can wobble by at most n units across a comparison)
     byRound.map(_._2).sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a + 0.01, s"inertia rose across a round: $a -> $b")
+      assert(b <= a + n, s"inertia rose across a round: $a -> $b")
     }
     // and the fit is deterministic end to end
     val a = KMeansOp.clusterStats(emb, "vec_id", "embedding").collect().toSeq
