@@ -171,16 +171,23 @@ object OsmQueries {
              |ORDER BY id LIMIT 100""".stripMargin)),
 
     QueryDef(
-      // OSMHeader surface: bbox + feature lists of a file that has one
-      // (sample.pbf) alongside the bare-data fixture, proving totality
+      // OSMHeader surface: bbox + feature lists of both fixtures. Both
+      // actually carry OSMHeader blocks — temp.dat was long assumed
+      // bare-data, but it declares a Venezuela bbox and writer 0.43.1;
+      // the round-13 OsmStagingSpec surfaced that the old
+      // has_header-based file_kind mapped BOTH rows to 'sample.pbf'
+      // (the oracle replayed the same CASE, so the hash never
+      // objected). Identity now comes from the file path suffix, which
+      // is stable across the per-run temp copy of sample.pbf; the
+      // has_header=false arm of OsmPbfHeader.df stays pinned by
+      // SyntheticPbfFileSpec's headerless synthetics.
       "osm07_header_inventory",
       (s, _) => {
         import s.implicits._
         graft.sources.osmpbf.OsmPbfHeader.df(s, samplePbfPath, fixturePath)
           .select(
-            // temp-file names vary per run; project stable identity
-            when($"has_header", lit("sample.pbf")).otherwise(lit("temp.dat"))
-              .as("file_kind"),
+            when($"file".endsWith("temp.dat"), lit("temp.dat"))
+              .otherwise(lit("sample.pbf")).as("file_kind"),
             $"has_header", $"bbox_left", $"bbox_bottom", $"bbox_right",
             $"bbox_top",
             array_join($"required_features", ";").as("required"),
@@ -192,8 +199,8 @@ object OsmQueries {
       // determinism + type-bridge coverage only; the header DECODE is
       // pinned by OsmPbfSourceSpec's golden bbox/feature values
       Some(s"""SELECT
-             |  CASE WHEN has_header THEN 'sample.pbf'
-             |       ELSE 'temp.dat' END AS file_kind,
+             |  CASE WHEN file LIKE '%temp.dat' THEN 'temp.dat'
+             |       ELSE 'sample.pbf' END AS file_kind,
              |  has_header, bbox_left, bbox_bottom, bbox_right, bbox_top,
              |  array_to_string(required_features, ';') AS required,
              |  writing_program
