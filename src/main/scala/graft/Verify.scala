@@ -38,9 +38,15 @@ object Verify {
     // leaves every already-written result verifiable instead of zeroing
     // the round for want of oracle_sql.json. The osm oracles read
     // Verify-staged PBF→parquet frames: substitute the absolute staging
-    // path into their read_parquet() calls here.
-    val stagingDir = Paths.get(outDir).toAbsolutePath
-      .resolve("_staging").toString
+    // path into their read_parquet() calls here. The staging tree lives
+    // NEXT TO outDir, not inside it: the driver harness diffs every
+    // directory under outDir as a query result, and the staged list
+    // columns (ways.nodes, entities) made its pandas sort choke — one
+    // spurious `_staging` err row per round (VERDICT r13 ask #3).
+    val stagingDir = {
+      val abs = Paths.get(outDir).toAbsolutePath
+      abs.getParent.resolve(abs.getFileName.toString + "_staging").toString
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(

@@ -110,8 +110,12 @@ case class KMeansEnergies(
         d += 1
       }
       // exact BigInteger energy → DECIMAL(38,0); past 1e38 the cast
-      // fails and that cluster nulls (out of the documented bound —
-      // the HUGEINT oracle would error there too)
+      // fails and that cluster nulls. NOTE the (1e38, 1.7e38) band:
+      // HUGEINT holds to ~1.7e38, so in that band DuckDB would still
+      // rank the cluster in its argmin while Spark excludes it — the
+      // band sits INSIDE the out-of-contract region and the engines'
+      // agreement there rests on the documented n·A operating bound
+      // keeping energies far below 1e38, not on the oracle erroring
       val dec = Decimal(scala.math.BigDecimal(new java.math.BigDecimal(acc)))
       out(c) = if (dec.changePrecision(38, 0)) dec else null
       c += 1

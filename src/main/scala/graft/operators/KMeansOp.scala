@@ -167,6 +167,17 @@ object KMeansOp {
     * cluster, ee, n — [[assign]]'s output): lets callers share one
     * materialized assignment across every consumer of the same labels
     * (the integer E kernel is the expensive pass, not this groupBy).
+    *
+    * BOUND — one factor of n_points TIGHTER than the per-energy
+    * envelope: Σee over a cluster is ≤ n_points · max(ee), and each ee
+    * is itself ~ n²·dist² in e18 units, so the sum scales as
+    * n³·dims·4A²·10¹⁸ and crosses DECIMAL(38,0) at roughly 7·10⁵
+    * members per cluster at A = 1 — far inside the per-row kernel's
+    * own envelope. Past it Spark's non-ANSI decimal sum yields NULL
+    * where the oracle's HUGEINT keeps going (HUGEINT holds to
+    * ~1.7e38), so the overflow is made LOUD in-plan rather than left
+    * as a silent NULL mean: the remedy at that scale is sharding the
+    * stats aggregation (sum ee DIV n² per shard) or coarser quant.
     */
   def clusterStatsAssigned(assigned: DataFrame): DataFrame = {
     assigned
@@ -175,8 +186,15 @@ object KMeansOp {
         sum(col("ee")).as("__sumE"), first(col("n")).as("__n"))
       // nonnegative operands, so Spark DIV (trunc) == DuckDB // (floor)
       .select(col("cluster"), col("n_points"),
-        expr("__sumE DIV (CAST(__n AS DECIMAL(38,0)) * __n" +
-          " * n_points * 1000000000000)").as("mean_dist2_e6"))
+        when(col("n_points") > 0 && col("__sumE").isNull,
+          raise_error(concat(
+            lit("clusterStats: Σ energy overflowed DECIMAL(38,0) for "),
+            lit("cluster "), col("cluster").cast("string"),
+            lit(" (n³ stats bound, ~7e5 members at A=1) — shard the "),
+            lit("stats aggregation or coarsen the quantization"))))
+          .otherwise(expr("__sumE DIV (CAST(__n AS DECIMAL(38,0)) * __n" +
+            " * n_points * 1000000000000)"))
+          .as("mean_dist2_e6"))
       .orderBy(col("cluster"))
   }
 

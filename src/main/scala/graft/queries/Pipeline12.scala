@@ -138,7 +138,11 @@ object Pipeline12 {
           .select($"label", $"dim",
             floor($"v".cast("double") * lit(1e9)).cast("long").as("xe9"))
           .groupBy($"label", $"dim")
-          .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
+          // cast BEFORE aggregating (the KMeansOp.fit discipline): a
+          // LongType sum wraps silently at n·A ~ 9.2e18 while the
+          // oracle's SUM(BIGINT) widens to HUGEINT — the decimal sum
+          // keeps both engines exact to the documented n·A ≤ 1e26
+          .agg(sum($"xe9".cast(D38)).as("sx"), count(lit(1)).as("n"))
         val means = cells.select($"label", $"dim", $"n",
           expr("CASE WHEN sx >= 0 THEN (sx * 1000) DIV n" +
             " ELSE -(((-sx) * 1000) DIV n) END").as("m"))
@@ -212,7 +216,8 @@ object Pipeline12 {
         val bcells = emb.filter($"vec_id" % 2 === 0)
           .select(posexplode(quant).as(Seq("dim", "xe9")))
           .groupBy($"dim")
-          .agg(sum($"xe9").cast(D38).as("b"), count(lit(1)).as("bn0"))
+          // decimal-sum before aggregate — same wraparound note as p168
+          .agg(sum($"xe9".cast(D38)).as("b"), count(lit(1)).as("bn0"))
         val bmeans = bcells.select($"dim",
           expr("CASE WHEN b >= 0 THEN (b * 1000) DIV bn0" +
             " ELSE -(((-b) * 1000) DIV bn0) END").as("mb"))
@@ -222,7 +227,8 @@ object Pipeline12 {
               "1767225600 + (vec_id * 97) % 172800))"))
           .select($"w", posexplode(quant).as(Seq("dim", "xe9")))
           .groupBy($"w", $"dim")
-          .agg(sum($"xe9").cast(D38).as("sx"), count(lit(1)).as("n"))
+          // decimal-sum before aggregate — same wraparound note as p168
+          .agg(sum($"xe9".cast(D38)).as("sx"), count(lit(1)).as("n"))
         val wmeans = cells.select($"w", $"n", $"dim",
           expr("CASE WHEN sx >= 0 THEN (sx * 1000) DIV n" +
             " ELSE -(((-sx) * 1000) DIV n) END").as("mw"))

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Verify-time PBF→parquet staging: DuckDB cannot parse PBF, so for
   * twelve rounds the osm* entries carried rows-only checks. This
   * module decodes the two fixtures ONCE per Verify run into
-  * `<outDir>/_staging/<table>` parquet, and the osm oracles read them
+  * `<outDir>_staging/<table>` parquet (a SIBLING of outDir — anything
+  * inside outDir is diffed by the driver harness as a query result),
+  * and the osm oracles read them
   * via `read_parquet(...)` — giving the osm ANALYTICS (aggregations,
   * joins, tile binning, tag text stats) real rows+schema+hash oracle
   * rows.

@@ -69,8 +69,12 @@ object EmbedStreams {
     }
     val quant = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1e9)).cast("long"))
+    // decimal-sum before aggregate (the KMeansOp.fit / p168 discipline):
+    // a LongType sum wraps silently at n·A ~ 9.2e18 elements-units per
+    // (window, dim) while the batch twin's decimal sum stays exact — the
+    // cast inside the aggregate keeps stream == batch to n·A ≤ 1e26
     val aggs = count(lit(1)).as("n") +: (0 until dims).map(d =>
-      sum(element_at(col("xe9"), d + 1)).as(s"s$d"))
+      sum(element_at(col("xe9"), d + 1).cast(D38)).as(s"s$d"))
     val counts = emb
       .withWatermark("ts", watermark)
       .filter(col("embedding").isNotNull &&
@@ -78,17 +82,21 @@ object EmbedStreams {
       .select(col("ts"), quant.as("xe9"))
       .groupBy(window(col("ts"), windowDur))
       .agg(aggs.head, aggs.tail: _*)
+    // a dim whose every element in the window is null sums to NULL; the
+    // batch twin (p169) lets that null mean's squared term DROP from its
+    // row-wise SUM (aggregate null-skip), so the pivoted reduce here must
+    // coalesce the TERM to zero — coalescing the SUM to zero (the pre-r14
+    // form) scored (0 − m_b)² instead and broke the pinned stream ==
+    // batch contract exactly on all-null dims
     val withMeans = counts.select(
       col("window").as("window") +: col("n").as("n_vecs") +:
         (0 until dims).map { d =>
-          expr(s"CASE WHEN coalesce(s$d, 0) >= 0 THEN " +
-            s"(CAST(coalesce(s$d, 0) AS DECIMAL(38,0)) * 1000) DIV n " +
-            s"ELSE -(((-CAST(coalesce(s$d, 0) AS DECIMAL(38,0)))" +
-            s" * 1000) DIV n) END").as(s"m$d")
+          expr(s"CASE WHEN s$d >= 0 THEN (s$d * 1000) DIV n " +
+            s"ELSE -(((-s$d) * 1000) DIV n) END").as(s"m$d")
         }: _*)
     val v = (0 until dims).map { d =>
       val t = col(s"m$d").cast(D38) - lit(baseMeans(d)).cast(D38)
-      t * t
+      coalesce(t * t, lit(0).cast(D38))
     }.reduce(_ + _)
     withMeans
       .select(col("window.start").as("w_start"), col("n_vecs"),

@@ -124,4 +124,47 @@ class EmbedStreamsSpec extends AnyFunSuite {
       s"ragged/null vectors leaked into the window: ${got.toSeq}")
     spark.catalog.clearCache()
   }
+
+  test("mmd drift: an all-null dim DROPS from the score (batch null-skip)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // the r13 ADVICE case: a window whose dim d is null in EVERY row.
+    // The batch twin's row-wise SUM skips the null mean's term, so the
+    // stream's pivoted reduce must contribute 0 for that dim — the
+    // pre-r14 coalesce-sum-to-0 form scored (0 − m_b)² instead.
+    val dims = 4
+    val baselineSums = Seq.fill(dims)(2000000000L) // mb = 1e12 per dim
+    val baselineN = 2L
+    val t0 = 1767225600L
+    def ts(s: Long) = new java.sql.Timestamp((t0 + s) * 1000)
+    val rows = Seq(
+      (ts(60), 1L, Seq[Option[Float]](Some(2f), Some(2f), Some(2f), None)),
+      (ts(120), 2L, Seq[Option[Float]](Some(2f), Some(2f), Some(2f), None)),
+      (ts(4000L * 3600), 99L, Seq[Option[Float]](Some(0f), Some(0f),
+        Some(0f), Some(0f)))) // watermark sentinel
+    val dir = Files.createTempDirectory("mmdnulldim-vecs").toString
+    val ckpt = Files.createTempDirectory("mmdnulldim-ckpt").toString
+    val vecs = rows.toDF("ts", "vec_id", "embedding")
+    val stream = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EmbedStreams.mmdDriftStream(stream, baselineSums, baselineN,
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("mmd_nulldim")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      vecs.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mmd_nulldim")
+      .filter($"w_start" === ts(0))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // 3 live dims score (2e12 − 1e12)² = 1e24 each; the all-null dim
+    // contributes NOTHING: 3e24 / 1e12 = 3e12. The coalesce-to-0 bug
+    // would have added (0 − 1e12)² and read 4e12.
+    assert(got.toSeq == Seq((2L, 3L * 1000000000000L)),
+      s"all-null dim did not drop from the stream score: ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
