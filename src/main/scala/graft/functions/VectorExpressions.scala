@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -393,8 +393,127 @@ case class StringHamming(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SignLshSketches {
+  /** Deterministic hyperplane grid (splitmix64): weight(t, p, d) =
+    * floorMod(splitmix64(((t·1024 + p) << 20) + d), 2000001)/10⁶ − 1 —
+    * the SAME doubles the pre-r14 typedLit planes carried (moved here
+    * from graft.operators.Similarity.planeWeights), so sketches are
+    * stable across the representation change.
+    */
+  private[graft] def weights(
+      tables: Int, planes: Int, dims: Int): Array[Array[Array[Double]]] = {
+    import graft.functions.Hashing.splitmix64
+    Array.tabulate(tables, planes, dims) { (t, p, d) =>
+      math.floorMod(splitmix64(((t * 1024L + p) << 20) + d), 2000001L) /
+        1000000.0 - 1.0
+    }
+  }
+}
+
+/** Native batched sign-LSH sketcher: `tables` OR-amplified sketches of
+  * `planes` sign bits each over the deterministic hyperplane grid of
+  * [[SignLshSketches.weights]]. The weight matrix rides the expression
+  * OBJECT (one plan node), not the plan tree: the declarative form this
+  * replaces carried planes × tables typedLit arrays — at p173's
+  * (12, 232) operating point that is ~178k literal doubles, enough to
+  * OOM an 8 GB driver during planning/codegen, and interpretation-heavy
+  * per row besides. Bit-identical to that form (SignLshSketchesSpec
+  * rebuilds the typedLit construction and pins equality): each
+  * projection is the same strict left-to-right double accumulation
+  * over min(length, dims) components as [[FloatDoubleVecDot]], and the
+  * per-plane decide replicates Spark's `> 0` semantics INCLUDING the
+  * NaN-is-largest ordering (a NaN projection sets the bit, as
+  * `when(dot > 0, ...)` did). A NULL vector sketches to all-zero bits
+  * (a length-`tables` array, never null — it falls out at the cosine
+  * verify stage, exactly the pre-kernel behavior); a vector LONGER
+  * than dims raises with the lshSketches contract message.
+  */
+case class SignLshSketches(
+    child: Expression, planes: Int, tables: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes >= 1 && planes <= 63 && tables >= 1 && dims >= 1,
+    s"sign_lsh_sketches knobs out of range: planes=$planes tables=$tables")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_sketches expects array<float>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val w: Array[Array[Array[Double]]] =
+    SignLshSketches.weights(tables, planes, dims)
+
+  def compute(input: ArrayData): ArrayData = {
+    val out = new Array[Long](tables)
+    if (input == null) return new GenericArrayData(out)
+    val n = input.numElements()
+    if (n > dims)
+      throw new RuntimeException(
+        s"lshSketches: vector length $n exceeds dims=$dims; raise dims " +
+          "to cover the embedding")
+    val m = if (n < dims) n else dims
+    var t = 0
+    while (t < tables) {
+      val wt = w(t)
+      var sk = 0L
+      var p = 0
+      while (p < planes) {
+        val wp = wt(p)
+        var acc = 0.0
+        var i = 0
+        while (i < m) {
+          acc += input.getFloat(i).toDouble * wp(i)
+          i += 1
+        }
+        // Spark's `dot > 0` orders NaN above every value: replicate
+        if (acc > 0.0 || java.lang.Double.isNaN(acc)) sk |= (1L << p)
+        p += 1
+      }
+      out(t) = sk
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("signLshSketches", this,
+      classOf[SignLshSketches].getName)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = c.code + code"""
+        |$arrCls ${ev.value} =
+        |  $ref.compute(${c.isNull} ? null : ${c.value});""".stripMargin,
+      isNull =
+        org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column DSL + SQL registration for the native vector functions. */
 object VectorFunctions {
+
+  def sign_lsh_sketches(
+      v: Column, planes: Int, tables: Int, dims: Int): Column =
+    ColumnBridge.column(
+      SignLshSketches(ColumnBridge.expression(v), planes, tables, dims))
 
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(

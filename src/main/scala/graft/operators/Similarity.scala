@@ -112,18 +112,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic splitmix64-derived hyperplane weights in [-1, 1),
-    * computed ONCE on the driver and shipped as a literal — the
-    * expression-level alternative (hashing a "plane-p-d" string per
-    * row x plane x dim) costs thousands of string hashes per row.
-    */
-  private def planeWeights(tables: Int, planes: Int, dims: Int): Seq[Seq[Seq[Double]]] = {
-    import graft.functions.Hashing.splitmix64
-    Seq.tabulate(tables, planes, dims) { (t, p, d) =>
-      math.floorMod(splitmix64(((t * 1024L + p) << 20) + d), 2000001L) / 1000000.0 - 1.0
-    }
-  }
-
   /** Sign-LSH sketch: bit p = sign(v . hyperplane_p). `dims` must be >=
     * the embedding length (weights beyond the vector length are unused).
     */
@@ -647,36 +635,22 @@ object Similarity {
 
   /** Multi-table sign-LSH sketch: `tables` independent sketches of
     * `planes` bits each, returned as an array so candidates can match on
-    * ANY table (OR-amplification). Each hyperplane is its own literal
-    * and each projection one native codegen'd dot product
-    * ([[graft.functions.FloatDoubleVecDot]] — for vectors of length
-    * <= `dims` bit-identical to the HOF form it replaced, so sketches
-    * are stable across versions; an out-of-spec longer vector differs —
-    * the HOF's zip_with null-padded the sum to a null/0 bit, while the
-    * native kernel sums the first `dims` components); the
-    * nested-aggregate alternative interprets planes x tables lambda
-    * evaluations per row at ~300x raw-FLOP cost.
+    * ANY table (OR-amplification). Since round 14 this is ONE native
+    * batched kernel ([[graft.functions.SignLshSketches]] — the weight
+    * grid rides the expression object): the previous form built
+    * planes × tables typedLit hyperplanes with one [[graft.functions
+    * .FloatDoubleVecDot]] each, which at p173's (12, 232) operating
+    * point put ~178k literal doubles in the plan and OOM'd an 8 GB
+    * driver during planning. Sketch VALUES are bit-identical across the
+    * change (same splitmix64 weights, same left-to-right double
+    * accumulation, same `> 0` decide — SignLshSketchesSpec pins the
+    * old construction against the kernel), so every banded pair set
+    * and hash gate is unchanged. Contract: a NULL vector sketches to
+    * all-zero bits and falls out at the cosine verify; a vector longer
+    * than `dims` raises.
     */
-  def lshSketches(vec: Column, planes: Int, tables: Int, dims: Int = 64): Column = {
-    import graft.functions.VectorFunctions.vec_dot_fd
-    val w = planeWeights(tables, planes, dims)
-    val sketches = array((0 until tables).map { t =>
-      (0 until planes).map { p =>
-        when(vec_dot_fd(vec, typedLit(w(t)(p))) > 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
-    // the bit-identity contract above holds only for vectors of length
-    // <= dims (the native kernel sums the first `dims` components where
-    // the HOF null-padded): enforce it at sketch time rather than let a
-    // longer vector silently sketch a truncation. A NULL vector is NOT
-    // an error — it sketches through unchanged (all-zero bits, exactly
-    // the pre-guard behavior) and falls out at the cosine stage.
-    when(vec.isNull || size(vec) <= dims, sketches)
-      .otherwise(raise_error(concat(
-        lit("lshSketches: vector length "), size(vec).cast("string"),
-        lit(s" exceeds dims=$dims; raise dims to cover the embedding"))))
-  }
+  def lshSketches(vec: Column, planes: Int, tables: Int, dims: Int = 64): Column =
+    graft.functions.VectorFunctions.sign_lsh_sketches(vec, planes, tables, dims)
 
   /** Near-dup pairs via OR-amplified sketch buckets: a pair is a candidate
     * when it collides in ANY of the `tables` sketches, then verified with
@@ -700,8 +674,26 @@ object Similarity {
       vecCol: String,
       minSim: Double,
       planes: Int = 5,
-      tables: Int = 12): DataFrame = {
-    import graft.functions.VectorFunctions.vec_cosine
+      tables: Int = 12): DataFrame =
+    verifyCandidatePairs(
+      lshCandidatePairs(emb, idCol, vecCol, planes, tables),
+      emb, idCol, vecCol, minSim)
+
+  /** The ids-only CANDIDATE pair set of the banded path — a pair
+    * qualifies when it collides in ANY of the `tables` sketches.
+    * Exposed separately from [[nearDupPairsLsh]] so a caller can
+    * MEASURE the candidate volume in-frame (p173's candidate-ratio
+    * pin: at 100 TB the candidate count, not the verified pair count,
+    * is the cost the (planes, tables) knobs control) before handing
+    * the frame to [[verifyCandidatePairs]]. Output: (id_a, id_b),
+    * id_a < id_b, distinct.
+    */
+  def lshCandidatePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      tables: Int): DataFrame = {
     // both candidate-join sides read the sketch frame: persist it
     // (ids+sketches only — payload-free) or the planes×tables native
     // dot products run twice per vector. Lazy cache contract, same as
@@ -710,23 +702,93 @@ object Similarity {
         posexplode(lshSketches(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = sk.select(col("tbl"), col("sketch"), col("id").as("id_a"))
+    sk.select(col("tbl"), col("sketch"), col("id").as("id_a"))
       .join(sk.select(col("tbl"), col("sketch"), col("id").as("id_b")),
         Seq("tbl", "sketch"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** The exact decide stage of the banded path: score an ids-only
+    * (id_a, id_b) candidate frame with the two-kernel float-prune /
+    * decimal-decide cosine and keep pairs at `sim_e6 >= round(minSim
+    * * 1e6)` — the same exact-integer decide/render as
+    * [[nearDupPairsExact]], so the "bit-identical to a single exact
+    * pass" contract holds at every scale (no double sits on the
+    * decided or rendered value).
+    */
+  def verifyCandidatePairs(
+      candidates: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double): DataFrame = {
+    import graft.functions.VectorFunctions.vec_cosine
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    // same exact-integer decide/render as [[nearDupPairsExact]] — the
-    // "bit-identical to a single exact pass" contract holds at every
-    // scale because no double sits on the decided or rendered value
     val minSimE6 = Math.round(minSim * 1e6)
-    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .filter(vec_cosine(col("vec_a"), col("vec_b")) >= minSim - 1e-6)
       .select(col("id_a"), col("id_b"),
         cosineE6(col("vec_a"), col("vec_b")).as("sim_e6"))
       .filter(col("sim_e6") >= minSimE6)
+  }
+
+  /** Derive sign-LSH (planes, tables) from the decide threshold — the
+    * [[derivedCellCap]] discipline applied to the banded pair graph's
+    * knobs, so an operating point is a FUNCTION of the contract
+    * (threshold, recall target, compute budget) instead of a number
+    * hand-tuned to one fixture.
+    *
+    * Model: a pair at cosine exactly `minSim` collides with one
+    * `planes`-bit sketch with probability p^planes where
+    * p = 1 − acos(minSim)/π, so `tables` OR-amplified sketches reach
+    * recall 1 − (1 − p^planes)^tables at the threshold BOUNDARY (every
+    * higher-sim pair does strictly better). The derivation picks the
+    * LARGEST planes count whose boundary-recall table requirement —
+    * ceil(ln(1−targetRecall)/ln(1−p^planes)), rounded UP to the next
+    * multiple of 8 as margin — still fits `tablesBudget`: more planes
+    * = exponentially fewer unrelated-pair collisions (an unrelated
+    * pair at cosine ~0 collides per table with ~2^−planes), so within
+    * a fixed sketch budget the most selective feasible config wins.
+    *
+    * The budget is the honest dial: planes × tables is the per-vector
+    * sketch cost (linear in corpus size — the cost that SHOULD grow to
+    * keep the quadratic candidate cost down). At minSim = 0.4 (a hard
+    * threshold for sign-LSH — the boundary gap to an unrelated pair is
+    * p = 0.63 vs 0.5) the default budget of 64 yields (4, 48) — exactly
+    * the p171 config whose candidate recall was measured 1.0 at all
+    * three SFs, with the analytic minimum at 41 tables and the measured
+    * edge at 40. At a production near-dup threshold of 0.7 a budget of
+    * 256 yields (12, 232), whose measured candidate ratio on the
+    * fixture corpus is ~0.078 of the pair space (p173 pins it < 0.10
+    * in-frame) against ~0.95 for the 0.4 point — the sub-quadratic
+    * regime the wider gap (p = 0.747) buys.
+    */
+  def derivedLshKnobs(
+      minSim: Double,
+      targetRecall: Double = 0.999,
+      tablesBudget: Int = 64): (Int, Int) = {
+    require(minSim > -1.0 && minSim < 1.0,
+      s"minSim out of (-1, 1): $minSim")
+    require(targetRecall > 0.5 && targetRecall < 1.0,
+      s"targetRecall out of (0.5, 1): $targetRecall")
+    require(tablesBudget >= 8 && tablesBudget <= 4096,
+      s"tablesBudget out of [8, 4096]: $tablesBudget")
+    val p = 1.0 - math.acos(minSim) / math.Pi
+    val lnMiss = math.log1p(-targetRecall) // ln(1 − recall) < 0
+    def tablesFor(planes: Int): Int = {
+      val raw = lnMiss / math.log1p(-math.pow(p, planes))
+      if (raw >= tablesBudget + 1.0) Int.MaxValue
+      else (((math.ceil(raw).toLong + 7L) / 8L) * 8L).toInt
+    }
+    val feasible = (1 to 24).map(b => (b, tablesFor(b)))
+      .takeWhile(_._2 <= tablesBudget)
+    require(feasible.nonEmpty,
+      s"derivedLshKnobs: no plane count reaches recall $targetRecall at " +
+        s"minSim=$minSim within $tablesBudget tables — raise the budget")
+    feasible.last
   }
 
   /** Deterministic +-1 weight matrix for [[signProjection]] — exposed

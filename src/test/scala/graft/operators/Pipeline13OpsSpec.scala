@@ -61,4 +61,47 @@ class Pipeline13OpsSpec extends AnyFunSuite {
     assert(got == want, s"banded != exact composition:\n got $got\nwant $want")
     spark.catalog.clearCache()
   }
+
+  test("derivedLshKnobs: derivation reproduces the validated operating points") {
+    // 0.4 at the default budget must equal the config whose candidate
+    // recall was MEASURED 1.0 at all three SFs (analytic minimum 41
+    // tables, measured edge 40, margin rounds to 48) — p171/p172 read
+    // their knobs from this call, so this pin is what keeps their
+    // hash-gated outputs stable across derivation refactors.
+    assert(Similarity.derivedLshKnobs(0.4) == (4, 48))
+    // the p173 production point: 12 planes × 232 tables at 0.7/256
+    assert(Similarity.derivedLshKnobs(0.7, tablesBudget = 256) == (12, 232))
+    // selectivity grows with the threshold (the whole point of the
+    // derivation): at a fixed budget a wider collision gap buys planes
+    val b04 = Similarity.derivedLshKnobs(0.4, tablesBudget = 256)._1
+    val b07 = Similarity.derivedLshKnobs(0.7, tablesBudget = 256)._1
+    val b09 = Similarity.derivedLshKnobs(0.9, tablesBudget = 256)._1
+    assert(b04 < b07 && b07 < b09, s"not monotone: $b04 $b07 $b09")
+    // an infeasible (threshold, budget) pair must raise, not silently
+    // ship a config that can't reach the recall target
+    assertThrows[IllegalArgumentException](
+      Similarity.derivedLshKnobs(-0.9, tablesBudget = 8))
+  }
+
+  test("p173 production point: zero 0.7-pairs, ratio pins TRUE, knobs derived") {
+    val rows = SparkEntry.queries("p173_banded_production_point")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    def l(name: String): Long = r.getLong(r.fieldIndex(name))
+    def b(name: String): Boolean = r.getBoolean(r.fieldIndex(name))
+    assert(l("n_vectors") == 500L)
+    assert((l("planes"), l("tables")) == (12L, 232L))
+    assert(l("min_sim_e6") == 700000L)
+    // the fixture's max pairwise cosine is ~0.48 at sf0.001 — the
+    // exact twin (the DuckDB oracle) agrees these are zero/-1
+    assert(l("n_pairs") == 0L && l("max_sim_e6") == -1L)
+    // the in-frame candidate-ratio pins: measured ~0.078 of the pair
+    // space (deterministic hyperplanes — this is a fact, not a sample)
+    assert(b("candidate_ratio_lt_10pct"),
+      "candidate ratio crossed 10% of the pair space")
+    assert(b("candidates_nonvacuous_ge_1pct"),
+      "candidate frame near-empty: the measurement is vacuous")
+    spark.catalog.clearCache()
+  }
 }
