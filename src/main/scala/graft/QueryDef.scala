@@ -8,11 +8,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param fn     (session, sfDir) => result; sfDir holds the parquet tables
   * @param oracle equivalent ANSI SQL for DuckDB over the same tables
   *               (None => driver records a weaker rows-only check)
+  * @param benchOnly true for entries whose OUTPUT is wall-clock timing
+  *               (osm12): they run in Bench — the artifact the timing
+  *               belongs in — but are excluded from [[SparkEntry
+  *               .queries]], so the correctness gate carries no
+  *               structurally-unoracleable row; their deterministic
+  *               analytic content is gated by an oracled twin
+  *               (osm12a) instead.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    benchOnly: Boolean = false)
 
 object Tables {
   /** All driver-generated tables (TESTDATA.md). */

@@ -53,9 +53,13 @@ object SparkEntry {
     allDefs.find(_.name == "q01_pricing_summary").get
       .fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Bench-only
+    * defs (timing-bearing output — osm12) are excluded: Verify/
+    * CORRECTNESS sees only oracle-gateable entries, Bench runs
+    * [[allDefs]].
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.fn).toMap
+    allDefs.filterNot(_.benchOnly).map(d => d.name -> d.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

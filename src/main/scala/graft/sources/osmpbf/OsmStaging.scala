@@ -61,5 +61,16 @@ object OsmStaging {
     w(read(samplePbfPath, Some("node"))
       .select(col("id"), col("lat"), col("lon")), "sample_nodes")
     w(OsmPbfHeader.df(spark, samplePbfPath, fixturePath), "header")
+    // osm12a's companion: the deterministic 16 MB synthetic scale
+    // fixture (same bytes every run — SyntheticPbf derives everything
+    // from the block index), decoded once so DuckDB can recompute the
+    // multi-split agreement values. ~2.6M rows of (id, type, lat, lon);
+    // written WITHOUT coalesce(1) — the one staged frame big enough
+    // that a single-task write would dominate staging time.
+    w16(read(graft.pbf.SyntheticPbf.ensureFile(16L << 20), None)
+      .select(col("id"), col("type"), col("lat"), col("lon")), dir)
   }
+
+  private def w16(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/synth16")
 }
