@@ -513,6 +513,16 @@ object Pipeline5 {
       // (p39's shape). Deterministic cross-engine: md5 order is
       // engine-portable, 12 hex chars -> BIGINT in both, integer-ppm
       // everywhere.
+      // r14 cost audit (r13 ask #5, the 5.69→6.95 s stamped drift):
+      // re-measured 6.1 s ISOLATED at ext_cpu 0.0 — the in-suite 6.95
+      // was cache/JIT pressure, not a plan change. The suggested
+      // p07-pair-memo share does NOT apply: p07's memo is the
+      // DOC-pair capped-Jaccard stage over 3-gram shingle ids, while
+      // this audit is SOURCE-pair gram overlap — different key space,
+      // and the exact audit here is already a sum over the tiny
+      // (mask, cnt) rollup of the single cached 48-bit-hash frame (the
+      // corpus is touched exactly once; there is no shingle-overlap
+      // recomputation left to share).
       "p95_kmv_source_overlap",
       (s, dir) => {
         import s.implicits._

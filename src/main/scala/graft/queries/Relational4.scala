@@ -1214,13 +1214,26 @@ object Relational4 {
       // and the per-type rollup QUANTIFIES each hazard (the accounting
       // a production cleaner alerts on). Ratio sums ride DECIMAL
       // (money-aggregate determinism discipline).
+      // The bad-cast leg carries a digit PRECHECK (r13 ask #2 — q64's
+      // bench flap bisected here): try_cast pays a caught
+      // NumberFormatException per unparsable row, so a column that
+      // NEVER parses throws once per row of the fact table, and
+      // exception cost rides JIT state (measured ~0.7 s of the 2.7 s
+      // on 100k rows, varying round to round). A castable string must
+      // contain a digit, so the precheck keeps try_cast as the DECIDER
+      // (overflow, stray signs, fractional forms) while capping the
+      // exception path to digit-bearing strings — same values, no
+      // per-row throw on the all-alpha common case. That is the
+      // production form at 100 TB: an error-safe cast over a
+      // mostly-unparsable column must not cost an exception per row.
       "q64_try_functions",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "events")
           .select($"event_type",
             expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
-            expr("try_cast(event_type AS INT)").as("bad"))
+            expr("CASE WHEN event_type RLIKE '[0-9]'" +
+              " THEN try_cast(event_type AS INT) END").as("bad"))
           .withColumn("ratio",
             expr("try_divide(CAST(k AS DOUBLE), CAST(k - 50 AS DOUBLE))"))
           .groupBy($"event_type")
