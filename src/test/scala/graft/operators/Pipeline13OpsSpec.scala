@@ -83,6 +83,27 @@ class Pipeline13OpsSpec extends AnyFunSuite {
       Similarity.derivedLshKnobs(-0.9, tablesBudget = 8))
   }
 
+  test("derivedLshKnobs: every derived config meets its recall target " +
+      "analytically and fits its budget") {
+    // the derivation's own model, checked as an identity over a sweep:
+    // boundary recall 1 − (1 − p^planes)^tables ≥ target, tables within
+    // budget, and the rounding margin never less than the analytic
+    // minimum — so a future refactor cannot silently ship a config
+    // below the recall contract
+    for {
+      minSim <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      budget <- Seq(64, 256, 1024)
+      target <- Seq(0.99, 0.999)
+    } {
+      val (b, tbl) = Similarity.derivedLshKnobs(minSim, target, budget)
+      assert(tbl <= budget && tbl % 8 == 0, s"($minSim,$budget,$target)")
+      val p = 1.0 - math.acos(minSim) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), tbl)
+      assert(recall >= target,
+        s"($minSim,$budget,$target) -> ($b,$tbl): recall $recall")
+    }
+  }
+
   test("p173 production point: zero 0.7-pairs, ratio pins TRUE, knobs derived") {
     val rows = SparkEntry.queries("p173_banded_production_point")(spark, sf)
       .collect()
