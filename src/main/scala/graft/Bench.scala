@@ -191,6 +191,11 @@ object Bench {
           }
         }
       })
+    // clear warmup-phase memo events so the first timed consumer's
+    // build/hit attribution starts from an empty ledger (warmup runs
+    // at warmDir — a different memo key — so timed-pass builds happen
+    // anyway; this just keeps the drained windows aligned)
+    MemoLedger.drainForeignHits()
     val results = names.map { name =>
       shuffleW.set(0); shuffleR.set(0); spilled.set(0)
       val cpu0 = cpuJiffies()
@@ -209,6 +214,13 @@ object Bench {
       // on the MAX across queries: the r9 before/after loadavg pair
       // passed a run whose middle 60s ran under a 4-core external spike.
       val ext = extCores(cpu0, cpuJiffies(), sec)
+      // memos this window CONSUMED but did not build (VERDICT r14 ask
+      // #2 — e.g. p172 riding p171's 6.5s pair-graph build): drained
+      // inside the per-query bracket so attribution matches the
+      // seconds; flagged entries carry a `memo` marker in the stdout
+      // line and the memo names in bench-full.json, so a reader knows
+      // the entry's seconds presuppose work priced in another entry.
+      val memoHits = MemoLedger.drainForeignHits()
       spark.catalog.clearCache()
       // Spark's ContextCleaner reclaims broadcast/shuffle state only when
       // the driver GCs; a large heap can go a whole 70-query suite
@@ -216,7 +228,8 @@ object Bench {
       // outlier on a mid-suite query. Nudge the cleaner OUTSIDE the timed
       // window so each query starts from a clean session.
       System.gc()
-      (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get, ext)
+      (name, sec, ok, shuffleW.get, shuffleR.get, spilled.get, ext,
+        memoHits)
     }
     val loadAfter = load1()
     // headline contention figures. Max over queries ≥1s only: a
@@ -239,13 +252,19 @@ object Bench {
       // handful of jiffies and a single GC tick reads as a phantom core
       // (the extMax filter's rationale, applied per entry)
       results.filter(r => r._2 >= 1.0 && r._7 >= 0)
-        .map(r => (r._1, r._7))))
+        .map(r => (r._1, r._7)),
+      results.filter(_._8.nonEmpty).map(_._1)))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
-    val detail = results.map { case (k, v, ok, sw, sr, sp, ext) =>
+    val detail = results.map { case (k, v, ok, sw, sr, sp, ext, memo) =>
+      val memoPart =
+        if (memo.isEmpty) ""
+        else memo.map("\"" + _ + "\"")
+          .mkString(""","memo":[""", ",", "]")
       s""""$k":{"sec":$v,"ok":$ok,"shuffle_w_mb":${sw / 1048576},""" +
         s""""shuffle_r_mb":${sr / 1048576},"spill_mb":${sp / 1048576},""" +
-        s""""ext_cpu":${"%.2f".formatLocal(java.util.Locale.ROOT, ext)}}"""
+        s""""ext_cpu":${"%.2f".formatLocal(java.util.Locale.ROOT, ext)}""" +
+        memoPart + "}"
     }.mkString(
       s"""{"load1":[$loadBefore,$loadAfter],"ext_cpu_max":${
         "%.2f".formatLocal(java.util.Locale.ROOT, extMax)
@@ -292,7 +311,8 @@ object Bench {
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String,
       load: Option[(Double, Double)] = None,
       extMax: Double = -1.0,
-      extPerQuery: Seq[(String, Double)] = Nil): String = {
+      extPerQuery: Seq[(String, Double)] = Nil,
+      memoHits: Seq[String] = Nil): String = {
     def short(n: String): String = n.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // per-query stdout values cap at 3 chars: one decimal under 10s
@@ -367,8 +387,24 @@ object Bench {
           if (extHot.size > 8) s""","ext_more":${extHot.size - 8}""" else ""
         s""""ext":$shown$more,"""
       }
+    // entries whose timed window CONSUMED a cross-entry memo built in
+    // another entry's window (VERDICT r14 ask #2): their seconds are
+    // honest but presuppose work priced elsewhere — a reader of the
+    // stdout line sees the marker, the WHICH-memo detail lives in
+    // bench-full.json. Capped at 8 names + a count (the extHot
+    // precedent) so a memo-heavy suite cannot blow the tail window.
+    val memoPart =
+      if (memoHits.isEmpty) ""
+      else {
+        val shown = memoHits.take(8).map(n => "\"" + short(n) + "\"")
+          .mkString("[", ",", "]")
+        val more =
+          if (memoHits.size > 8) s""","memo_more":${memoHits.size - 8}"""
+          else ""
+        s""""memo":$shown$more,"""
+      }
     def line(qsPart: String, failedPart: String, ptr: String = "") =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$extPart$extQPart$failedPart$ptr,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,$loadPart$extPart$extQPart$memoPart$failedPart$ptr,"sf":"$sfShort"}"""
     // The driver reads the LAST ~2000 chars of output; sbt appends a
     // ~75-char [success] line after ours, so 1850 leaves real margin.
     // The degrade ladder (each tier drops stdout detail that survives

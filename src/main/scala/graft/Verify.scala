@@ -43,9 +43,32 @@ object Verify {
     // directory under outDir as a query result, and the staged list
     // columns (ways.nodes, entities) made its pandas sort choke — one
     // spurious `_staging` err row per round (VERDICT r13 ask #3).
+    // LIFECYCLE (ADVICE r14): the tree must OUTLIVE this process — the
+    // driver's DuckDB replay reads the staged frames via the absolute
+    // paths substituted into oracle_sql.json AFTER Verify exits — so it
+    // cannot be deleted at the end of main. Instead each run deletes
+    // the previous run's tree up front (below), so staged parquet never
+    // accumulates across runs even though harness cleanup scoped to
+    // outDir does not see the sibling.
     val stagingDir = {
       val abs = Paths.get(outDir).toAbsolutePath
-      abs.getParent.resolve(abs.getFileName.toString + "_staging").toString
+      // getParent is null when outDir IS a filesystem root (ADVICE
+      // r14): fall back to a child of outDir itself — degenerate
+      // layout (a root has no sibling slot; the pandas list-column
+      // concern the sibling placement exists for is moot for a run
+      // writing results to "/"), but NPE-free.
+      Option(abs.getParent)
+        .map(_.resolve(abs.getFileName.toString + "_staging"))
+        .getOrElse(abs.resolve("_staging")).toString
+    }
+    locally { // clean the PREVIOUS run's staging tree (see LIFECYCLE)
+      val p = Paths.get(stagingDir)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+        finally walk.close()
+      }
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>

@@ -451,6 +451,66 @@ object Dedup {
     * Bench `clearCache()` per query); library consumers should prefer
     * [[minhashLshPairsScoped]], which unpersists on exit.
     */
+  /** Derive MinHash-LSH (numHashes, bands) from the decide contract —
+    * [[graft.operators.Similarity.derivedLshKnobs]]' discipline
+    * applied to the banded Jaccard path, completing the
+    * one-derivation-per-family operating-point catalog (VERDICT r14
+    * ask #3; sign-LSH: derivedLshKnobs, k-means blocking:
+    * derivedCellCap): an operating point is a FUNCTION of (threshold,
+    * recall target, compute budget), so corpus drift re-tunes the
+    * config instead of invalidating a hand-tuned number.
+    *
+    * Model: with r rows-per-band hashes in each of b bands, a pair at
+    * Jaccard exactly `minJaccard` matches one band with probability
+    * j^r and survives OR-amplification with recall 1 − (1 − j^r)^b —
+    * every higher-similarity pair does strictly better. The
+    * derivation picks the LARGEST r whose boundary band requirement —
+    * ceil(ln(1−target)/ln(1−j^r)) — keeps the HASH budget b·r ≤
+    * `hashBudget` (the signature length: the per-document sketch cost,
+    * linear in the corpus — the cost that SHOULD grow to keep the
+    * quadratic candidate cost down). Larger r = exponentially fewer
+    * unrelated-pair collisions (a pair at Jaccard u collides per band
+    * with u^r), so within a fixed budget the most selective feasible
+    * config wins — derivedLshKnobs' planes argument under the mapping
+    * (planes, tables, tablesBudget) ↦ (rows, bands, hashes). Unlike
+    * the sign-LSH sibling there is no multiple-of-8 rounding margin:
+    * numHashes = bands · rows by construction (so the result always
+    * satisfies [[minhashLshPairs]]' divisibility require), and margin
+    * belongs in `targetRecall`, not in a band count that would break
+    * the exact tiling.
+    *
+    * b·r is strictly increasing in r (bands are non-decreasing —
+    * j^r shrinks — and r grows), so takeWhile finds the exact
+    * feasible prefix. At p08's contract (j ≥ 0.5, recall 0.9, budget
+    * 64) this yields (54, 18): r = 3, analytic boundary recall 0.910
+    * — against the retired hand-tuned (64, 16), whose r = 4 reached
+    * only 0.644 at the same boundary for MORE hashes. Measured p08
+    * candidate recall at the derived point: 1.0 at all three SFs.
+    */
+  def derivedMinhashKnobs(
+      minJaccard: Double,
+      targetRecall: Double = 0.9,
+      hashBudget: Int = 64): (Int, Int) = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"minJaccard out of (0, 1): $minJaccard")
+    require(targetRecall > 0.5 && targetRecall < 1.0,
+      s"targetRecall out of (0.5, 1): $targetRecall")
+    require(hashBudget >= 4 && hashBudget <= 4096,
+      s"hashBudget out of [4, 4096]: $hashBudget")
+    val lnMiss = math.log1p(-targetRecall) // ln(1 − recall) < 0
+    def bandsFor(r: Int): Long =
+      math.ceil(lnMiss / math.log1p(-math.pow(minJaccard, r)))
+        .toLong.max(1L)
+    val feasible = (1 to 63).map(r => (r, bandsFor(r)))
+      .takeWhile { case (r, b) => b * r <= hashBudget }
+    require(feasible.nonEmpty,
+      s"derivedMinhashKnobs: no rows-per-band reaches recall " +
+        s"$targetRecall at minJaccard=$minJaccard within $hashBudget " +
+        s"hashes — raise the budget")
+    val (r, b) = feasible.last
+    ((b * r).toInt, b.toInt)
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,

@@ -182,11 +182,28 @@ object KMeansOp {
   def clusterStatsAssigned(assigned: DataFrame): DataFrame = {
     assigned
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_points"),
+      .agg(count(lit(1)).as("n_points"), count(col("ee")).as("__nE"),
         sum(col("ee")).as("__sumE"), first(col("n")).as("__n"))
       // nonnegative operands, so Spark DIV (trunc) == DuckDB // (floor)
       .select(col("cluster"), col("n_points"),
-        when(col("n_points") > 0 && col("__sumE").isNull,
+        // TWO distinct overflow causes produce a NULL sum, attributed
+        // separately (ADVICE r14): (a) KMeansEnergies' per-row
+        // DECIMAL(38,0) cast nulled some ee (count ee < n_points) —
+        // the PER-ROW n²·dims·4A² envelope broke, report that, not a
+        // phantom Σ overflow; (b) every ee non-null but their sum
+        // wrapped the 38-digit cap — the n³ stats bound documented
+        // above. Both stay LOUD: a NULL mean silently diverging from
+        // the oracle's HUGEINT is the failure mode this guard exists
+        // to prevent, and per-row overflow is the same class.
+        when(col("__nE") < col("n_points"),
+          raise_error(concat(
+            lit("clusterStats: per-row energy overflowed DECIMAL(38,0)"),
+            lit(" in cluster "), col("cluster").cast("string"),
+            lit(" ("), (col("n_points") - col("__nE")).cast("string"),
+            lit(" of "), col("n_points").cast("string"),
+            lit(" rows NULLed by KMeansEnergies' n²·dims·4A² per-row "),
+            lit("envelope) — coarsen the quantization or shrink A"))))
+        .when(col("n_points") > 0 && col("__sumE").isNull,
           raise_error(concat(
             lit("clusterStats: Σ energy overflowed DECIMAL(38,0) for "),
             lit("cluster "), col("cluster").cast("string"),

@@ -783,7 +783,16 @@ object Similarity {
       if (raw >= tablesBudget + 1.0) Int.MaxValue
       else (((math.ceil(raw).toLong + 7L) / 8L) * 8L).toInt
     }
-    val feasible = (1 to 24).map(b => (b, tablesFor(b)))
+    // search domain = the FULL planes range the SignLshSketches kernel
+    // admits (≤ 63: sketch bits in a long, sign bit reserved — see
+    // VectorExpressions.scala:434), so a search that terminates at the
+    // top is bounded by the kernel itself, never by a silent lower cap
+    // (ADVICE r14: the former cap of 24 could bind before the budget
+    // did at high thresholds + large budgets, returning a less
+    // selective config than the budget admitted with no indication).
+    // tablesFor is monotone increasing in planes (p^planes shrinks),
+    // so takeWhile finds the exact feasible prefix.
+    val feasible = (1 to 63).map(b => (b, tablesFor(b)))
       .takeWhile(_._2 <= tablesBudget)
     require(feasible.nonEmpty,
       s"derivedLshKnobs: no plane count reaches recall $targetRecall at " +

@@ -72,8 +72,10 @@ object Pipeline {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     annExactMemo match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == key =>
+        graft.MemoLedger.recordHit("annExact"); df
       case _ =>
+        graft.MemoLedger.recordBuild("annExact")
         val exact = Similarity.bruteForceTopKE6(
             t(s, dir, "embeddings"), "vec_id", "embedding", 0, 10)
           .localCheckpoint(true)
@@ -100,8 +102,10 @@ object Pipeline {
     synchronized {
       val key = (s.sparkContext.applicationId, dir, k, iters)
       kmeansMemo match {
-        case Some((kk, m)) if kk == key => m
+        case Some((kk, m)) if kk == key =>
+          graft.MemoLedger.recordHit("kmeansFit"); m
         case _ =>
+          graft.MemoLedger.recordBuild("kmeansFit")
           val m = graft.operators.KMeansOp.fit(
             t(s, dir, "embeddings"), "vec_id", "embedding", k, iters)
           kmeansMemo = Some((key, m))
@@ -129,8 +133,10 @@ object Pipeline {
     synchronized {
       val key = (s.sparkContext.applicationId, dir, k, iters)
       kmeansAsgMemo match {
-        case Some((kk, df)) if kk == key => df
+        case Some((kk, df)) if kk == key =>
+          graft.MemoLedger.recordHit("kmeansAsg"); df
         case _ =>
+          graft.MemoLedger.recordBuild("kmeansAsg")
           val df = graft.operators.KMeansOp.assign(
               t(s, dir, "embeddings"), "vec_id", "embedding",
               fittedKmeans(s, dir, k, iters))
@@ -195,8 +201,10 @@ object Pipeline {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     pairsMemo match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == key =>
+        graft.MemoLedger.recordHit("jaccardPairs"); df
       case _ =>
+        graft.MemoLedger.recordBuild("jaccardPairs")
         val pairs = Dedup.ngramJaccardPairsScoped(t(s, dir, "documents"),
             "doc_id", "text", JaccardMin, JaccardMaxDf)(
           p => p.localCheckpoint(true))
@@ -490,12 +498,20 @@ object Pipeline {
       // candidates against it is pinned as a boolean the oracle asserts
       // literally TRUE. Gate 0.8 is the loose envelope of the ScalaTest
       // recall gate (0.9); measured recall is 1.0 at sf0.001/0.01/0.1.
+      // Since r15 the banding is DERIVED, not hand-tuned (VERDICT r14
+      // ask #3): derivedMinhashKnobs(0.5, 0.9, 64) = (54, 18) — 3
+      // rows/band, analytic boundary recall 0.910 at Jaccard 0.5 for
+      // 54 hashes, vs the retired hand-tuned (64, 16) whose 4
+      // rows/band reached only 0.644 at the boundary for MORE hashes.
       "p08_minhash_lsh",
       (s, dir) => {
         import s.implicits._
+        val (nh, nb) = Dedup.derivedMinhashKnobs(
+          minJaccard = 0.5, targetRecall = 0.9, hashBudget = 64)
         val exact = jaccardPairs(s, dir).filter($"jaccard" >= 0.5)
           .select($"id_a", $"id_b")
-        val lsh = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+        val lsh = Dedup.minhashLshPairs(t(s, dir, "documents"),
+            "doc_id", "text", numHashes = nh, bands = nb)
           .filter(col("est_jaccard") >= 0.3)
           .select($"id_a", $"id_b")
         val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")

@@ -78,8 +78,10 @@ object Pipeline13 {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     lshPairsMemo match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == key =>
+        graft.MemoLedger.recordHit("lshPairs"); df
       case _ =>
+        graft.MemoLedger.recordBuild("lshPairs")
         val df = graft.operators.Similarity.nearDupPairsLsh(
             t(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.4,
             planes = legacyKnobs._1, tables = legacyKnobs._2)
@@ -98,6 +100,43 @@ object Pipeline13 {
   private val prodKnobs: (Int, Int) =
     graft.operators.Similarity.derivedLshKnobs(prodMinSim,
       tablesBudget = 256)
+
+  /** Planted boundary-duplicate fixture for p174 (ADVICE r14): the
+    * corpus has NO pair at cosine ≥ 0.7 (max 0.48/0.51/0.60 by SF), so
+    * p173's production-point gate exercises candidate selectivity but
+    * never a TRUE POSITIVE through the banded path. These 4 pairs sit
+    * at cosine exactly (64 − 2·9)/64 = 0.71875 — just above the
+    * threshold, where a sketch/verify regression would first lose
+    * pairs. Construction is closed-form integer ±1 so both engines
+    * replay it bit-identically (quantE9(±1.0) = ±1e9 exact, the
+    * cross-engine float discipline): pair i's base vector is Hadamard
+    * row rᵢ of H₆₄ — sign(r, d) = (−1)^popcount(r AND d) — distinct
+    * rows are exactly orthogonal, so cross-pair cosines stay ≤ 18/64 ≈
+    * 0.28 (the negated-prefix overlap bound), far below the threshold;
+    * the partner negates the first 9 dims. Planted ids start at 10⁶,
+    * disjoint from every SF's id range.
+    */
+  private[graft] val plantedBase = 1000000L
+  private val plantedNegDims = 9
+  private val plantedHadamardRows = Seq(1, 2, 4, 8)
+  private[graft] def plantedVectors: Seq[(Long, Array[Float], Int)] = {
+    def sign(r: Int, d: Int): Int =
+      if (Integer.bitCount(r & d) % 2 == 0) 1 else -1
+    plantedHadamardRows.zipWithIndex.flatMap { case (r, i) =>
+      val a = Array.tabulate(64)(d => sign(r, d).toFloat)
+      val b = Array.tabulate(64)(d =>
+        (if (d < plantedNegDims) -sign(r, d) else sign(r, d)).toFloat)
+      Seq((plantedBase + 2 * i, a, 0), (plantedBase + 2 * i + 1, b, 0))
+    }
+  }
+  /** The same 8 vectors as a DuckDB VALUES literal — generated from
+    * [[plantedVectors]] so the two sides cannot drift.
+    */
+  private def plantedValuesSql: String =
+    plantedVectors.map { case (id, arr, lbl) =>
+      arr.map(v => if (v > 0f) "1" else "-1")
+        .mkString(s"($id, [", ",", s"]::FLOAT[], $lbl)")
+    }.mkString(",\n")
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -242,8 +281,9 @@ object Pipeline13 {
       // n_vectors / n_pairs / max_sim_e6 (the fixture has NO pair at
       // 0.7 — max cosine is 0.48/0.51/0.60 by SF — so n_pairs = 0 is
       // itself an oracle-checked fact: boundary recall at this point is
-      // exercised by the derivation's measured-recall recipe on the 0.4
-      // entries, not here); knobs and threshold are interpolated from
+      // exercised by p174's PLANTED pairs through this same banded
+      // pipeline, and by the derivation's measured-recall recipe on
+      // the 0.4 entries, not here); knobs and threshold are interpolated from
       // the SAME derivation call on both sides; the two ratio pins are
       // literal TRUE on the oracle side and measured on the Spark side,
       // so a knob regression that degrades candidate selectivity past
@@ -312,6 +352,86 @@ object Pipeline13 {
            |    AS max_sim_e6,
            |  TRUE AS candidate_ratio_lt_10pct,
            |  TRUE AS candidates_nonvacuous_ge_1pct""".stripMargin
+      }),
+
+    QueryDef(
+      // PLANTED BOUNDARY RECALL AT THE PRODUCTION POINT (ADVICE r14):
+      // p173 proved the production config's candidate SELECTIVITY but
+      // the fixture's zero ≥0.7 pairs meant no true positive ever
+      // crossed the banded path — a sketch/verify regression that only
+      // LOSES pairs above 0.7 was invisible. This entry augments the
+      // corpus with the closed-form planted fixture (4 pairs at cosine
+      // exactly 0.71875, see plantedVectors) and runs the FULL banded
+      // pipeline — SignLshSketches candidates at the derived (12, 232)
+      // knobs, exact-integer verify at 0.7 — while the oracle is the
+      // exact all-pairs twin over the SAME augmented corpus. A banded
+      // miss of any planted pair shows as n_pairs/min_sim mismatch →
+      // hash red; n_pairs_planted pins that the recovered pairs are
+      // the planted ones (the base corpus contributes zero). min_sim_e6
+      // = 718750 on both sides is the boundary fact: the recovered
+      // pairs sit 18750 e6-units above the cut, so the gate fails if
+      // either the sketch stage drops a boundary pair or the verify
+      // threshold drifts.
+      // Scale shape: identical to p173 (sketch cost linear, ids-only
+      // bucket join, exact verify on candidates only); the planted
+      // union is 8 literal rows — a broadcast-free localRelation.
+      "p174_planted_boundary_recall",
+      (s, dir) => {
+        import s.implicits._
+        val (planes, tables) = prodKnobs
+        val base = t(s, dir, "embeddings")
+          .filter($"embedding".isNotNull)
+          .select($"vec_id", $"embedding", $"label")
+        val aug = base.unionByName(
+          plantedVectors.toDF("vec_id", "embedding", "label"))
+        val pairs = graft.operators.Similarity.nearDupPairsLsh(
+          aug, "vec_id", "embedding", minSim = prodMinSim,
+          planes = planes, tables = tables)
+        val nVec = aug.agg(count(lit(1)).as("n_vectors"))
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            coalesce(sum(when($"id_a" >= plantedBase &&
+                $"id_b" >= plantedBase, 1L).otherwise(0L)), lit(0L))
+              .as("n_pairs_planted"),
+            coalesce(min($"sim_e6"), lit(-1L)).as("min_sim_e6"),
+            coalesce(max($"sim_e6"), lit(-1L)).as("max_sim_e6"))
+          .crossJoin(broadcast(nVec))
+          .select($"n_vectors",
+            lit(planes.toLong).as("planes"),
+            lit(tables.toLong).as("tables"),
+            $"n_pairs", $"n_pairs_planted",
+            $"min_sim_e6", $"max_sim_e6")
+      },
+      Some {
+        val (planes, tables) = prodKnobs
+        val minSimE6 = Math.round(prodMinSim * 1e6)
+        s"""WITH pl(vec_id, embedding, label) AS (VALUES
+           |$plantedValuesSql),
+           |aug AS (SELECT vec_id, embedding FROM embeddings
+           |        WHERE embedding IS NOT NULL
+           |        UNION ALL SELECT vec_id, embedding FROM pl),
+           |el AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${Pipeline.quantE9("unnest(a.embedding)")} AS x,
+           |         ${Pipeline.quantE9("unnest(b.embedding)")} AS y
+           |       FROM aug a JOIN aug b ON a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b, SUM(CAST(x AS HUGEINT) * y) AS dot18,
+           |             SUM(CAST(x AS HUGEINT) * x) AS nx18,
+           |             SUM(CAST(y AS HUGEINT) * y) AS ny18
+           |      FROM el GROUP BY id_a, id_b),
+           |${Pipeline.exactC6Ctes("pc6", "s", Seq("id_a", "id_b"))},
+           |sel AS (SELECT id_a, id_b, c6 FROM pc6 WHERE c6 >= $minSimE6)
+           |SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM aug) AS n_vectors,
+           |  CAST($planes AS BIGINT) AS planes,
+           |  CAST($tables AS BIGINT) AS tables,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sel) AS n_pairs,
+           |  (SELECT CAST(COALESCE(SUM(CASE WHEN id_a >= $plantedBase
+           |     AND id_b >= $plantedBase THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |     FROM sel) AS n_pairs_planted,
+           |  (SELECT CAST(COALESCE(MIN(c6), -1) AS BIGINT) FROM sel)
+           |    AS min_sim_e6,
+           |  (SELECT CAST(COALESCE(MAX(c6), -1) AS BIGINT) FROM sel)
+           |    AS max_sim_e6""".stripMargin
       })
   )
 }

@@ -74,8 +74,10 @@ object Pipeline2 {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     clustersMemo match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == key =>
+        graft.MemoLedger.recordHit("dupClusters"); df
       case _ =>
+        graft.MemoLedger.recordBuild("dupClusters")
         // the pair stage comes from Pipeline.jaccardPairs — already a
         // memoized checkpoint, so only the CC rounds run here
         val labels = Dedup.connectedComponents(Pipeline.jaccardPairs(s, dir))
@@ -101,8 +103,10 @@ object Pipeline2 {
       dir: String): Seq[(Int, String, String, String, Long)] = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     bpeMemo match {
-      case Some((k, m)) if k == key => m
+      case Some((k, m)) if k == key =>
+        graft.MemoLedger.recordHit("bpe"); m
       case _ =>
+        graft.MemoLedger.recordBuild("bpe")
         val rows = graft.operators.BpeTrainer
           .learnMerges(t(s, dir, "documents"), "text", numMerges = 12)
           .orderBy(col("rank")).collect()

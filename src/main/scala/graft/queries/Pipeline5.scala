@@ -884,8 +884,10 @@ object Pipeline5 {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     bm25Memo match {
-      case Some((k, df)) if k == key => df
+      case Some((k, df)) if k == key =>
+        graft.MemoLedger.recordHit("bm25"); df
       case _ =>
+        graft.MemoLedger.recordBuild("bm25")
         val top = bm25Top20Plan(s, dir).localCheckpoint(true)
         bm25Memo = Some((key, top))
         top

@@ -971,8 +971,10 @@ object Pipeline6 {
     synchronized {
       val key = (s.sparkContext.applicationId, dir)
       bitextIvfMemo match {
-        case Some((k, idx)) if k == key => idx
+        case Some((k, idx)) if k == key =>
+          graft.MemoLedger.recordHit("bitextIvf"); idx
         case _ =>
+          graft.MemoLedger.recordBuild("bitextIvf")
           val (_, bSide, _) = bitextSides(s, dir)
           val idx = Similarity.ivfBuild(bSide, "vec_id", "embedding",
             nCells = 16, kmeansIters = 2)
@@ -994,8 +996,10 @@ object Pipeline6 {
     synchronized {
       val key = (s.sparkContext.applicationId, dir)
       xknnMemo match {
-        case Some((k, df)) if k == key => df
+        case Some((k, df)) if k == key =>
+          graft.MemoLedger.recordHit("bitextXknn"); df
         case _ =>
+          graft.MemoLedger.recordBuild("bitextXknn")
           import s.implicits._
           val (_, bSide, probes) = bitextSides(s, dir)
           val xk = knn4(s, probes,

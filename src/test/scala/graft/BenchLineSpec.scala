@@ -27,10 +27,12 @@ class BenchLineSpec extends AnyFunSuite {
     // carries a failed count.
     for (v <- Seq(9.94, 999.99)) {
       val results = names.map(n => (n, v, false))
-      // the load AND in-run extmax annotations are on every real line —
-      // budget WITH both
+      // the load, in-run extmax AND memo-hit annotations are on every
+      // real line — budget WITH all three (a real suite flags ~14
+      // memo-consumer entries, capped at 8 shown + a count)
       val line = Bench.renderLine(results, "/root/testdata/sf0.1",
-        Some((12.3, 45.6)), extMax = 12.34)
+        Some((12.3, 45.6)), extMax = 12.34,
+        memoHits = names.take(14))
       assert(line.contains(""""load1":[12.3,45.6]"""), line.takeRight(120))
       assert(line.contains(""""extmax":12.3"""), line.takeRight(120))
       assert(line.length < 1850, s"bench line ${line.length} chars ($v); must stay < 1850")
@@ -92,6 +94,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(capped.contains(""""ext_more":4"""), capped)
     assert(capped.split("\"ext\":\\{")(1).takeWhile(_ != '}')
       .count(_ == ':') == 8, capped)
+  }
+
+  test("memo marker: clean runs pay no chars, consumer entries are " +
+      "named, the cap bounds a memo-heavy suite") {
+    val results = Seq(("p171_semantic_clusters_lsh", 6.5, true),
+      ("p172_crossfold_contamination_lsh", 0.4, true))
+    val clean = Bench.renderLine(results, "/tmp/sf")
+    assert(!clean.contains("\"memo\""), clean)
+    // p172 consumed p171's pair-graph memo: the marker names it so its
+    // 0.4s cannot be read as the standalone contamination-audit cost
+    val hit = Bench.renderLine(results, "/tmp/sf",
+      memoHits = Seq("p172_crossfold_contamination_lsh"))
+    assert(hit.contains(""""memo":["p172"],"""), hit)
+    assert(!hit.contains("memo_more"), hit)
+    // 14 consumers: 8 shown + a count, line stays bounded
+    val many = (1 to 14).map(i => f"p$i%02d_z")
+    val capped = Bench.renderLine(results, "/tmp/sf", memoHits = many)
+    assert(capped.contains(""""memo_more":6"""), capped)
+    assert(capped.split("\"memo\":\\[")(1).takeWhile(_ != ']')
+      .count(_ == ',') == 7, capped)
   }
 
   test("line is well-formed for the driver's parser") {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkTestSession, SparkEntry}
+import graft.queries.Pipeline13
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,6 +82,13 @@ class Pipeline13OpsSpec extends AnyFunSuite {
     // ship a config that can't reach the recall target
     assertThrows[IllegalArgumentException](
       Similarity.derivedLshKnobs(-0.9, tablesBudget = 8))
+    // ADVICE r14: the search domain is the kernel's full planes range
+    // (≤ 63), not the former silent cap of 24 — at (0.9, 1024) the cap
+    // WAS binding (it returned 24 planes where the budget admits 32)
+    assert(Similarity.derivedLshKnobs(0.9, tablesBudget = 1024) ==
+      (32, 984))
+    assert(Similarity.derivedLshKnobs(0.95, tablesBudget = 4096) ==
+      (59, 3712))
   }
 
   test("derivedLshKnobs: every derived config meets its recall target " +
@@ -91,8 +99,8 @@ class Pipeline13OpsSpec extends AnyFunSuite {
     // minimum — so a future refactor cannot silently ship a config
     // below the recall contract
     for {
-      minSim <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
-      budget <- Seq(64, 256, 1024)
+      minSim <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+      budget <- Seq(64, 256, 1024, 4096)
       target <- Seq(0.99, 0.999)
     } {
       val (b, tbl) = Similarity.derivedLshKnobs(minSim, target, budget)
@@ -102,6 +110,40 @@ class Pipeline13OpsSpec extends AnyFunSuite {
       assert(recall >= target,
         s"($minSim,$budget,$target) -> ($b,$tbl): recall $recall")
     }
+  }
+
+  test("derivedMinhashKnobs: derivation reproduces p08's operating " +
+      "point and meets its recall contract over a sweep") {
+    // the unified knob-derivation surface (VERDICT r14 ask #3): the
+    // MinHash family gets the same analytic treatment as sign-LSH.
+    // p08's contract point — the config it READS, so this pin is what
+    // keeps its recall boolean stable across derivation refactors
+    assert(Dedup.derivedMinhashKnobs(0.5, 0.9, 64) == (54, 18))
+    // identity sweep: numHashes tiles exactly into bands (the
+    // minhashLshPairs require), the hash budget holds, and the
+    // analytic boundary recall 1 − (1 − j^r)^b meets the target
+    for {
+      j <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)
+      budget <- Seq(16, 64, 256, 1024)
+      target <- Seq(0.9, 0.99)
+    } {
+      val (nh, b) = Dedup.derivedMinhashKnobs(j, target, budget)
+      assert(nh % b == 0 && nh <= budget, s"($j,$budget,$target)")
+      val r = nh / b
+      val recall = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+      assert(recall >= target,
+        s"($j,$budget,$target) -> ($nh,$b): recall $recall")
+    }
+    // selectivity grows with the threshold at a fixed budget: higher
+    // Jaccard thresholds buy more rows per band
+    val rOf = (j: Double) => {
+      val (nh, b) = Dedup.derivedMinhashKnobs(j, 0.9, 256); nh / b
+    }
+    assert(rOf(0.3) < rOf(0.6) && rOf(0.6) < rOf(0.9))
+    // an infeasible contract raises instead of shipping a config that
+    // cannot reach the recall target
+    assertThrows[IllegalArgumentException](
+      Dedup.derivedMinhashKnobs(0.05, 0.99, 4))
   }
 
   test("p173 production point: zero 0.7-pairs, ratio pins TRUE, knobs derived") {
@@ -124,5 +166,46 @@ class Pipeline13OpsSpec extends AnyFunSuite {
     assert(b("candidates_nonvacuous_ge_1pct"),
       "candidate frame near-empty: the measurement is vacuous")
     spark.catalog.clearCache()
+  }
+
+  test("p174: the banded path recovers every planted boundary pair at " +
+      "the production point") {
+    // ADVICE r14: p173's gate never saw a true positive (the fixture
+    // has no ≥0.7 pair) — p174 plants 4 pairs at cosine exactly
+    // 0.71875 and the full sketch→candidate→exact-verify pipeline must
+    // recover all 4, none of them from the base corpus, at precisely
+    // the closed-form similarity
+    val r = SparkEntry.queries("p174_planted_boundary_recall")(spark, sf)
+      .collect().head
+    def l(name: String): Long = r.getLong(r.fieldIndex(name))
+    assert(l("n_vectors") == 508L)
+    assert((l("planes"), l("tables")) == (12L, 232L))
+    assert(l("n_pairs") == 4L, "banded path lost a planted boundary pair")
+    assert(l("n_pairs_planted") == 4L,
+      "a recovered pair came from the base corpus — fixture drifted")
+    assert(l("min_sim_e6") == 718750L && l("max_sim_e6") == 718750L,
+      s"boundary cosine drifted: ${l("min_sim_e6")}..${l("max_sim_e6")}")
+    spark.catalog.clearCache()
+  }
+
+  test("planted fixture invariants: ids disjoint, cross-pair cosines " +
+      "below threshold, within-pair cosine just above it") {
+    // the closed-form claims the fixture rests on, checked directly:
+    // Hadamard-row orthogonality bounds every cross-pair cosine ≤
+    // 18/64, each within-pair cosine is exactly 46/64, and ids start
+    // past every SF's vec_id range
+    val vs = Pipeline13.plantedVectors
+    assert(vs.size == 8 && vs.map(_._1).distinct.size == 8)
+    assert(vs.forall(_._1 >= Pipeline13.plantedBase))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / 64.0 // every vector has norm² = 64
+    }
+    for (i <- vs.indices; j <- vs.indices if i < j) {
+      val c = cos(vs(i)._2, vs(j)._2)
+      if (j == i + 1 && i % 2 == 0)
+        assert(c == 46.0 / 64.0, s"within-pair $i: $c")
+      else assert(math.abs(c) <= 18.0 / 64.0, s"cross-pair $i,$j: $c")
+    }
   }
 }

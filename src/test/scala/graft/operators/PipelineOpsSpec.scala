@@ -41,6 +41,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(lsh) .toDouble / exact.size
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+    // ...and at the DERIVED operating point p08 actually ships
+    // (derivedMinhashKnobs(0.5, 0.9, 64) = (54, 18)): fewer hashes,
+    // tighter analytic boundary recall (0.910 vs the default's 0.644),
+    // and the measured recall on the fixture must hold the same gate
+    val (nh, nb) = Dedup.derivedMinhashKnobs(0.5, 0.9, 64)
+    val derived = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = nh, bands = nb)
+      .filter(col("est_jaccard") >= 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dRecall = exact.count(derived).toDouble / exact.size
+    assert(dRecall >= 0.9,
+      s"derived-knob LSH recall $dRecall over ${exact.size} exact pairs")
   }
 
   test("minhash estimate approximates exact jaccard") {
@@ -219,6 +232,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     val a = KMeansOp.clusterStats(emb, "vec_id", "embedding").collect().toSeq
     val b = KMeansOp.clusterStats(emb, "vec_id", "embedding").collect().toSeq
     assert(a.map(_.toString) == b.map(_.toString))
+  }
+
+  test("clusterStats overflow guard attributes per-row NULLs to the " +
+      "per-row envelope, not a phantom Σ overflow") {
+    import spark.implicits._
+    // ADVICE r14: a cluster whose ee column carries NULLs (the shape
+    // KMeansEnergies produces when a row's energy overflows its
+    // DECIMAL(38,0) cast) must raise the PER-ROW message — before the
+    // fix the NULL sum tripped the Σ-overflow branch and misattributed
+    // the cause
+    val perRowNull = Seq(
+      (0L, Option(BigDecimal(5)), 3L),
+      (0L, Option.empty[BigDecimal], 3L),
+      (0L, Option(BigDecimal(7)), 3L))
+      .toDF("cluster", "ee", "n")
+      .select($"cluster", $"ee".cast("decimal(38,0)").as("ee"), $"n")
+    val e = intercept[Exception] {
+      KMeansOp.clusterStatsAssigned(perRowNull).collect()
+    }
+    assert(e.getMessage.contains("per-row energy overflowed"),
+      s"wrong attribution: ${e.getMessage}")
+    assert(e.getMessage.contains("1 of 3"), e.getMessage)
+    // the healthy path is untouched: all-non-null ee aggregates to the
+    // same floored mean as before the guard split
+    val ok = Seq((0L, BigDecimal(8L) * BigDecimal("1000000000000"), 2L),
+        (0L, BigDecimal(4L) * BigDecimal("1000000000000"), 2L))
+      .toDF("cluster", "ee", "n")
+      .select($"cluster", $"ee".cast("decimal(38,0)").as("ee"), $"n")
+    val r = KMeansOp.clusterStatsAssigned(ok).collect()
+    // mean = (8e12+4e12) DIV (n² · n_points · 1e12) = 12e12 DIV 8e12 = 1
+    assert(r.length == 1 && r.head.getLong(1) == 2L)
+    assert(r.head.getLong(2) == 1L, r.head.toString)
   }
 
   test("pageRank conserves bounded mass and ranks hubs above leaves") {
