@@ -126,6 +126,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.timeType.enabled", "true") // q103; set at bootstrap, never mid-run
+      // r15 measurement note (guide 1.2/2.2): AQE's coalescer merges
+      // post-shuffle partitions up to minPartitionSize (1 MB), which
+      // serializes sub-MB CPU-heavy stages at bench scale — but an A/B
+      // on untouched entries (p120/p121/p161/p164/p125/p126, two runs
+      // each, same window) measured 64k ~2x SLOWER than the 1m default
+      // (40.0s/58.3s vs 20.8s/24.1s): on this virtualized box extra
+      // concurrent task demand fights hypervisor steal and loses more
+      // than the parallelism wins. Default stays Spark's 1m; the env
+      // hook remains so the experiment is one variable on a real
+      // cluster, where the knob is inert anyway (partitions are MBs+).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

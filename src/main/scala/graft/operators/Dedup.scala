@@ -52,8 +52,12 @@ object Dedup {
     * ReusedExchange over 4 identical subtrees in the Jaccard plan).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(shinglesWithDupes(col(textCol))).as("shingle")).distinct()
+    // r15: fan a too-few-splits scan out before the per-row shingle
+    // build (single-file local input = ONE serial task; conditional
+    // no-op at scale — optimization guide 2.5)
+    graft.plans.FanOut.byKey(df, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shinglesWithDupes(col(textCol))).as("shingle")).distinct()
 
   /** Exact duplicate groups by content hash of `key` (md5 so only a
     * 128-bit key shuffles, never the payload).
@@ -250,8 +254,10 @@ object Dedup {
       maxDocTokens: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val ts = split(col(textCol), " ")
-    val base = df
-      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+    // r15: fan-out before the per-gram md5 fold (guide 2.5; no-op at scale)
+    val base = graft.plans.FanOut.byKey(
+        df.filter(col(textCol).isNotNull && col(textCol) =!= ""),
+        col(idCol))
       .select(col(idCol), ts.as("__ts"))
       .filter(size(col("__ts")) >= k)
     val witness = base.filter(size(col("__ts")) > maxDocTokens)
@@ -418,7 +424,10 @@ object Dedup {
     // duplicate shingles don't change a min — skip the O(n^2) per-row
     // dedup entirely; hash AFTER the explode so the hashing runs in the
     // codegen'd projection instead of an interpreted transform-lambda
-    val ex = df.select(col(idCol).as("id"),
+    // r15: fan-out before the shingle explode + 64-way min fold
+    // (single-split local scan = serial stage; no-op at scale, guide 2.5)
+    val ex = graft.plans.FanOut.byKey(df, col(idCol))
+      .select(col(idCol).as("id"),
         explode(shinglesWithDupes(col(textCol))).as("sh"))
       .select(col("id"), pmod(xxhash64(col("sh")), lit(MinhashP)).as("h"))
     val aggs = (0 until numHashes).map(i =>
@@ -812,7 +821,9 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // hash AFTER the explode: codegen'd projection, no per-token lambda
-    val ex = df.select(col(idCol).as("id"),
+    // r15: fan-out before the token explode + 64-vote fold (guide 2.5)
+    val ex = graft.plans.FanOut.byKey(df, col(idCol))
+      .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(b =>

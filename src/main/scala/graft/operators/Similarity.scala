@@ -499,8 +499,11 @@ object Similarity {
     val cb = idx.codebooks
     val nsq = idx.normsSq
     val (mm, sub, kk) = (idx.m, idx.subDim, idx.k)
-    val cand = emb
-      .filter(col(idCol) =!= queryId && col(vecCol).isNotNull)
+    // r15: fan-out before the per-vector PQ table scan (guide 2.5;
+    // single-split local input = one serial task; no-op at scale)
+    val cand = graft.plans.FanOut.byKey(
+        emb.filter(col(idCol) =!= queryId && col(vecCol).isNotNull),
+        col(idCol))
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -592,7 +595,10 @@ object Similarity {
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
     import spark.implicits._
-    val candidates = nonNull
+    // r15: fan-out before the n^2/2 broadcast-corpus scan — on a
+    // single-split local input the whole float pass ran as ONE task
+    // (guide 2.5); conditional no-op at scale
+    val candidates = graft.plans.FanOut.byKey(nonNull, col(idCol))
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -698,7 +704,11 @@ object Similarity {
     // (ids+sketches only — payload-free) or the planes×tables native
     // dot products run twice per vector. Lazy cache contract, same as
     // ngramJaccardPairs (Verify/Bench clearCache per query).
-    val sk = emb.select(col(idCol).as("id"),
+    // r15: fan-out before the planes x tables sketch kernel — on a
+    // single-split local scan the whole per-vector dot-product stage
+    // ran as ONE task (guide 2.5); conditional no-op at scale
+    val sk = graft.plans.FanOut.byKey(emb, col(idCol))
+      .select(col(idCol).as("id"),
         posexplode(lshSketches(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

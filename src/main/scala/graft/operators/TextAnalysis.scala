@@ -195,8 +195,11 @@ object TextAnalysis {
       n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")
     val toks = tokens(col(textCol))
-    val grams = df
-      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+    // r15: fan-out before the 8-gram string build (guide 2.5; no-op at
+    // scale) — the per-row slice/array_join work was a serial stage
+    val grams = graft.plans.FanOut.byKey(
+        df.filter(col(textCol).isNotNull && col(textCol) =!= ""),
+        col(idCol))
       .select(col(idCol),
         explode(wordGrams(toks, col(textCol), n)).as("__gram"))
       .distinct()
@@ -240,7 +243,11 @@ object TextAnalysis {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
-    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+    // r15: fan a too-few-splits scan out before the per-row gram work
+    // (single-file local input = ONE task; no-op at scale — guide 2.5)
+    graft.plans.FanOut.byKey(
+        df.filter(col(textCol).isNotNull && col(textCol) =!= ""),
+        col(idCol))
       .withColumn("__ts", tokens(col(textCol)))
 
   /** Positional k-grams (…, __pos 1-based, __gram) for docs of >= k
@@ -494,8 +501,9 @@ object TextAnalysis {
       remedy = "the pair matrix is sources^2 — roll corpus-order " +
         "source labels up to a bounded family (domain -> registrar, " +
         "shard -> dataset) before the leak audit")
-    val docGrams = guarded
-      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+    val docGrams = graft.plans.FanOut.byKey( // r15: guide 2.5 fan-out
+        guarded.filter(col(textCol).isNotNull && col(textCol) =!= ""),
+        col(idCol))
       .select(col(idCol), col(srcCol).as("__src"),
         explode(wordGrams(toks, col(textCol), n)).as("__gram"))
       .distinct()

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan fan-out for heavy map-side stages (guide §2.5, "input skew:
+  * one huge unsplittable file").
+  *
+  * The problem class: a frame about to pay expensive PER-ROW work
+  * (hashing every n-gram, exploding positional grams, decoding
+  * payloads) arrives with fewer input splits than the session has
+  * cores — locally a single-file parquet table is ONE split (one row
+  * group), so the whole map-side stage serializes on one task while
+  * the other cores idle. At 100 TB the same scan has millions of
+  * splits and needs nothing.
+  *
+  * `byKey` is therefore CONDITIONAL: a no-op when the input already
+  * carries at least the session's default parallelism (the production
+  * case — no extra exchange appears in the plan it would pessimize),
+  * and a hash repartition on a caller-named deterministic key when it
+  * does not. Hash-on-key rather than round-robin `repartition(n)`: a
+  * keyless repartition pays a local sort of its input
+  * (sortBeforeRepartition, on by default so retries reproduce the
+  * assignment — SPARK-23207) and is only retry-safe because of that
+  * sort; hashing a real key column is deterministic for free. The
+  * shuffle moves the scan columns once — only worth it when the
+  * downstream per-row work dominates that move, which is the caller's
+  * judgment to make (use it where the stage is measurably serial, not
+  * on every read).
+  *
+  * Threshold: fan out when the source has fewer than half the target
+  * partitions — a scan with 16+ of 32 slots filled gains little from
+  * an extra exchange.
+  */
+object FanOut {
+  /** Default OFF — the r15 clean-window A/B measured the fan-out as a
+    * wash-or-loss on this host (p07 5.6 s ON vs 3.8 s OFF at extmax
+    * ≤ 0.9; the other six probe entries within ±0.3 s): the extra
+    * exchange costs more than the unlocked parallelism when hypervisor
+    * steal already fights concurrent task demand (OPTIMIZATION_r15.md,
+    * "fan-out" section). Call sites stay so the experiment is ONE env
+    * variable on a real cluster (`SPARK_GRAFT_FANOUT=on`), where a
+    * many-splits scan makes `byKey` a structural no-op anyway. */
+  private val enabled: Boolean =
+    sys.env.get("SPARK_GRAFT_FANOUT").exists(_.equalsIgnoreCase("on"))
+
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (enabled && df.rdd.getNumPartitions * 2 <= target)
+      df.repartition(target, key)
+    else df
+  }
+}

@@ -902,7 +902,8 @@ object Pipeline {
       "p14_multimodal_features",
       (s, dir) => {
         import s.implicits._
-        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+        val payloads = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
           .toDF("doc_id", "payload")
         Multimodal.decodeFeatures(payloads)
@@ -955,7 +956,8 @@ object Pipeline {
       "p64_image_resize",
       (s, dir) => {
         import s.implicits._
-        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+        val payloads = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
           .toDF("doc_id", "payload")
         Multimodal.resizeImages(payloads, 2, 2)
@@ -987,7 +989,8 @@ object Pipeline {
       "p65_audio_resample",
       (s, dir) => {
         import s.implicits._
-        val payloads = t(s, dir, "documents").select($"doc_id").as[Long]
+        val payloads = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.syntheticPayload(id))))
           .toDF("doc_id", "payload")
         Multimodal.resampleAudio(payloads, factor = 4)

@@ -840,9 +840,14 @@ object Pipeline10 {
         val pairs = sample.select($"source", $"doc_id".as("ida"))
           .join(sample.select($"source", $"doc_id".as("idb")), "source")
           .filter($"ida" =!= $"idb")
+        // r15: persisted — each order's gram frame is consumed TWICE
+        // (hypothesis and reference sides of the clipped join);
+        // unpersisted the explode+agg subtree re-executed per side.
+        // Bounded: grams of the 32-per-source sample, never the corpus.
+        val gramsByN = Map(1 -> grams(1).persist(), 2 -> grams(2).persist())
         def clipped(n: Int, out: String) = {
-          val h = grams(n).select($"doc_id".as("ida"), $"g", $"c")
-          val r = grams(n).select($"doc_id".as("idb"),
+          val h = gramsByN(n).select($"doc_id".as("ida"), $"g", $"c")
+          val r = gramsByN(n).select($"doc_id".as("idb"),
             $"g", $"c".as("cr"))
           pairs.join(h, "ida")
             .join(r, Seq("idb", "g"), "left")

@@ -290,15 +290,12 @@ object Pipeline11 {
       "p159_hits_authorities",
       (s, dir) => {
         import s.implicits._
-        val eu = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"),
-            $"l_orderkey" === $"o_orderkey")
-          .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
-          .distinct()
-          // three half-iterations re-read the edge frame; lazy
-          // persisting form, cache dropped by the caller's per-query
-          // clearCache (the ngramJaccardPairs contract)
-          .persist()
+        // r15: the distinct (c, sp) edge frame now comes from the
+        // commercePairs cross-entry memo shared with p49 (at scale the
+        // pair graph is computed once and feeds every graph consumer);
+        // already materialized by localCheckpoint — the old per-entry
+        // .persist() is redundant
+        val eu = graft.operators.PageRankOp.commercePairs(s, dir)
         // each score frame feeds its own max aggregate AND the next
         // half-iteration: the shared operator persists it
         // (node-dictionary-sized) or the recomputation DOUBLES per

@@ -295,7 +295,8 @@ object Pipeline2 {
       "p30_frame_sample",
       (s, dir) => {
         import s.implicits._
-        val vids = t(s, dir, "documents").select($"doc_id").as[Long]
+        val vids = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id =>
             (id, Multimodal.syntheticY4m(id, (3 + id % 5).toInt))))
           .toDF("doc_id", "payload")
@@ -961,8 +962,7 @@ object Pipeline2 {
       (s, dir) => {
         import s.implicits._
         val ranks = PageRankOp.pageRank(
-          PageRankOp.commerceEdges(t(s, dir, "lineitem"),
-            t(s, dir, "orders")),
+          PageRankOp.commerceEdges(s, dir), // r15: shared pair memo
           iters = 3)
         ranks.select(
             when($"node" % 2 === 0, "c").otherwise("s").as("node_type"),

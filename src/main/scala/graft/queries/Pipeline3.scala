@@ -28,7 +28,8 @@ object Pipeline3 {
       "p71_scene_cuts",
       (s, dir) => {
         import s.implicits._
-        val vids = t(s, dir, "documents").select($"doc_id").as[Long]
+        val vids = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id =>
             (id, Multimodal.syntheticY4m(id, (3 + id % 5).toInt))))
           .toDF("doc_id", "payload")

@@ -218,14 +218,20 @@ object Pipeline4 {
       "p82_containment_decon",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
-          .filter($"text".isNotNull && $"text" =!= "")
+        // r15: fan-out before the gram build (guide 2.5; no-op at
+        // scale) + persist — the exploded-distinct frame feeds FOUR
+        // consumers (eval witness, eval, train DF cap, train join) and
+        // re-executed per consumer unpersisted
+        val docs = graft.plans.FanOut.byKey(
+            t(s, dir, "documents")
+              .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
           .select($"doc_id", $"source", split($"text", " ").as("tk"),
             $"text")
         val grams = docs
           .select($"doc_id", $"source",
             explode(wordGrams($"tk", $"text", 3)).as("gram"))
           .distinct()
+          .persist()
         val eval0 = grams.filter($"source" === "src0")
           .select($"doc_id".as("e_id"), $"gram")
         // the train side is DF-capped at 50 below, so per-gram pair
@@ -401,7 +407,8 @@ object Pipeline4 {
       "p84_image_dhash_dedup",
       (s, dir) => {
         import s.implicits._
-        val imgs = t(s, dir, "documents").select($"doc_id").as[Long]
+        val imgs = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id =>
             (id, Multimodal.syntheticBmpPattern(id % 50))))
           .toDF("doc_id", "payload")
@@ -445,7 +452,8 @@ object Pipeline4 {
       "p85_audio_fingerprint_dedup",
       (s, dir) => {
         import s.implicits._
-        val clips = t(s, dir, "documents").select($"doc_id").as[Long]
+        val clips = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map(id =>
             (id, Multimodal.syntheticWavPattern(id % 40))))
           .toDF("doc_id", "payload")
@@ -488,7 +496,8 @@ object Pipeline4 {
       "p86_image_neardup",
       (s, dir) => {
         import s.implicits._
-        val imgs = t(s, dir, "documents").select($"doc_id").as[Long]
+        val imgs = graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val seed = id % 30
             val payload =

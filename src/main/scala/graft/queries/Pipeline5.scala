@@ -217,7 +217,8 @@ object Pipeline5 {
         val root = new java.io.File(scratchRoot,
           "binimg_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
         root.mkdirs()
-        t(s, dir, "documents").select($"doc_id").as[Long]
+        graft.plans.FanOut.byKey( // r15: single-split scan -> serial payload stage (guide 2.5)
+            t(s, dir, "documents").select($"doc_id"), $"doc_id").as[Long]
           .foreachPartition { it: Iterator[Long] =>
             it.foreach { id =>
               val f = new java.io.File(root, f"img_$id%08d.bmp")
@@ -547,13 +548,24 @@ object Pipeline5 {
         // sources are a dictionary (the window above is sources-sized);
         // the bitmask bound is explicit — >62 sources must fail loudly
         // in-plan, not silently corrupt the audit
+        // r15: persisted — the dictionary is broadcast at SIX places
+        // below (masks build, bySrc, kmv, pairsKeys x2, exact), and
+        // unpersisted each broadcast build re-ran the scan -> distinct
+        // -> window chain (~4 stages each, measured as a string of
+        // serial 1-task jobs in the per-job profile)
         val srcDict = srcDict0.select($"source",
           when($"sid" < 62, $"sid")
             .otherwise(expr(
               "raise_error('p95: source bitmask supports at most 62 sources')"))
             .as("sid"))
-        val masks = t(s, dir, "documents")
-          .filter($"text".isNotNull && $"text" =!= "")
+          .persist()
+        // r15: fan the single-split local scan out across cores before
+        // the per-gram md5 work — serial 3.5-4s single-task stage in
+        // the profile, the guide §2.5 unsplittable-input case; no-op at
+        // scale (FanOut.byKey is conditional on input splits < cores)
+        val masks = graft.plans.FanOut.byKey(
+            t(s, dir, "documents")
+              .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
           .select($"source",
             explode(wordGrams(split($"text", " "), $"text", 3)).as("gram"))
           .select($"source",
@@ -725,8 +737,11 @@ object Pipeline5 {
         // token-length dictionary cardinality grows with document size
         // — cumsum via the range-partitioned prefix sum, not a global
         // window (q95 discipline)
+        // r15: persisted — the prefix-sum machinery was re-executed by
+        // each of the FOUR bucket curves (plan showed the subtree x4);
+        // the frame is length-dictionary-sized at any scale
         val cum = graft.operators.RankOps.prefixSum(
-          dict, Seq($"len"), $"c", "cum")
+          dict, Seq($"len"), $"c", "cum").persist()
         val tot = dict.agg(sum($"c").as("n"),
           sum($"len" * $"c").as("tok"))
         val curves = Seq(1, 2, 4, 8).map { b =>

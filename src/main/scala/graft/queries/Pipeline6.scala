@@ -204,8 +204,12 @@ object Pipeline6 {
       (s, dir) => {
         import s.implicits._
         val merges = Pipeline2.learnedBpe(s, dir).map(m => (m._2, m._3))
+        // r15: fan-out before the per-word merge loops (guide 2.5;
+        // single-split local scan = serial mapPartitions stage)
         val enc = graft.operators.BpeTrainer.applyMergesIterative(
-            t(s, dir, "documents").select($"source", $"text"),
+            graft.plans.FanOut.byKey(
+              t(s, dir, "documents").select($"doc_id", $"source", $"text"),
+              $"doc_id"),
             "text", merges)
           .select($"source", $"bpe_tokens")
           .persist() // two consumers: word-level totals + type counts
@@ -282,7 +286,9 @@ object Pipeline6 {
       "p103_cdc_chunk_dedup",
       (s, dir) => {
         import s.implicits._
-        val ch = t(s, dir, "documents")
+        // r15: fan-out before the gear-chunk + md5 per-row work
+        // (single-split local scan = serial stage; guide 2.5)
+        val ch = graft.plans.FanOut.byKey(t(s, dir, "documents"), $"doc_id")
           .select($"source", $"doc_id",
             explode(graft.functions.CdcFunctions.gear_chunks($"text", 6))
               .as("chunk"))

@@ -761,8 +761,11 @@ object Pipeline9 {
       "p135_good_turing",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
-          .filter($"text".isNotNull && $"text" =!= "")
+        // r15: fan-out before the trigram string build (guide 2.5;
+        // single-split local scan = serial stage; no-op at scale)
+        val docs = graft.plans.FanOut.byKey(
+          t(s, dir, "documents")
+            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
         val tri = docs
           .select($"source", split($"text", " ").as("ws"))
           .select($"source",
@@ -833,8 +836,11 @@ object Pipeline9 {
       (s, dir) => {
         import s.implicits._
         import graft.functions.UnigramFunctions.ilog2_fix
-        val docs = t(s, dir, "documents")
-          .filter($"text".isNotNull && $"text" =!= "")
+        // r15: fan-out before the trigram string build (guide 2.5;
+        // single-split local scan = serial stage; no-op at scale)
+        val docs = graft.plans.FanOut.byKey(
+          t(s, dir, "documents")
+            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
         val tri = docs
           .select($"source", split($"text", " ").as("ws"))
           .select($"source",

@@ -632,7 +632,12 @@ object Relational4 {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
           "l_tax")
-        val melt = t(s, dir, "lineitem").select(expr(
+        // r15: fan-out — the x8 stack melt + per-(col, v) partial agg
+        // ran map-side on ONE task over the single-split local scan
+        // (guide 2.5; no-op at scale)
+        val melt = graft.plans.FanOut.byKey(
+            t(s, dir, "lineitem"), $"l_orderkey")
+          .select(expr(
           s"stack(${cols.length}, " +
             cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
             ") as (column_name, v)"))
@@ -709,7 +714,14 @@ object Relational4 {
       (s, dir) => {
         import s.implicits._
         val ps = Seq(0.25, 0.5, 0.75, 0.95)
-        val li = t(s, dir, "lineitem").select($"l_extendedprice".as("v"))
+        // r15: fan-out — the GK sketch build (mergeable partials), the
+        // dictionary partial-agg and the rank audit all ran map-side on
+        // ONE task over the single-split local scan (guide 2.5; no-op
+        // at scale). The sketch is merge-order-dependent only within
+        // its 0.01% rank error; the output gate is 0.2%, so the
+        // asserted booleans are partitioning-invariant.
+        val li = graft.plans.FanOut.byKey(
+          t(s, dir, "lineitem").select($"l_extendedprice".as("v")), $"v")
         val exact = graft.operators.RankOps.exactQuantiles(
           li, Nil, $"v", ps, "exact_q")
         val sk = li.agg(

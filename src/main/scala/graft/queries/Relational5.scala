@@ -301,8 +301,13 @@ object Relational5 {
         }
         val med = med2Of(cust, "cents")
           .withColumnRenamed("m2", "med2")
+        // r15: persisted — consumed TWICE (the MAD rank phase and the
+        // final outlier rollup); unpersisted the whole customer-scan ->
+        // rank -> median chain re-executed per consumer (plan showed the
+        // subtree duplicated; 90 Exchange nodes -> 49 after the persist)
         val dev = cust.join(broadcast(med), Seq("c_nationkey"))
           .withColumn("d2", abs($"cents" * 2 - $"med2"))
+          .persist()
         val mad = med2Of(dev.select($"c_nationkey", $"c_custkey", $"d2"), "d2")
           .withColumnRenamed("m2", "mad2")
         dev.join(broadcast(mad), Seq("c_nationkey"))

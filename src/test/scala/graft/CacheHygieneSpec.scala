@@ -228,13 +228,13 @@ class CacheHygieneSpec extends AnyFunSuite {
       "frames, containment index, leak-span tokenization) are dropped " +
       "by the per-query clear") {
     // p37/p07 gained the DF-capped shingle persist in round 11; p159
-    // persists the edge frame plus one frame per normalized
-    // half-iteration; p160's containmentPairs persists the exploded
-    // shingles and the DF-capped frame it rides; p48 persists the
-    // tokenized frame its witness guard + gram pass + length
-    // projection share (round 12)
+    // persists one frame per normalized half-iteration (its edge frame
+    // moved to the commercePairs memo in r15 — covered below); p160's
+    // containmentPairs persists the exploded shingles and the DF-capped
+    // frame it rides; p48 persists the tokenized frame its witness
+    // guard + gram pass + length projection share (round 12)
     for (q <- Seq("p37_incremental_dedup", "p07_ngram_jaccard",
-        "p159_hits_authorities", "p162_principal_direction",
+        "p162_principal_direction",
         "p165_vocab_gini", "p17_neardup_lsh", "p09_simhash",
         "p160_containment_dedup", "p48_leak_spans")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -246,5 +246,38 @@ class CacheHygieneSpec extends AnyFunSuite {
       assert(leaked.isEmpty,
         s"$q left ${leaked.size} persisted RDDs: ${leaked.values.map(_.name)}")
     }
+  }
+
+  test("r15 commercePairs memo: p159 keeps exactly the one pair frame, " +
+      "p49 and repeats hit it without rebuilding") {
+    // Both graph entries read the shared (cust, supp) pair memo (one
+    // bounded localCheckpoint — the p08-pairs / p101-xknn / p107-
+    // assignment precedent). The accessor contract: at most one
+    // persisted frame ever, repeats return the SAME frame with zero new
+    // blocks. (p49 itself legitimately retains pageRank's final-round
+    // checkpoints until the ContextCleaner GCs them, so the entry-level
+    // leak bound is asserted on p159 and the memo contract directly.)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("p159_hits_authorities")(spark, sf).count()
+    spark.catalog.clearCache()
+    val afterP159 = spark.sparkContext.getPersistentRDDs.filter {
+      case (id, _) => !before.contains(id)
+    }
+    assert(afterP159.size <= 1,
+      s"p159 may keep only the commercePairs memo: ${afterP159.values.map(_.name)}")
+    // direct accessor contract: same frame back, no new persisted blocks
+    val mid = spark.sparkContext.getPersistentRDDs.keySet
+    val df1 = graft.operators.PageRankOp.commercePairs(spark, sf)
+    val df2 = graft.operators.PageRankOp.commercePairs(spark, sf)
+    assert(df1 eq df2, "repeated commercePairs must return the memoized frame")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == mid,
+      "a memo hit must add no persisted blocks")
+    // and p49 consuming it must register as a HIT in the ledger (the
+    // bench line's memo marker rides exactly this)
+    MemoLedger.drainForeignHits()
+    SparkEntry.queries("p49_pagerank")(spark, sf).count()
+    spark.catalog.clearCache()
+    assert(MemoLedger.drainForeignHits().contains("commercePairs"),
+      "p49 must consume the memo p159 built (hit without build)")
   }
 }
