@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16 (VERDICT r15 ask #1): forked `run` output passes through UNPREFIXED.
+// The default LoggedOutput strategy prepends "[info] " to every stdout
+// line, so graft.Bench's one-line JSON reached the driver as
+// "[info] {...}" — not a bare JSON line — and the driver's parser
+// recorded `parsed: null` on EVERY round's BENCH artifact (r1–r15).
+// StdoutOutput hands the forked process the parent's streams directly:
+// the bench line is now a bare `{"metric":...}` line. Test output is
+// unaffected (Test logging is framework-driven, not outputStrategy).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -258,14 +258,6 @@ object Bench {
       if (extValid.isEmpty) -1.0
       else extValid.map(r => r._7 * r._2).sum /
         math.max(extValid.map(_._2).sum, 1e-9)
-    println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir,
-      Some((loadBefore, loadAfter)), extMax,
-      // per-query ext only for >= 1s windows: sub-second windows span a
-      // handful of jiffies and a single GC tick reads as a phantom core
-      // (the extMax filter's rationale, applied per entry)
-      results.filter(r => r._2 >= 1.0 && r._7 >= 0)
-        .map(r => (r._1, r._7)),
-      results.filter(_._8.nonEmpty).map(_._1)))
     // Full-precision, full-name detail for local inspection (the stdout
     // line is size-capped; see renderLine).
     val detail = results.map { case (k, v, ok, sw, sr, sp, ext, memo) =>
@@ -299,15 +291,38 @@ object Bench {
           .collect { case rx(n) => n.toInt }
         if (prior.isEmpty) 0 else prior.max + 1
       }
+    // Three copies: the two target/ paths above plus a REPO-ROOT
+    // `bench-full-latest.json` (r16, VERDICT r15 ask #1): the stdout
+    // line is capped at ~1850 chars by the driver's last-2000-chars
+    // capture window, so 292 per-query timings structurally cannot
+    // ride it — the line instead POINTS at this root-relative file,
+    // which every bench run (ours and the driver's own) refreshes with
+    // the complete full-precision per-query map. Round-stamped root
+    // copies stay gated behind tools/stamp_bench.py (the r7
+    // clobber lesson); "latest" is by name a moving snapshot.
     for (p <- Seq(
         java.nio.file.Paths.get("target", "bench-full.json"),
-        java.nio.file.Paths.get("target", f"bench-full-r$round%02d.json"))) {
+        java.nio.file.Paths.get("target", f"bench-full-r$round%02d.json"),
+        java.nio.file.Paths.get("bench-full-latest.json"))) {
       try {
-        java.nio.file.Files.createDirectories(p.getParent)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
       } catch { case _: java.io.IOException => () }
     }
     spark.stop()
+    // The one-line JSON is printed LAST, after spark.stop(), so no
+    // Spark shutdown/WARN output can land between it and the end of
+    // the stream: together with build.sbt's StdoutOutput (no "[info] "
+    // prefix) the driver's last-2000-chars tail now ends with a BARE,
+    // complete JSON line followed only by sbt's [success] line.
+    println(Bench.renderLine(results.map(r => (r._1, r._2, r._3)), sfDir,
+      Some((loadBefore, loadAfter)), extMax,
+      // per-query ext only for >= 1s windows: sub-second windows span a
+      // handful of jiffies and a single GC tick reads as a phantom core
+      // (the extMax filter's rationale, applied per entry)
+      results.filter(r => r._2 >= 1.0 && r._7 >= 0)
+        .map(r => (r._1, r._7)),
+      results.filter(_._8.nonEmpty).map(_._1)))
   }
 
   /** The driver captures only the LAST ~2000 characters of output and
@@ -360,12 +375,14 @@ object Bench {
     // factor, and the 15-char path prefix is pure tail-window waste
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    // Degraded tiers round per-query seconds to integers, which hides
-    // sub-second regressions (round 6's p11/p16 ambiguity) — so every
-    // degraded line carries an explicit pointer to the full-precision
-    // per-query JSON this same run wrote next to it. A reader of
-    // BENCH_r{N}.json follows the path; the stdout line stays a summary.
-    val fullPtr = ""","full":"target/bench-full.json""""
+    // Every tier carries an explicit pointer to the full-precision
+    // per-query JSON this same run wrote at the REPO ROOT (r16: was
+    // target/bench-full.json, degraded tiers only — but the suite
+    // outgrew every non-degraded tier at 292 entries, so the pointer
+    // is now the PRIMARY channel for per-query data and rides every
+    // line). A reader of BENCH_r{N}.json follows the path; the stdout
+    // line stays a summary.
+    val fullPtr = ""","full":"bench-full-latest.json""""
     // 1-min loadavg straddling the timed pass, one decimal: on this
     // 32-cpu box a before-load much above ~2 means the numbers are
     // contention-tainted (round 7 inflated ~1.7x with nothing in the
@@ -433,7 +450,7 @@ object Bench {
     //      stays visible while the omitted sub-0.3s tail lives in
     //      bench-full.json anyway).
     val ladder = Seq(
-      line(qsWith(fmt1), failedFull),
+      line(qsWith(fmt1), failedFull, fullPtr),
       line(qsWith(fmt0), failedFull, fullPtr),
       line(qsWith(fmt0), failedCount, fullPtr))
     ladder.find(_.length < 1850).getOrElse {

@@ -1007,7 +1007,7 @@ object Dedup {
     * local checkpoint discards both the data and the (truncated)
     * lineage. Shared by the iterative operators (CC, PageRank).
     */
-  private[operators] def releasePersisted(
+  private[graft] def releasePersisted(
       spark: SparkSession, ids: Set[Int]): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))

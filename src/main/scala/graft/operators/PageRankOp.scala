@@ -91,24 +91,36 @@ object PageRankOp {
     * (appId, dir) change.
     */
   @volatile private var commercePairsMemo
-      : Option[((String, String), DataFrame)] = None
+      : Option[((String, String), DataFrame, Set[Int])] = None
 
   def commercePairs(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     synchronized {
       val key = (s.sparkContext.applicationId, dir)
       commercePairsMemo match {
-        case Some((k, df)) if k == key =>
+        case Some((k, df, _)) if k == key =>
           graft.MemoLedger.recordHit("commercePairs"); df
-        case _ =>
+        case prev =>
           graft.MemoLedger.recordBuild("commercePairs")
+          // ADVICE r15: a key change (new dir / new session) must
+          // RELEASE the superseded checkpoint's MEMORY_AND_DISK blocks
+          // eagerly — dropping the reference alone leaves them to the
+          // GC-driven ContextCleaner, so multi-dir runs accumulated
+          // stale blocks. Raw-RDD release (the connectedComponents
+          // discipline); ids were captured at build time below.
+          prev.foreach { case ((app, _), _, ids) =>
+            if (app == s.sparkContext.applicationId)
+              Dedup.releasePersisted(s, ids)
+          }
           val li = graft.Tables.t(s, dir, "lineitem")
           val ord = graft.Tables.t(s, dir, "orders")
+          val before = s.sparkContext.getPersistentRDDs.keySet
           val df = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
             .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
             .distinct()
             .localCheckpoint(true)
-          commercePairsMemo = Some((key, df))
+          val added = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+          commercePairsMemo = Some((key, df, added.toSet))
           df
       }
     }

@@ -40,13 +40,63 @@ object FanOut {
     * "fan-out" section). Call sites stay so the experiment is ONE env
     * variable on a real cluster (`SPARK_GRAFT_FANOUT=on`), where a
     * many-splits scan makes `byKey` a structural no-op anyway. */
-  private val enabled: Boolean =
+  private val envEnabled: Boolean =
     sys.env.get("SPARK_GRAFT_FANOUT").exists(_.equalsIgnoreCase("on"))
 
+  /** Test hook (FanOutSpec, VERDICT r15 ask #6): the env flag is fixed
+    * at JVM start, but the q53 fan-out-safety spec must run the same
+    * query with the experiment on and off inside one JVM. Production
+    * code never touches this. */
+  @volatile private[graft] var overrideEnabled: Option[Boolean] = None
+
+  private def enabled: Boolean = overrideEnabled.getOrElse(envEnabled)
+
+  /** Input-split count derived WITHOUT executing (ADVICE r15): the old
+    * `df.rdd.getNumPartitions` on an AQE plan containing shuffles
+    * materialized every upstream shuffle stage just to read a count —
+    * and the real query then re-executed that work (a double-execute
+    * at every non-scan call site when the flag is on). Instead, walk
+    * the un-executed physical plan: if it contains an Exchange the
+    * frame is post-shuffle (AQE governs its parallelism — fan-out has
+    * nothing to add), return None; otherwise the frame is a narrow
+    * derivation of its leaf scans, whose split counts are driver-side
+    * metadata (file listing, no job).
+    */
+  private def scanSplits(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // initialPlan, not sparkPlan: exchanges are inserted by the
+    // EnsureRequirements preparation, which sparkPlan predates — a
+    // groupBy's sparkPlan shows partial/final aggregates with NO
+    // Exchange between them yet. AdaptiveSparkPlanExec.initialPlan is
+    // the prepared tree BEFORE any stage has run, so inspecting it
+    // executes nothing.
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    if (plan.collectFirst { case e: Exchange => e }.isDefined) None
+    else {
+      val leaves = plan.collectLeaves()
+      val counts = leaves.collect {
+        case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+      }
+      // any unknown leaf (local relation, v2 scan, checkpointed RDD):
+      // no split evidence — stay a no-op, the conservative direction
+      if (counts.nonEmpty && counts.size == leaves.size) Some(counts.max)
+      else None
+    }
+  }
+
   def byKey(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (enabled && df.rdd.getNumPartitions * 2 <= target)
-      df.repartition(target, key)
-    else df
+    if (!enabled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      scanSplits(df) match {
+        case Some(n) if n * 2 <= target => df.repartition(target, key)
+        case _ => df
+      }
+    }
   }
 }

@@ -62,7 +62,8 @@ object Pipeline13 {
     * replacement on (appId, sfDir) change.
     */
   @volatile private var lshPairsMemo
-      : Option[((String, String), org.apache.spark.sql.DataFrame)] = None
+      : Option[((String, String), org.apache.spark.sql.DataFrame, Set[Int])] =
+    None
 
   /** The 0.4-threshold knobs, READ FROM the derivation (r13 ask #1)
     * rather than hard-coded: derivedLshKnobs(0.4) = (4, 48) — the
@@ -78,15 +79,24 @@ object Pipeline13 {
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val key = (s.sparkContext.applicationId, dir)
     lshPairsMemo match {
-      case Some((k, df)) if k == key =>
+      case Some((k, df, _)) if k == key =>
         graft.MemoLedger.recordHit("lshPairs"); df
-      case _ =>
+      case prev =>
         graft.MemoLedger.recordBuild("lshPairs")
+        // ADVICE r15 (the commercePairs fix applied here too): release
+        // the superseded key's checkpoint blocks eagerly on replacement
+        // instead of waiting on the GC-driven ContextCleaner.
+        prev.foreach { case ((app, _), _, ids) =>
+          if (app == s.sparkContext.applicationId)
+            graft.operators.Dedup.releasePersisted(s, ids)
+        }
+        val before = s.sparkContext.getPersistentRDDs.keySet
         val df = graft.operators.Similarity.nearDupPairsLsh(
             t(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.4,
             planes = legacyKnobs._1, tables = legacyKnobs._2)
           .localCheckpoint(true)
-        lshPairsMemo = Some((key, df))
+        val added = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+        lshPairsMemo = Some((key, df, added.toSet))
         df
     }
   }

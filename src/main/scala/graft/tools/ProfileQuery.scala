@@ -64,11 +64,21 @@ object ProfileQuery {
       }
     })
 
-    // warmup at sf0.001 like the bench does, so rep 1 is JIT-warm
+    // warmup like the bench does, so rep 1 is JIT-warm. ADVICE r15:
+    // the dir comes from the env (default = the bench's warm dir), and
+    // a failed warm-up is REPORTED instead of silently leaving rep 1
+    // cold while the tool's contract says JIT-warm.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     try {
-      d.fn(spark, "/root/testdata/sf0.001")
+      d.fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[profile] WARNING: warm-up at $warmDir " +
+          s"FAILED (${e.getMessage}) — rep 1 runs COLD; set " +
+          "SPARK_GRAFT_WARM_DIR to a reachable fixture dir")
+    }
     spark.catalog.clearCache(); System.gc()
 
     for (r <- 1 to reps) {

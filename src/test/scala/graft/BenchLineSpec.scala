@@ -60,16 +60,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(b.contains("\"q01\":10}"), b)
   }
 
-  test("degraded (integer-second) lines point at the full-precision file") {
-    // whole-second rounding hides sub-second regressions, so any tier
-    // past the one-decimal form must carry the bench-full.json pointer
-    // a BENCH_r{N}.json reader can follow
+  test("every tier points at the repo-root full-precision file") {
+    // r16 (VERDICT r15 ask #1): at 292 entries no tier carries the
+    // whole suite, so the root-relative bench-full-latest.json pointer
+    // is the primary per-query channel and must ride EVERY line —
+    // including the non-degraded tier 1 — for the driver to follow
     val many = (1 to 400).map(i => (f"q$i%03d_x", i.toDouble / 10, true))
     val degraded = Bench.renderLine(many, "/tmp/sf0.1")
-    assert(degraded.contains(""""full":"target/bench-full.json""""), degraded.takeRight(120))
-    // ...and the full-detail tier 1 does NOT pay the pointer's chars
+    assert(degraded.contains(""""full":"bench-full-latest.json""""), degraded.takeRight(120))
     val small = Bench.renderLine(Seq(("q01_x", 1.23, true)), "/tmp/sf0.1")
-    assert(!small.contains("bench-full"), small)
+    assert(small.contains(""""full":"bench-full-latest.json""""), small)
   }
 
   test("negative extMax (no valid in-run samples) renders no extmax key") {
@@ -122,7 +122,10 @@ class BenchLineSpec extends AnyFunSuite {
     // total keeps 2 decimals; per-query values carry 1 (the 2-decimal
     // form crossed the 1800-char window at 115 queries)
     assert(line.startsWith("""{"metric":"total","value":1.73,"unit":"sec","queries":{"q01":1.2,"p08":0.5},"""))
-    // sf carries only the basename — the path prefix wastes tail window
-    assert(line.endsWith(""""failed":1,"failed_queries":["p08"],"sf":"sf"}"""))
+    // sf carries only the basename — the path prefix wastes tail window;
+    // the full-detail pointer sits between the failed list and sf on
+    // every tier (r16)
+    assert(line.endsWith(""""failed":1,"failed_queries":["p08"],""" +
+      """"full":"bench-full-latest.json","sf":"sf"}"""))
   }
 }

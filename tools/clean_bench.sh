@@ -4,18 +4,26 @@
 # to $3 attempts (default 8). Prints every attempt's line; exits 0 on
 # the first clean one. Sleeps between attempts so a transient external
 # spike (hypervisor steal on this box) can pass.
+#
+# r16 (ADVICE r15): Bench prints ONE line per run, but defend against
+# multi-line grep output anyway (tail -n1), and the extmax grep class
+# includes '-' so Bench's -1.0 no-evidence sentinel is CAPTURED and
+# handled by the explicit comparison instead of falling through the
+# empty-string branch by accident.
 set -u
 ONLY="$1"; THR="${2:-0.35}"; TRIES="${3:-8}"
 for i in $(seq 1 "$TRIES"); do
-  LINE=$(SPARK_GRAFT_ONLY="$ONLY" sbt -batch 'runMain graft.Bench' 2>/dev/null | grep -o '"metric".*')
+  LINE=$(SPARK_GRAFT_ONLY="$ONLY" sbt -batch 'runMain graft.Bench' 2>/dev/null \
+    | grep -o '"metric".*' | tail -n1)
   echo "attempt $i: $LINE"
-  EXT=$(echo "$LINE" | grep -o '"extmax":[0-9.]*' | cut -d: -f2)
-  if [ -n "$EXT" ] && python3 -c "import sys; sys.exit(0 if float('$EXT') < float('$THR') else 1)"; then
-    echo "CLEAN (extmax $EXT < $THR)"; exit 0
-  fi
-  # no extmax (all sub-second entries) also counts as unknown-clean
+  EXT=$(echo "$LINE" | grep -o '"extmax":-\?[0-9.]*' | cut -d: -f2 | tail -n1)
+  # no extmax key, or Bench's -1.0 sentinel (all sub-second entries /
+  # no valid samples): unknown-clean — report and stop retrying
   if [ -z "$EXT" ] || [ "$EXT" = "-1.0" ]; then
     echo "NO-EXT (sub-second windows only)"; exit 0
+  fi
+  if python3 -c "import sys; sys.exit(0 if float('$EXT') < float('$THR') else 1)"; then
+    echo "CLEAN (extmax $EXT < $THR)"; exit 0
   fi
   sleep 45
 done
