@@ -20,6 +20,18 @@ run / fork := true
 // the bench line is now a bare `{"metric":...}` line. Test output is
 // unaffected (Test logging is framework-driven, not outputStrategy).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// r16 (VERDICT r15 ask #3): a MACHINE-READABLE one-line success marker
+// at the very end of `sbt test`. Round 15's driver recorded
+// tests_ok:false on a suite whose 78 XML reports aggregate 0 failures —
+// its success detection never saw an unambiguous marker in the output
+// tail. The override runs the real test task (which THROWS on any
+// failure, so the marker line structurally cannot print on a red
+// suite) and then prints one bare JSON line from the sbt JVM itself
+// (no logger prefix), mirroring the bench-line contract.
+Test / test := {
+  (Test / test).value
+  println("""{"tests_ok":true}""")
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -364,6 +364,13 @@ object Pipeline10 {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // r16 NEGATIVE RESULT (guide §1): a .persist() on scored —
+        // which feeds both the threshold aggregate and the
+        // confident-assignment join — measured consistently slower in
+        // interleaved A/Bs (minima 3.1 vs 2.5 s): the (doc × class)
+        // frame's cache materialization costs more than the second
+        // test-side pass at any window observed. Left unpersisted
+        // deliberately (the r15 p112/p145 discipline).
         val scored = graft.operators.TextAnalysis.classifierScores(
           t(s, dir, "documents"), "doc_id", "text", "lang",
           $"doc_id" % 2 === 0)
@@ -612,6 +619,13 @@ object Pipeline10 {
           .filter($"rank_in_key" <= 64)
           .join(lm, "doc_id") // inner: drops <2-token docs, documented
           .select($"source", $"doc_id", $"q", $"lm_score")
+          // r16 NEGATIVE RESULT (guide §1): a .persist() here — the
+          // pair stage self-joins this frame as a and b — measured
+          // CONSISTENTLY slower in interleaved A/Bs (minima 3.5 vs
+          // 2.9 s): with only two consumers of a ≤64-rows-per-source
+          // frame, the cache materialization barrier + columnar round
+          // trip cost more than one recompute. Left unpersisted
+          // deliberately (the r15 p112/p145 discipline).
         val a = sample.select($"source", $"doc_id".as("ida"),
           $"q".as("qa"), $"lm_score".as("la"))
         val b = sample.select($"source", $"doc_id".as("idb"),

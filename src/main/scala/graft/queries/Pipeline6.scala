@@ -812,6 +812,15 @@ object Pipeline6 {
           $"embedding".as("pvec"))
         val corpus = bSide.select($"vec_id".as("cid"),
           $"embedding".as("cvec"))
+        // r16 NEGATIVE RESULT (guide §1: measure, then believe it): a
+        // .persist() here — exact1 feeds both the recall-gate join and
+        // the output projection — LOST its pairwise A/B consistently
+        // (p109 6.4 vs 5.2 s at ext 0.0 both arms; worse in every
+        // window pair). Mechanism: exactMate1 already persists its
+        // quadratic float frame internally, so the re-executed tail is
+        // a cheap cached-read aggregate, while the extra InMemoryRelation
+        // materialization barrier + columnar round-trip cost more than
+        // the tail. Left as-is deliberately.
         val exact1 = exactMate1(s, probes, corpus)
         val mined = Similarity.ivfMineMates(
           aSide.select($"vec_id".as("aid"), $"embedding".as("avec")),

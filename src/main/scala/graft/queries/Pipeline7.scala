@@ -872,6 +872,12 @@ object Pipeline7 {
           .groupBy($"label", $"dim")
           .agg(sum($"x").cast(
             org.apache.spark.sql.types.DecimalType(18, 9)).as("sx"))
+          // r16 NEGATIVE RESULT (guide §1): a .persist() here — cells
+          // feeds both qs and related — measured consistently slower
+          // in interleaved A/Bs (minima 2.1 vs 1.6 s): two consumers
+          // of a labels×dims frame recompute cheaper than the cache
+          // barrier + columnar round trip. Left unpersisted
+          // deliberately (the r15 p112/p145 discipline).
         val qs = cells.crossJoin(broadcast(qlab))
           .filter($"label" === $"qlab").select($"dim", $"sx".as("qx"))
         val related = cells.join(broadcast(qs), "dim")

@@ -167,8 +167,6 @@ object Relational7 {
               |  DECLARE target BIGINT;
               |  DECLARE lo BIGINT DEFAULT 0;
               |  DECLARE hi BIGINT;
-              |  DECLARE mid BIGINT;
-              |  DECLARE n_ge BIGINT;
               |  CREATE OR REPLACE TEMPORARY VIEW dollar_dict AS
               |    SELECT /*+ COALESCE(1) */
               |           CAST(round(o_totalprice * 100, 0) AS BIGINT)
@@ -180,14 +178,20 @@ object Relational7 {
               |  SET target = total DIV 10;
               |  SET hi = (SELECT MAX(dollars) + 1 FROM dollar_dict);
               |  WHILE hi - lo > 1 DO
-              |    SET mid = (lo + hi) DIV 2;
-              |    SET n_ge = (SELECT COALESCE(SUM(cnt), 0) FROM dollar_dict
-              |                WHERE dollars >= mid);
-              |    IF n_ge > target THEN
-              |      SET lo = mid;
-              |    ELSE
-              |      SET hi = mid;
-              |    END IF;
+              |    -- ONE statement per probe (r16): each scripted
+              |    -- statement is a full Catalyst execution (~60-130 ms
+              |    -- data-size-invariant, profile in plans/r16/
+              |    -- q93_profile_jobs_before.txt), so the probe + both
+              |    -- updates ride a single multi-assignment SET instead
+              |    -- of SET mid / SET n_ge / IF-SET (3 executions): the
+              |    -- bisection invariant (n_ge(lo) > target >= n_ge(hi))
+              |    -- and every iterate are unchanged
+              |    SET (lo, hi) = (
+              |      SELECT IF(n_ge > target, mid, lo),
+              |             IF(n_ge > target, hi, mid)
+              |      FROM (SELECT (lo + hi) DIV 2 AS mid,
+              |              (SELECT COALESCE(SUM(cnt), 0) FROM dollar_dict
+              |               WHERE dollars >= (lo + hi) DIV 2) AS n_ge));
               |  END WHILE;
               |  SELECT total, target, hi AS threshold_dollars,
               |    (SELECT COALESCE(SUM(cnt), 0) FROM dollar_dict
