@@ -854,11 +854,17 @@ object Pipeline10 {
         val pairs = sample.select($"source", $"doc_id".as("ida"))
           .join(sample.select($"source", $"doc_id".as("idb")), "source")
           .filter($"ida" =!= $"idb")
-        // r15: persisted — each order's gram frame is consumed TWICE
-        // (hypothesis and reference sides of the clipped join);
-        // unpersisted the explode+agg subtree re-executed per side.
-        // Bounded: grams of the 32-per-source sample, never the corpus.
-        val gramsByN = Map(1 -> grams(1).persist(), 2 -> grams(2).persist())
+        // r16 REVERT of the r15 persist: each order's gram frame is
+        // consumed twice (hypothesis/reference sides of the clipped
+        // join), but the r16 clean suite stamp measured the persisted
+        // form at 4.80 s vs the r14 unpersisted stamp's 2.67 s, and
+        // four interleaved isolated A/B windows were a dead wash
+        // (persist 2.6/3.0/3.8 vs none 2.8/3.1/3.6) — the
+        // InMemoryRelation materialization barrier + columnar
+        // round-trip costs as much as one recompute of the sample-
+        // bounded explode+agg subtree (two consumers is below the
+        // persist-pays threshold; r15's real winners had 4-6).
+        val gramsByN = Map(1 -> grams(1), 2 -> grams(2))
         def clipped(n: Int, out: String) = {
           val h = gramsByN(n).select($"doc_id".as("ida"), $"g", $"c")
           val r = gramsByN(n).select($"doc_id".as("idb"),

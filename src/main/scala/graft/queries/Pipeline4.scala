@@ -219,9 +219,13 @@ object Pipeline4 {
       (s, dir) => {
         import s.implicits._
         // r15: fan-out before the gram build (guide 2.5; no-op at
-        // scale) + persist — the exploded-distinct frame feeds FOUR
-        // consumers (eval witness, eval, train DF cap, train join) and
-        // re-executed per consumer unpersisted
+        // scale). The r15 persist of the exploded-distinct gram frame
+        // (four consumers) was REVERTED in r16: the clean suite stamp
+        // measured it at 3.36 s vs the r14 unpersisted 2.45 s, and
+        // interleaved isolated A/Bs had unpersisted winning every pair
+        // (2.5/3.2/2.6/2.9 vs 3.4/3.7/3.8) — the materialization
+        // barrier serializes the four consumers behind one columnar
+        // write where the recomputed subtree overlaps them.
         val docs = graft.plans.FanOut.byKey(
             t(s, dir, "documents")
               .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
@@ -231,7 +235,6 @@ object Pipeline4 {
           .select($"doc_id", $"source",
             explode(wordGrams($"tk", $"text", 3)).as("gram"))
           .distinct()
-          .persist()
         val eval0 = grams.filter($"source" === "src0")
           .select($"doc_id".as("e_id"), $"gram")
         // the train side is DF-capped at 50 below, so per-gram pair

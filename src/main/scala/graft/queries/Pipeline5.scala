@@ -548,17 +548,21 @@ object Pipeline5 {
         // sources are a dictionary (the window above is sources-sized);
         // the bitmask bound is explicit — >62 sources must fail loudly
         // in-plan, not silently corrupt the audit
-        // r15: persisted — the dictionary is broadcast at SIX places
-        // below (masks build, bySrc, kmv, pairsKeys x2, exact), and
-        // unpersisted each broadcast build re-ran the scan -> distinct
-        // -> window chain (~4 stages each, measured as a string of
-        // serial 1-task jobs in the per-job profile)
+        // The dictionary is broadcast at SIX places below (masks
+        // build, bySrc, kmv, pairsKeys x2, exact); r15 persisted it so
+        // each broadcast build skips the scan -> distinct -> window
+        // chain. r16 REVERTED the persist: the clean suite stamp had
+        // the persisted form at 7.33 s vs the r14 unpersisted 6.61 s,
+        // and isolated interleaved A/Bs washed (6.1/6.3 unpersisted vs
+        // 5.9/6.6/6.9 persisted) — the six rebuilt chains are
+        // sources-sized serial stages that overlap other work, while
+        // the persist's materialization barrier gates ALL six
+        // broadcast builds behind one synchronous cache write.
         val srcDict = srcDict0.select($"source",
           when($"sid" < 62, $"sid")
             .otherwise(expr(
               "raise_error('p95: source bitmask supports at most 62 sources')"))
             .as("sid"))
-          .persist()
         // r15: fan the single-split local scan out across cores before
         // the per-gram md5 work — serial 3.5-4s single-task stage in
         // the profile, the guide §2.5 unsplittable-input case; no-op at
