@@ -706,8 +706,13 @@ object Similarity {
     // ngramJaccardPairs (Verify/Bench clearCache per query).
     // r15: fan-out before the planes x tables sketch kernel — on a
     // single-split local scan the whole per-vector dot-product stage
-    // ran as ONE task (guide 2.5); conditional no-op at scale
-    val sk = graft.plans.FanOut.byKey(emb, col(idCol))
+    // ran as ONE task (guide 2.5); conditional no-op at scale.
+    // r16: site default ON — quiet-host interleaved A/Bs measured the
+    // 2784-dot-products-per-vector kernel serial stage as the p171
+    // critical path (9.7/8.1/9.1 s OFF vs 6.0/5.7 s ON isolated;
+    // group A/B in OPTIMIZATION_r16.md), the per-row-work-dominates
+    // case the byKey contract names.
+    val sk = graft.plans.FanOut.byKey(emb, col(idCol), siteDefault = true)
       .select(col(idCol).as("id"),
         posexplode(lshSketches(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sketch")

@@ -32,16 +32,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   * an extra exchange.
   */
 object FanOut {
-  /** Default OFF — the r15 clean-window A/B measured the fan-out as a
-    * wash-or-loss on this host (p07 5.6 s ON vs 3.8 s OFF at extmax
-    * ≤ 0.9; the other six probe entries within ±0.3 s): the extra
-    * exchange costs more than the unlocked parallelism when hypervisor
-    * steal already fights concurrent task demand (OPTIMIZATION_r15.md,
-    * "fan-out" section). Call sites stay so the experiment is ONE env
-    * variable on a real cluster (`SPARK_GRAFT_FANOUT=on`), where a
-    * many-splits scan makes `byKey` a structural no-op anyway. */
-  private val envEnabled: Boolean =
-    sys.env.get("SPARK_GRAFT_FANOUT").exists(_.equalsIgnoreCase("on"))
+  /** Site-default policy (r16). r15 measured the fan-out globally as a
+    * wash-or-loss — but on a CONTENDED host (hypervisor steal fights
+    * extra concurrent task demand). r16's quiet-host interleaved A/Bs
+    * split the verdict BY SITE: the LSH sketch kernel (Similarity
+    * signLshSketches: p171 9.7/8.1/9.1 s OFF vs 6.0/5.7 s ON) and the
+    * trigram explode kernels (Pipeline9 p136 4.1/3.3/4.0 OFF vs
+    * 3.3/3.1 ON) win — their per-row work dominates the one-exchange
+    * cost — while cheap-per-row sites lose (p07 3.7-4.4 OFF vs
+    * 4.5-4.7 ON) or wash (p102, q53). So `byKey` now takes a per-site
+    * default, ON only where a clean-window A/B won; `SPARK_GRAFT_FANOUT`
+    * still forces every site on (`on`) or off (`off`) for one-variable
+    * cluster experiments — at scale a many-splits scan makes every
+    * site a structural no-op anyway. */
+  private val envForce: Option[Boolean] =
+    sys.env.get("SPARK_GRAFT_FANOUT").map(_.equalsIgnoreCase("on"))
 
   /** Test hook (FanOutSpec, VERDICT r15 ask #6): the env flag is fixed
     * at JVM start, but the q53 fan-out-safety spec must run the same
@@ -49,7 +54,8 @@ object FanOut {
     * code never touches this. */
   @volatile private[graft] var overrideEnabled: Option[Boolean] = None
 
-  private def enabled: Boolean = overrideEnabled.getOrElse(envEnabled)
+  private def enabled(siteDefault: Boolean): Boolean =
+    overrideEnabled.orElse(envForce).getOrElse(siteDefault)
 
   /** Input-split count derived WITHOUT executing (ADVICE r15): the old
     * `df.rdd.getNumPartitions` on an AQE plan containing shuffles
@@ -89,8 +95,9 @@ object FanOut {
     }
   }
 
-  def byKey(df: DataFrame, key: Column): DataFrame = {
-    if (!enabled) df
+  def byKey(df: DataFrame, key: Column,
+      siteDefault: Boolean = false): DataFrame = {
+    if (!enabled(siteDefault)) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       scanSplits(df) match {

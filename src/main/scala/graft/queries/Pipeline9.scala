@@ -762,10 +762,15 @@ object Pipeline9 {
       (s, dir) => {
         import s.implicits._
         // r15: fan-out before the trigram string build (guide 2.5;
-        // single-split local scan = serial stage; no-op at scale)
+        // single-split local scan = serial stage; no-op at scale).
+        // r16: site default ON — the trigram explode + concat kernel
+        // is per-row-dominant; quiet-host A/B measured p136 at
+        // 4.1/3.3/4.0 s OFF vs 3.3/3.1 s ON (p135 shares the kernel;
+        // group A/B in OPTIMIZATION_r16.md).
         val docs = graft.plans.FanOut.byKey(
           t(s, dir, "documents")
-            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
+            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id",
+          siteDefault = true)
         val tri = docs
           .select($"source", split($"text", " ").as("ws"))
           .select($"source",
@@ -837,10 +842,15 @@ object Pipeline9 {
         import s.implicits._
         import graft.functions.UnigramFunctions.ilog2_fix
         // r15: fan-out before the trigram string build (guide 2.5;
-        // single-split local scan = serial stage; no-op at scale)
+        // single-split local scan = serial stage; no-op at scale).
+        // r16: site default ON — the trigram explode + concat kernel
+        // is per-row-dominant; quiet-host A/B measured p136 at
+        // 4.1/3.3/4.0 s OFF vs 3.3/3.1 s ON (p135 shares the kernel;
+        // group A/B in OPTIMIZATION_r16.md).
         val docs = graft.plans.FanOut.byKey(
           t(s, dir, "documents")
-            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id")
+            .filter($"text".isNotNull && $"text" =!= ""), $"doc_id",
+          siteDefault = true)
         val tri = docs
           .select($"source", split($"text", " ").as("ws"))
           .select($"source",

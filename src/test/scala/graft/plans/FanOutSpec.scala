@@ -58,6 +58,26 @@ class FanOutSpec extends AnyFunSuite {
     assert(fanned.rdd.getNumPartitions == target)
   }
 
+  test("per-site defaults (r16): siteDefault governs when nothing forces") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    // no override, no env force (the test JVM does not set
+    // SPARK_GRAFT_FANOUT): the per-site default decides
+    assume(sys.env.get("SPARK_GRAFT_FANOUT").isEmpty)
+    assert(FanOut.byKey(docs, $"doc_id") eq docs,
+      "default siteDefault=false must be identity")
+    val on = FanOut.byKey(docs, $"doc_id", siteDefault = true)
+    assert(on.queryExecution.sparkPlan.toString
+      .contains("hashpartitioning(doc_id"),
+      "siteDefault=true must fan out an under-split scan")
+    // a force (override stands in for the env var, same precedence
+    // slot semantics: force > siteDefault) beats the site default
+    val forcedOff = withFanOut(on = false)(
+      FanOut.byKey(docs, $"doc_id", siteDefault = true))
+    assert(forcedOff eq docs, "forced OFF must beat siteDefault=true")
+  }
+
   test("a post-shuffle frame is declined without running any job") {
     import spark.implicits._
     val agg = graft.Tables.t(spark, sf, "documents")
