@@ -597,8 +597,13 @@ object Similarity {
     import spark.implicits._
     // r15: fan-out before the n^2/2 broadcast-corpus scan — on a
     // single-split local input the whole float pass ran as ONE task
-    // (guide 2.5); conditional no-op at scale
-    val candidates = graft.plans.FanOut.byKey(nonNull, col(idCol))
+    // (guide 2.5); conditional no-op at scale.
+    // r16: site default ON — the per-row work here is the largest in
+    // the repo (each row scans the whole broadcast corpus), the
+    // byKey contract's per-row-work-dominates case; quiet-host
+    // interleaved A/Bs in OPTIMIZATION_r16.md.
+    val candidates = graft.plans.FanOut.byKey(nonNull, col(idCol),
+      siteDefault = true)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>

@@ -36,9 +36,11 @@ object FanOut {
     * wash-or-loss — but on a CONTENDED host (hypervisor steal fights
     * extra concurrent task demand). r16's quiet-host interleaved A/Bs
     * split the verdict BY SITE: the LSH sketch kernel (Similarity
-    * signLshSketches: p171 9.7/8.1/9.1 s OFF vs 6.0/5.7 s ON) and the
+    * signLshSketches: p171 9.7/8.1/9.1 s OFF vs 6.0/5.7 s ON), the
     * trigram explode kernels (Pipeline9 p136 4.1/3.3/4.0 OFF vs
-    * 3.3/3.1 ON) win — their per-row work dominates the one-exchange
+    * 3.3/3.1 ON) and the n² broadcast-corpus scan (nearDupPairsExact:
+    * p170 −5% / p12 −20% median over six gated pairs) win — their
+    * per-row work dominates the one-exchange
     * cost — while cheap-per-row sites lose (p07 3.7-4.4 OFF vs
     * 4.5-4.7 ON) or wash (p102, q53). So `byKey` now takes a per-site
     * default, ON only where a clean-window A/B won; `SPARK_GRAFT_FANOUT`
