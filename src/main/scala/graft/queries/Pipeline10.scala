@@ -725,10 +725,30 @@ object Pipeline10 {
         val cells = t(s, dir, "embeddings")
           .select($"vec_id", posexplode($"embedding"))
           .select($"vec_id", $"pos".as("dim"), $"col".cast(D).as("x"))
-          .persist() // 7 greedy steps re-read it
-        var centers = Vector(0L)
+          .persist() // 8 greedy steps re-read it
+        // r16: INCREMENTAL running min (guide §2.3) — the oracle's own
+        // mind_t = LEAST(mind_{t-1}, d²-to-pick_t) recurrence, which
+        // the r15-era Spark side recomputed from scratch each step
+        // (distances to ALL t centers, O(n·t) rows aggregated through
+        // TWO groupBys per step). Per step now: one 64-row broadcast
+        // join + one n-row agg + a join against the checkpointed
+        // running min. min is associative and every term is the same
+        // exact (38,18) decimal sum, so the greedy trajectory — picks,
+        // tie-breaks AND radii — is bit-identical (oracle-gated at
+        // three SFs).
+        def distTo(cid: Long) = {
+          val cc = cells.filter($"vec_id" === cid)
+            .select($"dim", $"x".as("cx"))
+          cells.filter($"vec_id" =!= cid)
+            .join(broadcast(cc), "dim")
+            .groupBy($"vec_id")
+            .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
+        }
         val picked = scala.collection.mutable.ArrayBuffer(
           (1L, 0L, java.math.BigDecimal.ZERO))
+        var mind = distTo(0L)
+          .select($"vec_id", $"d2".as("mind"))
+          .localCheckpoint(true)
         // The loop stops early when the candidate set exhausts (fewer
         // than 8 vectors in the corpus — a tiny SF or filtered
         // fixture): an empty argmax means every vector is already a
@@ -736,22 +756,27 @@ object Pipeline10 {
         // plan-construction time.
         var exhausted = false
         for (t <- 2 to 8 if !exhausted) {
-          val cc = cells.filter($"vec_id".isin(centers: _*))
-            .select($"vec_id".as("cid"), $"dim", $"x".as("cx"))
-          val tops = cells.filter(!$"vec_id".isin(centers: _*))
-            .join(broadcast(cc), "dim")
-            .groupBy($"vec_id", $"cid")
-            .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
-            .groupBy($"vec_id").agg(min($"d2").as("mind"))
+          val tops = mind
             .orderBy($"mind".desc, $"vec_id").limit(1)
             .collect()
           if (tops.isEmpty) exhausted = true
           else {
             val top = tops(0)
-            centers :+= top.getLong(0)
-            picked += ((t.toLong, top.getLong(0), top.getDecimal(1)))
+            val cid = top.getLong(0)
+            picked += ((t.toLong, cid, top.getDecimal(1)))
+            if (t < 8) {
+              val prev = mind
+              mind = prev.filter($"vec_id" =!= cid)
+                .join(distTo(cid), "vec_id")
+                .select($"vec_id",
+                  least($"mind", $"d2").as("mind"))
+                .localCheckpoint(true)
+              prev.unpersist() // lineage-truncation WARN is benign:
+              // the frame is never re-read after replacement
+            }
           }
         }
+        mind.unpersist()
         cells.unpersist()
         // radius as floor(d² · 10^6) — an EXACT integer of the exact
         // decimal, because the round-6 double form hit a half-way tie
